@@ -1,0 +1,81 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** The VDF (Universal Vector Dataset Format) manifest model.
+  *
+  * Mirrors the reference's pydantic models (vector-io `meta_types.py:5-29`)
+  * as Scala case classes: a VDF dataset is a directory of Parquet files
+  * plus a `VDF_META.json` describing indexes → namespaces → files.
+  */
+final case class ModelMap(
+    model_name: Option[String] = None,
+    text_column: Option[String] = None,
+    dimensions: Option[Int] = None,
+    vector_column: Option[String] = None)
+
+/** Per-namespace metadata (`meta_types.py:5-20`). */
+final case class NamespaceMeta(
+    namespace: String = "",
+    index_name: String = "",
+    total_vector_count: Long = 0L,
+    exported_vector_count: Long = 0L,
+    dimensions: Int = -1,
+    model_name: Option[String] = None,
+    vector_columns: List[String] = List("vector"),
+    data_path: String = "",
+    metric: Option[String] = None,
+    model_map: Option[Map[String, ModelMap]] = None,
+    schema_dict_str: Option[String] = None)
+
+/** Top-level manifest (`meta_types.py:22-29`). */
+final case class VdfMeta(
+    version: String = "1.0",
+    file_structure: List[String] = Nil,
+    author: String = "graft",
+    exported_from: String = "mock",
+    indexes: Map[String, List[NamespaceMeta]] = Map.empty,
+    exported_at: String = "",
+    id_column: Option[String] = Some(Constants.IdColumn))
+
+object VdfMeta {
+  val FileName = "VDF_META.json"
+
+  private lazy val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def toJson(meta: VdfMeta): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)
+
+  def fromJson(json: String): VdfMeta = mapper.readValue(json, classOf[VdfMeta])
+
+  def write(meta: VdfMeta, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, FileName),
+      toJson(meta).getBytes(StandardCharsets.UTF_8))
+  }
+
+  def read(dir: String): VdfMeta =
+    fromJson(new String(Files.readAllBytes(Paths.get(dir, FileName)),
+      StandardCharsets.UTF_8))
+
+  def exists(dir: String): Boolean = Files.exists(Paths.get(dir, FileName))
+}
+
+/** Engine constants (reference `constants.py:1-4`). */
+object Constants {
+  val IdColumn = "id"
+  /** In-memory flush threshold, bytes (`DISK_SPACE_LIMIT`). */
+  val DiskSpaceLimit: Long = 100000000L
+  /** Default import/export batch (`DEFAULT_BATCH_SIZE`). */
+  val DefaultBatchSize: Int = 10000
+  /** Default max Parquet chunk size, MB (`export_vdf_cli.py:65`). */
+  val DefaultMaxFileSizeMb: Int = 1024
+}

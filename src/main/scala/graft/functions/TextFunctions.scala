@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language-ID heuristics, fingerprinting,
+  * shingling, MinHash and SimHash signatures.
+  *
+  * Everything is expressed as Spark SQL expressions (higher-order
+  * functions over arrays + xxhash64/md5) so it is fully distributed,
+  * deterministic across runs, and needs no Python/JVM UDF round-trip.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty input → empty array, not [""]). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Whitespace token count (a cheap proxy for BPE token counts; the
+    * regex variant below approximates subword splits). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: words + digits + punctuation runs counted
+    * separately, approximating a byte-pair-encoding tokenizer's unit
+    * count without a vocab. */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** Fraction of tokens that are stopwords (quality signal). */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
+          size(toks).cast("double"))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") /
+          length(c).cast("double"))
+
+  /** Fraction of characters that are alphabetic. */
+  def alphaRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(
+        size(regexp_extract_all(c, lit("[A-Za-z]"), lit(0))).cast("double") /
+          length(c).cast("double"))
+
+  /** Composite document quality score in [0,1]: favors mid-length docs
+    * with high alpha ratio, some stopwords, low punctuation noise. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val alpha = alphaRatio(c)
+    val stop = least(stopwordRatio(c) * lit(5.0), lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - punctRatio(c) * lit(4.0), lit(0.0))
+    (lenScore + alpha + stop + punctPenalty) / lit(4.0)
+  }
+
+  /** N-gram-heuristic language ID over a small built-in stopword table.
+    * Scores each language by distinctive-function-word hits; emits the
+    * argmax or "und" when nothing matches. Pure column expression. */
+  def langIdHeuristic(c: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is", "with"),
+      "es" -> Seq("el", "la", "los", "que", "con"),
+      "de" -> Seq("der", "die", "das", "und", "mit"),
+      "fr" -> Seq("le", "les", "des", "est", "avec"))
+    val toks = tokens(lower(c))
+    val scores = markers.map { case (langCode, words) =>
+      val arr = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(arr, t))).as("score"),
+             lit(langCode).as("lang"))
+    }
+    val best = array_max(array(scores: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Canonical document fingerprint: md5 of lowercased,
+    * whitespace-collapsed text. */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Character k-shingles of the normalized text. */
+  def charShingles(c: Column, k: Int): Column = {
+    val s = trim(regexp_replace(lower(c), "\\s+", " "))
+    when(length(s) < k, array(s))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), length(s) - lit(k)),
+          i => s.substr(i + lit(1), lit(k)))))
+  }
+
+  /** Word k-shingles (k consecutive tokens joined by a space). */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - lit(k)),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k))))))
+  }
+
+  /** MinHash signature of length `m` over a shingle array: element i is
+    * min over shingles of xxhash64(shingle, i). Deterministic; used for
+    * LSH-banded near-duplicate detection at scale. */
+  def minhashSignature(shingles: Column, m: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH band keys: hash of each band (contiguous rows of the signature).
+    * Docs sharing any band key are near-dup candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+            v => v.cast("string"))), b).as("key")))
+
+  /** 64-bit SimHash over tokens: per-bit vote of xxhash64(token), then
+    * reassemble the sign bits into a long. The bit loop is unrolled at
+    * plan-build time (Scala ints → literal shift amounts), so the whole
+    * thing stays a pure column expression. */
+  def simhash64(c: Column): Column = {
+    val hs = transform(tokens(lower(c)), t => xxhash64(t))
+    val bitCols = (0 until 64).map { j =>
+      val vote = aggregate(hs, lit(0L), (a, h) =>
+        a + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

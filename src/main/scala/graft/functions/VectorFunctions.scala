@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector-column functions over `ArrayType(FloatType)` / `ArrayType(DoubleType)`.
+  *
+  * Spark-first re-expression of the reference's vector handling
+  * (vector-io `import_vdf/vdf_import_cls.py:189-212` extract_vector,
+  * `scripts/reembed.py:455-512` quantization) plus the distance /
+  * similarity functions needed by the similarity-search extension.
+  *
+  * All arithmetic is forced to double precision with a deterministic
+  * left-fold (`aggregate`), so results are reproducible across engines
+  * regardless of the stored element type (float32 at rest).
+  */
+object VectorFunctions {
+
+  /** Elementwise product folded to a double dot-product. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Euclidean norm, double precision. */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  /** Cosine similarity in [-1, 1]; null-safe via division semantics. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared L2 distance (cheaper than l2Distance when only ranking). */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
+
+  /** Manhattan distance (reference Metric "Manhattan", util.py:159-218). */
+  def l1Distance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L2-normalize to unit length (double elements). */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => x.cast("double") / n)
+  }
+
+  /** Symmetric int8 quantization with a fixed scale: round(x*scale) as byte.
+    * Mirrors reference quantization (`reembed.py:455-470`) expressed as a
+    * codegen-friendly column transform instead of a Python loop. round()
+    * yields an exact integral double, so the byte cast is engine-agnostic. */
+  def quantizeInt8(a: Column, scale: Double): Column =
+    transform(a, x => round(x.cast("double") * lit(scale)).cast("tinyint"))
+
+  /** Vector dimensionality (NamespaceMeta.dimensions resolution,
+    * `vdf_import_cls.py:152-187`: first non-null vector's length). */
+  def dims(a: Column): Column = size(a)
+}
