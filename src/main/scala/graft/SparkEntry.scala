@@ -189,7 +189,9 @@ object SparkEntry {
 
   // ------------------------------------------------------------- registry
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ QueriesExt.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
     "q_scan_project" -> (qScanProject(_, _)),
     "q_topk" -> (qTopK(_, _)),
@@ -204,7 +206,9 @@ object SparkEntry {
     "q_vec_minmax" -> (qVecMinMax(_, _)),
     "q_union_schema" -> (qUnionSchema(_, _)))
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ QueriesExt.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
