@@ -109,11 +109,13 @@ object QueriesExt {
 
   /** The streaming-shaped workload (batch equivalent of a Structured
     * Streaming tumbling window): hourly event rollup. ts is raw nanos
-    * (read as long); the bucket is pure integer math. */
+    * (read as long); the bucket is pure integer math. pmod (not %) keeps
+    * floor semantics for pre-epoch timestamps, matching the oracle's
+    * date_trunc; the remainder-subtracted value divides exactly. */
   private def qWindowHourly(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(
-        expr("CAST((ts - ts % 3600000000000) DIV 1000000000 AS BIGINT)").as("hour_epoch"),
+        expr("CAST((ts - pmod(ts, 3600000000000)) DIV 1000000000 AS BIGINT)").as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("sum_value"))

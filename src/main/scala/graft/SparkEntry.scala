@@ -189,7 +189,8 @@ object SparkEntry {
 
   // ------------------------------------------------------------- registry
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ QueriesExt.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ QueriesExt.queries ++ QueriesExt2.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
@@ -206,7 +207,8 @@ object SparkEntry {
     "q_vec_minmax" -> (qVecMinMax(_, _)),
     "q_union_schema" -> (qUnionSchema(_, _)))
 
-  def oracleSql: Map[String, String] = baseOracleSql ++ QueriesExt.oracleSql
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,15 +1,21 @@
 package graft.core
 
+import com.fasterxml.jackson.annotation.{JsonAnyGetter, JsonAnySetter, JsonIgnore}
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import java.nio.file.{Files, Paths}
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 /** The VDF (Universal Vector Dataset Format) manifest model.
   *
   * Mirrors the reference's pydantic models (vector-io `meta_types.py:5-29`)
   * as Scala case classes: a VDF dataset is a directory of Parquet files
   * plus a `VDF_META.json` describing indexes → namespaces → files.
+  *
+  * Unknown manifest fields written by other tools survive a read→rewrite
+  * round trip (any-getter/any-setter passthrough), so this engine never
+  * silently strips a field it doesn't model.
   */
 final case class ModelMap(
     model_name: Option[String] = None,
@@ -17,7 +23,10 @@ final case class ModelMap(
     dimensions: Option[Int] = None,
     vector_column: Option[String] = None)
 
-/** Per-namespace metadata (`meta_types.py:5-20`). */
+/** Per-namespace metadata (`meta_types.py:5-20`), including the
+  * `index_config` passthrough dict the import connectors forward to the
+  * target DB (e.g. qdrant hnsw/quantization config,
+  * `import_vdf/qdrant_import.py:178-249`). */
 final case class NamespaceMeta(
     namespace: String = "",
     index_name: String = "",
@@ -29,9 +38,20 @@ final case class NamespaceMeta(
     data_path: String = "",
     metric: Option[String] = None,
     model_map: Option[Map[String, ModelMap]] = None,
-    schema_dict_str: Option[String] = None)
+    schema_dict_str: Option[String] = None,
+    index_config: Option[Map[String, Any]] = None) {
+  @JsonIgnore private val _extra =
+    new java.util.LinkedHashMap[String, Any]()
+  @JsonAnySetter private[core] def putExtra(k: String, v: Any): Unit =
+    _extra.put(k, v)
+  @JsonAnyGetter private[core] def extraFields: java.util.Map[String, Any] = _extra
+  /** Fields present in the source JSON that this model doesn't declare. */
+  @JsonIgnore def unknownFields: Map[String, Any] = _extra.asScala.toMap
+}
 
-/** Top-level manifest (`meta_types.py:22-29`). */
+/** Top-level manifest (`meta_types.py:22-29`). `id_column` defaults to
+  * None exactly like the reference (`meta_types.py:29`); readers fall
+  * back to `Constants.IdColumn` at use sites (`vdf_import_cls.py:63`). */
 final case class VdfMeta(
     version: String = "1.0",
     file_structure: List[String] = Nil,
@@ -39,7 +59,17 @@ final case class VdfMeta(
     exported_from: String = "mock",
     indexes: Map[String, List[NamespaceMeta]] = Map.empty,
     exported_at: String = "",
-    id_column: Option[String] = Some(Constants.IdColumn))
+    id_column: Option[String] = None) {
+  @JsonIgnore private val _extra =
+    new java.util.LinkedHashMap[String, Any]()
+  @JsonAnySetter private[core] def putExtra(k: String, v: Any): Unit =
+    _extra.put(k, v)
+  @JsonAnyGetter private[core] def extraFields: java.util.Map[String, Any] = _extra
+  @JsonIgnore def unknownFields: Map[String, Any] = _extra.asScala.toMap
+  /** Effective id column: manifest value or the reference default. */
+  @JsonIgnore def idColumnOrDefault: String =
+    id_column.getOrElse(Constants.IdColumn)
+}
 
 object VdfMeta {
   val FileName = "VDF_META.json"

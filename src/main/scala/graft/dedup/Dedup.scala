@@ -24,6 +24,19 @@ import graft.functions.{TextFunctions => TF}
   */
 object Dedup {
 
+  /** Run `body` with `cached` persisted, materialize the (small) result
+    * eagerly with a local checkpoint, then release the cached
+    * intermediates. Near-dup candidate sets are orders of magnitude
+    * smaller than the corpus, so checkpointing the output while freeing
+    * the shingle/signature tables is the right storage trade at scale —
+    * and repeated calls in a long-lived session no longer accumulate
+    * cached blocks. */
+  private def withCached(cached: DataFrame*)(body: => DataFrame): DataFrame = {
+    cached.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try body.localCheckpoint(true)
+    finally cached.foreach(_.unpersist(false))
+  }
+
   /** Exact dedup: group by content fingerprint; keep the smallest id
     * (deterministic winner), count members. */
   def exactGroups(docs: DataFrame, idCol: String, fp: Column): DataFrame =
@@ -42,22 +55,23 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"),
         explode(TF.wordShingles(col(textCol), k)).as("sh"))
     val df = sh.groupBy("sh").agg(count(lit(1)).as("c"))
+    // kept is reused three times below (self-join both sides + sizes);
+    // cached so the shingle explode and df-cap join run once
     val kept = sh.join(df.filter(col("c") <= dfCap), "sh")
       .select("doc_id", "sh")
-      // reused three times below (self-join both sides + sizes); persist
-      // so the shingle explode and df-cap join run once
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = kept.toDF("da", "sh")
-    val b = kept.toDF("db", "sh")
-    val inter = a.join(b, Seq("sh")).filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.toDF("da", "na"), "da")
-      .join(sizes.toDF("db", "nb"), "db")
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jac"))
-      .filter(col("jac") >= threshold)
+    withCached(kept) {
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = kept.toDF("da", "sh")
+      val b = kept.toDF("db", "sh")
+      val inter = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.toDF("da", "na"), "da")
+        .join(sizes.toDF("db", "nb"), "db")
+        .select(col("da").as("doc_a"), col("db").as("doc_b"),
+          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jac"))
+        .filter(col("jac") >= threshold)
+    }
   }
 
   /** MinHash signatures: (id, sig array<long>) from word shingles.
@@ -87,24 +101,25 @@ object Dedup {
     val rows = sigLen / bands
     // Materialize signatures before the self-join: the signature is an
     // expensive nested expression (per-shingle, per-position hashing),
-    // and without a persist both join sides and every exploded band row
+    // and without a cache both join sides and every exploded band row
     // would recompute it. At cluster scale this is the stage you'd
-    // checkpoint to storage; in-memory persist is the local analog.
+    // checkpoint to storage; in-memory cache is the local analog.
     val sigs = minhashSignatures(docs, idCol, textCol, shingleK, sigLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(TF.lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("da", "siga", "band", "key")
-    val b = banded.toDF("db", "sigb", "band", "key")
-    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
-          bool => bool)).cast("double") / lit(sigLen)).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= estThreshold)
-      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("est_jaccard"))
+    withCached(sigs) {
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(TF.lshBandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      val a = banded.toDF("da", "siga", "band", "key")
+      val b = banded.toDF("db", "sigb", "band", "key")
+      a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+        .select(col("da"), col("db"),
+          (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+            bool => bool)).cast("double") / lit(sigLen)).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= estThreshold)
+        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("est_jaccard"))
+    }
   }
 
   /** SimHash fingerprints: (id, simhash long, hex rendering). */

@@ -54,12 +54,16 @@ object VectorFunctions {
     transform(a, x => x.cast("double") / n)
   }
 
-  /** Symmetric int8 quantization with a fixed scale: round(x*scale) as byte.
-    * Mirrors reference quantization (`reembed.py:455-470`) expressed as a
-    * codegen-friendly column transform instead of a Python loop. round()
-    * yields an exact integral double, so the byte cast is engine-agnostic. */
+  /** Symmetric int8 quantization with a fixed scale: round(x*scale)
+    * clamped to [-128, 127], as byte. Mirrors reference quantization
+    * (`reembed.py:455-470`) expressed as a codegen-friendly column
+    * transform instead of a Python loop. The clamp runs before the cast
+    * so out-of-range inputs saturate (standard quantization semantics)
+    * instead of wrapping through the ANSI-off tinyint cast. */
   def quantizeInt8(a: Column, scale: Double): Column =
-    transform(a, x => round(x.cast("double") * lit(scale)).cast("tinyint"))
+    transform(a, x =>
+      least(greatest(round(x.cast("double") * lit(scale)), lit(-128d)), lit(127d))
+        .cast("tinyint"))
 
   /** Vector dimensionality (NamespaceMeta.dimensions resolution,
     * `vdf_import_cls.py:152-187`: first non-null vector's length). */

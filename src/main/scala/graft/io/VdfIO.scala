@@ -1,0 +1,193 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.{Constants, NamespaceMeta, VdfMeta}
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** VDF dataset source/sink — the spine of the engine (SURVEY §7.1 step 2).
+  *
+  * A VDF dataset is a directory of Parquet files plus a `VDF_META.json`
+  * manifest (reference `meta_types.py:22-29`, `README.md:124-154`).
+  * Reading uses Spark's native schema-merging parquet scan (replacing
+  * the reference's `pa.unify_schemas` loop, `vdb_export_cls.py:88-93`);
+  * writing uses `maxRecordsPerFile`-bounded parquet output (replacing
+  * the manual 100 MB buffer flush, `constants.py:3`,
+  * `pinecone_export.py:564-571`) with the manifest written on the
+  * driver after the distributed write completes.
+  */
+object VdfIO {
+
+  /** S19: read + validate the manifest. */
+  def readMeta(dir: String): VdfMeta = VdfMeta.read(dir)
+
+  /** S1/S4: read one namespace's data — recursive parquet discovery
+    * under the namespace data_path (`util.py:342-354`), schemas merged
+    * across chunk files (`vdb_export_cls.py:88-93`). */
+  def readNamespace(spark: SparkSession, dir: String, ns: NamespaceMeta): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(Paths.get(dir, ns.data_path).toString)
+
+  /** Read the whole dataset: (index, namespace) → DataFrame. */
+  def readVdf(spark: SparkSession, dir: String): Map[(String, String), DataFrame] = {
+    val meta = readMeta(dir)
+    for {
+      (index, nss) <- meta.indexes
+      ns <- nss
+    } yield (index, ns.namespace) -> readNamespace(spark, dir, ns)
+  }
+
+  /** S2/P10: column-checked projection read (`util.py:439-458`): if any
+    * requested column is missing from the file schema, return an empty
+    * relation with the expected schema instead of failing — the
+    * reference's "column not found → empty DF" contract. */
+  def readColumns(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(path)
+    val present = df.columns.toSet
+    if (cols.forall(present)) df.select(cols.map(col): _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(cols.flatMap(c => df.schema.find(_.name == c))))
+  }
+
+  /** S3/L2: limited read — Catalyst pushes the limit into the scan
+    * (replaces `ParquetFile.iter_batches` first-batch logic,
+    * `util.py:461-469`). */
+  def readLimited(spark: SparkSession, path: String, maxRows: Int): DataFrame =
+    spark.read.parquet(path).limit(maxRows)
+
+  /** K1: the reference's core relational op — vectors ⋈ metadata
+    * full-outer on id, with colliding metadata columns renamed to
+    * `metadata_<c>` first (`vdb_export_cls.py:67-99`). */
+  def joinVectorsMetadata(vectors: DataFrame, metadata: DataFrame,
+      idCol: String = Constants.IdColumn): DataFrame = {
+    val collisions = metadata.columns.toSet
+      .intersect(vectors.columns.toSet) - idCol
+    val renamed = collisions.foldLeft(metadata) { (df, c) =>
+      df.withColumnRenamed(c, s"metadata_$c")
+    }
+    vectors.join(renamed, Seq(idCol), "full_outer")
+  }
+
+  /** K1-K3: write one namespace of points as chunked Parquet + return
+    * the NamespaceMeta describing it. File sizing is declarative
+    * (`maxRecordsPerFile`) instead of the reference's manual byte
+    * buffering; at cluster scale the writer parallelism is the
+    * DataFrame's partitioning, untouched here. */
+  def writeNamespace(df: DataFrame, dir: String, indexName: String,
+      namespace: String = "", maxRecordsPerFile: Long = 0L,
+      vectorColumns: Seq[String] = Seq("vector"),
+      metric: Option[String] = None,
+      modelName: Option[String] = None): NamespaceMeta = {
+    val dataPath = if (namespace.isEmpty) indexName else s"$indexName/$namespace"
+    val out = Paths.get(dir, dataPath).toString
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(out)
+    val n = df.sparkSession.read.parquet(out).count()
+    val dims = resolveDims(df, vectorColumns.headOption.getOrElse("vector"))
+    NamespaceMeta(
+      namespace = namespace,
+      index_name = indexName,
+      total_vector_count = n,
+      exported_vector_count = n,
+      dimensions = dims.getOrElse(-1),
+      model_name = modelName,
+      vector_columns = vectorColumns.toList,
+      data_path = dataPath,
+      metric = metric,
+      schema_dict_str = Some(df.schema.json))
+  }
+
+  /** Write a whole dataset: every (index, namespace) frame + manifest.
+    * The manifest is assembled and written once, on the driver, after
+    * all distributed writes complete (K3, `vdb_export_cls.py:106-159`). */
+  def writeVdf(frames: Map[(String, String), DataFrame], dir: String,
+      author: String = "graft", exportedFrom: String = "mock",
+      maxRecordsPerFile: Long = 0L, idColumn: String = Constants.IdColumn): VdfMeta = {
+    val nss = frames.toSeq.map { case ((index, ns), df) =>
+      index -> writeNamespace(df, dir, index, ns, maxRecordsPerFile)
+    }
+    val meta = VdfMeta(
+      version = "1.0",
+      file_structure = listParquetFiles(dir).map(
+        Paths.get(dir).relativize(_).toString).sorted.toList,
+      author = author,
+      exported_from = exportedFrom,
+      indexes = nss.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toList },
+      exported_at = java.time.Instant.now().toString,
+      id_column = Some(idColumn))
+    VdfMeta.write(meta, dir)
+    meta
+  }
+
+  /** F24 dims resolution (`vdf_import_cls.py:152-187`): length of the
+    * first non-null vector. Catalyst stops the scan at the first row
+    * (CollectLimit), mirroring the reference's short-circuit. */
+  def resolveDims(df: DataFrame, vectorCol: String): Option[Int] =
+    if (!df.columns.contains(vectorCol)) None
+    else df.where(col(vectorCol).isNotNull)
+      .select(size(col(vectorCol))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+
+  /** S4 recursive discovery (`util.py:342-354`). */
+  def listParquetFiles(dir: String): Seq[Path] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return Seq(root)
+    val s = Files.walk(root)
+    try s.iterator().asScala.filter(p => p.toString.endsWith(".parquet")).toVector
+    finally s.close()
+  }
+
+  /** K14 consolidation (`scripts/consolidate_parquet.py:26-133`):
+    * schema-merged read of all chunk files → repartition to the target
+    * file count → rewrite compacted → patch manifest file_structure.
+    * Never rewrites in place: writes to a fresh subdir then swaps the
+    * manifest pointer (SURVEY §7.4 in-place-rewrite risk). */
+  def consolidate(spark: SparkSession, dir: String, index: String,
+      targetFileSizeBytes: Long = 500L * 1024 * 1024): VdfMeta = {
+    val meta = readMeta(dir)
+    val nss = meta.indexes(index)
+    val updated = nss.map { ns =>
+      val src = Paths.get(dir, ns.data_path).toString
+      val df = spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(src)
+      val bytes = listParquetFiles(src).map(Files.size).sum
+      val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileSizeBytes).toInt)
+      val tmp = s"${ns.data_path}__compact"
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+        .parquet(Paths.get(dir, tmp).toString)
+      // swap: remove originals, move compacted into place
+      deleteRecursively(Paths.get(dir, ns.data_path))
+      Files.move(Paths.get(dir, tmp), Paths.get(dir, ns.data_path))
+      ns.copy(schema_dict_str = Some(df.schema.json))
+    }
+    val newMeta = meta.copy(
+      indexes = meta.indexes.updated(index, updated),
+      file_structure = listParquetFiles(dir).map(
+        Paths.get(dir).relativize(_).toString).sorted.toList)
+    VdfMeta.write(newMeta, dir)
+    newMeta
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
+  /** O3 schema union (`consolidate_parquet.py:68-91`): union frames with
+    * differing schemas, null-padding missing columns. */
+  def unionWithSchemaMerge(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+}

@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns next to typed metadata,
+  * and per-row decode/feature-extraction runs batched inside
+  * `mapPartitions` (the JVM analog of `mapInPandas`: the batch shape,
+  * schema contract and partitioning are identical; only the decode
+  * kernel differs).
+  *
+  * The decode step itself is STUBBED — the real image/audio libraries
+  * are not in this container — behind `MediaDecoder`, with a
+  * deterministic fake (`StubDecoder`) that derives features from the
+  * raw bytes. Swapping in a JNI/FFI decoder changes no Spark plumbing.
+  */
+object Multimodal {
+
+  /** Canonical multimodal row schema: opaque payload + typed metadata.
+    * Partition by `modality` at rest so a scan for one modality prunes
+    * the rest (100 TB: never read video bytes for a text query). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("modality", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
+
+  /** Output features appended by `extractFeatures`. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("byte_len", LongType, nullable = true),
+    StructField("content_hash", LongType, nullable = true),
+    StructField("feature", ArrayType(FloatType), nullable = true)))
+
+  /** Batched media decode kernel. Implementations must be Serializable
+    * and cheap to construct (one per task). */
+  trait MediaDecoder extends Serializable {
+    def featureDims: Int
+    /** Decode a batch of payloads into fixed-width feature vectors.
+      * Order-preserving; null payload → null feature. */
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** Deterministic fake decoder: features from byte statistics. Stands
+    * in for image-resize / audio-frame-sample / video-keyframe kernels. */
+  final class StubDecoder(val featureDims: Int) extends MediaDecoder {
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { p =>
+        if (p == null) null
+        else {
+          val v = new Array[Float](featureDims)
+          var i = 0
+          while (i < p.length) {
+            v(i % featureDims) += (p(i) & 0xff) / 255.0f
+            i += 1
+          }
+          v
+        }
+      }
+  }
+
+  /** Append (byte_len, content_hash, feature) columns, decoding in
+    * batches of `batchSize` per partition. The iterator streams: at
+    * most one batch of payload bytes is resident per task — the
+    * property that keeps 100 TB of video from OOMing an executor. */
+  def extractFeatures(df: DataFrame, payloadCol: String,
+      decoder: MediaDecoder, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ featureSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map(r =>
+          if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        val feats = decoder.decodeBatch(payloads)
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+          val len = if (p == null) null else java.lang.Long.valueOf(p.length.toLong)
+          val hash = if (p == null) null
+            else java.lang.Long.valueOf(
+              scala.util.hashing.MurmurHash3.bytesHash(p).toLong)
+          Row.fromSeq(r.toSeq ++ Seq(len, hash, f))
+        }
+      }
+    }(enc)
+  }
+
+  /** Column-expression variants for payload metadata that don't need a
+    * decode kernel at all (cheaper: stays in codegen). */
+  def byteLen(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    octet_length(payload)
+  def contentMd5(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(payload)
+
+  /** The reference's image-column policy (`util.py:357-368`): binary
+    * columns matching a drop policy are removed before export. */
+  def dropBinaryColumns(df: DataFrame, keep: Set[String] = Set.empty): DataFrame = {
+    val toDrop = df.schema.fields
+      .filter(f => f.dataType == BinaryType && !keep.contains(f.name))
+      .map(_.name)
+    if (toDrop.isEmpty) df else df.drop(toDrop: _*)
+  }
+}

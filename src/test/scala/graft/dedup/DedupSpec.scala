@@ -1,0 +1,108 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.similarity.{Knn, Lsh}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "spark engines process completely different content")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups: dup docs share fp, min id wins") {
+    val g = Dedup.exactGroups(docs, "doc_id", md5(col("text"))).collect()
+    assert(g.length == 4) // 1&4 collapse
+    val dupGroup = g.find(_.getAs[Long]("n") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngramJaccardPairs finds near-dup pair 1-2 and exact pair 1-4") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, dfCap = 10, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L && a != 5L })
+  }
+
+  test("minhashLshPairs: exact dups get est_jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleK = 3, sigLen = 32, bands = 8, estThreshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(1.0))
+  }
+
+  test("minhash intermediates are not left cached (ADVICE r1 leak)") {
+    Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5).count()
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .filterNot(_.name == null)
+    // only the localCheckpoint result block may remain, never the
+    // signature/shingle intermediates (they'd show as persisted RDDs
+    // from the cache operator)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("simhashPairs: exact dups at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+      blockBits = 4, maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 4L)).contains(0))
+  }
+
+  test("embeddingNearDupPairs scores same-bucket duplicate vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      planes = 2, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("bruteForceTopK returns k best by cosine, excluding self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val top = Knn.bruteForceTopK(q, vecs, 2).collect()
+      .map(r => r.getAs[Long]("vec_id"))
+    assert(top.toSeq == Seq(1L, 3L)) // by descending cosine to (1,0)
+  }
+
+  test("lshTopK agrees with brute force for identical vectors") {
+    import spark.implicits._
+    val vecs = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ann = Knn.lshTopK(q, vecs, planes = 2, k = 3).collect()
+    // every returned neighbor must share the query's bucket → sim defined
+    assert(ann.nonEmpty && ann.forall(!_.isNullAt(2)))
+  }
+
+  test("Lsh buckets are deterministic across invocations") {
+    import spark.implicits._
+    val vecs = (0L until 10L).map(i =>
+      (i, Array.tabulate(4)(j => math.cos(i + j).toFloat))).toDF("id", "v")
+    val b1 = vecs.select(Lsh.hyperplaneBucket(col("v"), 4)).collect().map(_.getLong(0))
+    val b2 = vecs.select(Lsh.hyperplaneBucket(col("v"), 4)).collect().map(_.getLong(0))
+    assert(b1.sameElements(b2))
+  }
+}

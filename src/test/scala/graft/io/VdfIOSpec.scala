@@ -1,0 +1,101 @@
+package graft.io
+
+import graft.SparkSpec
+import graft.core.{Constants, VdfMeta}
+import org.apache.spark.sql.functions._
+
+class VdfIOSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("vdfio").toString
+
+  private def points(n: Int) = {
+    import spark.implicits._
+    (0 until n).map(i =>
+      (i.toString, Array.tabulate(4)(j => (i + j).toFloat), s"title-$i"))
+      .toDF("id", "vector", "title")
+  }
+
+  test("writeVdf → readVdf round trip preserves rows and manifest shape") {
+    val dir = tmp()
+    val df = points(100)
+    val meta = VdfIO.writeVdf(Map(("idx1", "") -> df), dir,
+      author = "test", exportedFrom = "mock")
+    assert(meta.indexes("idx1").head.total_vector_count == 100L)
+    assert(meta.indexes("idx1").head.dimensions == 4)
+    assert(meta.file_structure.nonEmpty)
+    assert(meta.id_column.contains(Constants.IdColumn))
+    val back = VdfIO.readVdf(spark, dir)(("idx1", ""))
+    assert(back.count() == 100L)
+    assert(back.columns.toSet == Set("id", "vector", "title"))
+  }
+
+  test("joinVectorsMetadata: full outer with collision rename (vdb_export_cls.py:74-84)") {
+    import spark.implicits._
+    val vec = Seq(("1", Array(1f)), ("2", Array(2f))).toDF("id", "vector")
+    val meta = Seq(("2", "t2", "mv2"), ("3", "t3", "mv3"))
+      .toDF("id", "title", "vector") // 'vector' collides
+    val joined = VdfIO.joinVectorsMetadata(vec, meta)
+    assert(joined.columns.toSet == Set("id", "vector", "title", "metadata_vector"))
+    assert(joined.count() == 3) // full outer: ids 1,2,3
+    val r1 = joined.filter(col("id") === "1").collect().head
+    assert(r1.getAs[Any]("title") == null)
+  }
+
+  test("readColumns: missing column → empty relation with expected schema (util.py:449-458)") {
+    val dir = tmp()
+    points(5).write.parquet(s"$dir/data")
+    val ok = VdfIO.readColumns(spark, s"$dir/data", Seq("id", "vector"))
+    assert(ok.count() == 5 && ok.columns.toSeq == Seq("id", "vector"))
+    val empty = VdfIO.readColumns(spark, s"$dir/data", Seq("id", "nope"))
+    assert(empty.isEmpty)
+  }
+
+  test("readLimited pushes the limit (util.py:461-469)") {
+    val dir = tmp()
+    points(50).write.parquet(s"$dir/data")
+    assert(VdfIO.readLimited(spark, s"$dir/data", 7).count() == 7)
+  }
+
+  test("resolveDims: first non-null vector length, short-circuit (F24)") {
+    import spark.implicits._
+    val df = Seq(
+      ("1", null.asInstanceOf[Array[Float]]),
+      ("2", Array(1f, 2f, 3f))).toDF("id", "vector")
+    assert(VdfIO.resolveDims(df, "vector").contains(3))
+    assert(VdfIO.resolveDims(df, "missing").isEmpty)
+    val allNull = Seq(("1", null.asInstanceOf[Array[Float]])).toDF("id", "vector")
+    assert(VdfIO.resolveDims(allNull, "vector").isEmpty)
+  }
+
+  test("unionWithSchemaMerge null-pads missing columns (O3)") {
+    import spark.implicits._
+    val a = Seq(("1", "x")).toDF("id", "a")
+    val b = Seq(("2", "y")).toDF("id", "b")
+    val u = VdfIO.unionWithSchemaMerge(Seq(a, b))
+    assert(u.columns.toSet == Set("id", "a", "b"))
+    assert(u.count() == 2)
+  }
+
+  test("consolidate compacts chunk files and patches the manifest (K14)") {
+    val dir = tmp()
+    // write deliberately fragmented: 10 files for 100 rows, drifting schema
+    val df1 = points(50)
+    val df2 = points(50).withColumn("extra", lit("e"))
+      .withColumn("id", concat(lit("b"), col("id")))
+    df1.repartition(5).write.parquet(s"$dir/idx1")
+    df2.repartition(5).write.mode("append").parquet(s"$dir/idx1")
+    val ns = graft.core.NamespaceMeta(index_name = "idx1", data_path = "idx1",
+      dimensions = 4, total_vector_count = 100, exported_vector_count = 100)
+    VdfMeta.write(graft.core.VdfMeta(indexes = Map("idx1" -> List(ns))), dir)
+    val before = VdfIO.listParquetFiles(s"$dir/idx1").size
+    assert(before >= 10)
+    val newMeta = VdfIO.consolidate(spark, dir, "idx1")
+    val after = VdfIO.listParquetFiles(s"$dir/idx1").size
+    assert(after < before)
+    val back = spark.read.option("mergeSchema", "true").parquet(s"$dir/idx1")
+    assert(back.count() == 100)
+    assert(back.columns.toSet == Set("id", "vector", "title", "extra"))
+    assert(newMeta.file_structure.exists(_.contains("idx1")))
+  }
+}

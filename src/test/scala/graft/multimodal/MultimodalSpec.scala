@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = {
+    val rows = Seq(
+      Row("a", "image", "fakepng-bytes-1".getBytes("UTF-8"), "image/png",
+        Integer.valueOf(4), Integer.valueOf(4), null),
+      Row("b", "audio", "fakewav-bytes-22".getBytes("UTF-8"), "audio/wav",
+        null, null, java.lang.Long.valueOf(1200L)),
+      Row("c", "image", null, "image/png", null, null, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+  }
+
+  test("extractFeatures appends byte_len/content_hash/feature; null payload → nulls") {
+    val out = Multimodal.extractFeatures(media, "payload",
+      new Multimodal.StubDecoder(4), batchSize = 2)
+    assert(out.columns.contains("feature"))
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("a").getAs[Long]("byte_len") == 15L)
+    assert(byId("a").getAs[scala.collection.Seq[Float]]("feature").length == 4)
+    assert(byId("c").isNullAt(out.columns.indexOf("feature")))
+    // deterministic
+    val again = Multimodal.extractFeatures(media, "payload",
+      new Multimodal.StubDecoder(4)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byId("a").getAs[scala.collection.Seq[Float]]("feature") ==
+      again("a").getAs[scala.collection.Seq[Float]]("feature"))
+  }
+
+  test("column-expression metadata: byteLen / contentMd5") {
+    val out = media.select(col("id"),
+      Multimodal.byteLen(col("payload")).as("len"),
+      Multimodal.contentMd5(col("payload")).as("h")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("b").getAs[Int]("len") == 16)
+    assert(out("a").getAs[String]("h").length == 32)
+    assert(out("c").getAs[Any]("h") == null)
+  }
+
+  test("dropBinaryColumns removes payloads unless kept (util.py:357-368)") {
+    assert(!Multimodal.dropBinaryColumns(media).columns.contains("payload"))
+    assert(Multimodal.dropBinaryColumns(media, keep = Set("payload"))
+      .columns.contains("payload"))
+  }
+}

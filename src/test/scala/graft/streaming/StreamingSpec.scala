@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowedCounts: tumbling window with watermark drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedCounts(df, "ts", "event_type",
+      "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData((t(1, 5), "click", 1.0), (t(1, 30), "click", 2.0),
+        (t(2, 10), "view", 5.0))
+      q.processAllAvailable()
+      // late row: 01:xx after watermark advanced to 02:00 → dropped
+      input.addData((t(0, 30), "click", 99.0))
+      q.processAllAvailable()
+      val out = spark.table("win").collect()
+      val click1 = out.filter(r => r.getAs[String]("event_type") == "click")
+      assert(click1.map(_.getAs[Long]("n")).sum == 2L)
+      assert(!out.exists(_.getAs[Double]("sum_value") == 99.0))
+    } finally q.stop()
+  }
+
+  test("lastWinsUpserts keeps newest version per id across batches (J6 streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Upsert]
+    val out = StreamingOps.lastWinsUpserts(input.toDS())
+    val q = out.writeStream.format("memory").queryName("upserts")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamingOps.Upsert("a", 1L, "v1"),
+        StreamingOps.Upsert("b", 1L, "w1"))
+      q.processAllAvailable()
+      // older update for a must be suppressed; newer must win
+      input.addData(StreamingOps.Upsert("a", 0L, "stale"),
+        StreamingOps.Upsert("b", 5L, "w2"))
+      q.processAllAvailable()
+      val rows = spark.table("upserts").as[StreamingOps.Upsert].collect()
+      assert(!rows.exists(_.payload == "stale"))
+      assert(rows.filter(_.id == "b").map(_.payload).contains("w2"))
+    } finally q.stop()
+  }
+
+  test("unexported: checkpoint-state resume replaces the metadata marker (S6f)") {
+    import spark.implicits._
+    val all = (1 to 10).map(_.toString).toDF("id")
+    val done = Seq("1", "2", "3").toDF("id")
+    val rest = StreamingOps.unexported(all, done, "id").collect().map(_.getString(0))
+    assert(rest.sorted.toSeq == (4 to 10).map(_.toString).sorted)
+  }
+}

@@ -60,10 +60,22 @@ def main():
             print(f"FAIL {name}: columns differ oracle={ocols} spark={scols}")
             n_fail += 1
             continue
+        def sort_key(row):
+            # Round floats in the sort key so rows whose float cells differ
+            # only within the comparison tolerance sort identically on the
+            # oracle and Spark sides (near-tie stability).
+            def k(v):
+                if isinstance(v, float) and not math.isnan(v):
+                    return repr(round(v, 6))
+                if isinstance(v, tuple):
+                    return "(" + ",".join(k(x) for x in v) + ")"
+                return repr(v)
+            return tuple(k(v) for v in row)
+
         orows = sorted((tuple(norm_cell(v) for v in r) for r in
-                        odf[ocols].itertuples(index=False)), key=repr)
+                        odf[ocols].itertuples(index=False)), key=sort_key)
         srows = sorted((tuple(norm_cell(v) for v in r) for r in
-                        sdf[scols].itertuples(index=False)), key=repr)
+                        sdf[scols].itertuples(index=False)), key=sort_key)
         if len(orows) != len(srows):
             print(f"FAIL {name}: rowcount oracle={len(orows)} spark={len(srows)}")
             n_fail += 1
