@@ -1,0 +1,208 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.connectors.{MockVdb, VdbExporter, VdbImporter}
+import graft.core.{Constants, Metric, VdfMeta}
+import graft.io.VdfIO
+import graft.transform.Reembed
+
+/** Headless CLI mirroring the reference's console scripts
+  * (`setup.py:13-25`: export_vdf / import_vdf / reembed_vdf /
+  * consolidate_parquet / count_rows / get_id_list).
+  *
+  * The reference weaves interactive prompting through every connector
+  * (`util.py:83-138`); here the engine stays headless and the CLI is a
+  * thin argument parser over the library (SURVEY §7.4). Connector
+  * registry = name → constructor, the ServiceLoader-style replacement
+  * for the reference's pkgutil walk (`export_vdf_cli.py:33-56`).
+  */
+object Cli {
+
+  /** Connector registry. Real vector-DB SDKs are not reachable from
+    * this environment (zero egress); `mock` is the reference
+    * implementation of the exporter/importer contract, and new
+    * connectors register here. */
+  def exporters(root: String): Map[String, VdbExporter] =
+    Map("mock" -> new MockVdb(root))
+  def importers(root: String): Map[String, VdbImporter] =
+    Map("mock" -> new MockVdb(root))
+
+  final case class Args(positional: List[String], flags: Map[String, String])
+
+  def parseArgs(argv: Seq[String]): Args = {
+    val (flags, pos) = {
+      var rest = argv.toList
+      val f = scala.collection.mutable.Map[String, String]()
+      val p = scala.collection.mutable.ListBuffer[String]()
+      while (rest.nonEmpty) rest match {
+        case k :: v :: t if k.startsWith("--") && !v.startsWith("--") =>
+          f(k.stripPrefix("--")) = v; rest = t
+        case k :: t if k.startsWith("--") =>
+          f(k.stripPrefix("--")) = "true"; rest = t
+        case x :: t => p += x; rest = t
+        case Nil =>
+      }
+      (f.toMap, p.toList)
+    }
+    Args(pos, flags)
+  }
+
+  def run(spark: SparkSession, argv: Seq[String]): Int = {
+    val args = parseArgs(argv)
+    args.positional match {
+      case "export" :: Nil => cmdExport(spark, args)
+      case "import" :: Nil => cmdImport(spark, args)
+      case "reembed" :: Nil => cmdReembed(spark, args)
+      case "consolidate" :: Nil => cmdConsolidate(spark, args)
+      case "count" :: Nil => cmdCount(spark, args)
+      case "id-list" :: Nil => cmdIdList(spark, args)
+      case other =>
+        System.err.println(
+          s"""unknown command: ${other.mkString(" ")}
+             |usage: graft <export|import|reembed|consolidate|count|id-list> [--flags]
+             |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
+             |  import      --db mock --db_root DIR --dir VDF_DIR [--index I]
+             |              [--id_range LO:HI] [--id_list FILE] [--max_rows N] [--create_new]
+             |  reembed     --dir VDF_DIR --index I --model M --text_column C [--quantize int8] [--dims D]
+             |  consolidate --dir VDF_DIR --index I [--max_size_gb G]
+             |  count       --dir VDF_DIR
+             |  id-list     --dir VDF_DIR --out FILE""".stripMargin)
+        2
+    }
+  }
+
+  /** export_vdf: scan every index of the source DB → VDF dir (§3.1). */
+  private def cmdExport(spark: SparkSession, a: Args): Int = {
+    val db = a.flags.getOrElse("db", "mock")
+    val exp = exporters(a.flags("db_root"))(db)
+    val out = a.flags("out")
+    val frames = exp.indexNames.map(ix => (ix, "") -> exp.scan(spark, ix)).toMap
+    val meta = VdfIO.writeVdf(frames, out, exportedFrom = db,
+      maxRecordsPerFile = a.flags.get("max_file_rows").map(_.toLong).getOrElse(0L))
+    println(s"exported ${meta.indexes.size} index(es) to $out")
+    0
+  }
+
+  /** import_vdf with the reference's subset flags (§3.2:
+    * id-list P4, id-range P5, max rows L1, create_new A4). */
+  private def cmdImport(spark: SparkSession, a: Args): Int = {
+    val db = a.flags.getOrElse("db", "mock")
+    val imp = importers(a.flags("db_root"))(db)
+    val dir = a.flags("dir")
+    val meta = VdfIO.readMeta(dir)
+    val idCol = meta.idColumnOrDefault
+    var total = 0L
+    for {
+      (index, nss) <- meta.indexes
+      if a.flags.get("index").forall(_ == index)
+      ns <- nss
+    } {
+      var df = VdfIO.readNamespace(spark, dir, ns)
+      a.flags.get("id_range").foreach { r =>
+        val Array(lo, hi) = r.split(":").map(_.toLong)
+        df = df.filter(col(idCol).cast("long").between(lo, hi))
+      }
+      a.flags.get("id_list").foreach { f =>
+        df = df.join(spark.read.text(f).select(col("value").as(idCol)),
+          Seq(idCol), "left_semi")
+      }
+      a.flags.get("max_rows").foreach(n => df = df.limit(n.toInt))
+      val name = imp.ensureIndex(index, ns.dimensions,
+        Metric.standardize(meta.exported_from, ns.metric.getOrElse("Cosine")),
+        createNew = a.flags.contains("create_new"))
+      total += imp.upsert(name, df)
+    }
+    println(s"imported $total rows from $dir")
+    0
+  }
+
+  /** reembed_vdf (§3.3): new vector column via the deterministic
+    * hashing embedder (a real provider plugs in the same trait). */
+  private def cmdReembed(spark: SparkSession, a: Args): Int = {
+    val dir = a.flags("dir")
+    val index = a.flags("index")
+    val meta = VdfIO.readMeta(dir)
+    val model = a.flags.getOrElse("model", "hashing")
+    val dims = a.flags.get("dims").map(_.toInt).getOrElse(64)
+    val textCols = a.flags("text_column").split(",").toSeq
+    val updated = meta.indexes(index).map { ns =>
+      val df = VdfIO.readNamespace(spark, dir, ns)
+      val (out, newNs) = Reembed.reembedNamespace(df, ns, textCols, model,
+        new Reembed.HashingEmbedder(dims), quantize = a.flags.get("quantize"))
+      // write-new-then-swap, never in place (SURVEY §7.4)
+      VdfIO.writeNamespace(out, dir, ns.index_name + "__reembed", ns.namespace,
+        vectorColumns = newNs.vector_columns, metric = ns.metric,
+        modelName = newNs.model_name)
+      val tmp = java.nio.file.Paths.get(dir, ns.index_name + "__reembed")
+      val dst = java.nio.file.Paths.get(dir, ns.data_path)
+      deleteRecursively(dst)
+      java.nio.file.Files.move(tmp, dst)
+      newNs.copy(data_path = ns.data_path)
+    }
+    VdfMeta.write(meta.copy(indexes = meta.indexes.updated(index, updated)), dir)
+    println(s"reembedded index $index with $model (dims=$dims)")
+    0
+  }
+
+  private def cmdConsolidate(spark: SparkSession, a: Args): Int = {
+    val gb = a.flags.get("max_size_gb").map(_.toDouble).getOrElse(0.5)
+    VdfIO.consolidate(spark, a.flags("dir"), a.flags("index"),
+      (gb * 1024 * 1024 * 1024).toLong)
+    println(s"consolidated ${a.flags("index")}")
+    0
+  }
+
+  /** count_rows (`scripts/count_rows.py:21-49`). */
+  private def cmdCount(spark: SparkSession, a: Args): Int = {
+    val dir = a.flags("dir")
+    val meta = VdfIO.readMeta(dir)
+    val counts = for {
+      (index, nss) <- meta.indexes; ns <- nss
+    } yield s"$index/${ns.namespace}" ->
+      VdfIO.readNamespace(spark, dir, ns).count()
+    counts.foreach { case (k, n) => println(s"$k: $n") }
+    println(s"total: ${counts.map(_._2).sum}")
+    0
+  }
+
+  /** get_id_list (`scripts/get_id_list.py:12-47`): sorted distinct ids
+    * to a file; missing ids reported via the distributed anti-join. */
+  private def cmdIdList(spark: SparkSession, a: Args): Int = {
+    val dir = a.flags("dir")
+    val meta = VdfIO.readMeta(dir)
+    val idCol = meta.idColumnOrDefault
+    val ids = meta.indexes.values.flatten
+      .map(ns => VdfIO.readNamespace(spark, dir, ns).select(col(idCol)))
+      .reduce(_ union _)
+      .distinct()
+    ids.orderBy(idCol).write.mode("overwrite").csv(a.flags("out"))
+    println(s"wrote distinct ids to ${a.flags("out")}")
+    0
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.foreach(deleteRecursively)
+      } finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rc = run(spark, args.toSeq)
+    spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+}

@@ -84,4 +84,55 @@ object CleaningFunctions {
     * space-joined non-null string casts of the given columns. */
   def textConcat(cols: Seq[Column]): Column =
     concat_ws(" ", cols.map(_.cast("string")): _*)
+
+  /** P8 Chroma metadata policy (`chroma_import.py:201-207`): keep only
+    * columns whose type is in `keep` (default: the four scalar types
+    * Chroma accepts), plus the id column. */
+  def filterMetadataTypes(df: org.apache.spark.sql.DataFrame, idCol: String,
+      keep: Set[org.apache.spark.sql.types.DataType] = Set(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.DoubleType,
+        org.apache.spark.sql.types.BooleanType)): org.apache.spark.sql.DataFrame = {
+    val cols = df.schema.fields
+      .filter(f => f.name == idCol || keep.contains(f.dataType))
+      .map(f => col(f.name))
+    df.select(cols.toSeq: _*)
+  }
+
+  /** F19 per-dtype default values (`lancedb_import.py:155-166`):
+    * the fill used when schema evolution adds a missing column. */
+  def defaultValueFor(dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.StringType => ""
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => 0L
+    case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType => 0.0
+    case org.apache.spark.sql.types.BooleanType => false
+    case _ => null // datetime/timedelta → NaT in the reference = null here
+  }
+
+  /** F21 Turbopuffer attribute coercion (`turbopuffer_import.py:123-141`):
+    * an array attribute survives as-is only if every element is a
+    * string or an unsigned integer; otherwise it is stringified.
+    *
+    * The reference decides per row; a Spark column has ONE type, so the
+    * decision is per column — string arrays pass through, integral
+    * arrays stay numeric only if every value in the column is
+    * non-negative (one distributed min aggregation), everything else is
+    * stringified. Same data contract at the sink, statically typed. */
+  def coerceAttributeColumn(df: org.apache.spark.sql.DataFrame,
+      colName: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(colName).dataType match {
+      case ArrayType(StringType, _) => df
+      case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
+        val minVal = df.agg(min(array_min(col(colName))).cast("long")).collect().head
+        val allUnsigned = minVal.isNullAt(0) || minVal.getLong(0) >= 0L
+        if (allUnsigned) df
+        else df.withColumn(colName, transform(col(colName), _.cast("string")))
+      case ArrayType(_, _) =>
+        df.withColumn(colName, transform(col(colName), _.cast("string")))
+      case _ => df.withColumn(colName, col(colName).cast("string"))
+    }
+  }
 }

@@ -37,4 +37,28 @@ object HashFunctions {
     val ts = at.format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss"))
     s"vdf_${ts}_${dataHash(args)}"
   }
+
+  /** F23 `expand_shorthand_path` (`util.py:141-156`): ~ / . / ..
+    * resolution on the driver. */
+  def expandShorthandPath(p: String): String = {
+    val home = System.getProperty("user.home")
+    val expanded =
+      if (p == "~") home
+      else if (p.startsWith("~/")) home + p.substring(1)
+      else p
+    java.nio.file.Paths.get(expanded).toAbsolutePath.normalize.toString
+  }
+
+  /** F26 semver-ish comparison (`vdf_import_cls.py:95-107`): true when
+    * `a` is newer than `b`. Numeric segment-wise compare. */
+  def versionNewer(a: String, b: String): Boolean = {
+    def parts(v: String) = v.split("[.-]").map(s =>
+      s.takeWhile(_.isDigit)).map(s => if (s.isEmpty) 0 else s.toInt)
+    val (pa, pb) = (parts(a), parts(b))
+    val n = math.max(pa.length, pb.length)
+    (0 until n).iterator.map { i =>
+      val (x, y) = (pa.lift(i).getOrElse(0), pb.lift(i).getOrElse(0))
+      java.lang.Integer.compare(x, y)
+    }.find(_ != 0).exists(_ > 0)
+  }
 }

@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Elementwise product folded to a double dot-product. */
+  /** Elementwise product folded to a double dot-product.
+    *
+    * Delegates to the native codegen expression
+    * (graft.expressions.DotProduct): a tight primitive loop inside
+    * whole-stage codegen instead of an interpreted
+    * aggregate(zip_with(...)) — same fold order, bit-identical values
+    * (asserted in VectorExpressionsSpec). */
   def dotProduct(a: Column, b: Column): Column =
+    graft.expressions.GraftExtensions.dot(a, b)
+
+  /** The HOF formulation of dotProduct, kept as the pure-SQL-builtin
+    * reference implementation the native expression is tested against. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -32,21 +43,13 @@ object VectorFunctions {
 
   /** Squared L2 distance (cheaper than l2Distance when only ranking). */
   def l2DistanceSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.expressions.GraftExtensions.l2Sq(a, b)
 
   def l2Distance(a: Column, b: Column): Column = sqrt(l2DistanceSq(a, b))
 
   /** Manhattan distance (reference Metric "Manhattan", util.py:159-218). */
   def l1Distance(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.expressions.GraftExtensions.l1(a, b)
 
   /** L2-normalize to unit length (double elements). */
   def l2Normalize(a: Column): Column = {

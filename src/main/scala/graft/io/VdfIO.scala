@@ -190,4 +190,17 @@ object VdfIO {
     * differing schemas, null-padding missing columns. */
   def unionWithSchemaMerge(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** J2 multi-vector union-of-keys join (`qdrant_import.py:285-299`):
+    * each input holds (id, one vector column); the result covers ids
+    * present in ANY input, with absent vectors coalesced to the empty
+    * array like the reference's `vectors.get(id, [])`. N-way full-outer
+    * on the id key — Catalyst plans each as a hash join, and at scale
+    * pre-bucketing all frames by id makes the joins shuffle-free. */
+  def multiVectorJoin(frames: Seq[DataFrame], idCol: String = Constants.IdColumn): DataFrame = {
+    val joined = frames.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val vecCols = joined.columns.filter(_ != idCol)
+    joined.select(col(idCol) +: vecCols.map(c =>
+      coalesce(col(c), array().cast(joined.schema(c).dataType)).as(c)): _*)
+  }
 }

@@ -1,0 +1,77 @@
+package graft.cli
+
+import graft.SparkSpec
+import graft.connectors.MockVdb
+import graft.core.{Metric, VdfMeta}
+import graft.io.VdfIO
+import org.apache.spark.sql.functions._
+
+class CliSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("cli").toString
+
+  private def seedDb(root: String): Unit = {
+    import spark.implicits._
+    val db = new MockVdb(root)
+    db.ensureIndex("idx1", 4, Metric.Cosine, createNew = false)
+    db.upsert("idx1", (0 until 120).map(i =>
+      (i.toString, Array.tabulate(4)(j => (i + j).toFloat), s"doc number $i"))
+      .toDF("id", "vector", "title"))
+  }
+
+  test("export → count → id-list → import round trip via CLI") {
+    val dbRoot = tmp(); val vdf = tmp() + "/vdf"; val dst = tmp()
+    seedDb(dbRoot)
+    assert(Cli.run(spark, Seq("export", "--db", "mock",
+      "--db_root", dbRoot, "--out", vdf)) == 0)
+    assert(VdfMeta.exists(vdf))
+    assert(Cli.run(spark, Seq("count", "--dir", vdf)) == 0)
+    val idsOut = tmp() + "/ids"
+    assert(Cli.run(spark, Seq("id-list", "--dir", vdf, "--out", idsOut)) == 0)
+    assert(spark.read.csv(idsOut).count() == 120)
+
+    assert(Cli.run(spark, Seq("import", "--db", "mock", "--db_root", dst,
+      "--dir", vdf, "--id_range", "10:59", "--max_rows", "40")) == 0)
+    val imported = new MockVdb(dst).scan(spark, "idx1")
+    assert(imported.count() == 40)
+    val ids = imported.select("id").collect().map(_.getString(0).toLong)
+    assert(ids.forall(i => i >= 10 && i <= 59))
+  }
+
+  test("reembed adds a vector column and updates the manifest in place-swapped files") {
+    val dbRoot = tmp(); val vdf = tmp() + "/vdf"
+    seedDb(dbRoot)
+    Cli.run(spark, Seq("export", "--db", "mock", "--db_root", dbRoot, "--out", vdf))
+    assert(Cli.run(spark, Seq("reembed", "--dir", vdf, "--index", "idx1",
+      "--model", "hashing", "--text_column", "title", "--dims", "8")) == 0)
+    val meta = VdfIO.readMeta(vdf)
+    val ns = meta.indexes("idx1").head
+    assert(ns.vector_columns.head == "vec_title_hashing_dim8")
+    assert(ns.dimensions == 8)
+    val df = VdfIO.readNamespace(spark, vdf, ns)
+    assert(df.columns.contains("vec_title_hashing_dim8"))
+    assert(df.count() == 120)
+  }
+
+  test("consolidate shrinks file count via CLI") {
+    val dbRoot = tmp(); val vdf = tmp() + "/vdf"
+    seedDb(dbRoot)
+    Cli.run(spark, Seq("export", "--db", "mock", "--db_root", dbRoot,
+      "--out", vdf, "--max_file_rows", "10"))
+    val before = VdfIO.listParquetFiles(vdf + "/idx1").size
+    assert(before > 1)
+    assert(Cli.run(spark, Seq("consolidate", "--dir", vdf, "--index", "idx1")) == 0)
+    assert(VdfIO.listParquetFiles(vdf + "/idx1").size < before)
+  }
+
+  test("unknown command prints usage and fails") {
+    assert(Cli.run(spark, Seq("bogus")) == 2)
+  }
+
+  test("flag parser handles key-value and boolean flags") {
+    val a = Cli.parseArgs(Seq("import", "--db", "mock", "--create_new", "--max_rows", "5"))
+    assert(a.positional == List("import"))
+    assert(a.flags == Map("db" -> "mock", "create_new" -> "true", "max_rows" -> "5"))
+  }
+}
