@@ -131,6 +131,22 @@ object QueriesExt2 {
       .orderBy("o_orderpriority", "rn")
   }
 
+  /** Skew-safe two-phase aggregation (ops.Scale.saltedAgg): same
+    * result as a direct groupBy, but the hot key's rows spread over 8
+    * salt buckets in phase 1 — the pattern that removes stragglers at
+    * 100 TB. Oracle = the direct GROUP BY. */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scale.saltedAgg(t(s, dir, "lineitem"),
+        col("l_returnflag"), saltBuckets = 8,
+        partial = Seq(
+          expr("SUM(CAST(l_quantity AS DECIMAL(18,4)))").as("ps"),
+          count(lit(1)).as("pn")),
+        finals = Seq(
+          expr("CAST(SUM(ps) AS DOUBLE)").as("sum_qty"),
+          sum(col("pn")).as("n")))
+      .withColumnRenamed("__key", "l_returnflag")
+      .orderBy("l_returnflag")
+
   // ----- rows-only (mapPartitions kernels: not SQL-expressible) -----
 
   /** Multimodal batched feature extraction over binary payloads
@@ -171,6 +187,7 @@ object QueriesExt2 {
     "q_quantize_bits" -> (qQuantizeBits(_, _)),
     "q_window_users" -> (qWindowUsers(_, _)),
     "q_topk_per_group" -> (qTopkPerGroup(_, _)),
+    "q_salted_agg" -> (qSaltedAgg(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
     "q_reembed" -> (qReembed(_, _)))
 
@@ -223,6 +240,11 @@ object QueriesExt2 {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_topk_per_group" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

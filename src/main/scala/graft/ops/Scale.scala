@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-out primitives for the 100 TB path: skew mitigation and
+  * co-located (shuffle-free) joins.
+  *
+  * The reference never needs these (single-process pandas); on a
+  * 1000-executor cluster they are the difference between a stage that
+  * finishes and one straggler task holding the job for hours.
+  */
+object Scale {
+
+  /** Salted aggregation for skewed keys: two-phase groupBy. Phase 1
+    * groups on (key, salt) — the hot key's rows spread over
+    * `saltBuckets` reducers; phase 2 merges the partials on key alone.
+    * Only algebraic aggregates survive this split; the caller provides
+    * the partial and final expressions (e.g. sum/sum, count/sum). */
+  def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
+      partial: Seq[Column], finals: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id()
+        + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(key.as("__key"), col("__salt"))
+      .agg(partial.head, partial.tail: _*)
+      .groupBy(col("__key"))
+      .agg(finals.head, finals.tail: _*)
+
+  /** Salted join for one skewed left key-column against a small-ish
+    * right side: left rows get a random-ish salt in [0, n); the right
+    * side is replicated n× with every salt value, so the hot key's
+    * rows land on n different reducers instead of one.
+    * Right-side replication costs n× its size — use for dimension
+    * tables, not fact-fact joins (those want AQE skew-join, which is
+    * enabled in the session conf). */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val saltedRight = right
+      .withColumn("__salt", explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    saltedLeft.join(saltedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-N most frequent keys — the skew probe used to decide whether
+    * salting / AQE skew hints are worth applying. One pass, distributed. */
+  def skewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame =
+    df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(topN)
+
+  /** Write both sides bucketed by the join key so subsequent equi-joins
+    * are co-located: no Exchange in the plan, each task joins bucket i
+    * with bucket i. This is the batch analog of pre-partitioned vector
+    * shards, and the right layout for repeated id-joins over a 100 TB
+    * VDF dataset (bucket once, join many times shuffle-free). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two tables previously written with `writeBucketed` on their
+    * bucket key. With matching bucket counts Catalyst plans a
+    * SortMergeJoin with NO shuffle on either side. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}
