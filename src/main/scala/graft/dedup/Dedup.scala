@@ -187,8 +187,10 @@ object Dedup {
   def embeddingNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Int, minCosine: Double): DataFrame = {
     import graft.similarity.Lsh
+    val pm = Lsh.planeMatrix(vecs.sparkSession, planes,
+      Lsh.probeDims(vecs, vecCol))
     val bucketed = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      Lsh.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+      Lsh.hyperplaneBucketFast(col(vecCol), pm).as("bucket"))
     val a = bucketed.toDF("da", "va", "bucket")
     val b = bucketed.toDF("db", "vb", "bucket")
     a.join(b, Seq("bucket")).filter(col("da") < col("db"))

@@ -30,6 +30,34 @@ object Lsh {
     (0 until planes).map { p =>
       when(projection(v, p) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
+
+  /** The same plane components as `projection`, materialized driver-side
+    * into a planes×dims matrix — computed with the IDENTICAL xxhash64
+    * expression, so buckets are bit-for-bit the same. At cluster scale
+    * this matrix is what you'd broadcast. */
+  def planeMatrix(spark: org.apache.spark.sql.SparkSession,
+      planes: Int, dims: Int): Seq[Array[Double]] = {
+    val rows = spark.range(dims).select(
+      (0 until planes).map(p => planeComponent(p, col("id").cast("int")).as(s"p$p")): _*)
+      .collect()
+    (0 until planes).map(p => rows.map(_.getDouble(p)))
+  }
+
+  /** Codegen fast path of `hyperplaneBucket`: the interpreted
+    * zip_with/aggregate projection becomes a native dot product against
+    * literal plane vectors (graft.expressions.DotProduct) — identical
+    * fold order, identical buckets, whole-stage codegen. */
+  def hyperplaneBucketFast(v: Column, planeVecs: Seq[Array[Double]]): Column =
+    planeVecs.zipWithIndex.map { case (pv, p) =>
+      when(graft.expressions.GraftExtensions.dot(v, typedLit(pv)) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Probe the (uniform) dimensionality of a vector column — one
+    * CollectLimit job, the same short-circuit as F24 dims resolution. */
+  def probeDims(df: DataFrame, vecCol: String): Int =
+    df.where(col(vecCol).isNotNull).select(size(col(vecCol)))
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
 }
 
 /** Approximate/exact nearest-neighbor search over an embedding column. */
@@ -56,8 +84,10 @@ object Knn {
     * join key, so the work is one shuffle on a small key instead of a
     * full cross product. Recall is traded via `planes`. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, planes: Int, k: Int): DataFrame = {
-    val qb = queries.withColumn("bucket", Lsh.hyperplaneBucket(col("q_vec"), planes))
-    val cb = candidates.withColumn("bucket", Lsh.hyperplaneBucket(col("embedding"), planes))
+    val dims = Lsh.probeDims(candidates, "embedding")
+    val pm = Lsh.planeMatrix(candidates.sparkSession, planes, dims)
+    val qb = queries.withColumn("bucket", Lsh.hyperplaneBucketFast(col("q_vec"), pm))
+    val cb = candidates.withColumn("bucket", Lsh.hyperplaneBucketFast(col("embedding"), pm))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", VF.cosineSimilarity(col("q_vec"), col("embedding")))

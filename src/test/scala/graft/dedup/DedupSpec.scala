@@ -97,6 +97,16 @@ class DedupSpec extends SparkSpec {
     assert(ann.nonEmpty && ann.forall(!_.isNullAt(2)))
   }
 
+  test("hyperplaneBucketFast yields the SAME buckets as the HOF formulation") {
+    import spark.implicits._
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(16)(j => (math.sin(i * 16 + j) * 2).toFloat))).toDF("id", "v")
+    val pm = Lsh.planeMatrix(spark, 6, 16)
+    val slow = vecs.select(Lsh.hyperplaneBucket(col("v"), 6)).collect().map(_.getLong(0))
+    val fast = vecs.select(Lsh.hyperplaneBucketFast(col("v"), pm)).collect().map(_.getLong(0))
+    assert(slow.sameElements(fast))
+  }
+
   test("Lsh buckets are deterministic across invocations") {
     import spark.implicits._
     val vecs = (0L until 10L).map(i =>
