@@ -147,6 +147,23 @@ object QueriesExt2 {
       .withColumnRenamed("__key", "l_returnflag")
       .orderBy("l_returnflag")
 
+  /** Multi-level rollup aggregation (profiling shape for dataset
+    * reporting, SURVEY §7.5 "approx/profiling for free"): revenue by
+    * (returnflag, linestatus) with subtotal and grand-total rows.
+    * Rollup nulls are rendered as 'ALL' so the grouping marker is
+    * engine-agnostic. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
   // ----- rows-only (mapPartitions kernels: not SQL-expressible) -----
 
   /** Multimodal batched feature extraction over binary payloads
@@ -188,6 +205,7 @@ object QueriesExt2 {
     "q_window_users" -> (qWindowUsers(_, _)),
     "q_topk_per_group" -> (qTopkPerGroup(_, _)),
     "q_salted_agg" -> (qSaltedAgg(_, _)),
+    "q_rollup" -> (qRollup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
     "q_reembed" -> (qReembed(_, _)))
 
@@ -240,6 +258,13 @@ object QueriesExt2 {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY hour_epoch""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -51,6 +51,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream: parquet dir → watermarked window → sink (end to end)") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    def batch(tag: String, hours: Seq[Int]): Unit =
+      hours.map(h => (java.sql.Timestamp.valueOf(f"2026-02-01 $h%02d:15:00"), tag, 1.0))
+        .toDF("ts", "event_type", "value")
+        .write.mode("append").parquet(srcDir)
+    batch("click", Seq(1, 1, 2))
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .parquet(srcDir)
+    val agg = StreamingOps.windowedCounts(stream, "ts", "event_type",
+      "1 hour", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("filewin")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // second file lands later — incremental discovery picks it up
+      batch("click", Seq(2))
+      q.processAllAvailable()
+      val out = spark.table("filewin")
+        .groupBy("window_start").agg(max("n").as("n")).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(out("2026-02-01 01:00:00.0") == 2L)
+      assert(out("2026-02-01 02:00:00.0") == 2L)
+    } finally q.stop()
+  }
+
   test("unexported: checkpoint-state resume replaces the metadata marker (S6f)") {
     import spark.implicits._
     val all = (1 to 10).map(_.toString).toDF("id")
