@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Scale-sanity probe: times the near-dup pipelines at 1× and 10× the
+  * sf0.1 documents corpus, so scaling behavior is measured rather than
+  * assumed (the prompt's "would this hold at 1000×" question, answered
+  * at the decade that fits this machine). */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+    }
+
+    val d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val d10 = spark.read.parquet(args.headOption.getOrElse("/tmp/documents_x10.parquet"))
+
+    // warm-up (JIT + codegen)
+    Dedup.ngramJaccardPairs(d1.limit(500), "doc_id", "text", 3, 10, 0.1).count()
+    Dedup.minhashLshPairs(d1.limit(500), "doc_id", "text", 3, 32, 8, 0.25).count()
+
+    time("ngramJaccard 5k docs")(
+      Dedup.ngramJaccardPairs(d1, "doc_id", "text", 3, 10, 0.1).count())
+    time("ngramJaccard 50k docs")(
+      Dedup.ngramJaccardPairs(d10, "doc_id", "text", 3, 10, 0.1).count())
+    time("minhashLsh 5k docs")(
+      Dedup.minhashLshPairs(d1, "doc_id", "text", 3, 32, 8, 0.25).count())
+    time("minhashLsh 50k docs")(
+      Dedup.minhashLshPairs(d10, "doc_id", "text", 3, 32, 8, 0.25).count())
+    time("simhash 50k docs")(
+      Dedup.simhashes(d10, "doc_id", "text").count())
+    time("exact dedup 50k docs")(
+      Dedup.exactGroups(d10, "doc_id", md5(col("text"))).count())
+    spark.stop()
+  }
+}
