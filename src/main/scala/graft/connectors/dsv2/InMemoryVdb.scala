@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -43,13 +44,24 @@ object InMemoryVdbServer {
 
   def count(index: String): Long = indexes.get(index)._2.size.toLong
 
-  /** The paginated fetch — the entire "network" surface. */
+  /** The paginated fetch — the read half of the "network" surface. */
   def fetch(index: String, offset: Long, limit: Int,
       columns: Seq[String]): Seq[Seq[Any]] = {
     val (schema, rows) = indexes.get(index)
     val idxs = columns.map(schema.fieldIndex)
     rows.slice(offset.toInt, offset.toInt + limit)
       .map(r => idxs.map(r.get))
+  }
+
+  /** Batched upsert — the write half. Last-wins on the id column,
+    * like every reference import connector. */
+  def upsert(index: String, batch: Seq[Row]): Unit = synchronized {
+    val (schema, existing) = indexes.get(index)
+    val idIdx = schema.fieldIndex("id")
+    val incoming = batch.map(r => r.get(idIdx) -> r).toMap
+    val merged = existing.filterNot(r => incoming.contains(r.get(idIdx))) ++
+      batch.distinctBy(_.get(idIdx)).map(r => incoming(r.get(idIdx)))
+    indexes.put(index, (schema, merged))
   }
 
   def drop(index: String): Unit = indexes.remove(index)
@@ -65,14 +77,57 @@ class InMemoryVdbProvider extends TableProvider {
 }
 
 final class VdbTable(index: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"inmemvdb:$index"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VdbScanBuilder(index, schema,
       options.getInt("batchSize", 1000))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new VdbWriteBuilder(index, info.schema(),
+      info.options().getInt("batchSize", 1000))
+}
+
+/** DSv2 write path: each task buffers up to batchSize rows and flushes
+  * through the same upsert API a real connector would call — the
+  * executor-parallel replacement for the reference's driver-side
+  * thread pools (`qdrant_import.py:316-343`). Commit is idempotent on
+  * the service side (last-wins by id), so Spark task retries are safe. */
+final class VdbWriteBuilder(index: String, schema: StructType, batchSize: Int)
+    extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+        new VdbDataWriterFactory(index, schema, batchSize)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+final class VdbDataWriterFactory(index: String, schema: StructType, batchSize: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
+      private val buf = scala.collection.mutable.ArrayBuffer[Row]()
+      private def flush(): Unit = if (buf.nonEmpty) {
+        InMemoryVdbServer.upsert(index, buf.toSeq)
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        buf += toScala(record.copy()).asInstanceOf[Row]
+        if (buf.size >= batchSize) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush()
+        new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }
 
 final class VdbScanBuilder(index: String, fullSchema: StructType, batchSize: Int)

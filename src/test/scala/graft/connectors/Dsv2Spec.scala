@@ -45,6 +45,24 @@ class Dsv2Spec extends SparkSpec {
     assert(scan.contains("limit=42"), s"limit not pushed:\n$scan")
   }
 
+  test("DSv2 write path: batched upserts, last-wins by id, task-retry safe") {
+    import spark.implicits._
+    InMemoryVdbServer.create("wr",
+      StructType(Seq(StructField("id", StringType), StructField("v", LongType))),
+      Seq.empty)
+    (0 until 300).map(i => (i.toString, i.toLong)).toDF("id", "v")
+      .write.format(fmt).option("index", "wr").option("batchSize", "50")
+      .mode("append").save()
+    assert(InMemoryVdbServer.count("wr") == 300)
+    // overwrite half the ids with new values — upsert, not append
+    (0 until 150).map(i => (i.toString, -1L)).toDF("id", "v")
+      .write.format(fmt).option("index", "wr").mode("append").save()
+    assert(InMemoryVdbServer.count("wr") == 300)
+    val back = spark.read.format(fmt).option("index", "wr").load()
+    assert(back.filter(col("v") === -1L).count() == 150)
+    InMemoryVdbServer.drop("wr")
+  }
+
   test("DSv2 frame composes with engine operators (join + vector fn)") {
     import spark.implicits._
     val wanted = Seq("5", "10", "2499").toDF("id")
