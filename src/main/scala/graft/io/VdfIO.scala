@@ -32,6 +32,9 @@ object VdfIO {
     spark.read
       .option("mergeSchema", "true")
       .option("recursiveFileLookup", "true")
+      // manifests (and other sidecars) may sit inside data_path when it
+      // is "." (bootstrapped bare dirs); only parquet files are data
+      .option("pathGlobFilter", "*.parquet")
       .parquet(Paths.get(dir, ns.data_path).toString)
 
   /** Read the whole dataset: (index, namespace) → DataFrame. */
@@ -128,6 +131,54 @@ object VdfIO {
     meta
   }
 
+  /** Manifest bootstrap for a bare Parquet directory with no
+    * VDF_META.json (`reembed.py:258-347` handle_new_dataset, and the
+    * HF-dataset import path `vdf_import_cls.py:40-108`): vector
+    * columns are the float/double array fields, dimensions from the
+    * first non-null vector, one index named after the directory. The
+    * synthesized manifest is returned AND written, so downstream
+    * tooling sees a normal VDF dataset. */
+  def bootstrapMeta(spark: SparkSession, dir: String,
+      indexName: String = ""): VdfMeta = {
+    require(!VdfMeta.exists(dir), s"$dir already has a ${VdfMeta.FileName}")
+    val name =
+      if (indexName.nonEmpty) indexName
+      else Paths.get(dir).getFileName.toString
+    val df = spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet").parquet(dir)
+    val vecCols = df.schema.fields.collect {
+      case f if (f.dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType |
+          org.apache.spark.sql.types.DoubleType, _) => true
+        case _ => false
+      }) => f.name
+    }.toList
+    val dims = vecCols.headOption.flatMap(resolveDims(df, _)).getOrElse(-1)
+    val n = df.count()
+    val ns = NamespaceMeta(
+      namespace = "",
+      index_name = name,
+      total_vector_count = n,
+      exported_vector_count = n,
+      dimensions = dims,
+      vector_columns = if (vecCols.nonEmpty) vecCols else List("vector"),
+      data_path = ".",
+      schema_dict_str = Some(df.schema.json))
+    val meta = VdfMeta(
+      version = "1.0",
+      file_structure = listParquetFiles(dir).map(
+        Paths.get(dir).relativize(_).toString).sorted.toList,
+      author = "graft",
+      exported_from = "bare-parquet",
+      indexes = Map(name -> List(ns)),
+      exported_at = java.time.Instant.now().toString,
+      id_column = Some(Constants.IdColumn))
+    VdfMeta.write(meta, dir)
+    meta
+  }
+
   /** F24 dims resolution (`vdf_import_cls.py:152-187`): length of the
     * first non-null vector. Catalyst stops the scan at the first row
     * (CollectLimit), mirroring the reference's short-circuit. */
@@ -158,7 +209,8 @@ object VdfIO {
     val updated = nss.map { ns =>
       val src = Paths.get(dir, ns.data_path).toString
       val df = spark.read.option("mergeSchema", "true")
-        .option("recursiveFileLookup", "true").parquet(src)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet").parquet(src)
       val bytes = listParquetFiles(src).map(Files.size).sum
       val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileSizeBytes).toInt)
       val tmp = s"${ns.data_path}__compact"

@@ -77,6 +77,22 @@ class VdfIOSpec extends SparkSpec {
     assert(u.count() == 2)
   }
 
+  test("bootstrapMeta synthesizes a manifest for a bare parquet dir (reembed.py:258-347)") {
+    val dir = tmp() + "/bare_ds"
+    points(40).write.parquet(dir)
+    val meta = VdfIO.bootstrapMeta(spark, dir)
+    assert(VdfMeta.exists(dir))
+    val ns = meta.indexes("bare_ds").head
+    assert(ns.vector_columns == List("vector"))
+    assert(ns.dimensions == 4)
+    assert(ns.total_vector_count == 40)
+    // now a normal VDF dataset: readable through the standard path
+    val back = VdfIO.readNamespace(spark, dir, ns)
+    assert(back.count() == 40)
+    // refuses to clobber an existing manifest
+    assertThrows[IllegalArgumentException](VdfIO.bootstrapMeta(spark, dir))
+  }
+
   test("consolidate compacts chunk files and patches the manifest (K14)") {
     val dir = tmp()
     // write deliberately fragmented: 10 files for 100 rows, drifting schema
