@@ -50,6 +50,20 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("simhash kernel equals the column-expression formulation bit-for-bit") {
+    import graft.functions.{TextFunctions => TF}
+    val viaExpr = docs.select(col("doc_id"), TF.simhash64(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaKernel = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaKernel)
+    // empty/whitespace text → simhash 0 in both
+    import spark.implicits._
+    val edge = Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.simhashes(edge, "doc_id", "text")
+      .collect().forall(_.getLong(1) == 0L))
+  }
+
   test("simhashPairs: exact dups at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
       blockBits = 4, maxHamming = 3)
