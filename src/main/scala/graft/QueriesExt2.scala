@@ -183,6 +183,21 @@ object QueriesExt2 {
       .orderBy(col("id").cast("long"))
   }
 
+  /** IVF coarse-quantized ANN (the k-means scale path next to the LSH
+    * variant): build 8 lists over the corpus, probe the 2 nearest per
+    * query. Deterministic (fixed seed) but k-means isn't
+    * SQL-expressible → rows-only. */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = graft.similarity.Ivf.build(e, "vec_id", "embedding",
+      nlist = 8, seed = 42L)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.similarity.Ivf.search(index, q, k = 5, nprobe = 2)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
   /** The re-embed pipeline (SURVEY §2.10) end to end: batched
     * mapPartitions embedding with the deterministic hashing model. */
   private def qReembed(s: SparkSession, dir: String): DataFrame =
@@ -207,6 +222,7 @@ object QueriesExt2 {
     "q_salted_agg" -> (qSaltedAgg(_, _)),
     "q_rollup" -> (qRollup(_, _)),
     "q_media_features" -> (qMediaFeatures(_, _)),
+    "q_ann_ivf" -> (qAnnIvf(_, _)),
     "q_reembed" -> (qReembed(_, _)))
 
   val oracleSql: Map[String, String] = Map(

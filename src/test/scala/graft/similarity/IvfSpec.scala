@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+
+  // three well-separated clusters in 8-d
+  private lazy val vecs = {
+    import spark.implicits._
+    (0L until 90L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.tabulate(8)(j => if (j == c * 2) 10f else 0f)
+      (i, base.zipWithIndex.map { case (x, j) =>
+        x + (math.sin(i * 8 + j) * 0.3).toFloat })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private lazy val index = Ivf.build(vecs, "vec_id", "embedding", nlist = 3)
+
+  test("build assigns every vector; clusters are coherent") {
+    assert(index.assigned.count() == 90)
+    assert(index.centroids.size == 3)
+    // each list holds exactly one synthetic cluster (30 vectors)
+    val sizes = index.assigned.groupBy("list_id").count()
+      .collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(30L, 30L, 30L))
+  }
+
+  test("search with nprobe=nlist equals brute force top-k") {
+    import spark.implicits._
+    val q = vecs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ivf = Ivf.search(index, q, k = 4, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Knn.bruteForceTopK(q, vecs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
+  }
+
+  test("search with nprobe=1 stays inside the query's own cluster") {
+    import spark.implicits._
+    val q = vecs.filter(col("vec_id") === 0) // cluster 0
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Ivf.search(index, q, k = 5, nprobe = 1)
+      .collect().map(_.getLong(1))
+    assert(hits.length == 5)
+    assert(hits.forall(_ % 3 == 0), s"left the cluster: ${hits.mkString(",")}")
+  }
+}
