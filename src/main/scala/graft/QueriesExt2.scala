@@ -190,7 +190,7 @@ object QueriesExt2 {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val index = graft.similarity.Ivf.build(e, "vec_id", "embedding",
-      nlist = 8, seed = 42L)
+      nlist = 8, seed = 42L, maxIter = 5)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     graft.similarity.Ivf.search(index, q, k = 5, nprobe = 2)

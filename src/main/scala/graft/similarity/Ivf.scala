@@ -31,15 +31,19 @@ object Ivf {
     * the model on a sample (the standard trick when the corpus is
     * huge) while still assigning every vector. */
   def build(vecs: DataFrame, idCol: String, vecCol: String, nlist: Int,
-      seed: Long = 42L, sampleFraction: Double = 1.0): IvfIndex = {
+      seed: Long = 42L, sampleFraction: Double = 1.0,
+      maxIter: Int = 20): IvfIndex = {
     val withFeatures = vecs.withColumn("__f",
       array_to_vector(col(vecCol).cast("array<float>")))
     val trainSet =
       if (sampleFraction >= 1.0) withFeatures
       else withFeatures.sample(withReplacement = false, sampleFraction, seed)
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("__f").setPredictionCol("list_id")
+    trainSet.persist()
+    val model = try new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__f").setPredictionCol("list_id")
       .fit(trainSet)
+    finally trainSet.unpersist(false)
     val assigned = model.transform(withFeatures).drop("__f")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       i -> c.toArray.map(_.toFloat)
