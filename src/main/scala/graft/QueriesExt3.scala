@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, DupClusters}
+import graft.ops.{AsofJoin, Profiling, Sessions}
+
+/** Batch 4 of the driver-contract queries: graph/temporal/profiling
+  * operators a large-scale training-data pipeline needs on top of the
+  * reference's ETL surface (SURVEY §7.5) — duplicate-cluster connected
+  * components, gap sessionization, as-of join, one-pass column
+  * profiling. Every query here is DuckDB-oracle-backed (the CC oracle
+  * is a recursive CTE computing the same transitive closure). */
+object QueriesExt3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Duplicate clusters: transitive closure of the n-gram Jaccard
+    * near-dup pairs (the oracle-checked edge generator of
+    * `q_ngram_jaccard`), assigned via large-star/small-star connected
+    * components; every document gets its cluster's min doc_id. */
+  private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, dfCap = 10, threshold = 0.1)
+    val comp = DupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+    docs.select("doc_id")
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .orderBy("doc_id")
+  }
+
+  /** Gap sessionization of the event stream (4 h inactivity gap),
+    * summarized per session. Timestamps are nanos-as-long (TESTDATA);
+    * emitted as epoch micros to match DuckDB's ns→µs read. */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      expr("(ts - pmod(ts, 1000)) DIV 1000").as("tus"))
+    Sessions.sessionStats(e, "user_id", "tus",
+        gap = 4L * 3600 * 1000000, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_ts").as("start_us"), col("end_ts").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of join: each event picks up the customer's most recent order
+    * activity (orders pre-aggregated per (custkey, day) so the match
+    * is unique ⇒ deterministic). One shuffle + one window pass — no
+    * inequality-join candidate explosion. */
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      date_from_unix_date(
+        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+        .as("event_date"))
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
+    AsofJoin.asofBackward(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "event_date", rightTime = "od")
+      .withColumnRenamed("od", "last_order_date")
+      .orderBy("event_id")
+  }
+
+  /** One-pass numeric column profiling of lineitem (count / nulls /
+    * distinct / min / max per column). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame =
+    Profiling.numericProfile(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .orderBy("col_name")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_clusters" -> (qDupClusters(_, _)),
+    "q_sessionize" -> (qSessionize(_, _)),
+    "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_profile" -> (qProfile(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dup_clusters" ->
+      """WITH RECURSIVE b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        |  FROM b),
+        |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |df AS (SELECT sh, count(*) AS c FROM ex GROUP BY sh),
+        |kept AS (SELECT doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh WHERE c <= 10),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.1),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |          UNION SELECT db AS a, da AS b FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |m AS (SELECT user_id, event_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |              OR tus - lag(tus) OVER w > 14400000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |s AS (SELECT user_id, tus,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(tus) AS start_us, max(tus) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+        |r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |        count(*) AS n_orders, max(o_totalprice) AS top_price
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.event_date,
+        |  r.od AS last_order_date, r.n_orders, r.top_price
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.event_date >= r.od
+        |ORDER BY event_id""".stripMargin,
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n,
+        |    count(*) - count(l_orderkey) AS n_null, count(DISTINCT l_orderkey) AS n_distinct,
+        |    CAST(min(l_orderkey) AS DOUBLE) AS min_v, CAST(max(l_orderkey) AS DOUBLE) AS max_v
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', count(l_quantity), count(*) - count(l_quantity),
+        |    count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', count(l_extendedprice), count(*) - count(l_extendedprice),
+        |    count(DISTINCT l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+        |    count(DISTINCT l_discount), CAST(min(l_discount) AS DOUBLE), CAST(max(l_discount) AS DOUBLE)
+        |  FROM lineitem
+        |  UNION ALL SELECT 'l_tax', count(l_tax), count(*) - count(l_tax),
+        |    count(DISTINCT l_tax), CAST(min(l_tax) AS DOUBLE), CAST(max(l_tax) AS DOUBLE)
+        |  FROM lineitem)
+        |ORDER BY col_name""".stripMargin)
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling for dataset QA — the summary a training-data
+  * pipeline runs before trusting a new drop of data. The reference's
+  * only profiling is row counting (`scripts/count_rows.py:21-49`) and
+  * a first-non-null dims probe (`vdf_import_cls.py:152-187`); this
+  * generalizes both to per-column stats in ONE scan.
+  *
+  * Shape: a single aggregate over the table computes every column's
+  * stats (count/nulls/distinct/min/max), then a `stack` unpivots the
+  * one wide row into long format on the driver side of the plan.
+  * Multiple `count(distinct)` on different columns plan as one
+  * Expand + partial aggregate — still a single pass over the data,
+  * which is what matters at 100 TB (n columns × full scans would not
+  * be). For approximate profiling at extreme scale swap
+  * `countDistinct` for `approx_count_distinct` (HLL, no Expand).
+  */
+object Profiling {
+
+  /** (col_name, n, n_null, n_distinct, min_v, max_v) per requested
+    * numeric column; min/max cast to double for a uniform schema. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}__n"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c).cast("double")).as(s"${c}__min"),
+      max(col(c).cast("double")).as(s"${c}__max")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__n, __rows - ${c}__n, ${c}__nd, ${c}__min, ${c}__max")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs) AS (col_name, n, n_null, n_distinct, min_v, max_v)")
+  }
+}

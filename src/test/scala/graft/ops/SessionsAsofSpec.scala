@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class SessionsAsofSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionize splits on gap, 0-based per key, deterministic ties") {
+    val e = Seq(
+      ("u1", 0L, 1L), ("u1", 50L, 2L), ("u1", 200L, 3L), ("u1", 260L, 4L),
+      ("u2", 5L, 5L), ("u2", 5L, 6L) // tie broken by id
+    ).toDF("k", "t", "id")
+    val out = Sessions.sessionize(e, "k", "t", gap = 100L, tieBreak = Seq("id"))
+      .select("k", "id", "session_id").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("u1", 1L, 0L), ("u1", 2L, 0L), ("u1", 3L, 1L),
+      ("u1", 4L, 1L), ("u2", 5L, 0L), ("u2", 6L, 0L)))
+  }
+
+  test("sessionStats aggregates bounds per session") {
+    val e = Seq(("u1", 0L, 1L), ("u1", 10L, 2L), ("u1", 500L, 3L))
+      .toDF("k", "t", "id")
+    val out = Sessions.sessionStats(e, "k", "t", gap = 100L, tieBreak = Seq("id"))
+      .select("k", "session_id", "n_events", "start_ts", "end_ts")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(("u1", 0L, 2L, 0L, 10L), ("u1", 1L, 1L, 500L, 500L)))
+  }
+
+  private val left = Seq((1L, "k1", 10L), (2L, "k1", 20L), (3L, "k1", 5L),
+    (4L, "k2", 100L), (5L, "kX", 7L)).toDF("id", "k", "t")
+  private val right = Seq(("k1", 10L, "a"), ("k1", 15L, "b"), ("k2", 99L, "c"))
+    .toDF("rk", "rt", "payload")
+
+  test("asof backward inclusive matches latest right at or before left time") {
+    val out = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt")
+      .select("id", "rt", "payload").as[(Long, Option[Long], Option[String])]
+      .collect().toSet
+    assert(out == Set(
+      (1L, Some(10L), Some("a")), // equal time matches when inclusive
+      (2L, Some(15L), Some("b")),
+      (3L, None, None),           // nothing at or before t=5
+      (4L, Some(99L), Some("c")),
+      (5L, None, None)))          // key absent on right
+  }
+
+  test("asof backward strict excludes equal-time right rows") {
+    val out = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt",
+        inclusive = false)
+      .select("id", "payload").as[(Long, Option[String])].collect().toSet
+    assert(out.contains((1L, None)) && out.contains((2L, Some("b"))))
+  }
+
+  test("asof output keeps every left row and column") {
+    val out = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt")
+    assert(out.count() == left.count())
+    assert(out.columns.toSeq == Seq("id", "k", "t", "rt", "payload"))
+  }
+}
