@@ -57,4 +57,56 @@ object StreamingOps {
     * resume = anti-join against this checkpointed set. */
   def unexported(all: DataFrame, exportedIds: DataFrame, idCol: String): DataFrame =
     all.join(exportedIds, Seq(idCol), "left_anti")
+
+  final case class Click(user: String, ts: java.sql.Timestamp)
+  final case class SessionAgg(user: String, events: Long, startMs: Long,
+    endMs: Long)
+  final case class SessionOut(user: String, n_events: Long, start_ms: Long,
+    end_ms: Long)
+
+  /** Streaming sessionization — the continuous twin of
+    * `ops.Sessions.sessionize`. Per-user state holds the open session;
+    * an event either extends it (gap <= `gapMs`) or closes it (the
+    * closed session is emitted) and opens a new one. Sessions with no
+    * activity for `gapMs` past the watermark close via event-time
+    * timeout, so state size is bounded by the number of *live* keys,
+    * not corpus size — the property that keeps this runnable forever
+    * on an unbounded stream. */
+  def sessionizeStream(clicks: Dataset[Click], gapMs: Long,
+      watermarkDelay: String): Dataset[SessionOut] = {
+    import clicks.sparkSession.implicits._
+    clicks
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: String, rows: Iterator[Click], state: GroupState[SessionAgg]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // no activity for gapMs past the watermark: close the session
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(s.user, s.events, s.startMs, s.endMs))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(events = s.events + 1, endMs = t))
+                case Some(s) =>
+                  closed ::= SessionOut(s.user, s.events, s.startMs, s.endMs)
+                  cur = Some(SessionAgg(user, 1L, t, t))
+                case None =>
+                  cur = Some(SessionAgg(user, 1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

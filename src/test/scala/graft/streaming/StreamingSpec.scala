@@ -51,6 +51,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream closes a session on gap and emits it (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Click]
+    val out = StreamingOps.sessionizeStream(input.toDS(),
+      gapMs = 60_000L, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      def c(u: String, s: String) =
+        StreamingOps.Click(u, java.sql.Timestamp.valueOf(s))
+      // session 1: two events 30 s apart; then a 10-min gap starts session 2
+      input.addData(c("u1", "2026-01-01 10:00:00"), c("u1", "2026-01-01 10:00:30"))
+      q.processAllAvailable()
+      input.addData(c("u1", "2026-01-01 10:10:00"), c("u2", "2026-01-01 10:10:00"))
+      q.processAllAvailable()
+      // advance the watermark far enough to time out all open sessions
+      input.addData(c("u3", "2026-01-01 11:00:00"))
+      q.processAllAvailable()
+      input.addData(c("u3", "2026-01-01 12:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("sess").as[StreamingOps.SessionOut].collect()
+      val u1 = rows.filter(_.user == "u1").sortBy(_.start_ms)
+      assert(u1.length == 2)
+      assert(u1.head.n_events == 2L &&
+        u1.head.end_ms - u1.head.start_ms == 30_000L)
+      assert(u1.last.n_events == 1L)
+      assert(rows.filter(_.user == "u2").map(_.n_events).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("file-source stream: parquet dir → watermarked window → sink (end to end)") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
