@@ -43,6 +43,19 @@ object ScaleProbe {
       Dedup.simhashes(d10, "doc_id", "text").count())
     time("exact dedup 50k docs")(
       Dedup.exactGroups(d10, "doc_id", md5(col("text"))).count())
+
+    // Connected components: edge count grows ~27× (ngram) / ~1000×
+    // (minhash) across the decade, so this probes CC's scaling in the
+    // dimension that matters — edges — not just docs.
+    import graft.dedup.DupClusters
+    val e1 = Dedup.ngramJaccardPairs(d1, "doc_id", "text", 3, 10, 0.1)
+      .localCheckpoint(true)
+    time("cc over ngram pairs (1x edges)")(
+      DupClusters.connectedComponents(e1, "doc_a", "doc_b").count())
+    val e10 = Dedup.minhashLshPairs(d10, "doc_id", "text", 3, 32, 8, 0.25)
+      .localCheckpoint(true)
+    time("cc over minhash pairs (250k edges)")(
+      DupClusters.connectedComponents(e10, "doc_a", "doc_b").count())
     spark.stop()
   }
 }
