@@ -74,11 +74,58 @@ object QueriesExt3 {
         Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       .orderBy("col_name")
 
+  /** Deterministic train/val/test split: the assignment is a pure
+    * function of the id (md5 bucket 0..255), so it is reproducible
+    * across runs, engines, and cluster sizes — what a training
+    * pipeline needs from a split (Spark's `randomSplit` is
+    * partitioning-dependent and would not be). ~90/5/5. */
+  private def qSplitSample(s: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("(instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 31, 1)) - 1) * 16" +
+        " + instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 32, 1)) - 1")
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 230, lit("train")).when(bucket < 243, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  /** Per-label embedding centroids in long format (label, dim, n,
+    * centroid). posexplode + partial-aggregated avg: one shuffle on
+    * (label, dim) — at 100 TB prefer `VectorExpressions` elementwise
+    * sum into fixed-width arrays to avoid the ×dims row expansion. */
+  private def qCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("col").cast("double")).as("centroid"))
+      .orderBy("label", "pos")
+
+  /** Exact interpolated percentiles of document length per language
+    * (Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    * interpolation definition). Exact percentile shuffles all values
+    * per group; at extreme scale swap for `approx_percentile`
+    * (KLL/GK sketch, mergeable map-side). */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_clusters" -> (qDupClusters(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
-    "q_profile" -> (qProfile(_, _)))
+    "q_profile" -> (qProfile(_, _)),
+    "q_split_sample" -> (qSplitSample(_, _)),
+    "q_centroids" -> (qCentroids(_, _)),
+    "q_percentiles" -> (qPercentiles(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -135,6 +182,28 @@ object QueriesExt3 {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.o_custkey AND l.event_date >= r.od
         |ORDER BY event_id""".stripMargin,
+    "q_split_sample" ->
+      """WITH b AS (SELECT *,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
+        |    + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
+    "q_centroids" ->
+      """SELECT label, pos, count(*) AS n, avg(CAST(e AS DOUBLE)) AS centroid
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |        UNNEST(embedding) AS e
+        |      FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_percentiles" ->
+      """SELECT lang, count(*) AS n,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.9) AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_profile" ->
       """SELECT * FROM (
         |  SELECT 'l_orderkey' AS col_name, count(l_orderkey) AS n,
