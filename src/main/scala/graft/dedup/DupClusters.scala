@@ -99,4 +99,18 @@ object DupClusters {
       .union(e.select(col("b").as("node"), col("b").as("component")))
       .distinct()
   }
+
+  /** End-to-end near-dup removal: keep one row per duplicate cluster
+    * (the minimum id — deterministic), where clusters are the
+    * connected components of `edges`. Rows not in any edge survive
+    * untouched. This is the operator a training pipeline actually
+    * calls: pairs → clusters → canonical corpus. */
+  def dedupKeepMin(docs: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(edges, aCol, bCol)
+      .withColumnRenamed("node", idCol)
+    docs.join(comp, Seq(idCol), "left")
+      .filter(col("component").isNull || col(idCol) === col("component"))
+      .drop("component")
+  }
 }

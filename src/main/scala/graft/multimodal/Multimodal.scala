@@ -89,6 +89,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Batched frame sampler for video/audio payloads: one payload →
+    * up to `maxFrames` per-frame feature vectors. */
+  trait FrameSampler extends Serializable {
+    def frameDims: Int
+    def sampleFrames(payload: Array[Byte], maxFrames: Int): Seq[Array[Float]]
+  }
+
+  /** Deterministic fake sampler: splits the payload into `maxFrames`
+    * contiguous segments and features each — stands in for ffmpeg-style
+    * keyframe extraction; the Spark-side row expansion is real. */
+  final class StubFrameSampler(val frameDims: Int) extends FrameSampler {
+    def sampleFrames(p: Array[Byte], maxFrames: Int): Seq[Array[Float]] = {
+      if (p == null || p.isEmpty) Seq.empty
+      else {
+        val n = math.min(maxFrames, math.max(1, p.length / frameDims))
+        val seg = math.max(1, p.length / n)
+        (0 until n).map { f =>
+          val v = new Array[Float](frameDims)
+          var i = f * seg
+          val end = math.min(p.length, (f + 1) * seg)
+          while (i < end) { v((i - f * seg) % frameDims) += (p(i) & 0xff) / 255.0f; i += 1 }
+          v
+        }
+      }
+    }
+  }
+
+  /** Explode each media row into per-frame rows (frame_idx, frame).
+    * The payload column is DROPPED from the output on purpose: frame
+    * rows must never replicate the source bytes ×frames — at 100 TB of
+    * video that alone decides whether the job runs. Empty/null
+    * payloads produce zero rows (filter upstream to keep them). */
+  def explodeFrames(df: DataFrame, payloadCol: String,
+      sampler: FrameSampler, maxFrames: Int): DataFrame = {
+    val keptFields = df.schema.fields.filterNot(_.name == payloadCol)
+    val outSchema = StructType(keptFields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", ArrayType(FloatType), nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val keptIdx = df.schema.fields.indices.filterNot(_ == idx)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val kept = keptIdx.map(r.get)
+        sampler.sampleFrames(p, maxFrames).iterator.zipWithIndex.map {
+          case (f, i) => Row.fromSeq(kept ++ Seq(i, f))
+        }
+      }
+    }(enc)
+  }
+
   /** Column-expression variants for payload metadata that don't need a
     * decode kernel at all (cheaper: stays in codegen). */
   def byteLen(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -31,6 +31,15 @@ class DupClustersSpec extends SparkSpec {
     assert(cc(Seq.empty) == Map.empty)
   }
 
+  test("dedupKeepMin keeps one row per cluster plus all untouched rows") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (4L, "b"), (5L, "c"))
+      .toDF("id", "text")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("x", "y")
+    val kept = DupClusters.dedupKeepMin(docs, "id", edges, "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("dense clique converges") {
     val nodes = (1L to 8L)
     val edges = for (a <- nodes; b <- nodes if a < b) yield (a, b)

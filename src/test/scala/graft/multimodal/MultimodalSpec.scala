@@ -43,6 +43,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out("c").getAs[Any]("h") == null)
   }
 
+  test("explodeFrames expands rows per frame and drops the payload column") {
+    val out = Multimodal.explodeFrames(media, "payload",
+      new Multimodal.StubFrameSampler(4), maxFrames = 3)
+    assert(!out.columns.contains("payload"))
+    assert(out.columns.takeRight(2).toSeq == Seq("frame_idx", "frame"))
+    val byId = out.collect().groupBy(_.getString(0))
+    assert(byId("a").length == 3 && byId("b").length == 3)
+    assert(!byId.contains("c")) // null payload → zero frame rows
+    assert(byId("a").map(_.getInt(out.columns.length - 2)).sorted.toSeq == Seq(0, 1, 2))
+    // deterministic: same payload → same frame features
+    val again = Multimodal.explodeFrames(media, "payload",
+      new Multimodal.StubFrameSampler(4), maxFrames = 3).collect()
+      .groupBy(_.getString(0))
+    assert(byId("a").map(_.getSeq[Float](out.columns.length - 1)).toSeq ==
+      again("a").map(_.getSeq[Float](out.columns.length - 1)).toSeq)
+  }
+
   test("dropBinaryColumns removes payloads unless kept (util.py:357-368)") {
     assert(!Multimodal.dropBinaryColumns(media).columns.contains("payload"))
     assert(Multimodal.dropBinaryColumns(media, keep = Set("payload"))
