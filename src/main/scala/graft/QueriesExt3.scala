@@ -67,6 +67,26 @@ object QueriesExt3 {
       .orderBy("event_id")
   }
 
+  /** The same as-of join through the native Catalyst operator
+    * (`plans.AsofJoinNative`: custom LogicalPlan + Strategy +
+    * streaming merge SparkPlan) — oracle-checked against the identical
+    * DuckDB ASOF JOIN, so the custom physical operator itself sits
+    * behind the correctness gate. */
+  private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      date_from_unix_date(
+        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+        .as("event_date"))
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
+    graft.plans.AsofJoinNative.asof(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "event_date", rightTime = "od")
+      .withColumnRenamed("od", "last_order_date")
+      .orderBy("event_id")
+  }
+
   /** One-pass numeric column profiling of lineitem (count / nulls /
     * distinct / min / max per column). */
   private def qProfile(s: SparkSession, dir: String): DataFrame =
@@ -122,6 +142,7 @@ object QueriesExt3 {
     "q_dup_clusters" -> (qDupClusters(_, _)),
     "q_sessionize" -> (qSessionize(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
+    "q_asof_native" -> (qAsofNative(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q_split_sample" -> (qSplitSample(_, _)),
     "q_centroids" -> (qCentroids(_, _)),
@@ -173,6 +194,16 @@ object QueriesExt3 {
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+        |r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |        count(*) AS n_orders, max(o_totalprice) AS top_price
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.event_date,
+        |  r.od AS last_order_date, r.n_orders, r.top_price
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.event_date >= r.od
+        |ORDER BY event_id""".stripMargin,
+    "q_asof_native" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
         |r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
         |        count(*) AS n_orders, max(o_totalprice) AS top_price

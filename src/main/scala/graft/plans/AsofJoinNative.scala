@@ -1,0 +1,181 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** As-of join as a first-class Catalyst operator — the SURVEY §7.3
+  * tier-(c) path: a custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, for semantics the built-in operators can't express
+  * without a shape change (`ops.AsofJoin.asofBackward` re-expresses it
+  * via union+window; this node IS the operator).
+  *
+  * Why bother when the union-merge works: the physical node declares
+  * its real requirements — children clustered on the key and sorted by
+  * (key, time) — so the planner co-partitions both sides and the merge
+  * itself is a streaming one-pass per partition holding ONE buffered
+  * right row. No union row-blowup, no window frame state, and
+  * downstream operators see `outputOrdering`/`outputPartitioning`
+  * preserved (a following groupBy on the key plans without another
+  * exchange — the window formulation can't promise that).
+  *
+  * Semantics = `AsofJoin.asofBackward` (asserted equal in
+  * AsofJoinNativeSpec): every left row + latest right row with equal
+  * key and time <= (inclusive) / < (strict) the left time; right rows
+  * must be unique per (key, time) for determinism.
+  */
+final case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightPayload: Seq[Attribute], inclusive: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ (rightTime +: rightPayload).map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lt, rt, pay, incl) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, pay, incl) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTime: Attribute, rightTime: Attribute,
+    rightPayload: Seq[Attribute], inclusive: Boolean) extends BinaryExecNode {
+
+  private def rightOut: Seq[Attribute] =
+    (rightTime +: rightPayload).map(_.withNullability(true))
+  override def output: Seq[Attribute] = left.output ++ rightOut
+
+  /** Both children hash-clustered on their key: the planner inserts
+    * co-partitioned exchanges exactly like a sort-merge join. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Values pulled out of reused row buffers must be defensively
+    * copied before being retained across iterator steps. */
+  private def retained(v: Any): Any = v match {
+    case s: UTF8String => s.clone()
+    case x => x
+  }
+  @inline private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rkOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = right.output.indexWhere(_.exprId == rightTime.exprId)
+    require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
+      "as-of key/time attributes must come from the respective child")
+    val (lkT, ltT, rkT, rtT) =
+      (leftKey.dataType, leftTime.dataType, rightKey.dataType, rightTime.dataType)
+    val rightProjExprs = rightTime +: rightPayload
+    val rightSchema = right.output
+    val leftSchema = left.output
+    val outAttrs = output
+    val nRight = rightProjExprs.length
+    val incl = inclusive
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val rightProj = UnsafeProjection.create(rightProjExprs, rightSchema)
+      val outProj = UnsafeProjection.create(outAttrs, leftSchema ++ rightOut)
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var lastMatch: UnsafeRow = _
+        private var lastMatchKey: Any = _
+        private def advanceRight(): Unit =
+          rHead = if (rIter.hasNext) rIter.next() else null
+        advanceRight()
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
+            return outProj(joined(l, nullRight))
+          }
+          val lk = l.get(lkOrd, lkT)
+          val lt = l.get(ltOrd, ltT)
+          // consume right rows with (key, time) at or before (lk, lt);
+          // the latest consumed row with key == lk is the match
+          var scanning = true
+          while (scanning && rHead != null) {
+            if (rHead.isNullAt(rkOrd) || rHead.isNullAt(rtOrd)) advanceRight()
+            else {
+              val kc = cmp(rHead.get(rkOrd, rkT), lk)
+              if (kc < 0) advanceRight()
+              else if (kc == 0) {
+                val tc = cmp(rHead.get(rtOrd, rtT), lt)
+                if (tc < 0 || (incl && tc == 0)) {
+                  lastMatch = rightProj(rHead).copy()
+                  lastMatchKey = retained(lk)
+                  advanceRight()
+                } else scanning = false
+              } else scanning = false
+            }
+          }
+          val m =
+            if (lastMatchKey != null && cmp(lastMatchKey, lk) == 0) lastMatch
+            else nullRight
+          outProj(joined(l, m))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level API over the native operator. */
+object AsofJoinNative {
+
+  /** Install the planner strategy on the session (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsofJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsofJoinStrategy
+  }
+
+  /** Backward as-of join via the custom operator; same contract as
+    * `ops.AsofJoin.asofBackward`. Key and time types must be orderable
+    * atomic types (long/int/date/timestamp/string/decimal). */
+  def asof(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      inclusive: Boolean = true): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    val payload = rPlan.output.filterNot(a =>
+      a.name == rightKey || a.name == rightTime)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      AsofJoinNode(lPlan, rPlan,
+        attr(lPlan, leftKey), attr(rPlan, rightKey),
+        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        payload, inclusive))
+  }
+}

@@ -16,4 +16,12 @@ object Bridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+  /** Wrap a (resolved) logical plan as a DataFrame — the entry point a
+    * library-defined operator needs to hand its custom LogicalPlan to
+    * the session (`Dataset.ofRows` is `private[sql]` in Spark 4). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -51,6 +51,22 @@ class SessionsAsofSpec extends SparkSpec {
     assert(out.contains((1L, None)) && out.contains((2L, Some("b"))))
   }
 
+  test("broadcast asof agrees with union-merge asof on both modes") {
+    for (incl <- Seq(true, false)) {
+      val a = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt", incl)
+        .collect().map(_.toSeq).toSet
+      val b = AsofJoin.asofBackwardBroadcast(left, right, "k", "rk", "t", "rt", incl)
+        .collect().map(_.toSeq).toSet
+      assert(a == b, s"inclusive=$incl")
+    }
+  }
+
+  test("broadcast asof plans with no shuffle on the left side") {
+    val plan = AsofJoin.asofBackwardBroadcast(left, right, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("asof output keeps every left row and column") {
     val out = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt")
     assert(out.count() == left.count())

@@ -1,0 +1,56 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.AsofJoin
+
+class AsofJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq((1L, "k1", 10L), (2L, "k1", 20L), (3L, "k1", 5L),
+    (4L, "k2", 100L), (5L, "kX", 7L), (6L, "k1", 15L)).toDF("id", "k", "t")
+  private lazy val right = Seq(("k1", 10L, "a"), ("k1", 15L, "b"), ("k2", 99L, "c"))
+    .toDF("rk", "rt", "payload")
+
+  test("native asof matches the union-merge formulation, both modes") {
+    for (incl <- Seq(true, false)) {
+      val expected = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt", incl)
+        .collect().map(_.toSeq).toSet
+      val got = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt", incl)
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"inclusive=$incl")
+    }
+  }
+
+  test("native asof output schema: left columns then right time + payload") {
+    val out = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
+    assert(out.columns.toSeq == Seq("id", "k", "t", "rt", "payload"))
+    assert(out.schema("rt").nullable && out.schema("payload").nullable)
+  }
+
+  test("native asof composes with downstream operators") {
+    val out = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
+      .groupBy("k").count().orderBy("k")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("k1", 4L), ("k2", 1L), ("kX", 1L)))
+  }
+
+  test("native asof plans AsofJoinExec with co-partitioned exchanges") {
+    val plan = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+  }
+
+  test("native asof matches on a larger keyed series (events x orders shape)") {
+    val n = 5000
+    val l = spark.range(n).selectExpr("id", "cast(id % 50 as long) AS k",
+      "cast((id * 37) % 1000 as long) AS t")
+    val r = spark.range(500).selectExpr("cast(id % 50 as long) AS rk",
+      "cast((id * 13) % 997 as long) AS rt", "id AS val")
+      .dropDuplicates("rk", "rt")
+    val expected = AsofJoin.asofBackward(l, r, "k", "rk", "t", "rt")
+      .collect().map(_.toSeq).toSet
+    val got = AsofJoinNative.asof(l, r, "k", "rk", "t", "rt")
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+}
