@@ -87,6 +87,50 @@ object QueriesExt3 {
       .orderBy("event_id")
   }
 
+  /** Same as-of join again through the broadcast binary-search path —
+    * all three as-of implementations sit behind the same oracle. */
+  private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
+      date_from_unix_date(
+        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+        .as("event_date"))
+    val orders = t(s, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
+    AsofJoin.asofBackwardBroadcast(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "event_date", rightTime = "od")
+      .withColumnRenamed("od", "last_order_date")
+      .orderBy("event_id")
+  }
+
+  /** Window analytics: quartile assignment (ntile) of order totals per
+    * priority + running DECIMAL-exact cumulative revenue per customer.
+    * Single exchange per window key; ntile and the running sum share
+    * Spark/DuckDB semantics exactly. */
+  private def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
+  private def qRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("running_total"))
+      .orderBy("o_orderkey")
+  }
+
   /** One-pass numeric column profiling of lineitem (count / nulls /
     * distinct / min / max per column). */
   private def qProfile(s: SparkSession, dir: String): DataFrame =
@@ -143,6 +187,9 @@ object QueriesExt3 {
     "q_sessionize" -> (qSessionize(_, _)),
     "q_asof_join" -> (qAsofJoin(_, _)),
     "q_asof_native" -> (qAsofNative(_, _)),
+    "q_asof_broadcast" -> (qAsofBroadcast(_, _)),
+    "q_ntile" -> (qNtile(_, _)),
+    "q_running_total" -> (qRunningTotal(_, _)),
     "q_profile" -> (qProfile(_, _)),
     "q_split_sample" -> (qSplitSample(_, _)),
     "q_centroids" -> (qCentroids(_, _)),
@@ -213,6 +260,27 @@ object QueriesExt3 {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.o_custkey AND l.event_date >= r.od
         |ORDER BY event_id""".stripMargin,
+    "q_asof_broadcast" ->
+      """WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
+        |r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |        count(*) AS n_orders, max(o_totalprice) AS top_price
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.event_date,
+        |  r.od AS last_order_date, r.n_orders, r.top_price
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.o_custkey AND l.event_date >= r.od
+        |ORDER BY event_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_split_sample" ->
       """WITH b AS (SELECT *,
         |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16
