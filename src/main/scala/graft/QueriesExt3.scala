@@ -87,20 +87,23 @@ object QueriesExt3 {
       .orderBy("event_id")
   }
 
-  /** Same as-of join again through the broadcast binary-search path —
-    * all three as-of implementations sit behind the same oracle. */
+  /** As-of join through the broadcast binary-search path, in its
+    * actual regime: the right side is a per-(customer, month) rollup —
+    * dimension-sized — so the event corpus joins with ZERO shuffle
+    * (the plan has no Exchange before the sort; SessionsAsofSpec
+    * asserts it). */
   private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
       date_from_unix_date(
         expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
         .as("event_date"))
     val orders = t(s, dir, "orders")
-      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .groupBy(col("o_custkey"), trunc(col("o_orderdate"), "month").as("om"))
       .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
     AsofJoin.asofBackwardBroadcast(events, orders,
         leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "event_date", rightTime = "od")
-      .withColumnRenamed("od", "last_order_date")
+        leftTime = "event_date", rightTime = "om")
+      .withColumnRenamed("om", "last_order_month")
       .orderBy("event_id")
   }
 
@@ -262,13 +265,13 @@ object QueriesExt3 {
         |ORDER BY event_id""".stripMargin,
     "q_asof_broadcast" ->
       """WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS event_date FROM events),
-        |r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |r AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
         |        count(*) AS n_orders, max(o_totalprice) AS top_price
         |      FROM orders GROUP BY 1, 2)
         |SELECT l.event_id, l.user_id, l.event_date,
-        |  r.od AS last_order_date, r.n_orders, r.top_price
+        |  r.om AS last_order_month, r.n_orders, r.top_price
         |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.o_custkey AND l.event_date >= r.od
+        |  ON l.user_id = r.o_custkey AND l.event_date >= r.om
         |ORDER BY event_id""".stripMargin,
     "q_ntile" ->
       """SELECT o_orderkey, o_orderpriority,

@@ -82,16 +82,17 @@ object AsofJoin {
         rOut.map(c => right.schema(c).copy(nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
 
-    // key -> right rows as (time, payload cells) sorted by time
+    // key -> right rows as (times, payload cells) sorted by time;
+    // plain arrays keep the broadcast payload compact
     val cmp = (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
-    val lookup: Map[Any, (Array[Any], Array[Seq[Any]])] =
+    val lookup: Map[Any, (Array[Any], Array[Array[Any]])] =
       right.select((rightKey +: rightTime +: rOut.tail).map(col): _*)
         .collect()
         .groupBy(_.get(0))
         .map { case (k, rows) =>
           val sorted = rows.sortWith((x, y) => cmp(x.get(1), y.get(1)) < 0)
           (k, (sorted.map(_.get(1): Any),
-            sorted.map(r => (2 until r.length).map(r.get) : Seq[Any])))
+            sorted.map(r => Array.tabulate(r.length - 2)(i => r.get(i + 2)))))
         }
     val bc = left.sparkSession.sparkContext.broadcast(lookup)
 
