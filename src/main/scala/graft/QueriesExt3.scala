@@ -171,6 +171,34 @@ object QueriesExt3 {
       .agg(count(lit(1)).as("n"), avg(col("col").cast("double")).as("centroid"))
       .orderBy("label", "pos")
 
+  /** Contamination check: corpus docs sharing >= 3 trigram shingles
+    * with a small probe set (docs 0-4 standing in for an eval
+    * benchmark). Self-matches excluded. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("pid"), col("text").as("ptext"))
+    Dedup.contaminationPairs(docs, "doc_id", "text",
+        probes, "pid", "ptext", k = 3, minShared = 3L)
+      .filter(col("doc_id") =!= col("probe_id"))
+      .orderBy("doc_id", "probe_id")
+  }
+
+  /** Corpus vocabulary: top tokens by total occurrences (tie-broken by
+    * token), with document frequency — the Zipf table every text
+    * pipeline starts from. Explode → two-level agg; the heavy shuffle
+    * keys on the token, never on documents. */
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("tok").asc)
+      .limit(40)
+
   /** Exact interpolated percentiles of document length per language
     * (Spark `percentile` and DuckDB `quantile_cont` share the linear-
     * interpolation definition). Exact percentile shuffles all values
@@ -196,7 +224,9 @@ object QueriesExt3 {
     "q_profile" -> (qProfile(_, _)),
     "q_split_sample" -> (qSplitSample(_, _)),
     "q_centroids" -> (qCentroids(_, _)),
-    "q_percentiles" -> (qPercentiles(_, _)))
+    "q_percentiles" -> (qPercentiles(_, _)),
+    "q_contamination" -> (qContamination(_, _)),
+    "q_vocab" -> (qVocab(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -300,6 +330,31 @@ object QueriesExt3 {
         |        UNNEST(embedding) AS e
         |      FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_contamination" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        |  FROM b),
+        |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |pex AS (SELECT doc_id AS probe_id, sh FROM ex WHERE doc_id < 5),
+        |j AS (SELECT e.doc_id, p.probe_id, count(*) AS shared
+        |      FROM ex e JOIN pex p ON e.sh = p.sh GROUP BY 1, 2)
+        |SELECT doc_id, probe_id, shared FROM j
+        |WHERE shared >= 3 AND doc_id <> probe_id
+        |ORDER BY doc_id, probe_id""".stripMargin,
+    "q_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+        |FROM tok GROUP BY tok
+        |ORDER BY occurrences DESC, tok ASC LIMIT 40""".stripMargin,
     "q_percentiles" ->
       """SELECT lang, count(*) AS n,
         |  quantile_cont(n_chars, 0.25) AS p25,

@@ -168,6 +168,23 @@ object Dedup {
     }
   }
 
+  /** Benchmark-contamination check: corpus documents sharing at least
+    * `minShared` word k-shingles with any probe document (the standard
+    * "is my training set contaminated with eval data" test). One
+    * shuffle on the shingle; the probe side is tiny and broadcasts.
+    * Returns (doc_id, probe_id, shared) pairs. */
+  def contaminationPairs(docs: DataFrame, docId: String, docText: String,
+      probes: DataFrame, probeId: String, probeText: String,
+      k: Int, minShared: Long): DataFrame = {
+    val d = shingleRows(docs, docId, docText, k)
+    val p = shingleRows(probes, probeId, probeText, k)
+      .toDF("probe_id", "sh")
+    d.join(broadcast(p), Seq("sh"))
+      .groupBy(col("doc_id"), col("probe_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SimHash fingerprints: (id, simhash long).
     *
     * Computed by a compiled per-partition kernel that reproduces the
