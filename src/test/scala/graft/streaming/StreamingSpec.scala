@@ -82,6 +82,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream state survives a checkpointed restart") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-sess-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(name: String, rows: (String, java.sql.Timestamp)*): Unit =
+      rows.toSeq.toDF("user", "ts").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def startQuery() = {
+      val in = spark.readStream
+        .schema("user STRING, ts TIMESTAMP").parquet(inDir)
+        .as[StreamingOps.Click]
+      StreamingOps.sessionizeStream(in, gapMs = 60_000L,
+          watermarkDelay = "0 seconds")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    }
+    // batch 1: an open 2-event session for u1, then stop (state checkpointed)
+    writeBatch("b1", ("u1", ts("2026-01-01 10:00:00")), ("u1", ts("2026-01-01 10:00:30")))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 lands while the query is DOWN; the restarted query must
+    // recover u1's open session from the checkpoint to close it
+    writeBatch("b2", ("u1", ts("2026-01-01 10:10:00")))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val sessions = spark.read.parquet(outDir)
+      .as[StreamingOps.SessionOut].collect()
+    val closed = sessions.filter(s => s.user == "u1" && s.n_events == 2L)
+    assert(closed.length == 1, sessions.mkString(", "))
+    assert(closed.head.end_ms - closed.head.start_ms == 30_000L)
+  }
+
   test("file-source stream: parquet dir → watermarked window → sink (end to end)") {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("stream-src").toString
