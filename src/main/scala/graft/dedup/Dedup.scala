@@ -105,9 +105,10 @@ object Dedup {
       // Shuffled-hash beats sort-merge for the inverted-index self-join
       // (measured 2.3 s → 1.8 s at sf0.1): both sides are identically
       // partitioned narrow rows, so hashing one side skips two sorts.
-      // Per-partition build size stays bounded at scale because
-      // shuffle.partitions is sized with the data (and the df-cap
-      // already bounds any single bucket).
+      // Safe HERE because the df-cap bounds every bucket (<= dfCap
+      // rows per shingle) and shuffle.partitions is sized with the
+      // data; the uncapped band/bucket joins below deliberately stay
+      // sort-merge for spill robustness.
       val inter = a.join(b.hint("shuffle_hash"), Seq("sh"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("i"))
@@ -157,7 +158,10 @@ object Dedup {
           col("bk.band").as("band"), col("bk.key").as("key"))
       val a = banded.toDF("da", "siga", "band", "key")
       val b = banded.toDF("db", "sigb", "band", "key")
-      a.join(b.hint("shuffle_hash"), Seq("band", "key"))
+      // deliberately NOT shuffle_hash: band-bucket sizes are uncapped
+      // (boilerplate-heavy corpora put thousands of docs in one key),
+      // and sort-merge spills where a hash build side would OOM
+      a.join(b, Seq("band", "key"))
         .filter(col("da") < col("db"))
         .select(col("da"), col("db"),
           (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
@@ -241,7 +245,9 @@ object Dedup {
       .withColumn("blk", shiftrightunsigned(col("simhash"), 64 - blockBits))
     val a = sh.toDF("da", "ha", "blk")
     val b = sh.toDF("db", "hb", "blk")
-    a.join(b.hint("shuffle_hash"), Seq("blk")).filter(col("da") < col("db"))
+    // sort-merge on purpose: blk bucket sizes are uncapped (see
+    // minhashLshPairs note)
+    a.join(b, Seq("blk")).filter(col("da") < col("db"))
       .withColumn("hamming", TF.hamming64(col("ha"), col("hb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
@@ -260,7 +266,9 @@ object Dedup {
       Lsh.hyperplaneBucketFast(col(vecCol), pm).as("bucket"))
     val a = bucketed.toDF("da", "va", "bucket")
     val b = bucketed.toDF("db", "vb", "bucket")
-    a.join(b.hint("shuffle_hash"), Seq("bucket")).filter(col("da") < col("db"))
+    // sort-merge on purpose: hyperplane buckets are uncapped (see
+    // minhashLshPairs note)
+    a.join(b, Seq("bucket")).filter(col("da") < col("db"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)

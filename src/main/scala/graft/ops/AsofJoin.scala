@@ -48,9 +48,14 @@ object AsofJoin {
     val lTagged = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(lSide).as("__side"),
       struct(lCols.map(col): _*).as("__l"), lit(null).cast(rStructT).as("__r"))
-    val rTagged = right.select(
-      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(rSide).as("__side"),
-      lit(null).cast(lStructT).as("__l"), struct(rOut.map(col): _*).as("__r"))
+    // A right row with a null key or time can never be "the most
+    // recent match" — drop it up front so all three as-of
+    // implementations agree (and null-keyed left rows match nothing).
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"), col(rightTime).as("__t"), lit(rSide).as("__side"),
+        lit(null).cast(lStructT).as("__l"), struct(rOut.map(col): _*).as("__r"))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
@@ -86,7 +91,8 @@ object AsofJoin {
     // plain arrays keep the broadcast payload compact
     val cmp = (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
     val lookup: Map[Any, (Array[Any], Array[Array[Any]])] =
-      right.select((rightKey +: rightTime +: rOut.tail).map(col): _*)
+      right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+        .select((rightKey +: rightTime +: rOut.tail).map(col): _*)
         .collect()
         .groupBy(_.get(0))
         .map { case (k, rows) =>

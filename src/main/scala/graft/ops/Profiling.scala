@@ -37,6 +37,8 @@ object Profiling {
     *    where per-column scans would re-read the data. */
   def numericProfile(df: DataFrame, cols: Seq[String],
       approximate: Boolean = false): DataFrame = {
+    require(cols.nonEmpty,
+      "numericProfile needs at least one column (schema filter produced none?)")
     if (approximate) {
       val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
         count(col(c)).as(s"${c}__n"),

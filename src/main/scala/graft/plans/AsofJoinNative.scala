@@ -172,16 +172,27 @@ object AsofJoinNative {
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // Re-alias every right column: the aliases mint fresh exprIds at
+    // the top of the right subtree, so when left and right share
+    // lineage (self as-of), the analyzer's DeduplicateRelations
+    // re-instances only attributes BELOW the aliases — the ones this
+    // node captures stay valid.
+    val rPlan = right
+      .select(right.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).as(c)): _*)
+      .queryExecution.analyzed
+    val resolver = spark.sessionState.conf.resolver
     def attr(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))
+    val rKeyAttr = attr(rPlan, rightKey)
+    val rTimeAttr = attr(rPlan, rightTime)
     val payload = rPlan.output.filterNot(a =>
-      a.name == rightKey || a.name == rightTime)
+      a.exprId == rKeyAttr.exprId || a.exprId == rTimeAttr.exprId)
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
       AsofJoinNode(lPlan, rPlan,
-        attr(lPlan, leftKey), attr(rPlan, rightKey),
-        attr(lPlan, leftTime), attr(rPlan, rightTime),
+        attr(lPlan, leftKey), rKeyAttr,
+        attr(lPlan, leftTime), rTimeAttr,
         payload, inclusive))
   }
 }

@@ -65,13 +65,16 @@ object StreamingOps {
     end_ms: Long)
 
   /** Streaming sessionization — the continuous twin of
-    * `ops.Sessions.sessionize`. Per-user state holds the open session;
-    * an event either extends it (gap <= `gapMs`) or closes it (the
-    * closed session is emitted) and opens a new one. Sessions with no
-    * activity for `gapMs` past the watermark close via event-time
-    * timeout, so state size is bounded by the number of *live* keys,
-    * not corpus size — the property that keeps this runnable forever
-    * on an unbounded stream. */
+    * `ops.Sessions.sessionize`. Per-user state holds the open session
+    * as (count, start, end); an event within `gapMs` of the session's
+    * bounds MERGES into it (min/max-adjusting the bounds, so late
+    * events the watermark still admits extend the session instead of
+    * corrupting it); an event more than `gapMs` after the end closes
+    * it and opens a new one; a disjoint event more than `gapMs`
+    * BEFORE the start (a fully-late earlier session) is emitted as
+    * its own closed session. Sessions idle for `gapMs` past the
+    * watermark close via event-time timeout, so state size is bounded
+    * by the number of *live* keys, not corpus size. */
   def sessionizeStream(clicks: Dataset[Click], gapMs: Long,
       watermarkDelay: String): Dataset[SessionOut] = {
     import clicks.sparkSession.implicits._
@@ -92,11 +95,17 @@ object StreamingOps {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  cur = Some(s.copy(events = s.events + 1, endMs = t))
-                case Some(s) =>
+                case Some(s) if t >= s.startMs - gapMs && t <= s.endMs + gapMs =>
+                  cur = Some(s.copy(events = s.events + 1,
+                    startMs = math.min(s.startMs, t),
+                    endMs = math.max(s.endMs, t)))
+                case Some(s) if t > s.endMs + gapMs =>
                   closed ::= SessionOut(s.user, s.events, s.startMs, s.endMs)
                   cur = Some(SessionAgg(user, 1L, t, t))
+                case Some(_) =>
+                  // disjoint session entirely before the open one —
+                  // late beyond merging; emit as its own session
+                  closed ::= SessionOut(user, 1L, t, t)
                 case None =>
                   cur = Some(SessionAgg(user, 1L, t, t))
               }

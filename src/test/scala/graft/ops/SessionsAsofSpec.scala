@@ -67,6 +67,21 @@ class SessionsAsofSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("all asof implementations skip right rows with null key or time") {
+    val r2 = Seq(("k1", Option(5L), "a"), ("k1", Option.empty[Long], "nulltime"),
+      (null.asInstanceOf[String], Option(3L), "nullkey"))
+      .toDF("rk", "rt", "payload")
+    val expected = Set[(Long, Option[String])](
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")), (4L, None), (5L, None))
+    val a = AsofJoin.asofBackward(left, r2, "k", "rk", "t", "rt")
+      .select("id", "payload").as[(Long, Option[String])].collect().toSet
+    val b = AsofJoin.asofBackwardBroadcast(left, r2, "k", "rk", "t", "rt")
+      .select("id", "payload").as[(Long, Option[String])].collect().toSet
+    val c = graft.plans.AsofJoinNative.asof(left, r2, "k", "rk", "t", "rt")
+      .select("id", "payload").as[(Long, Option[String])].collect().toSet
+    assert(a == expected && b == expected && c == expected, s"$a $b $c")
+  }
+
   test("asof output keeps every left row and column") {
     val out = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt")
     assert(out.count() == left.count())

@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.SparkSpec
 import graft.ops.AsofJoin
+import org.apache.spark.sql.functions.col
 
 class AsofJoinNativeSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +39,22 @@ class AsofJoinNativeSpec extends SparkSpec {
     val plan = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
       .queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan)
+  }
+
+  test("native asof handles shared lineage (self as-of / previous row)") {
+    val df = Seq((1L, "k1", 10L, "a"), (2L, "k1", 20L, "b"), (3L, "k2", 5L, "c"))
+      .toDF("id", "k", "t", "payload")
+    val r = df.select(col("k").as("rk2"), col("t").as("t2"),
+      col("payload").as("prev"))
+    val out = AsofJoinNative.asof(df, r, "k", "rk2", "t", "t2",
+        inclusive = false)
+      .select("id", "prev").as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> None, 2L -> Some("a"), 3L -> None))
+  }
+
+  test("native asof resolves columns case-insensitively") {
+    val out = AsofJoinNative.asof(left, right, "K", "RK", "T", "RT")
+    assert(out.count() == left.count())
   }
 
   test("native asof matches on a larger keyed series (events x orders shape)") {

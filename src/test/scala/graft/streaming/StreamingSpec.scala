@@ -82,6 +82,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream merges watermark-admitted late events into the open session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.Click]
+    val out = StreamingOps.sessionizeStream(input.toDS(),
+      gapMs = 120_000L, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("latesess")
+      .outputMode("append").start()
+    try {
+      def c(s: String) = StreamingOps.Click("u1", java.sql.Timestamp.valueOf(s))
+      input.addData(c("2026-01-01 10:00:00"), c("2026-01-01 10:01:00"))
+      q.processAllAvailable()
+      // late but within the 10-minute watermark: one inside the open
+      // session, one extending it backwards within the gap
+      input.addData(c("2026-01-01 10:00:30"), c("2026-01-01 09:59:30"))
+      q.processAllAvailable()
+      // far-future event closes the session
+      input.addData(c("2026-01-01 10:10:00"))
+      q.processAllAvailable()
+      val rows = spark.table("latesess").as[StreamingOps.SessionOut].collect()
+        .filter(_.n_events > 1)
+      assert(rows.length == 1, rows.mkString(", "))
+      assert(rows.head.n_events == 4L)
+      assert(rows.head.start_ms ==
+        java.sql.Timestamp.valueOf("2026-01-01 09:59:30").getTime)
+      assert(rows.head.end_ms ==
+        java.sql.Timestamp.valueOf("2026-01-01 10:01:00").getTime)
+    } finally q.stop()
+  }
+
   test("sessionizeStream state survives a checkpointed restart") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft-sess-in").toString
