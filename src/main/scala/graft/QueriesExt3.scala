@@ -171,6 +171,20 @@ object QueriesExt3 {
       .agg(count(lit(1)).as("n"), avg(col("col").cast("double")).as("centroid"))
       .orderBy("label", "pos")
 
+  /** Deterministic stratified sample: per language, the 3 documents
+    * with the smallest md5(doc_id) — uniform-at-random in expectation
+    * yet reproducible across engines, runs, and partitionings (unlike
+    * `df.stat.sampleBy`, whose RNG is partitioning-dependent). */
+  private def qStratified(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("lang", "rn")
+  }
+
   /** Contamination check: corpus docs sharing >= 3 trigram shingles
     * with a small probe set (docs 0-4 standing in for an eval
     * benchmark). Self-matches excluded. */
@@ -226,7 +240,8 @@ object QueriesExt3 {
     "q_centroids" -> (qCentroids(_, _)),
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_contamination" -> (qContamination(_, _)),
-    "q_vocab" -> (qVocab(_, _)))
+    "q_vocab" -> (qVocab(_, _)),
+    "q_stratified" -> (qStratified(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -347,6 +362,13 @@ object QueriesExt3 {
         |SELECT doc_id, probe_id, shared FROM j
         |WHERE shared >= 3 AND doc_id <> probe_id
         |ORDER BY doc_id, probe_id""".stripMargin,
+    "q_stratified" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
     "q_vocab" ->
       """WITH tok AS (SELECT doc_id, unnest(
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
