@@ -189,8 +189,11 @@ object QueriesExt2 {
     * SQL-expressible → rows-only. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // train the coarse quantizer on a half sample (the standard trick
+    // when the corpus is huge — centroids need only a sketch of the
+    // distribution), then assign ALL vectors to lists
     val index = graft.similarity.Ivf.build(e, "vec_id", "embedding",
-      nlist = 8, seed = 42L, maxIter = 5)
+      nlist = 8, seed = 42L, maxIter = 5, sampleFraction = 0.5)
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     graft.similarity.Ivf.search(index, q, k = 5, nprobe = 2)
