@@ -213,6 +213,27 @@ object QueriesExt3 {
       .orderBy(col("occurrences").desc, col("tok").asc)
       .limit(40)
 
+  /** TF-IDF weights for the first 10 documents' tokens (classic
+    * ln(N/df) idf). Corpus stats (df, N) compute once over the full
+    * corpus — shuffles key on token, never on documents — then attach
+    * to per-doc term frequencies by a broadcast-friendly join. Output
+    * is value-compared (no rank cutoff), so float ulp differences
+    * between engines can't reorder rows. */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+    val tf = toks.filter(col("doc_id") < 10)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, dir, "documents").count()
+    tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+      .orderBy("doc_id", "tok")
+  }
+
   /** Exact interpolated percentiles of document length per language
     * (Spark `percentile` and DuckDB `quantile_cont` share the linear-
     * interpolation definition). Exact percentile shuffles all values
@@ -241,7 +262,8 @@ object QueriesExt3 {
     "q_percentiles" -> (qPercentiles(_, _)),
     "q_contamination" -> (qContamination(_, _)),
     "q_vocab" -> (qVocab(_, _)),
-    "q_stratified" -> (qStratified(_, _)))
+    "q_stratified" -> (qStratified(_, _)),
+    "q_tfidf" -> (qTfidf(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     "q_dup_clusters" ->
@@ -362,6 +384,19 @@ object QueriesExt3 {
         |SELECT doc_id, probe_id, shared FROM j
         |WHERE shared >= 3 AND doc_id <> probe_id
         |ORDER BY doc_id, probe_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |       WHERE doc_id < 10 GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+        |FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.tok""".stripMargin,
     "q_stratified" ->
       """SELECT doc_id, lang, rn FROM (
         |  SELECT doc_id, lang,
