@@ -79,8 +79,12 @@ object Cli {
     val exp = exporters(a.flags("db_root"))(db)
     val out = a.flags("out")
     val frames = exp.indexNames.map(ix => (ix, "") -> exp.scan(spark, ix)).toMap
+    // record each index's distance metric so import doesn't silently
+    // fall back to Cosine (`util.py:221-248` metric normalization)
+    val metrics = exp.indexNames.map(ix => ix -> exp.metric(ix).name).toMap
     val meta = VdfIO.writeVdf(frames, out, exportedFrom = db,
-      maxRecordsPerFile = a.flags.get("max_file_rows").map(_.toLong).getOrElse(0L))
+      maxRecordsPerFile = a.flags.get("max_file_rows").map(_.toLong).getOrElse(0L),
+      metrics = metrics)
     println(s"exported ${meta.indexes.size} index(es) to $out")
     0
   }
@@ -112,7 +116,7 @@ object Cli {
       val name = imp.ensureIndex(index, ns.dimensions,
         Metric.standardize(meta.exported_from, ns.metric.getOrElse("Cosine")),
         createNew = a.flags.contains("create_new"))
-      total += imp.upsert(name, df)
+      total += imp.upsert(name, df, idCol)
     }
     println(s"imported $total rows from $dir")
     0
@@ -131,17 +135,25 @@ object Cli {
       val df = VdfIO.readNamespace(spark, dir, ns)
       val (out, newNs) = Reembed.reembedNamespace(df, ns, textCols, model,
         new Reembed.HashingEmbedder(dims), quantize = a.flags.get("quantize"))
-      // write-new-then-swap, never in place (SURVEY §7.4)
+      // write-new-then-swap, never in place (SURVEY §7.4); the swap
+      // targets the namespace's own subtree (writeNamespace nests
+      // non-empty namespaces one level down) and is safe for
+      // data_path "." bootstrapped datasets
       VdfIO.writeNamespace(out, dir, ns.index_name + "__reembed", ns.namespace,
         vectorColumns = newNs.vector_columns, metric = ns.metric,
         modelName = newNs.model_name)
-      val tmp = java.nio.file.Paths.get(dir, ns.index_name + "__reembed")
-      val dst = java.nio.file.Paths.get(dir, ns.data_path)
-      deleteRecursively(dst)
-      java.nio.file.Files.move(tmp, dst)
-      newNs.copy(data_path = ns.data_path)
+      val tmpPath =
+        if (ns.namespace.isEmpty) ns.index_name + "__reembed"
+        else s"${ns.index_name}__reembed/${ns.namespace}"
+      VdfIO.swapDataPath(dir, ns.data_path, tmpPath)
+      newNs.copy(data_path = ns.data_path).withExtrasFrom(ns)
     }
-    VdfMeta.write(meta.copy(indexes = meta.indexes.updated(index, updated)), dir)
+    val dirPath = java.nio.file.Paths.get(dir)
+    VdfMeta.write(meta.copy(
+      indexes = meta.indexes.updated(index, updated),
+      file_structure = VdfIO.listParquetFiles(dir).map(
+        dirPath.relativize(_).toString).sorted.toList)
+      .withExtrasFrom(meta), dir)
     println(s"reembedded index $index with $model (dims=$dims)")
     0
   }

@@ -32,8 +32,10 @@ trait VdbImporter {
     * suffix-renamed, A4 `vdf_import_cls.py:237-262`) index name. */
   def ensureIndex(name: String, dimensions: Int, metric: Metric,
       createNew: Boolean): String
-  /** Upsert a DataFrame of points. Returns rows written. */
-  def upsert(index: String, df: DataFrame): Long
+  /** Upsert a DataFrame of points, keyed by `idColumn` (the
+    * manifest's id_column — NOT always "id"). Returns rows written. */
+  def upsert(index: String, df: DataFrame,
+      idColumn: String = Constants.IdColumn): Long
 }
 
 /** Physical upsert policies (SURVEY §2.9 B3/B4/B5): adaptive batch
@@ -42,35 +44,41 @@ trait VdbImporter {
 object UpsertPolicy {
 
   /** Iterate `rows` in batches of `batchSize`, calling `write`; on
-    * failure shrink the batch ×2/3 and retry (the Pinecone/Milvus/KDB
-    * policy, `pinecone_import.py:267-276`, `milvus_import.py:207-212`),
-    * aborting when the batch drops below `minFraction` of the start
-    * size (`pinecone_import.py:163-164`). Returns rows written. */
+    * failure shrink the batch ×2/3 and RE-SPLIT the failed rows at the
+    * new size before retrying (the Pinecone/Milvus/KDB policy,
+    * `pinecone_import.py:267-276`, `milvus_import.py:207-212`) — a
+    * payload-too-large rejection is cured by the smaller next attempt,
+    * not re-sent verbatim. Aborts after `maxRetries` consecutive
+    * failures at the floor size `batchSize * minFraction`
+    * (`pinecone_import.py:163-164`). Returns rows written. */
   def batchedWithShrink[T](rows: Iterator[T], batchSize: Int,
       minFraction: Double = 0.01, maxRetries: Int = 3)(
       write: Seq[T] => Unit): Long = {
     val minBatch = math.max(1, (batchSize * minFraction).toInt)
     var current = batchSize
     var written = 0L
-    val buf = rows.grouped(batchSize)
-    for (group <- buf) {
+    for (group <- rows.grouped(batchSize)) {
       var pending = group
+      var failures = 0
       while (pending.nonEmpty) {
         val (batch, rest) = pending.splitAt(current)
-        var attempt = 0
-        var done = false
-        while (!done) {
-          try { write(batch); done = true }
-          catch {
-            case e: Exception =>
-              attempt += 1
+        try {
+          write(batch)
+          written += batch.size
+          pending = rest
+          failures = 0
+        } catch {
+          case e: Exception =>
+            if (current > minBatch) {
               current = math.max(minBatch, current * 2 / 3)
-              if (attempt >= maxRetries && current <= minBatch) throw e
-              if (attempt >= maxRetries) attempt = 0 // shrink resets retry budget
-          }
+              failures = 0 // shrinking resets the retry budget
+            } else {
+              failures += 1
+              if (failures >= maxRetries) throw e
+            }
+          // the failed rows stay in `pending` and are re-split at the
+          // shrunk `current` on the next loop iteration
         }
-        written += batch.size
-        pending = rest
       }
     }
     written
@@ -141,9 +149,10 @@ final class MockVdb(root: String) extends VdbExporter with VdbImporter {
     finalName
   }
 
-  override def upsert(index: String, df: DataFrame): Long = {
-    // last-wins on id against existing data (J6 upsert semantics,
-    // `pinecone_export.py:557-563`): new rows shadow old ones.
+  override def upsert(index: String, df: DataFrame,
+      idColumn: String = Constants.IdColumn): Long = {
+    // last-wins on the id column against existing data (J6 upsert
+    // semantics, `pinecone_export.py:557-563`): new rows shadow old.
     val target = dir.resolve(index).toString
     val spark = df.sparkSession
     val exists = java.nio.file.Files.isDirectory(dir.resolve(index)) &&
@@ -154,7 +163,7 @@ final class MockVdb(root: String) extends VdbExporter with VdbImporter {
         val old = spark.read.parquet(target)
           .unionByName(df.limit(0), allowMissingColumns = true)
         val incoming = df.unionByName(old.limit(0), allowMissingColumns = true)
-        old.join(incoming.select(Constants.IdColumn), Seq(Constants.IdColumn), "left_anti")
+        old.join(incoming.select(idColumn), Seq(idColumn), "left_anti")
           .unionByName(incoming)
       }
     val tmp = s"${target}__tmp"

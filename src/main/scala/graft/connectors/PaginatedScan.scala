@@ -57,20 +57,23 @@ object PaginatedScan {
         new Iterator[Row] {
           private var current = batchSize
           private var pending: Iterator[Row] = Iterator.empty
-          def hasNext: Boolean = pending.hasNext || it.hasNext
-          def next(): Row = {
+          // Fill-ahead so hasNext is truthful even when a fetch
+          // returns no rows for a non-empty id batch (ids deleted
+          // from the source since enumeration — routine during a
+          // live migration).
+          private def fill(): Unit =
             while (!pending.hasNext && it.hasNext) {
               val batch = it.take(current).toSeq
               try pending = fetchBatch(batch).iterator
               catch {
                 case _: Exception if current > 1 =>
-                  // shrink and retry the same logical range in two goes
+                  // shrink and retry the same logical range in parts
                   current = math.max(1, current * 2 / 3)
                   pending = batch.grouped(current).flatMap(fetchBatch)
               }
             }
-            pending.next()
-          }
+          def hasNext: Boolean = { fill(); pending.hasNext }
+          def next(): Row = { fill(); pending.next() }
         }
       }(enc)
   }

@@ -47,6 +47,14 @@ final case class NamespaceMeta(
   @JsonAnyGetter private[core] def extraFields: java.util.Map[String, Any] = _extra
   /** Fields present in the source JSON that this model doesn't declare. */
   @JsonIgnore def unknownFields: Map[String, Any] = _extra.asScala.toMap
+  /** Carry unknown passthrough fields from `other` onto this instance.
+    * REQUIRED after case-class `copy()` — the copy starts with an
+    * empty passthrough map, so `ns.copy(...).withExtrasFrom(ns)` is
+    * the pattern that keeps foreign manifest fields alive. */
+  @JsonIgnore def withExtrasFrom(other: NamespaceMeta): NamespaceMeta = {
+    other._extra.asScala.foreach { case (k, v) => _extra.put(k, v) }
+    this
+  }
 }
 
 /** Top-level manifest (`meta_types.py:22-29`). `id_column` defaults to
@@ -66,6 +74,11 @@ final case class VdfMeta(
     _extra.put(k, v)
   @JsonAnyGetter private[core] def extraFields: java.util.Map[String, Any] = _extra
   @JsonIgnore def unknownFields: Map[String, Any] = _extra.asScala.toMap
+  /** See NamespaceMeta.withExtrasFrom — same copy() caveat. */
+  @JsonIgnore def withExtrasFrom(other: VdfMeta): VdfMeta = {
+    other._extra.asScala.foreach { case (k, v) => _extra.put(k, v) }
+    this
+  }
   /** Effective id column: manifest value or the reference default. */
   @JsonIgnore def idColumnOrDefault: String =
     id_column.getOrElse(Constants.IdColumn)

@@ -41,24 +41,29 @@ abstract class VectorFoldExpression extends BinaryExpression
   /** Java source for the loop body; acc/x/y are double variables. */
   protected def combineCode(acc: String, x: String, y: String): String
 
+  // NULL semantics match the HOF formulation aggregate(zip_with(...))
+  // and the DuckDB oracle exactly: mismatched lengths or any null
+  // element pair make the whole result NULL (zip_with pads with null,
+  // and null poisons the fold) — no silent partial sums.
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-    val n = math.min(xs.numElements(), ys.numElements())
+    if (xs.numElements() != ys.numElements()) return null
+    val n = xs.numElements()
     val (lt, rt) = (elemType(left), elemType(right))
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!xs.isNullAt(i) && !ys.isNullAt(i)) {
-        val x = lt match {
-          case FloatType => xs.getFloat(i).toDouble
-          case _ => xs.getDouble(i)
-        }
-        val y = rt match {
-          case FloatType => ys.getFloat(i).toDouble
-          case _ => ys.getDouble(i)
-        }
-        acc = combine(acc, x, y)
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = lt match {
+        case FloatType => xs.getFloat(i).toDouble
+        case _ => xs.getDouble(i)
       }
+      val y = rt match {
+        case FloatType => ys.getFloat(i).toDouble
+        case _ => ys.getDouble(i)
+      }
+      acc = combine(acc, x, y)
       i += 1
     }
     acc
@@ -75,16 +80,24 @@ abstract class VectorFoldExpression extends BinaryExpression
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($xs.numElements(), $ys.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$xs.isNullAt($i) && !$ys.isNullAt($i)) {
+         |if ($xs.numElements() != $ys.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $xs.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($xs.isNullAt($i) || $ys.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |      break;
+         |    }
          |    double $x = (double) $xs.$lGet($i);
          |    double $y = (double) $ys.$rGet($i);
          |    ${combineCode(acc, x, y)}
          |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -114,9 +114,11 @@ object VdfIO {
     * all distributed writes complete (K3, `vdb_export_cls.py:106-159`). */
   def writeVdf(frames: Map[(String, String), DataFrame], dir: String,
       author: String = "graft", exportedFrom: String = "mock",
-      maxRecordsPerFile: Long = 0L, idColumn: String = Constants.IdColumn): VdfMeta = {
+      maxRecordsPerFile: Long = 0L, idColumn: String = Constants.IdColumn,
+      metrics: Map[String, String] = Map.empty): VdfMeta = {
     val nss = frames.toSeq.map { case ((index, ns), df) =>
-      index -> writeNamespace(df, dir, index, ns, maxRecordsPerFile)
+      index -> writeNamespace(df, dir, index, ns, maxRecordsPerFile,
+        metric = metrics.get(index))
     }
     val meta = VdfMeta(
       version = "1.0",
@@ -216,15 +218,14 @@ object VdfIO {
       val tmp = s"${ns.data_path}__compact"
       df.repartition(nFiles).write.mode(SaveMode.Overwrite)
         .parquet(Paths.get(dir, tmp).toString)
-      // swap: remove originals, move compacted into place
-      deleteRecursively(Paths.get(dir, ns.data_path))
-      Files.move(Paths.get(dir, tmp), Paths.get(dir, ns.data_path))
-      ns.copy(schema_dict_str = Some(df.schema.json))
+      swapDataPath(dir, ns.data_path, tmp)
+      ns.copy(schema_dict_str = Some(df.schema.json)).withExtrasFrom(ns)
     }
     val newMeta = meta.copy(
       indexes = meta.indexes.updated(index, updated),
       file_structure = listParquetFiles(dir).map(
         Paths.get(dir).relativize(_).toString).sorted.toList)
+      .withExtrasFrom(meta)
     VdfMeta.write(newMeta, dir)
     newMeta
   }
@@ -236,6 +237,60 @@ object VdfIO {
       finally s.close()
     }
     Files.deleteIfExists(p)
+  }
+
+  private def isEmptyDir(p: Path): Boolean = Files.isDirectory(p) && {
+    val s = Files.list(p)
+    try !s.iterator().hasNext finally s.close()
+  }
+
+  /** Replace the data at `dataPath` (relative to `dir`) with the
+    * contents of `tmpName` (also relative to `dir`). Safe for every
+    * layout `bootstrapMeta` or `writeNamespace` can produce:
+    *
+    *  - `data_path "."` (a bootstrapped bare directory) resolves to
+    *    the dataset ROOT — the naive delete-then-move would wipe the
+    *    manifest, the fresh output, and every other namespace. Here
+    *    the root branch deletes only root entries that are neither
+    *    the manifest nor on the tmp output's path, then lifts tmp's
+    *    contents into place.
+    *  - a nested namespace data_path moves just that subtree and
+    *    prunes the emptied tmp parent chain afterwards. */
+  private[graft] def swapDataPath(dir: String, dataPath: String,
+      tmpName: String): Unit = {
+    val root = Paths.get(dir).toAbsolutePath.normalize()
+    val tmp = root.resolve(tmpName).normalize()
+    require(Files.exists(tmp), s"swap source $tmp does not exist")
+    require(tmp != root, "swap source must be a subdirectory of the dataset")
+    val dst = root.resolve(dataPath).normalize()
+    if (dst == root) {
+      val keep = Set(tmp, root.resolve(VdfMeta.FileName).normalize())
+      val children = Files.list(root)
+      try children.iterator().asScala.toVector
+        .filterNot(c => keep.exists(_.startsWith(c.normalize())))
+        .foreach(deleteRecursively)
+      finally children.close()
+      val tc = Files.list(tmp)
+      try tc.iterator().asScala.toVector
+        .foreach(c => Files.move(c, root.resolve(c.getFileName.toString)))
+      finally tc.close()
+      var p = tmp
+      while (p != root && isEmptyDir(p)) {
+        Files.delete(p)
+        p = p.getParent.normalize()
+      }
+    } else {
+      require(!tmp.startsWith(dst),
+        s"swap source $tmp lies inside destination $dst; refusing")
+      deleteRecursively(dst)
+      if (dst.getParent != null) Files.createDirectories(dst.getParent)
+      Files.move(tmp, dst)
+      var p = tmp.getParent.normalize()
+      while (p != root && isEmptyDir(p)) {
+        Files.delete(p)
+        p = p.getParent.normalize()
+      }
+    }
   }
 
   /** O3 schema union (`consolidate_parquet.py:68-91`): union frames with

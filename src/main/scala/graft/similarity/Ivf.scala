@@ -22,10 +22,14 @@ import graft.expressions.GraftExtensions
   */
 object Ivf {
 
-  /** Assignment of every vector to its nearest centroid list. */
+  /** Assignment of every vector to its nearest centroid list. The id
+    * and vector column NAMES ride along so `search` binds by name,
+    * not position, regardless of the input column order. */
   final case class IvfIndex(
       centroids: Seq[(Int, Array[Float])],
-      assigned: DataFrame) // columns: <idCol>, <vecCol>, list_id
+      assigned: DataFrame, // input columns + list_id
+      idCol: String,
+      vecCol: String)
 
   /** K-means the corpus into `nlist` lists. `sampleFraction` < 1 fits
     * the model on a sample (the standard trick when the corpus is
@@ -48,7 +52,9 @@ object Ivf {
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       i -> c.toArray.map(_.toFloat)
     }.toSeq
-    IvfIndex(centroids, assigned)
+    require(assigned.columns.contains(idCol) && assigned.columns.contains(vecCol),
+      s"id/vector columns $idCol/$vecCol must exist in the input")
+    IvfIndex(centroids, assigned, idCol, vecCol)
   }
 
   /** Top-k cosine neighbors per query, scanning only the `nprobe`
@@ -68,8 +74,8 @@ object Ivf {
       .filter(col("rn") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("list_id"))
     // scan only the probed lists
-    val idCol = index.assigned.columns.head
-    val vecCol = index.assigned.columns(1)
+    val idCol = index.idCol
+    val vecCol = index.vecCol
     val scored = index.assigned.join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col(idCol))
       .withColumn("sim",

@@ -118,6 +118,7 @@ object Reembed {
       dimensions = embedder.dimensions,
       model_map = Some(newModelMap),
       schema_dict_str = Some(finalDf.schema.json))
+      .withExtrasFrom(ns)
     (finalDf, newNs)
   }
 }

@@ -40,15 +40,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diffCos == 0.0)
   }
 
-  test("null element pairs are skipped; null array yields null") {
+  test("null elements, length mismatch, and null arrays all yield null (HOF semantics)") {
     import spark.implicits._
     val df = Seq(
       (Array[java.lang.Float](1.0f, null, 3.0f), Array[java.lang.Float](2.0f, 5.0f, 2.0f)),
+      (Array[java.lang.Float](1.0f), Array[java.lang.Float](1.0f, 2.0f)),
       (null, Array[java.lang.Float](1.0f))
     ).toDF("x", "y")
     val rows = df.select(GraftExtensions.dot(col("x"), col("y")).as("d")).collect()
-    assert(rows(0).getDouble(0) == 1.0 * 2.0 + 3.0 * 2.0)
-    assert(rows(1).isNullAt(0))
+    assert(rows.forall(_.isNullAt(0)),
+      "null poisons the fold, exactly like aggregate(zip_with(...)) and the oracle")
   }
 
   test("SQL registration via GraftExtensions.register") {
