@@ -54,6 +54,30 @@ class CliSpec extends SparkSpec {
     assert(df.count() == 120)
   }
 
+  test("reembed of a non-empty namespace keeps the layout flat (no ns/ns nesting)") {
+    import spark.implicits._
+    val vdf = tmp() + "/vdf_ns"
+    val df = (1L to 40L).map(i => (i.toString, Array(i.toFloat, 2f), s"t$i"))
+      .toDF("id", "vector", "title")
+    VdfIO.writeVdf(Map(("idxn", "nsA") -> df), vdf)
+    assert(Cli.run(spark, Seq("reembed", "--dir", vdf, "--index", "idxn",
+      "--model", "hashing", "--text_column", "title", "--dims", "4")) == 0)
+    val meta = VdfIO.readMeta(vdf)
+    val ns = meta.indexes("idxn").head
+    assert(ns.data_path == "idxn/nsA")
+    // the data must live directly under idxn/nsA — not idxn/nsA/nsA
+    val nested = java.nio.file.Paths.get(vdf, "idxn", "nsA", "nsA")
+    assert(!java.nio.file.Files.exists(nested), s"double nesting at $nested")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(vdf, "idxn__reembed")), "tmp dir left behind")
+    val out = VdfIO.readNamespace(spark, vdf, ns)
+    assert(out.count() == 40 && out.columns.contains("vec_title_hashing_dim4"))
+    // a second reembed (new output column) must not deepen the layout
+    assert(Cli.run(spark, Seq("reembed", "--dir", vdf, "--index", "idxn",
+      "--model", "hashing", "--text_column", "title", "--dims", "8")) == 0)
+    assert(!java.nio.file.Files.exists(nested))
+  }
+
   test("consolidate shrinks file count via CLI") {
     val dbRoot = tmp(); val vdf = tmp() + "/vdf"
     seedDb(dbRoot)
