@@ -68,65 +68,22 @@ object AsofJoin {
   }
 
   /** Broadcast as-of join: when the right side is dimension-sized, the
-    * big left side should not shuffle AT ALL. The right side is
-    * collected, sorted per key, broadcast, and each left row resolves
-    * its match with an in-memory binary search inside `mapPartitions`.
-    * Same semantics as `asofBackward` (asserted in AsofJoinSpec); plan
-    * contains no Exchange on the left — at 100 TB left-side events vs
-    * a few million reference rows, this is the difference between a
-    * map-only job and a full shuffle of the corpus. */
+    * big left side should not shuffle AT ALL. Delegates to the native
+    * broadcast operator (`plans.AsofJoinBroadcastExec`): the right side
+    * goes through a planner-inserted `BroadcastExchange` (reused across
+    * stages, AQE-aware, no driver-side collect on the query path), and
+    * each left partition resolves matches with a binary search over a
+    * per-executor `key -> rows sorted by time` index, entirely on
+    * InternalRows. Same semantics as `asofBackward` (asserted in
+    * SessionsAsofSpec); the left side plans with no shuffle and no
+    * sort — at 100 TB left-side events vs a few million reference rows,
+    * this is the difference between a map-only job and a full shuffle
+    * of the corpus. Replaced a collect+Row-encoder `mapPartitions`
+    * formulation that was ~6× slower at sf0.1 (encoder boxing dominated). */
   def asofBackwardBroadcast(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      inclusive: Boolean = true): DataFrame = {
-    val lCols = left.columns.toSeq
-    val rOut = rightTime +: right.columns.filterNot(c =>
-      c == rightKey || c == rightTime).toSeq
-    val outSchema = org.apache.spark.sql.types.StructType(
-      lCols.map(left.schema(_)) ++
-        rOut.map(c => right.schema(c).copy(nullable = true)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-
-    // key -> right rows as (times, payload cells) sorted by time;
-    // plain arrays keep the broadcast payload compact
-    val cmp = (a: Any, b: Any) => a.asInstanceOf[Comparable[Any]].compareTo(b)
-    val lookup: Map[Any, (Array[Any], Array[Array[Any]])] =
-      right.filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
-        .select((rightKey +: rightTime +: rOut.tail).map(col): _*)
-        .collect()
-        .groupBy(_.get(0))
-        .map { case (k, rows) =>
-          val sorted = rows.sortWith((x, y) => cmp(x.get(1), y.get(1)) < 0)
-          (k, (sorted.map(_.get(1): Any),
-            sorted.map(r => Array.tabulate(r.length - 2)(i => r.get(i + 2)))))
-        }
-    val bc = left.sparkSession.sparkContext.broadcast(lookup)
-
-    val kIdx = left.schema.fieldIndex(leftKey)
-    val tIdx = left.schema.fieldIndex(leftTime)
-    val nulls = Seq.fill(rOut.length)(null)
-    val incl = inclusive
-    left.mapPartitions { rows =>
-      val m = bc.value
-      rows.map { r =>
-        val matched: Seq[Any] =
-          if (r.isNullAt(kIdx) || r.isNullAt(tIdx)) nulls
-          else m.get(r.get(kIdx)) match {
-            case None => nulls
-            case Some((times, payloads)) =>
-              val t = r.get(tIdx)
-              // rightmost index with times(i) <= t (or < t when strict)
-              var lo = 0; var hi = times.length - 1; var ans = -1
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                val c = cmp(times(mid), t)
-                if (c < 0 || (incl && c == 0)) { ans = mid; lo = mid + 1 }
-                else hi = mid - 1
-              }
-              if (ans < 0) nulls else times(ans) +: payloads(ans)
-          }
-        Row.fromSeq(r.toSeq ++ matched)
-      }
-    }(enc)
-  }
+      inclusive: Boolean = true): DataFrame =
+    graft.plans.AsofJoinNative.asofBroadcast(left, right,
+      leftKey, rightKey, leftTime, rightTime, inclusive)
 }

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Ad-hoc perf scratchpad: times named sub-steps of the slowest bench
+  * queries so optimization targets the measured cost, not a guess.
+  * Usage: sbt "runMain graft.tools.PerfScratch <sfDir> <which>" */
+object PerfScratch {
+  def time[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"TIME $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args(1) else "asof"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // warm
+    time("warm") {
+      graft.SparkEntry.queries("q1_agg")(spark, dir).count()
+    }
+
+    which match {
+      case "asof" => asof(spark, dir)
+      case "ivf" => ivf(spark, dir)
+      case other =>
+        graft.SparkEntry.queries.get(other).foreach { fn =>
+          (1 to 3).foreach { i => time(s"$other run$i") { fn(spark, dir).count() } }
+        }
+    }
+    spark.stop()
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def asof(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = graft.SparkEntry.queries("q_asof_broadcast")
+    (1 to 3).foreach { i => time(s"full run$i") { q(spark, dir).count() } }
+    // pieces
+    val ev = t(spark, dir, "events")
+    time("events date project count") {
+      ev.select(col("event_id"), col("user_id"),
+        date_from_unix_date(
+          expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+          .as("event_date")).count()
+    }
+    val orders = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), trunc(col("o_orderdate"), "month").as("om"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
+    time("orders rollup collect") { orders.collect().length }
+    time("orders rollup collect 2") { orders.collect().length }
+    val left = ev.select(col("event_id"), col("user_id"),
+      date_from_unix_date(
+        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+        .as("event_date"))
+    time("asof no-sort count") {
+      graft.ops.AsofJoin.asofBackwardBroadcast(left, orders,
+        "user_id", "o_custkey", "event_date", "om").count()
+    }
+    time("asof no-sort count 2") {
+      graft.ops.AsofJoin.asofBackwardBroadcast(left, orders,
+        "user_id", "o_custkey", "event_date", "om").count()
+    }
+  }
+
+  def ivf(spark: SparkSession, dir: String): Unit = {
+    val q = graft.SparkEntry.queries("q_ann_ivf")
+    (1 to 3).foreach { i => time(s"full run$i") { q(spark, dir).count() } }
+  }
+}

@@ -61,10 +61,16 @@ class SessionsAsofSpec extends SparkSpec {
     }
   }
 
-  test("broadcast asof plans with no shuffle on the left side") {
-    val plan = AsofJoin.asofBackwardBroadcast(left, right, "k", "rk", "t", "rt")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+  test("broadcast asof plans with no shuffle and no sort anywhere") {
+    val exec = AsofJoin.asofBackwardBroadcast(left, right, "k", "rk", "t", "rt")
+      .queryExecution.executedPlan
+    val shuffles = exec.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => s }
+    val sorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(shuffles.isEmpty && sorts.isEmpty, exec.toString)
+    // the only exchange is the dimension-side broadcast
+    assert(exec.toString.contains("BroadcastExchange"), exec.toString)
   }
 
   test("all asof implementations skip right rows with null key or time") {
