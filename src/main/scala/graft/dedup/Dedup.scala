@@ -83,6 +83,51 @@ object Dedup {
     }(enc)
   }
 
+  /** Exploded (doc_id, h) rows: the same distinct word k-shingles as
+    * `shingleRows`, but emitted as their 64-bit hash (Spark's own
+    * XxHash64, seed 42 — identical to SQL `xxhash64(shingle)`).
+    *
+    * Everything downstream of shingling (df-counts, inverted-index
+    * joins, minhash aggregation) only needs shingle IDENTITY, not the
+    * text, so hashing inside the kernel shrinks every shuffle row to 8
+    * bytes and turns the 32 per-signature string hashes into long
+    * hashes. Collisions merge two shingles corpus-wide at odds
+    * ~n²/2⁶⁵ — immaterial next to the approximation the df-cap/LSH
+    * already makes. */
+  private[dedup] def shingleHashRows(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val in = docs.select(col(idCol).as("doc_id"), col(textCol).cast("string"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields.head.copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.flatMap { r =>
+      val id = r.get(0)
+      val text = if (r.isNullAt(1)) "" else r.getString(1)
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      def hashOf(s: String): Long =
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType, 42L)
+      val out =
+        if (toks.length < k) Iterator.single(hashOf(toks.mkString(" ")))
+        else {
+          val seen = new scala.collection.mutable.LinkedHashSet[Long]
+          var i = 0
+          while (i + k <= toks.length) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var j = i + 1
+            while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
+            seen += hashOf(sb.toString)
+            i += 1
+          }
+          seen.iterator
+        }
+      out.map(h => org.apache.spark.sql.Row(id, h))
+    }(enc)
+  }
+
   /** Rare-shingle Jaccard candidate pairs via inverted index.
     *
     * Shingles with document frequency > dfCap are dropped before the
@@ -93,15 +138,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int, dfCap: Int, threshold: Double): DataFrame = {
     // sh is read by the df-frequency agg AND the kept join; cache it so
-    // the shingle kernel runs once over the corpus
-    val sh = shingleRows(docs, idCol, textCol, k)
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("c"))
-    val kept = sh.join(df.filter(col("c") <= dfCap), "sh")
-      .select("doc_id", "sh")
+    // the shingle kernel runs once over the corpus. Shingles travel as
+    // 64-bit hashes (shingleHashRows): identity-only downstream, so
+    // every shuffle row is 8 bytes instead of the k-gram text.
+    val sh = shingleHashRows(docs, idCol, textCol, k)
+    val df = sh.groupBy("h").agg(count(lit(1)).as("c"))
+    val kept = sh.join(df.filter(col("c") <= dfCap), "h")
+      .select("doc_id", "h")
     withCached(sh, kept) {
       val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = kept.toDF("da", "sh")
-      val b = kept.toDF("db", "sh")
+      val a = kept.toDF("da", "h")
+      val b = kept.toDF("db", "h")
       // Shuffled-hash beats sort-merge for the inverted-index self-join
       // (measured 2.3 s → 1.8 s at sf0.1): both sides are identically
       // partitioned narrow rows, so hashing one side skips two sorts.
@@ -109,7 +156,7 @@ object Dedup {
       // rows per shingle) and shuffle.partitions is sized with the
       // data; the uncapped band/bucket joins below deliberately stay
       // sort-merge for spill robustness.
-      val inter = a.join(b.hint("shuffle_hash"), Seq("sh"))
+      val inter = a.join(b.hint("shuffle_hash"), Seq("h"))
         .filter(col("da") < col("db"))
         .groupBy("da", "db").agg(count(lit(1)).as("i"))
       inter
@@ -126,13 +173,18 @@ object Dedup {
     * Formulated as explode → hash-aggregate with sigLen min(xxhash64)
     * columns rather than a nested higher-order-function expression: the
     * aggregate runs in whole-stage codegen with map-side partial mins,
-    * while nested HOFs evaluate interpreted (~100× slower here) — same
-    * values either way (TextFunctions.minhashSignature is the
-    * column-expression formulation for single-row use). */
+    * while nested HOFs evaluate interpreted (~100× slower here).
+    * Signature element i is min over shingles of
+    * `xxhash64(xxhash64(shingle), i)` — the shingle text is hashed ONCE
+    * (in the kernel) and each signature position rehashes the 8-byte
+    * base instead of the whole k-gram, which cuts per-shingle hashing
+    * work ~k·sigLen-fold. Same values as the column-expression
+    * formulation (`TextFunctions.minhashSignature`, asserted in
+    * DedupSpec). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int, sigLen: Int): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleK)
-    val aggs = (0 until sigLen).map(i => min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    val sh = shingleHashRows(docs, idCol, textCol, shingleK)
+    val aggs = (0 until sigLen).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until sigLen).map(i => col(s"h$i")): _*).as("sig"))
@@ -182,8 +234,8 @@ object Dedup {
       k: Int, minShared: Long): DataFrame = {
     val d = shingleRows(docs, docId, docText, k)
     val p = shingleRows(probes, probeId, probeText, k)
-      .toDF("probe_id", "sh")
-    d.join(broadcast(p), Seq("sh"))
+      .toDF("probe_id", "h")
+    d.join(broadcast(p), Seq("h"))
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

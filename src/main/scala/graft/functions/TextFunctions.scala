@@ -108,11 +108,18 @@ object TextFunctions {
   }
 
   /** MinHash signature of length `m` over a shingle array: element i is
-    * min over shingles of xxhash64(shingle, i). Deterministic; used for
-    * LSH-banded near-duplicate detection at scale. */
-  def minhashSignature(shingles: Column, m: Int): Column =
+    * min over shingles of xxhash64(xxhash64(shingle), i) — the shingle
+    * is hashed once to a 64-bit base, and each position rehashes the
+    * base (identical two-stage scheme and values as the aggregate
+    * kernel `Dedup.minhashSignatures`; xxhash64 seed-chains its
+    * arguments, so hashing the precomputed base then i equals hashing
+    * (base, i) in one call). Deterministic; used for LSH-banded
+    * near-duplicate detection at scale. */
+  def minhashSignature(shingles: Column, m: Int): Column = {
+    val bases = transform(shingles, s => xxhash64(s))
     transform(sequence(lit(0), lit(m - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
+      i => array_min(transform(bases, h => xxhash64(h, i))))
+  }
 
   /** LSH band keys: hash of each band (contiguous rows of the signature).
     * Docs sharing any band key are near-dup candidates. */

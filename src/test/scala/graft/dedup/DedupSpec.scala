@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("minhash aggregate kernel equals the column-expression formulation") {
+    import graft.functions.{TextFunctions => TF}
+    val viaExpr = docs.select(col("doc_id"),
+        TF.minhashSignature(TF.wordShingles(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaKernel = Dedup.minhashSignatures(docs, "doc_id", "text",
+        shingleK = 3, sigLen = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr == viaKernel)
+  }
+
+  test("hashed shingle rows match string shingle rows hashed in SQL") {
+    val viaString = Dedup.shingleRows(docs, "doc_id", "text", 3)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaKernel = Dedup.shingleHashRows(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaString == viaKernel)
+  }
+
   test("simhash kernel equals the column-expression formulation bit-for-bit") {
     import graft.functions.{TextFunctions => TF}
     val viaExpr = docs.select(col("doc_id"), TF.simhash64(col("text")).as("simhash"))
