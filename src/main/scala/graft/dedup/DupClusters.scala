@@ -77,12 +77,26 @@ object DupClusters {
     * where component = the minimum node id in its component. Isolated
     * nodes don't appear; callers `coalesce(component, id)` after a left
     * join (see `q_dup_clusters`).
+    *
+    * Adaptive execution: the canonical edge count is measured first
+    * (one agg the convergence loop needs anyway). At or below
+    * `localEdgeThreshold` edges the closure runs as driver-side
+    * union-find — the same move AQE makes converting a tiny shuffle
+    * join to broadcast: near-dup edge sets are orders of magnitude
+    * smaller than the corpus (pair generation, not the closure, is the
+    * data-scale stage), and a star ROUND here costs ~6 scheduler-bound
+    * shuffles that dwarf a million-edge union-find. Above the
+    * threshold — edge sets that genuinely need a cluster — the
+    * O(log n)-round star algorithm runs distributed. Default threshold
+    * 4M edges ≈ ~64 MB of driver arrays, far under any real driver's
+    * headroom; pass 0 to force the distributed path.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, localEdgeThreshold: Long = 4L << 20): DataFrame = {
     var e = canon(edges.select(col(aCol).as("a"), col(bCol).as("b")))
       .localCheckpoint(true)
     var prev = checksum(e)
+    if (prev._1 <= localEdgeThreshold) return localUnionFind(e)
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
@@ -98,6 +112,57 @@ object DupClusters {
     e.select(col("a").as("node"), col("b").as("component"))
       .union(e.select(col("b").as("node"), col("b").as("component")))
       .distinct()
+  }
+
+  /** Driver-side weighted union-find with path halving over an already
+    * canonical (deduped, no-self-loop) edge set. Produces the identical
+    * (node, min-of-component) labeling as the star rounds (asserted in
+    * DupClustersSpec / OpsPropertySpec). */
+  private def localUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    val rank = new java.util.HashMap[Any, Int]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != null && p != x) {
+        // path halving
+        val gp = parent.get(p)
+        if (gp != null) { parent.put(x, gp); x = gp } else x = p
+        p = parent.get(x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (!parent.containsKey(a)) { parent.put(a, a); rank.put(a, 0) }
+      if (!parent.containsKey(b)) { parent.put(b, b); rank.put(b, 0) }
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (cra, crb) = (rank.get(ra), rank.get(rb))
+        if (cra < crb) parent.put(ra, rb)
+        else if (cra > crb) parent.put(rb, ra)
+        else { parent.put(rb, ra); rank.put(ra, cra + 1) }
+      }
+    }
+    // min node per root, then (node, min) labels
+    @inline def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOf = new java.util.HashMap[Any, Any]()
+    parent.keySet().forEach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || lt(n, cur)) minOf.put(r, n)
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { n =>
+      out.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      e.schema.fields(0).copy(name = "node"),
+      e.schema.fields(1).copy(name = "component")))
+    spark.createDataFrame(out, schema)
   }
 
   /** End-to-end near-dup removal: keep one row per duplicate cluster

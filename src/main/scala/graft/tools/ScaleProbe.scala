@@ -51,11 +51,13 @@ object ScaleProbe {
     val e1 = Dedup.ngramJaccardPairs(d1, "doc_id", "text", 3, 10, 0.1)
       .localCheckpoint(true)
     time("cc over ngram pairs (1x edges)")(
-      DupClusters.connectedComponents(e1, "doc_a", "doc_b").count())
+      DupClusters.connectedComponents(e1, "doc_a", "doc_b",
+        localEdgeThreshold = 0).count())
     val e10 = Dedup.minhashLshPairs(d10, "doc_id", "text", 3, 32, 8, 0.25)
       .localCheckpoint(true)
     time("cc over minhash pairs (250k edges)")(
-      DupClusters.connectedComponents(e10, "doc_a", "doc_b").count())
+      DupClusters.connectedComponents(e10, "doc_a", "doc_b",
+        localEdgeThreshold = 0).count())
     spark.stop()
   }
 }

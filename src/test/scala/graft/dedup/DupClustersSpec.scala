@@ -6,9 +6,17 @@ import org.apache.spark.sql.functions._
 class DupClustersSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    DupClusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH the distributed star rounds and the adaptive
+    * driver-side union-find finisher; asserts they agree. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = DupClusters.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
+    val dist = DupClusters.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"local/distributed CC disagree: $local vs $dist")
+    local
+  }
 
   test("chain contracts to its minimum (worst case for propagation)") {
     val comp = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))

@@ -34,10 +34,16 @@ class OpsPropertySpec extends SparkSpec {
             if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
           }
           val expected = parent.keys.map(n => n -> find(n)).toMap
-          val got = DupClusters.connectedComponents(
+          // exercise BOTH the distributed star rounds and the
+          // adaptive driver-side finisher
+          val gotDist = DupClusters.connectedComponents(
+            real.toDF("a", "b"), "a", "b", localEdgeThreshold = 0)
+            .as[(Long, Long)].collect().toMap
+          val gotLocal = DupClusters.connectedComponents(
             real.toDF("a", "b"), "a", "b")
             .as[(Long, Long)].collect().toMap
-          assert(got == expected, s"seed=$i edges=$real")
+          assert(gotDist == expected, s"seed=$i edges=$real")
+          assert(gotLocal == expected, s"seed=$i edges=$real")
         }
       }
     }
