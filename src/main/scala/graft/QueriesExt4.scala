@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.RangeJoin
+import graft.similarity.Pq
+
+/** Round-3 query additions: range/interval join, multi-dimensional
+  * aggregation (cube, pivot), exact statistical aggregates, an
+  * oracle-expressible MinHash, and PQ-compressed ANN. Same contract as
+  * the other Queries files: every SQL-expressible query has a DuckDB
+  * oracle over the identical parquet tables, money/stat aggregates run
+  * in DECIMAL before the final double cast, and every query ends in a
+  * total ORDER BY. */
+object QueriesExt4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Interval join (SURVEY §7.5 extension): events land in the ±3-day
+    * windows around the 20 peak-traffic days (busiest by event count).
+    * A bare inequality join would plan as BroadcastNestedLoop (O(n·m)
+    * at corpus scale); `RangeJoin.intervalJoin` re-expresses it as a
+    * bucket equi-join — hash-partitioned and skew-splittable — with
+    * exact containment as a post-filter. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_id"),
+      expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").as("day"))
+    val daily = ev.groupBy("day").agg(count(lit(1)).as("n"))
+    val busy = daily.orderBy(col("n").desc, col("day")).limit(20)
+      .select(col("day").as("window_day"),
+        (col("day") - 3).as("lo"), (col("day") + 3).as("hi"))
+    RangeJoin.intervalJoin(ev, "day", busy, "lo", "hi", bucketWidth = 7L)
+      .groupBy("window_day")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+      .orderBy("window_day")
+  }
+
+  /** Multi-dimensional aggregation: CUBE over (returnflag, linestatus)
+    * — grand total, both margins, and the full cross, in ONE pass with
+    * partial aggregation (Catalyst Expand + hash agg). DECIMAL sums
+    * for engine-exact money totals. */
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Pivot: order counts per year × priority. The priority values are
+    * DECLARED (no discovery pass over the data — at 100 TB the
+    * two-job `pivot(col)` overload is the wrong default), yielding a
+    * single hash aggregate with one output column per priority. */
+  private def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val pivoted = t(s, dir, "orders")
+      .groupBy(year(to_date(col("o_orderdate"))).as("yr"))
+      .pivot("o_orderpriority", prios)
+      .agg(count(lit(1)))
+    prios.zipWithIndex.foldLeft(pivoted) { case (df, (p, i)) =>
+        df.withColumn(s"p${i + 1}", coalesce(col(s"`$p`"), lit(0L))).drop(p)
+      }
+      .orderBy("yr")
+  }
+
+  /** Exact Pearson correlation + sample covariance per return flag,
+    * assembled from DECIMAL power sums (one pass, engine-exact inputs;
+    * the final arithmetic is IEEE-double identical across engines —
+    * never the order-dependent streaming corr). */
+  private def qCorr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)").as("sx"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("sy"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("sxy"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)").as("sxx"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * (col("n") - 1))).as("covar"))
+      .orderBy("l_returnflag")
+
+  /** Fixed-width histogram of order totals (30 × 20k buckets, top
+    * bucket open). Pure floor-div bucketing — identical IEEE division
+    * in both engines, one hash aggregate. */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(least(floor(col("o_totalprice") / 20000), lit(29L)).cast("int").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** MinHash through an engine-neutral hash (md5 over "i:shingle"), so
+    * the signature CONSTRUCTION itself — shingling, per-permutation
+    * min — sits behind the DuckDB hash-match gate (the xxhash64
+    * production path, `q_minhash_lsh`, has no SQL-side hash to compare
+    * against). Lexicographic min over hex strings standing in for the
+    * numeric min. */
+  private def qMinhashOracle(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.shingleRows(t(s, dir, "documents"), "doc_id", "text", 3)
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("doc_id")
+  }
+
+  /** PQ-compressed ANN (SURVEY §7.5 scale path): 64-d float vectors
+    * become 8 nibble codes (32× compression); ADC scores candidates
+    * with 8 table lookups each. K-means codebooks → rows-only check
+    * (not SQL-expressible); PqSpec gates recall against exact L2. */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Pq.build(e, "vec_id", "embedding", dim = 64, m = 8, ksub = 16,
+      seed = 42L, maxIter = 5, trainCap = 4096)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Pq.search(index, q, k = 5)
+      .withColumn("adc", round(col("adc"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin(_, _)),
+    "q_cube" -> (qCube(_, _)),
+    "q_pivot" -> (qPivot(_, _)),
+    "q_corr" -> (qCorr(_, _)),
+    "q_histogram" -> (qHistogram(_, _)),
+    "q_minhash_oracle" -> (qMinhashOracle(_, _)),
+    "q_ann_pq" -> (qAnnPq(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day FROM events),
+        |daily AS (SELECT day, count(*) AS n FROM ev GROUP BY 1),
+        |busy AS (SELECT day AS window_day, day - 3 AS lo, day + 3 AS hi
+        |         FROM daily ORDER BY n DESC, day LIMIT 20)
+        |SELECT window_day, count(*) AS n_events,
+        |  min(ev.day) AS min_day, max(ev.day) AS max_day
+        |FROM busy JOIN ev ON ev.day BETWEEN lo AND hi
+        |GROUP BY window_day ORDER BY window_day""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+        |  (n * sxy - sx * sy) / (n * (n - 1)) AS covar
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 20000), 29) AS INTEGER) AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_minhash_oracle" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        |  FROM b),
+        |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh)
+        |SELECT doc_id,
+        |  min(md5('0:' || sh)) AS mh0, min(md5('1:' || sh)) AS mh1,
+        |  min(md5('2:' || sh)) AS mh2, min(md5('3:' || sh)) AS mh3,
+        |  min(md5('4:' || sh)) AS mh4, min(md5('5:' || sh)) AS mh5,
+        |  min(md5('6:' || sh)) AS mh6, min(md5('7:' || sh)) AS mh7
+        |FROM ex GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+}

@@ -53,7 +53,7 @@ object Dedup {
     * compiled Scala. This is the one hot path where SURVEY §2.10's
     * "mapPartitions as a last resort" is warranted — the kernel is
     * still fully distributed and streams row-by-row. */
-  private[dedup] def shingleRows(docs: DataFrame, idCol: String,
+  def shingleRows(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val in = docs.select(col(idCol).as("doc_id"), col(textCol).cast("string"))
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -232,8 +232,8 @@ object Dedup {
   def contaminationPairs(docs: DataFrame, docId: String, docText: String,
       probes: DataFrame, probeId: String, probeText: String,
       k: Int, minShared: Long): DataFrame = {
-    val d = shingleRows(docs, docId, docText, k)
-    val p = shingleRows(probes, probeId, probeText, k)
+    val d = shingleHashRows(docs, docId, docText, k)
+    val p = shingleHashRows(probes, probeId, probeText, k)
       .toDF("probe_id", "h")
     d.join(broadcast(p), Seq("h"))
       .groupBy(col("doc_id"), col("probe_id"))

@@ -84,6 +84,18 @@ class DedupSpec extends SparkSpec {
       .collect().forall(_.getLong(1) == 0L))
   }
 
+  test("contaminationPairs flags docs sharing >= minShared shingles with probes") {
+    import spark.implicits._
+    val probes = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("pid", "ptext")
+    val hits = Dedup.contaminationPairs(docs, "doc_id", "text",
+        probes, "pid", "ptext", k = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1 and 4 are exact copies of the probe; 2 shares most shingles
+    assert(hits.contains((1L, 100L)) && hits.contains((4L, 100L)))
+    assert(!hits.exists(_._1 == 3L))
+  }
+
   test("simhashPairs: exact dups at hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
       blockBits = 4, maxHamming = 3)

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val points = Seq(
+    (1L, 5L), (2L, 10L), (3L, 15L), (4L, 99L), (5L, -3L)
+  ).toDF("pid", "x")
+  private lazy val intervals = Seq(
+    (100L, 0L, 10L), (200L, 8L, 20L), (300L, -10L, -1L), (400L, 50L, 60L)
+  ).toDF("iid", "lo", "hi")
+
+  private def join(w: Long): Set[(Long, Long)] =
+    RangeJoin.intervalJoin(points, "x", intervals, "lo", "hi", w)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  private val expected = Set(
+    (1L, 100L), (2L, 100L), (2L, 200L), (3L, 200L), (5L, 300L))
+
+  test("containment join matches the nested-loop semantics") {
+    assert(join(8L) == expected)
+  }
+
+  test("bucket width does not change the result (incl. width 1 and huge)") {
+    for (w <- Seq(1L, 3L, 64L, 1000L)) assert(join(w) == expected, s"w=$w")
+  }
+
+  test("each qualifying pair appears exactly once") {
+    val rows = RangeJoin.intervalJoin(points, "x", intervals, "lo", "hi", 4L)
+      .select("pid", "iid").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    assert(rows.toSet == expected)
+  }
+
+  test("null and inverted intervals are dropped; no nested-loop in plan") {
+    val iv2 = Seq((1L, Option(5L), Option(1L)), (2L, Option.empty[Long], Option(9L)))
+      .toDF("iid", "lo", "hi")
+    val out = RangeJoin.intervalJoin(points, "x", iv2, "lo", "hi", 4L)
+    assert(out.count() == 0)
+    val plan = RangeJoin.intervalJoin(points, "x", intervals, "lo", "hi", 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
