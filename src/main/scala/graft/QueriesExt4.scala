@@ -130,7 +130,24 @@ object QueriesExt4 {
       .orderBy("q_id", "vec_id")
   }
 
+  /** IVF-PQ composition (FAISS `IVF8,PQ8`-style): coarse lists prune
+    * the scan to nprobe/nlist of the corpus, PQ codes shrink the
+    * resident index 32×. Rows-only (k-means); IvfPqSpec gates it
+    * against full-PQ and cluster containment. */
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = graft.similarity.IvfPq.build(e, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
+      sampleFraction = 0.5, trainCap = 4096)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.similarity.IvfPq.search(index, q, k = 5, nprobe = 2)
+      .withColumn("adc", round(col("adc"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivfpq" -> (qAnnIvfPq(_, _)),
     "q_range_join" -> (qRangeJoin(_, _)),
     "q_cube" -> (qCube(_, _)),
     "q_pivot" -> (qPivot(_, _)),

@@ -89,10 +89,16 @@ object SparkEntry {
   /** Multi-way join + aggregation (TPC-H Q5 shape): small dims broadcast
     * explicitly so no shuffle is wasted on nation/customer at scale. */
   private def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-    val o = t(s, dir, "orders")
-    val c = t(s, dir, "customer")
-    val n = t(s, dir, "nation")
+    // Narrow projections up front: Catalyst prunes columns through the
+    // joins anyway, but projecting BEFORE the broadcast/shuffle keeps
+    // the exchanged rows minimal in the executed plan too (measured
+    // 0.90 → 0.73 s at sf0.1). Orders deliberately NOT broadcast: it
+    // scales with the fact table (measured within noise of SMJ here,
+    // and AQE converts small sides at runtime when sizes allow).
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))

@@ -31,6 +31,7 @@ object PerfScratch {
     which match {
       case "asof" => asof(spark, dir)
       case "ivf" => ivf(spark, dir)
+      case "joinagg" => joinAgg(spark, dir)
       case other =>
         graft.SparkEntry.queries.get(other).foreach { fn =>
           (1 to 3).foreach { i => time(s"$other run$i") { fn(spark, dir).count() } }
@@ -73,6 +74,28 @@ object PerfScratch {
       graft.ops.AsofJoin.asofBackwardBroadcast(left, orders,
         "user_id", "o_custkey", "event_date", "om").count()
     }
+  }
+
+  def joinAgg(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = graft.SparkEntry.queries("q_join_agg")
+    (1 to 3).foreach { i => time(s"current run$i") { q(spark, dir).count() } }
+    def variant(bcastOrders: Boolean): DataFrame = {
+      val li = t(spark, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      val o0 = t(spark, dir, "orders").select("o_orderkey", "o_custkey")
+      val o = if (bcastOrders) broadcast(o0) else o0
+      val c = t(spark, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = t(spark, dir, "nation").select("n_nationkey", "n_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }
+    (1 to 3).foreach { i => time(s"projected run$i") { variant(false).count() } }
+    (1 to 3).foreach { i => time(s"bcast-orders run$i") { variant(true).count() } }
   }
 
   def ivf(spark: SparkSession, dir: String): Unit = {
