@@ -115,6 +115,34 @@ object QueriesExt4 {
       .orderBy("doc_id")
   }
 
+  /** SimHash through an engine-neutral hash: a 16-bit simhash built
+    * from md5 nibbles, so the CONSTRUCTION (tokenize → per-bit vote →
+    * sign reassembly) is hash-match gated cross-engine (the 64-bit
+    * xxhash production path is `q_simhash`, rows-only). Token
+    * multiplicity counts, like the production kernel. */
+  private def qSimhashOracle(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("hx", substring(md5(col("tok")), 1, 4))
+    val votes = (0 until 16).map { j =>
+      sum(expr(
+        s"CASE WHEN (shiftright(instr('0123456789abcdef', substring(hx, ${j / 4 + 1}, 1)) - 1, ${3 - j % 4}) & 1) = 1 THEN 1 ELSE -1 END"))
+        .as(s"s$j")
+    }
+    val sh = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j =>
+          expr(s"CASE WHEN s$j > 0 THEN ${1 << (15 - j)} ELSE 0 END"))
+          .reduce(_ + _).cast("bigint").as("simhash16"))
+    docs.select("doc_id").join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("simhash16"), lit(0L)).as("simhash16"))
+      .orderBy("doc_id")
+  }
+
   /** PQ-compressed ANN (SURVEY §7.5 scale path): 64-d float vectors
     * become 8 nibble codes (32× compression); ADC scores candidates
     * with 8 table lookups each. K-means codebooks → rows-only check
@@ -154,6 +182,7 @@ object QueriesExt4 {
     "q_corr" -> (qCorr(_, _)),
     "q_histogram" -> (qHistogram(_, _)),
     "q_minhash_oracle" -> (qMinhashOracle(_, _)),
+    "q_simhash_oracle" -> (qSimhashOracle(_, _)),
     "q_ann_pq" -> (qAnnPq(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -198,6 +227,23 @@ object QueriesExt4 {
       """SELECT CAST(least(floor(o_totalprice / 20000), 29) AS INTEGER) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_simhash_oracle" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS hx
+        |      FROM tok WHERE tok <> ''),
+        |b AS (SELECT doc_id, j,
+        |    CASE WHEN ((instr('0123456789abcdef', substr(hx, (j // 4) + 1, 1)) - 1)
+        |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j)),
+        |v AS (SELECT doc_id, j, sum(vote) AS s FROM b GROUP BY 1, 2),
+        |sh AS (SELECT doc_id,
+        |    sum(CASE WHEN s > 0 THEN 1 << (15 - j) ELSE 0 END) AS simhash16
+        |  FROM v GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(sh.simhash16, 0) AS BIGINT) AS simhash16
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_minhash_oracle" ->
       """WITH b AS (SELECT doc_id,
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]

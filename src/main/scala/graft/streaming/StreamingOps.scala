@@ -28,6 +28,20 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup for a document firehose: drop any row whose
+    * content fingerprint was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` bounds the fingerprint state by
+    * event time (unbounded-state dedup dies on an infinite stream), so
+    * the contract is "no duplicate admitted within `watermarkDelay` of
+    * the original" — the batch `Dedup.exactGroups` pass remains the
+    * periodic full-history sweep. One state-store lookup per row, keyed
+    * and partitioned by the fingerprint. */
+  def streamingDedupExact(docs: DataFrame, tsCol: String, fpCol: String,
+      watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(fpCol)
+
   final case class Upsert(id: String, ts: Long, payload: String)
 
   /** Streaming last-wins dedupe (J6 as continuous state): keeps the

@@ -30,6 +30,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedupExact admits a fingerprint once within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "fp")
+    val dedup = StreamingOps.streamingDedupExact(df, "ts", "fp", "10 minutes")
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData((t(1, 0), 1L, "A"), (t(1, 1), 2L, "A"), (t(1, 2), 3L, "B"))
+      q.processAllAvailable()
+      // same fingerprint again within the horizon → dropped
+      input.addData((t(1, 3), 4L, "A"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(ids.contains(1L) && ids.contains(3L))
+      assert(!ids.contains(2L) && !ids.contains(4L))
+    } finally q.stop()
+  }
+
   test("lastWinsUpserts keeps newest version per id across batches (J6 streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
