@@ -53,6 +53,27 @@ object Dedup {
     * compiled Scala. This is the one hot path where SURVEY §2.10's
     * "mapPartitions as a last resort" is warranted — the kernel is
     * still fully distributed and streams row-by-row. */
+  /** Distinct word k-shingles of one document — the ONE tokenization/
+    * sliding-window implementation both kernel variants share, so the
+    * string and hashed paths can never drift (lowercased, whitespace
+    * tokens; short docs yield the whole text as one shingle). */
+  private def shingleIter(text: String, k: Int): Iterator[String] = {
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) Iterator.single(toks.mkString(" "))
+    else {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + k <= toks.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = i + 1
+        while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
+        seen += sb.toString
+        i += 1
+      }
+      seen.iterator
+    }
+  }
+
   def shingleRows(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val in = docs.select(col(idCol).as("doc_id"), col(textCol).cast("string"))
@@ -64,28 +85,14 @@ object Dedup {
     in.flatMap { r =>
       val id = r.get(0)
       val text = if (r.isNullAt(1)) "" else r.getString(1)
-      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
-      val out =
-        if (toks.length < k) Iterator.single(toks.mkString(" "))
-        else {
-          val seen = new scala.collection.mutable.LinkedHashSet[String]
-          var i = 0
-          while (i + k <= toks.length) {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var j = i + 1
-            while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
-            seen += sb.toString
-            i += 1
-          }
-          seen.iterator
-        }
-      out.map(s => org.apache.spark.sql.Row(id, s))
+      shingleIter(text, k).map(s => org.apache.spark.sql.Row(id, s))
     }(enc)
   }
 
   /** Exploded (doc_id, h) rows: the same distinct word k-shingles as
-    * `shingleRows`, but emitted as their 64-bit hash (Spark's own
-    * XxHash64, seed 42 — identical to SQL `xxhash64(shingle)`).
+    * `shingleRows` (shared `shingleIter`), but emitted as their 64-bit
+    * hash (Spark's own XxHash64, seed 42 — identical to SQL
+    * `xxhash64(shingle)`).
     *
     * Everything downstream of shingling (df-counts, inverted-index
     * joins, minhash aggregation) only needs shingle IDENTITY, not the
@@ -105,26 +112,12 @@ object Dedup {
     in.flatMap { r =>
       val id = r.get(0)
       val text = if (r.isNullAt(1)) "" else r.getString(1)
-      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
-      def hashOf(s: String): Long =
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      shingleIter(text, k).map { s =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
           .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
             org.apache.spark.sql.types.StringType, 42L)
-      val out =
-        if (toks.length < k) Iterator.single(hashOf(toks.mkString(" ")))
-        else {
-          val seen = new scala.collection.mutable.LinkedHashSet[Long]
-          var i = 0
-          while (i + k <= toks.length) {
-            val sb = new java.lang.StringBuilder(toks(i))
-            var j = i + 1
-            while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
-            seen += hashOf(sb.toString)
-            i += 1
-          }
-          seen.iterator
-        }
-      out.map(h => org.apache.spark.sql.Row(id, h))
+        org.apache.spark.sql.Row(id, h)
+      }
     }(enc)
   }
 

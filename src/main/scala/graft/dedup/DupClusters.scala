@@ -146,9 +146,18 @@ object DupClusters {
         else { parent.put(rb, ra); rank.put(ra, cra + 1) }
       }
     }
-    // min node per root, then (node, min) labels
-    @inline def lt(x: Any, y: Any): Boolean =
-      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    // min node per root, then (node, min) labels. Strings compare in
+    // UTF-8 BINARY order (what Spark's min/least uses in the
+    // distributed star path) — java.lang.String.compareTo is UTF-16
+    // code-unit order, which disagrees on supplementary-plane
+    // characters and would let the two paths label components
+    // differently.
+    @inline def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: String, b: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+      case _ => x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    }
     val minOf = new java.util.HashMap[Any, Any]()
     parent.keySet().forEach { n =>
       val r = find(n)

@@ -28,8 +28,17 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  /** Exact integral floor division: the remainder-subtracted numerator
+    * divides with Catalyst's IntegralDivide (SQL `div`), never `/` —
+    * double division loses exactness above 2^53, which epoch-nanos
+    * values (~1.7e18) exceed, and a mis-bucketed point would silently
+    * miss every interval in its true bucket. */
+  private def floorDiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val num = (c - pmod(c, lit(w))).cast("long")
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      Bridge.expression(num), Bridge.expression(lit(w))))
+  }
 
   /** Inner interval join. Every output row = one (point row, interval
     * row) pair with `intervals.start <= points.point <= intervals.end`.

@@ -216,9 +216,16 @@ final case class AsofJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
     val incl = inclusive
     val bcast = right.executeBroadcast[Array[InternalRow]]()
 
+    // Cache key includes THIS operator's plan id, not just the
+    // broadcast id: ReuseExchange can hand the same broadcast to two
+    // as-of nodes with different key/time/payload configurations (e.g.
+    // the same dimension joined on effective vs expiry date), and a
+    // broadcast-id-only key would serve the first node's index to the
+    // second — silently wrong matches.
+    val cacheKey = (bcast.id, id)
     left.execute().mapPartitions { lIter =>
-      // built once per executor per broadcast (cache keyed by broadcast id)
-      val lookup = AsofJoinBroadcastExec.indexFor(bcast.id, () => {
+      // built once per executor per (broadcast, operator)
+      val lookup = AsofJoinBroadcastExec.indexFor(cacheKey, () => {
         val rightProj = UnsafeProjection.create(rightProjExprs, rightSchema)
         val grouped = new java.util.HashMap[Any, java.util.ArrayList[(Any, UnsafeRow)]]()
         bcast.value.foreach { r =>
@@ -268,14 +275,14 @@ final case class AsofJoinBroadcastExec(left: SparkPlan, right: SparkPlan,
 
 object AsofJoinBroadcastExec {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.util.HashMap[Any, (Array[Any], Array[UnsafeRow])]]()
-  /** Per-executor index cache keyed by broadcast id; bounded so a
-    * long-lived session can't accumulate stale indexes. */
-  private[plans] def indexFor(id: Long,
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), java.util.HashMap[Any, (Array[Any], Array[UnsafeRow])]]()
+  /** Per-executor index cache keyed by (broadcast id, plan id); bounded
+    * so a long-lived session can't accumulate stale indexes. */
+  private[plans] def indexFor(key: (Long, Int),
       build: () => java.util.HashMap[Any, (Array[Any], Array[UnsafeRow])])
       : java.util.HashMap[Any, (Array[Any], Array[UnsafeRow])] = {
     if (cache.size > 64) cache.clear()
-    cache.computeIfAbsent(id, _ => build())
+    cache.computeIfAbsent(key, _ => build())
   }
 }
 

@@ -51,8 +51,12 @@ object Ivf {
     val sampled =
       if (sampleFraction >= 1.0) src
       else src.sample(withReplacement = false, sampleFraction, seed)
-    // TakeOrderedAndProject: one pass, deterministic train set
-    val train: Array[Array[Float]] = sampled.orderBy(col(idCol)).limit(trainCap)
+    // TakeOrderedAndProject in seeded HASH order of the id: one pass,
+    // deterministic, and unbiased — capping in id order would train
+    // only on the head of the corpus whenever id order correlates with
+    // content (time/topic-ordered ingest).
+    val train: Array[Array[Float]] = sampled
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(trainCap)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     require(train.length >= nlist, s"need at least $nlist training vectors")

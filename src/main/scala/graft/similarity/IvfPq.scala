@@ -53,35 +53,26 @@ object IvfPq {
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val m = index.codebooks.length
-    val dsub = index.dsub
     val cents = index.centroids.toDF("list_id", "centroid")
     // nearest lists per query by true L2 to the coarse centroids
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cdist").asc, col("list_id"))
-    val dtable = array(index.codebooks.indices.map { s =>
-      val sub = slice(col("q_vec"), s * dsub + 1, dsub)
-      array(index.codebooks(s).map(c =>
-        GraftExtensions.l2Sq(sub, lit(c))): _*)
-    }: _*)
-    val probes = queries.crossJoin(broadcast(cents))
+    val probePairs = queries.crossJoin(broadcast(cents))
       .withColumn("cdist", GraftExtensions.l2Sq(col("q_vec"), col("centroid")))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), dtable.as("__dt"), col("list_id"))
+      .select(col("q_id"), col("list_id"))
+    // ADC table computed ONCE per query — it is the build side of a
+    // broadcast join onto the (q_id, list_id) probe pairs, so the
+    // m×ksub array is evaluated per query row, not per probed list
+    val dt = broadcast(queries.select(col("q_id"),
+      Pq.dtableExpr(index.codebooks, index.dsub, col("q_vec")).as("__dt")))
+    val probes = probePairs.join(dt, Seq("q_id"))
     val scored = index.encoded
       .select(col(index.idCol), col("list_id"), col("codes"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col(index.idCol))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), col("__dt"),
-            (code, row) => element_at(row, code + 1)),
-          lit(0d), (acc, x) => acc + x))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adc").asc, col(index.idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col(index.idCol), col("adc"))
+      .withColumn("adc", Pq.adcExpr(col("codes"), col("__dt")))
+    Pq.topK(scored, index.idCol, k)
   }
 }

@@ -38,7 +38,11 @@ object Pq {
       vecCol: String)
 
   /** Train per-subspace codebooks on a bounded deterministic sample and
-    * encode every vector. `dim` must be divisible by `m`. */
+    * encode every vector. `dim` must be divisible by `m`. The cap takes
+    * the first `trainCap` rows in HASH order of the id (seeded), not id
+    * order — id order correlates with content under time/topic-ordered
+    * ingest, which would bias the codebooks toward the head of the
+    * corpus. */
   def build(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       m: Int, ksub: Int, seed: Long = 42L, maxIter: Int = 10,
       trainCap: Int = 16384): PqIndex = {
@@ -47,7 +51,7 @@ object Pq {
     val train: Array[Array[Float]] = vecs
       .select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .orderBy(col(idCol)).limit(trainCap)
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(trainCap)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).toArray)
     require(train.length >= ksub, s"need at least $ksub training vectors")
@@ -76,33 +80,48 @@ object Pq {
     array(subCodes: _*)
   }
 
+  /** (m × ksub) ADC distance table for a query vector column:
+    * dtable[s][c] = ‖q_sub(s) − codebook(s)(c)‖². Shared by `Pq.search`
+    * and `IvfPq.search` so the two paths can't drift. */
+  private[similarity] def dtableExpr(codebooks: Array[Array[Array[Float]]],
+      dsub: Int, qVec: Column): Column =
+    array(codebooks.indices.map { s =>
+      val sub = slice(qVec, s * dsub + 1, dsub)
+      array(codebooks(s).map(c => GraftExtensions.l2Sq(sub, lit(c))): _*)
+    }: _*)
+
+  /** ADC distance: m table lookups + sum. Null codes (null or mis-sized
+    * source vector) propagate to a null adc. */
+  private[similarity] def adcExpr(codes: Column, dtable: Column): Column =
+    aggregate(
+      zip_with(codes, dtable, (code, row) => element_at(row, code + 1)),
+      lit(0d), (acc, x) => acc + x)
+
+  /** Top-k by ascending adc per query. Rows with null adc (un-encodable
+    * vectors) are dropped — under Spark's ASC NULLS FIRST default they
+    * would otherwise outrank every real neighbor. */
+  private[similarity] def topK(scored: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc").asc, col(idCol))
+    scored.filter(col("adc").isNotNull)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(idCol), col("adc"))
+  }
+
   /** ADC top-k: per query, exact per-subspace distance tables (computed
     * as column expressions against the broadcast-size query side), then
     * each candidate scores with m table lookups. Returns
     * (q_id, idCol, adc) — smaller adc = closer (squared L2). */
   def search(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
-    val m = index.codebooks.length
-    val dsub = index.dsub
-    // (m × ksub) table per query row: dtable[s][c] = ‖q_sub(s) − c‖²
-    val dtable = array(index.codebooks.indices.map { s =>
-      val sub = slice(col("q_vec"), s * dsub + 1, dsub)
-      array(index.codebooks(s).map(c =>
-        GraftExtensions.l2Sq(sub, lit(c))): _*)
-    }: _*)
-    val q = queries.select(col("q_id"), dtable.as("__dt"))
+    val q = queries.select(col("q_id"),
+      dtableExpr(index.codebooks, index.dsub, col("q_vec")).as("__dt"))
     val scored = index.encoded
       .select(col(index.idCol), col("codes"))
       .join(broadcast(q))
       .filter(col("q_id") =!= col(index.idCol))
-      .withColumn("adc",
-        aggregate(
-          zip_with(col("codes"), col("__dt"),
-            (code, row) => element_at(row, code + 1)),
-          lit(0d), (acc, x) => acc + x))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("adc").asc, col(index.idCol))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col(index.idCol), col("adc"))
+      .withColumn("adc", adcExpr(col("codes"), col("__dt")))
+    topK(scored, index.idCol, k)
   }
 }

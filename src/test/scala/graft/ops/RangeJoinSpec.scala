@@ -35,6 +35,17 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows.toSet == expected)
   }
 
+  test("epoch-nanos magnitudes (> 2^53) bucket exactly") {
+    // double division would round the quotient here and drop the pair
+    val base = 1700000000000000000L // ~2026 in epoch nanos
+    val pts = Seq((1L, base + 123L), (2L, base + 5_000_000_000L)).toDF("pid", "x")
+    val ivs = Seq((10L, base, base + 1_000_000_000L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.intervalJoin(pts, "x", ivs, "lo", "hi",
+        bucketWidth = 1_000_000_000L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L)))
+  }
+
   test("null and inverted intervals are dropped; no nested-loop in plan") {
     val iv2 = Seq((1L, Option(5L), Option(1L)), (2L, Option.empty[Long], Option(9L)))
       .toDF("iid", "lo", "hi")

@@ -73,6 +73,24 @@ class SessionsAsofSpec extends SparkSpec {
     assert(exec.toString.contains("BroadcastExchange"), exec.toString)
   }
 
+  test("two broadcast asofs on the SAME right side with different time cols stay distinct") {
+    // ReuseExchange can hand one broadcast to both operators; the
+    // per-executor index cache must not serve operator A's index
+    // (keyed on rt1) to operator B (keyed on rt2).
+    val r2 = Seq(("k1", 10L, 100L, "x"), ("k1", 90L, 5L, "y"))
+      .toDF("rk", "rt1", "rt2", "payload")
+    val viaRt1 = AsofJoin.asofBackwardBroadcast(left, r2, "k", "rk", "t", "rt1")
+    val viaRt2 = AsofJoin.asofBackwardBroadcast(left, r2, "k", "rk", "t", "rt2")
+    val both = viaRt1.select($"id", $"payload".as("p1"))
+      .join(viaRt2.select($"id", $"payload".as("p2")), "id")
+    val m = both.collect().map(r => r.getLong(0) ->
+      (Option(r.getString(1)), Option(r.getString(2)))).toMap
+    // id=2 (k1, t=20): rt1<=20 only row rt1=10 ("x"); rt2<=20 only rt2=5 ("y")
+    assert(m(2L) == (Some("x"), Some("y")), m.toString)
+    // id=3 (k1, t=5): no rt1<=5; rt2=5 matches ("y")
+    assert(m(3L) == (None, Some("y")), m.toString)
+  }
+
   test("all asof implementations skip right rows with null key or time") {
     val r2 = Seq(("k1", Option(5L), "a"), ("k1", Option.empty[Long], "nulltime"),
       (null.asInstanceOf[String], Option(3L), "nullkey"))

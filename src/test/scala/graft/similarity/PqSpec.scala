@@ -58,6 +58,21 @@ class PqSpec extends SparkSpec {
     assert(mean >= 0.8, s"mean recall $mean; per-query $recalls")
   }
 
+  test("rows with null or mis-sized vectors never reach the top-k") {
+    import spark.implicits._
+    val dirty = vecs.unionByName(Seq(
+      (900L, null.asInstanceOf[Array[Float]]),
+      (901L, Array(1f, 2f)) // wrong dimensionality
+    ).toDF("vec_id", "embedding"))
+    val idx = Pq.build(dirty, "vec_id", "embedding", 16, 4, 4)
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val hits = Pq.search(idx, q, k = 10).collect().map(_.getLong(1)).toSet
+    // null adc sorts NULLS FIRST under plain asc — these must be filtered
+    assert(!hits.contains(900L) && !hits.contains(901L), hits.toString)
+    assert(hits.size == 10)
+  }
+
   test("ADC neighbors stay inside the query's cluster") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") === 0) // cluster 0

@@ -34,13 +34,21 @@ def main():
         except Exception as e:
             print(f"WARM-FAIL {name}: {e}")
     times = {}
+    failed = []
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
-        con.sql(sql).fetchall()
+        try:
+            con.sql(sql).fetchall()
+        except Exception as e:
+            # keep the benchmark alive: a single dialect-drifted query
+            # must not discard every other timing
+            failed.append(name)
+            print(f"TIMED-FAIL {name}: {e}", file=sys.stderr)
+            continue
         times[name] = time.time() - t0
     total = sum(times.values())
     print(json.dumps({"engine": "duckdb", "threads": threads,
-                      "total_sec": round(total, 3),
+                      "total_sec": round(total, 3), "failed": failed,
                       "queries": {k: round(v, 4) for k, v in
                                   sorted(times.items(), key=lambda x: -x[1])}}))
 
