@@ -72,7 +72,7 @@ object IvfPq {
       .select(col(index.idCol), col("list_id"), col("codes"))
       .join(broadcast(probes), Seq("list_id"))
       .filter(col("q_id") =!= col(index.idCol))
-      .withColumn("adc", Pq.adcExpr(col("codes"), col("__dt")))
+      .withColumn("adc", Pq.adcExpr(col("codes"), col("__dt"), index.codebooks.length))
     Pq.topK(scored, index.idCol, k)
   }
 }

@@ -58,6 +58,35 @@ object ScaleProbe {
     time("cc over minhash pairs (250k edges)")(
       DupClusters.connectedComponents(e10, "doc_a", "doc_b",
         localEdgeThreshold = 0).count())
+
+    // ANN scale: PQ encode + IVF-PQ search at 1× vs 10× vectors.
+    // Codebook/centroid training is bounded (trainCap) so only the
+    // ENCODE and probe-scan stages grow with the corpus — the property
+    // that must hold at 1000×.
+    import graft.similarity.IvfPq
+    val v1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val x10Path = "/tmp/embeddings_x10.parquet"
+    if (!new java.io.File(x10Path).exists()) {
+      val n = v1.count()
+      (0 until 10).map(i => v1.select(
+          (col("vec_id") + lit(i * n)).as("vec_id"),
+          col("embedding"), col("label")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(x10Path)
+    }
+    val v10 = spark.read.parquet(x10Path)
+    def annProbe(vs: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val idx = IvfPq.build(vs, "vec_id", "embedding", dim = 64,
+        nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
+        sampleFraction = 0.5, trainCap = 4096)
+      time(s"ivfpq encode $tag")(idx.encoded.count())
+      val q = vs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      time(s"ivfpq search k=5 nprobe=2 $tag")(
+        IvfPq.search(idx, q, k = 5, nprobe = 2).count())
+    }
+    annProbe(v1, "2k vecs")
+    annProbe(v10, "20k vecs")
     spark.stop()
   }
 }

@@ -38,6 +38,22 @@ class IvfSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("at-rest layout: partitionBy(list_id) prunes unprobed lists at scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_layout").toString
+    index.assigned.write.partitionBy("list_id").mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val probed = onDisk.filter(col("list_id") === 1)
+    // the probe filter must become a partition filter (no data read
+    // from other lists), not a post-scan predicate
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, probed.queryExecution.executedPlan.toString)
+    assert(probed.count() == 30)
+    // every stored row keeps its vector + id next to its codes/list
+    assert(onDisk.columns.toSet == index.assigned.columns.toSet)
+  }
+
   test("search with nprobe=1 stays inside the query's own cluster") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") === 0) // cluster 0
