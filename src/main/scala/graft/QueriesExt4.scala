@@ -115,6 +115,36 @@ object QueriesExt4 {
       .orderBy("doc_id")
   }
 
+  /** RANGE-frame window: trailing-7-day order revenue per customer —
+    * the frame is bounded by VALUE distance (day − 6 .. day), not row
+    * count, so gaps in the order history are handled correctly. One
+    * exchange on the partition key; the running frame is computed
+    * streamingly per partition. */
+  private def qRollingRange(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("day"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        sum(col("price")).over(w).cast("double").as("rev_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** INTERSECT set operation (O-algebra completion next to except/
+    * union): order keys that are both urgent and had a returned item.
+    * Plans as a semi-style hash aggregate — no row explosion. */
+  private def qIntersectIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("id"))
+      .intersect(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("id")))
+      .orderBy("id")
+
   /** SimHash through an engine-neutral hash: a 16-bit simhash built
     * from md5 nibbles, so the CONSTRUCTION (tokenize → per-bit vote →
     * sign reassembly) is hash-match gated cross-engine (the 64-bit
@@ -183,6 +213,8 @@ object QueriesExt4 {
     "q_histogram" -> (qHistogram(_, _)),
     "q_minhash_oracle" -> (qMinhashOracle(_, _)),
     "q_simhash_oracle" -> (qSimhashOracle(_, _)),
+    "q_rolling_range" -> (qRollingRange(_, _)),
+    "q_intersect_ids" -> (qIntersectIds(_, _)),
     "q_ann_pq" -> (qAnnPq(_, _)))
 
   val oracleSql: Map[String, String] = Map(
@@ -227,6 +259,23 @@ object QueriesExt4 {
       """SELECT CAST(least(floor(o_totalprice / 20000), 29) AS INTEGER) AS bucket,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_rolling_range" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(sum(price) OVER w AS DOUBLE) AS rev_7d,
+        |  count(*) OVER w AS n_7d
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_intersect_ids" ->
+      """SELECT o_orderkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT l_orderkey AS id FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY id""".stripMargin,
     "q_simhash_oracle" ->
       """WITH tok AS (SELECT doc_id, unnest(
         |    regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
