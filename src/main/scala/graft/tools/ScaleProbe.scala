@@ -66,7 +66,9 @@ object ScaleProbe {
     import graft.similarity.IvfPq
     val v1 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val x10Path = "/tmp/embeddings_x10.parquet"
-    if (!new java.io.File(x10Path).exists()) {
+    // _SUCCESS (not the bare dir) guards against a half-written
+    // leftover from an interrupted run silently skewing the 10× side
+    if (!new java.io.File(x10Path, "_SUCCESS").exists()) {
       val n = v1.count()
       (0 until 10).map(i => v1.select(
           (col("vec_id") + lit(i * n)).as("vec_id"),
@@ -79,11 +81,21 @@ object ScaleProbe {
       val idx = IvfPq.build(vs, "vec_id", "embedding", dim = 64,
         nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
         sampleFraction = 0.5, trainCap = 4096)
-      time(s"ivfpq encode $tag")(idx.encoded.count())
+      // count(codes) forces the encode expressions (a bare count()
+      // would column-prune them into a parquet row count), and the
+      // localCheckpoint materializes the encoded index so the SEARCH
+      // timing below measures probe-scan + ADC, not a re-encode.
+      var enc: org.apache.spark.sql.DataFrame = null
+      time(s"ivfpq encode $tag") {
+        enc = idx.encoded.localCheckpoint(true)
+        enc.agg(count(col("codes"))).head.getLong(0)
+      }
+      val searchIdx = idx.copy(encoded = enc)
       val q = vs.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       time(s"ivfpq search k=5 nprobe=2 $tag")(
-        IvfPq.search(idx, q, k = 5, nprobe = 2).count())
+        IvfPq.search(searchIdx, q, k = 5, nprobe = 2).count())
+      enc.unpersist(false)
     }
     annProbe(v1, "2k vecs")
     annProbe(v10, "20k vecs")

@@ -45,10 +45,13 @@ class IvfSpec extends SparkSpec {
     val probed = onDisk.filter(col("list_id") === 1)
     // the probe filter must become a partition filter (no data read
     // from other lists), not a post-scan predicate
-    val scan = probed.queryExecution.executedPlan.collectFirst {
+    val scanOpt = probed.queryExecution.executedPlan.collectFirst {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
-    }.get
-    assert(scan.partitionFilters.nonEmpty, probed.queryExecution.executedPlan.toString)
+    }
+    assert(scanOpt.nonEmpty,
+      s"no V1 parquet scan found in:\n${probed.queryExecution.executedPlan}")
+    assert(scanOpt.get.partitionFilters.nonEmpty,
+      probed.queryExecution.executedPlan.toString)
     assert(probed.count() == 30)
     // every stored row keeps its vector + id next to its codes/list
     assert(onDisk.columns.toSet == index.assigned.columns.toSet)
