@@ -181,9 +181,14 @@ object QueriesExt4 {
     val e = t(s, dir, "embeddings")
     val index = Pq.build(e, "vec_id", "embedding", dim = 64, m = 8, ksub = 16,
       seed = 42L, maxIter = 5, trainCap = 4096)
+    // materialize the encoded index before probing — build-once,
+    // search-many is the operator's real usage (at rest this is the
+    // partitionBy(list_id) parquet write); without it the search scan
+    // re-encodes the corpus
+    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Pq.search(index, q, k = 5)
+    Pq.search(mat, q, k = 5)
       .withColumn("adc", round(col("adc"), 6))
       .orderBy("q_id", "vec_id")
   }
@@ -197,9 +202,11 @@ object QueriesExt4 {
     val index = graft.similarity.IvfPq.build(e, "vec_id", "embedding",
       dim = 64, nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
       sampleFraction = 0.5, trainCap = 4096)
+    // build-once, search-many (see qAnnPq)
+    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    graft.similarity.IvfPq.search(index, q, k = 5, nprobe = 2)
+    graft.similarity.IvfPq.search(mat, q, k = 5, nprobe = 2)
       .withColumn("adc", round(col("adc"), 6))
       .orderBy("q_id", "vec_id")
   }

@@ -59,4 +59,21 @@ object RangeJoin {
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bucket")
   }
+
+  /** Band (epsilon) join: pairs with `|left.x − right.y| <= eps` — the
+    * other classic inequality-join shape (record linkage, time-series
+    * alignment). Reduces to `intervalJoin` by treating each right row
+    * as the interval `[y − eps, y + eps]`; same bucket-equi-join plan,
+    * no nested loop. `bucketWidth` defaults to the band width. */
+  def bandJoin(left: DataFrame, leftCol: String,
+      right: DataFrame, rightCol: String, eps: Long,
+      bucketWidth: Long = 0L): DataFrame = {
+    require(eps >= 0, "eps must be non-negative")
+    val w = if (bucketWidth > 0) bucketWidth else math.max(2 * eps, 1L)
+    val iv = right
+      .withColumn("__lo", col(rightCol) - eps)
+      .withColumn("__hi", col(rightCol) + eps)
+    intervalJoin(left, leftCol, iv, "__lo", "__hi", w)
+      .drop("__lo", "__hi")
+  }
 }

@@ -35,6 +35,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(rows.toSet == expected)
   }
 
+  test("bandJoin pairs values within eps, either direction") {
+    val l = Seq((1L, 10L), (2L, 50L), (3L, 98L)).toDF("lid", "x")
+    val r = Seq((7L, 12L), (8L, 100L), (9L, 200L)).toDF("rid", "y")
+    val out = RangeJoin.bandJoin(l, "x", r, "y", eps = 3L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 7L), (3L, 8L)))
+    // eps=0 degenerates to equality
+    val eq = RangeJoin.bandJoin(l, "x", r.withColumn("y", lit(10L)), "y", 0L)
+      .select("lid").as[Long].collect().toSet
+    assert(eq == Set(1L))
+  }
+
   test("epoch-nanos magnitudes (> 2^53) bucket exactly") {
     // double division would round the quotient here and drop the pair
     val base = 1700000000000000000L // ~2026 in epoch nanos
