@@ -10,15 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up pass at the smallest scale factor: pays JVM/JIT, codegen
-    // and Spark-session startup costs once, outside the timed region, so
-    // per-query timings reflect the operators rather than which query
-    // happens to run first.
+    // Warm-up passes, outside the timed region, so per-query timings
+    // reflect the operators rather than one-time costs: first at the
+    // smallest scale factor (JVM/JIT, session startup), then ONE pass
+    // at the target SF — AQE picks different physical plans per data
+    // size, so only a target-SF pass compiles the generated code the
+    // timed pass will actually run. This matches the DuckDB baseline
+    // methodology (tools/duck_bench.py times its second pass).
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
