@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions => TF}
+
+/** Round-3 continuation: training-pipeline operators that were
+  * previously rows-only (or missing) put behind the DuckDB oracle gate.
+  * Same contract as the other Queries files: every query has an oracle
+  * over the identical parquet tables and ends in a total ORDER BY.
+  *
+  *  - q_neardup_exact:   EXACT all-pairs embedding cosine (block-tile
+  *                       equi-join, no CartesianProduct) — the recall
+  *                       oracle next to the LSH path (q_embed_neardup)
+  *  - q_quality_filter:  C4-style rule filter with per-document verdict
+  *                       and first-failing-rule reason
+  *  - q_strip_stopwords: stopword removal + renormalization (the
+  *                       cleaning transform ahead of shingling)
+  *  - q_dedup_survivors: exact-dedup survivor materialization (the rows
+  *                       a pipeline actually keeps, not just the group
+  *                       table of q_dedup_exact)
+  */
+object QueriesExt5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact cosine pairs over the whole embedding corpus. All pairs are
+    * scored — distributed as block tiles (Dedup.exactCosinePairs), not
+    * a cartesian — making this the ground truth the approximate
+    * near-dup paths are graded against. */
+  private def qNeardupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.25, blocks = 8)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("id_a", "id_b")
+
+  /** C4-style quality filter: token-count bounds plus a stopword-ratio
+    * cap, with the FIRST failing rule as the drop reason (evaluation
+    * order is part of the contract). One scan, no shuffle until the
+    * final presentation sort. */
+  private def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val nTok = TF.tokenCount(col("text"))
+    val stopR = TF.stopwordRatio(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), nTok.as("n_tok"),
+        round(stopR, 6).as("stop_ratio"),
+        when(nTok < 20, lit("too_short"))
+          .when(nTok > 80, lit("too_long"))
+          .when(stopR > 0.2, lit("too_stoppy"))
+          .as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .orderBy("doc_id")
+  }
+
+  /** Stopword strip + whitespace renormalization — the text-cleaning
+    * transform that precedes shingling/minhash in a dedup pipeline.
+    * Pure higher-order column expressions (filter over the token
+    * array), fully codegen'd, zero shuffles. */
+  private def qStripStopwords(s: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Seq("the", "a", "an", "and", "of", "to", "in",
+      "is", "on", "for").map(lit): _*)
+    val cleanText = array_join(
+      filter(TF.tokens(lower(col("text"))), t => !array_contains(stopArr, t)),
+      " ")
+    t(s, dir, "documents")
+      .select(col("doc_id"), cleanText.as("clean_text"),
+        (TF.tokenCount(col("text")) - TF.tokenCount(cleanText)).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact-dedup survivors: keep the min doc_id per content
+    * fingerprint and return the surviving documents — the dedup step's
+    * actual output table. Window-free formulation: the group table is
+    * an aggregate (one shuffle on fp), survivors come back via a
+    * semi-style join on (fp, doc_id). */
+  private def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fp", md5(substring(col("text"), 1, 40)))
+    val keep = docs.groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_dups"))
+    docs.join(keep, Seq("fp", "doc_id"))
+      .select(col("doc_id"), col("fp"), col("n_dups"), col("lang"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neardup_exact" -> (qNeardupExact(_, _)),
+    "q_quality_filter" -> (qQualityFilter(_, _)),
+    "q_strip_stopwords" -> (qStripStopwords(_, _)),
+    "q_dedup_survivors" -> (qDedupSurvivors(_, _)))
+
+  private val stopList = "['the','a','an','and','of','to','in','is','on','for']"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_neardup_exact" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_quality_filter" ->
+      s"""WITH b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, len(toks) AS n_tok,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE len(list_filter(toks, t -> list_contains($stopList, t)))::DOUBLE / len(toks) END AS sr
+        |  FROM b)
+        |SELECT doc_id, n_tok, round(sr, 6) AS stop_ratio,
+        |  CASE WHEN n_tok < 20 THEN 'too_short'
+        |       WHEN n_tok > 80 THEN 'too_long'
+        |       WHEN sr > 0.2 THEN 'too_stoppy' END AS drop_reason,
+        |  (CASE WHEN n_tok < 20 THEN 'too_short'
+        |        WHEN n_tok > 80 THEN 'too_long'
+        |        WHEN sr > 0.2 THEN 'too_stoppy' END) IS NULL AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_strip_stopwords" ->
+      s"""WITH b AS (SELECT doc_id, text,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    array_to_string(list_filter(toks, t -> NOT list_contains($stopList, t)), ' ') AS clean_text
+        |  FROM b)
+        |SELECT doc_id, clean_text,
+        |  (CASE WHEN len(trim(text)) = 0 THEN 0
+        |        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+        |   - CASE WHEN len(trim(clean_text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(clean_text), '\\s+')) END) AS n_removed
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_dedup_survivors" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    md5(substr(text, 1, 40)) AS fp FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS n_dups FROM d GROUP BY fp)
+        |SELECT d.doc_id, d.fp, k.n_dups, d.lang, d.n_chars
+        |FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+}

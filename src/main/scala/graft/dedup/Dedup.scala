@@ -319,4 +319,40 @@ object Dedup {
       .filter(col("cosine") >= minCosine)
       .select(col("da").as("id_a"), col("db").as("id_b"), col("cosine"))
   }
+
+  /** EXACT embedding-cosine pairs — the oracle-gated baseline next to
+    * the LSH-blocked `embeddingNearDupPairs`. All O(n²/2) pairs are
+    * scored, but never on one machine and never via CartesianProduct /
+    * BroadcastNestedLoop: vectors are hash-assigned to `blocks` blocks,
+    * and every unordered block pair (i ≤ j) is one tile of a plain
+    * hash-partitioned equi-join. The left row fans out to tiles
+    * (blk, j ≥ blk), the right to tiles (i ≤ blk, blk), so each vector
+    * pair meets in exactly ONE tile; diagonal tiles (i = j) keep the
+    * id_a < id_b orientation only. Per-task work is one n_i × n_j tile
+    * and per-task memory one tile's rows; replication is (blocks+1)
+    * copies per row while per-tile work falls as 1/blocks² — scale
+    * `blocks` with cluster parallelism. LSH stays the sub-quadratic
+    * scale path; this kernel is for when exactness is required, and is
+    * the recall oracle the approximate paths are judged against. */
+  def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, blocks: Int = 8): DataFrame = {
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+    val left = v
+      .withColumn("tj", explode(expr(s"sequence(blk, ${blocks - 1})")))
+      .select(col("vid").as("id_a"), col("v").as("va"),
+        col("blk").as("ti"), col("tj"))
+    val right = v
+      .withColumn("ti", explode(expr("sequence(0, blk)")))
+      .select(col("vid").as("id_b"), col("v").as("vb"),
+        col("ti"), col("blk").as("tj"))
+    left.join(right, Seq("ti", "tj"))
+      .filter(col("ti") =!= col("tj") || col("id_a") < col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
+  }
 }

@@ -50,6 +50,41 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("exactCosinePairs equals brute force for every block count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "v")
+    val rows = vecs.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val expected = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    for (blocks <- Seq(1, 3, 8)) {
+      val got = Dedup.exactCosinePairs(vecs, "vec_id", "v", 0.3, blocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // every pair exactly once (tile scheme never duplicates), and
+      // exactly the brute-force set (never loses a cross-block pair)
+      assert(got.length == got.toSet.size, s"dup pairs at blocks=$blocks")
+      assert(got.toSet == expected, s"pair set mismatch at blocks=$blocks")
+    }
+  }
+
+  test("exactCosinePairs plans as an equi-join, never cartesian/BNLJ") {
+    import spark.implicits._
+    val vecs = (1L to 10L).map(i => (i, Array.fill(4)(i.toFloat)))
+      .toDF("vec_id", "v")
+    val plan = Dedup.exactCosinePairs(vecs, "vec_id", "v", 0.5, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("minhash aggregate kernel equals the column-expression formulation") {
     import graft.functions.{TextFunctions => TF}
     val viaExpr = docs.select(col("doc_id"),
