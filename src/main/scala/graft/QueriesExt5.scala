@@ -89,11 +89,29 @@ object QueriesExt5 {
       .orderBy("doc_id")
   }
 
+  /** Re-embed transform behind the oracle gate: the batched
+    * mapPartitions embed pipeline (§2.10) run with the engine-neutral
+    * Md5Embedder, whose integral ±1 components DuckDB reproduces
+    * bit-exactly from md5 nibbles. The xxhash/murmur production
+    * embedder stays rows-only (`q_reembed`); this gates the transform
+    * plumbing — batching, order preservation, null/empty-doc handling,
+    * column attach. */
+  private def qReembedOracle(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.transform.Reembed.embedColumn(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", "emb", new graft.transform.Reembed.Md5Embedder(16),
+      batchSize = 96)
+    emb.select(col("doc_id") +: (0 until 16).map(i =>
+        element_at(col("emb"), i + 1).cast("bigint").as(s"e$i")): _*)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_neardup_exact" -> (qNeardupExact(_, _)),
     "q_quality_filter" -> (qQualityFilter(_, _)),
     "q_strip_stopwords" -> (qStripStopwords(_, _)),
-    "q_dedup_survivors" -> (qDedupSurvivors(_, _)))
+    "q_dedup_survivors" -> (qDedupSurvivors(_, _)),
+    "q_reembed_oracle" -> (qReembedOracle(_, _)))
 
   private val stopList = "['the','a','an','and','of','to','in','is','on','for']"
 
@@ -144,5 +162,27 @@ object QueriesExt5 {
         |k AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS n_dups FROM d GROUP BY fp)
         |SELECT d.doc_id, d.fp, k.n_dups, d.lang, d.n_chars
         |FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_reembed_oracle" -> {
+      val sums = (0 until 16).map(i =>
+        s"CAST(coalesce(sum(CASE WHEN idx = $i THEN sgn ELSE 0 END), 0) AS BIGINT) AS e$i")
+        .mkString(",\n        |    ")
+      s"""WITH tok AS (SELECT doc_id, unnest(
+        |    regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id, substr(md5(tok), 1, 5) AS hx
+        |      FROM tok WHERE tok <> ''),
+        |v AS (SELECT doc_id,
+        |    ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096 +
+        |     (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256 +
+        |     (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 16 AS idx,
+        |    CASE WHEN instr('89abcdef', substr(hx, 5, 1)) > 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM h)
+        |SELECT d.doc_id,
+        |    $sums
+        |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    })
 }

@@ -99,6 +99,19 @@ object ScaleProbe {
     }
     annProbe(v1, "2k vecs")
     annProbe(v10, "20k vecs")
+
+    // Exact cosine pairs: intentionally quadratic in TOTAL work — the
+    // probe shows the block-tile join spreads it (per-task memory one
+    // tile, plain equi-join shuffle) rather than hiding it. The decade
+    // costs ~100× compute, as theory says; LSH above stays the
+    // sub-quadratic scale path. blocks scales with parallelism so the
+    // 10× corpus gets 16× more tiles, not bigger ones.
+    time("exactCosinePairs 2k vecs (b=8)")(
+      Dedup.exactCosinePairs(v1, "vec_id", "embedding", 0.5, blocks = 8)
+        .count())
+    time("exactCosinePairs 20k vecs (b=32)")(
+      Dedup.exactCosinePairs(v10, "vec_id", "embedding", 0.5, blocks = 32)
+        .count())
     spark.stop()
   }
 }

@@ -49,6 +49,33 @@ object Reembed {
     }
   }
 
+  /** Engine-neutral deterministic embedder: per token, the first four
+    * md5 nibbles pick the dimension (mod `dimensions`) and the fifth
+    * picks the sign; components stay INTEGRAL (sums of ±1, no
+    * normalization) so a SQL oracle can reproduce the output
+    * bit-exactly. The batching/schema/partitioning plumbing exercised
+    * is identical to HashingEmbedder's; this variant exists to put the
+    * re-embed TRANSFORM itself behind the DuckDB hash-match gate
+    * (`q_reembed_oracle`), the way q_minhash_oracle/q_simhash_oracle
+    * gate their xxhash production paths. */
+  final class Md5Embedder(val dimensions: Int) extends Embedder {
+    def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val v = new Array[Float](dimensions)
+      if (t != null) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val d = md.digest(tok.getBytes("UTF-8"))
+          md.reset()
+          // first 4 nibbles = bytes 0-1; 5th nibble = high nibble of byte 2
+          val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+          val sgn = if (((d(2) >> 4) & 0x8) != 0) 1f else -1f
+          v(h16 % dimensions) += sgn
+        }
+      }
+      v
+    }
+  }
+
   /** F15 output column naming (`reembed.py:111-124`). */
   def vectorColumnName(textCol: String, model: String,
       quant: Option[String], dims: Int): String = {
