@@ -336,21 +336,28 @@ object Dedup {
     * the recall oracle the approximate paths are judged against. */
   def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blocks: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions
+    // Norms are computed ONCE per row before the fan-out — inside the
+    // join each pair costs one dot product, not one dot plus two norm
+    // folds (the per-pair flops halve; the value is bit-identical to
+    // recomputing, it's the same fold either side of the join).
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
       pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
     val left = v
       .withColumn("tj", explode(expr(s"sequence(blk, ${blocks - 1})")))
-      .select(col("vid").as("id_a"), col("v").as("va"),
+      .select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"),
         col("blk").as("ti"), col("tj"))
     val right = v
       .withColumn("ti", explode(expr("sequence(0, blk)")))
-      .select(col("vid").as("id_b"), col("v").as("vb"),
+      .select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
         col("ti"), col("blk").as("tj"))
     left.join(right, Seq("ti", "tj"))
       .filter(col("ti") =!= col("tj") || col("id_a") < col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine",
-        graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+        VectorFunctions.dotProduct(col("va"), col("vb")) /
+          (col("na") * col("nb")))
       .filter(col("cosine") >= minCosine)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("cosine"))
