@@ -7,7 +7,10 @@ object Bench {
     // optional comma-separated query filter for local iteration; the
     // driver never sets it, so its runs always time the full set
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    only.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] unknown query in SPARK_GRAFT_ONLY: $n"))
     def picked = SparkEntry.queries
       .filter { case (n, _) => only.isEmpty || only(n) }
     val spark = SparkSession.builder()

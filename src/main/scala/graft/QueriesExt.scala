@@ -194,7 +194,7 @@ object QueriesExt {
     "q_embed_neardup" -> (qEmbedNeardup(_, _)),
     "q_ann_lsh" -> (qAnnLsh(_, _)))
 
-  private val stopList = "['the','a','an','and','of','to','in','is','on','for']"
+  private val stopList = TF.stopwordsSqlLiteral
   private val toksExpr =
     "CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END"
   private val toksLowerExpr =

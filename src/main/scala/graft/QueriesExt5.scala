@@ -62,8 +62,7 @@ object QueriesExt5 {
     * Pure higher-order column expressions (filter over the token
     * array), fully codegen'd, zero shuffles. */
   private def qStripStopwords(s: SparkSession, dir: String): DataFrame = {
-    val stopArr = array(Seq("the", "a", "an", "and", "of", "to", "in",
-      "is", "on", "for").map(lit): _*)
+    val stopArr = array(TF.defaultStopwords.map(lit): _*)
     val cleanText = array_join(
       filter(TF.tokens(lower(col("text"))), t => !array_contains(stopArr, t)),
       " ")
@@ -113,7 +112,7 @@ object QueriesExt5 {
     "q_dedup_survivors" -> (qDedupSurvivors(_, _)),
     "q_reembed_oracle" -> (qReembedOracle(_, _)))
 
-  private val stopList = "['the','a','an','and','of','to','in','is','on','for']"
+  private val stopList = TF.stopwordsSqlLiteral
 
   val oracleSql: Map[String, String] = Map(
     "q_neardup_exact" ->

@@ -9,7 +9,11 @@ object Verify {
     // iteration; the driver always invokes with exactly two args)
     val (sfDir, outDir) = (args(0), args(1))
     val only: Set[String] =
-      if (args.length > 2) args(2).split(",").toSet else Set.empty
+      if (args.length > 2)
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    only.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] unknown query in filter: $n"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -337,13 +337,24 @@ object Dedup {
   def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blocks: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions
-    // Norms are computed ONCE per row before the fan-out — inside the
-    // join each pair costs one dot product, not one dot plus two norm
-    // folds (the per-pair flops halve; the value is bit-identical to
-    // recomputing, it's the same fold either side of the join).
+    // Norms are computed ONCE per row and MATERIALIZED (localCheckpoint)
+    // before the fan-out. The lineage cut is what makes the precompute
+    // real: without it Catalyst's CollapseProject + predicate pushdown
+    // inline the norm aliases back into the join condition and every
+    // pair pays two 64-dim norm folds on top of its dot product (the
+    // regenerated EXPLAIN.md proved the aliases alone don't survive
+    // optimization). Materializing O(n) rows ahead of an O(n²) join is
+    // the at-rest analogy of storing vector norms next to the index —
+    // the standard layout for exact similarity scans. Inside the join
+    // each pair then costs exactly one dot product plus one divide;
+    // the arithmetic is bit-identical to recomputing (same fold).
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
       VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
       pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
+      // lazy: the lineage cut is in the plan immediately (that is what
+      // defeats the inlining) but the materialization job only runs
+      // with the first real action, so plan-only callers stay lazy
+      .localCheckpoint(false)
     val left = v
       .withColumn("tj", explode(expr(s"sequence(blk, ${blocks - 1})")))
       .select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"),
@@ -353,8 +364,9 @@ object Dedup {
       .select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
         col("ti"), col("blk").as("tj"))
     left.join(right, Seq("ti", "tj"))
+      // equal ids never meet here: same id → same hash block → diagonal
+      // tile, which the strict < already excludes — no extra id filter
       .filter(col("ti") =!= col("tj") || col("id_a") < col("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
       .withColumn("cosine",
         VectorFunctions.dotProduct(col("va"), col("vb")) /
           (col("na") * col("nb")))

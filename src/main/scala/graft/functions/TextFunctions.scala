@@ -28,8 +28,15 @@ object TextFunctions {
   def bpeishTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
 
-  private val defaultStopwords: Seq[String] =
+  /** The canonical stopword list. Public on purpose: the oracle SQL in
+    * the Queries files derives its `['the',...]` literal from this, so
+    * the Spark side and the DuckDB side can never drift apart. */
+  val defaultStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  /** `defaultStopwords` as a DuckDB list literal. */
+  def stopwordsSqlLiteral: String =
+    defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   /** Fraction of tokens that are stopwords (quality signal). */
   def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {

@@ -104,8 +104,10 @@ object ScaleProbe {
     // probe shows the block-tile join spreads it (per-task memory one
     // tile, plain equi-join shuffle) rather than hiding it. The decade
     // costs ~100× compute, as theory says; LSH above stays the
-    // sub-quadratic scale path. blocks scales with parallelism so the
-    // 10× corpus gets 16× more tiles, not bigger ones.
+    // sub-quadratic scale path. b=8 → b=32 grows the tile COUNT ~15×
+    // and each tile's pair-work ~6.8× (per-block rows go 250 → 625);
+    // holding per-tile work truly constant needs blocks ∝ n (8 → 80) —
+    // size `blocks` to the tile budget, not to sqrt(n).
     time("exactCosinePairs 2k vecs (b=8)")(
       Dedup.exactCosinePairs(v1, "vec_id", "embedding", 0.5, blocks = 8)
         .count())

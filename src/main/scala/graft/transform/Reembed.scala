@@ -59,20 +59,23 @@ object Reembed {
     * (`q_reembed_oracle`), the way q_minhash_oracle/q_simhash_oracle
     * gate their xxhash production paths. */
   final class Md5Embedder(val dimensions: Int) extends Embedder {
-    def embed(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
-      val v = new Array[Float](dimensions)
-      if (t != null) {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-          val d = md.digest(tok.getBytes("UTF-8"))
-          md.reset()
-          // first 4 nibbles = bytes 0-1; 5th nibble = high nibble of byte 2
-          val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
-          val sgn = if (((d(2) >> 4) & 0x8) != 0) 1f else -1f
-          v(h16 % dimensions) += sgn
+    def embed(texts: Seq[String]): Seq[Array[Float]] = {
+      // one digest instance per batch; digest(bytes) resets after each
+      // call, so reuse across tokens and documents is safe
+      val md = java.security.MessageDigest.getInstance("MD5")
+      texts.map { t =>
+        val v = new Array[Float](dimensions)
+        if (t != null) {
+          t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+            val d = md.digest(tok.getBytes("UTF-8"))
+            // first 4 nibbles = bytes 0-1; 5th nibble = high nibble of byte 2
+            val h16 = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+            val sgn = if (((d(2) >> 4) & 0x8) != 0) 1f else -1f
+            v(h16 % dimensions) += sgn
+          }
         }
+        v
       }
-      v
     }
   }
 
