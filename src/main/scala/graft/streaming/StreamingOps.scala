@@ -72,6 +72,62 @@ object StreamingOps {
   def unexported(all: DataFrame, exportedIds: DataFrame, idCol: String): DataFrame =
     all.join(exportedIds, Seq(idCol), "left_anti")
 
+  final case class NearDoc(id: Long, ts: java.sql.Timestamp, simhash: Long)
+  final case class BucketState(entries: List[(Long, Long)]) // (simhash, tsMs)
+
+  /** Streaming NEAR-duplicate admission filter — the continuous twin of
+    * the batch `Dedup.simhashPairs` path. A document is admitted only
+    * if no already-admitted document in its simhash bucket (the high
+    * `bucketBits` bits — same blocking as the batch operator, same
+    * approximation: near-dups differing in those bits are missed) lies
+    * within `maxHamming` bits. Per-bucket state holds the admitted
+    * (simhash, tsMs) fingerprints; entries older than the event-time
+    * watermark are pruned every trigger, and an idle bucket's whole
+    * state is dropped by event-time timeout `ttlMs` past its newest
+    * admission — state is bounded by live buckets × horizon admissions,
+    * never corpus size. Contract mirrors streamingDedupExact: "no
+    * near-dup admitted within the watermark horizon of the original";
+    * the batch pipeline remains the periodic full-history sweep. */
+  def streamingNearDupSimhash(docs: Dataset[NearDoc], maxHamming: Int,
+      bucketBits: Int, watermarkDelay: String, ttlMs: Long): Dataset[NearDoc] = {
+    require(bucketBits > 0 && bucketBits < 64, "bucketBits in (0, 64)")
+    require(ttlMs > 0, "ttlMs must be positive (keeps the timeout " +
+      "timestamp ahead of the watermark for surviving entries)")
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(d => d.simhash >>> (64 - bucketBits))
+      .flatMapGroupsWithState[BucketState, NearDoc](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[NearDoc], state: GroupState[BucketState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val horizon =
+              if (state.getCurrentWatermarkMs() > 0) state.getCurrentWatermarkMs()
+              else Long.MinValue
+            var entries = state.getOption.map(_.entries).getOrElse(Nil)
+              .filter(_._2 >= horizon)
+            val admitted = List.newBuilder[NearDoc]
+            // deterministic admission order within a trigger
+            rows.toArray.sortBy(d => (d.ts.getTime, d.id)).foreach { d =>
+              val near = entries.exists { case (sh, _) =>
+                java.lang.Long.bitCount(sh ^ d.simhash) <= maxHamming
+              }
+              if (!near) {
+                admitted += d
+                entries ::= (d.simhash, d.ts.getTime)
+              }
+            }
+            if (entries.nonEmpty) {
+              state.update(BucketState(entries))
+              state.setTimeoutTimestamp(entries.map(_._2).max + ttlMs)
+            } else state.remove()
+            admitted.result().iterator
+          }
+      }
+  }
+
   final case class Click(user: String, ts: java.sql.Timestamp)
   final case class SessionAgg(user: String, events: Long, startMs: Long,
     endMs: Long)

@@ -51,6 +51,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingNearDupSimhash admits one of a near-dup pair, distinct docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.NearDoc]
+    val out = StreamingOps.streamingNearDupSimhash(
+      input.toDS(), maxHamming = 3, bucketBits = 8,
+      watermarkDelay = "10 minutes", ttlMs = 600000L)
+    val q = out.writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      val base = 0x7A5A5A5A5A5A5A5AL
+      // doc 2 differs from doc 1 by 2 low bits (same bucket, hamming 2);
+      // doc 3 is a different bucket entirely
+      input.addData(
+        StreamingOps.NearDoc(1L, t(1, 0), base),
+        StreamingOps.NearDoc(3L, t(1, 0), ~base))
+      q.processAllAvailable()
+      input.addData(StreamingOps.NearDoc(2L, t(1, 1), base ^ 3L))
+      q.processAllAvailable()
+      // a genuinely distant doc in the SAME bucket is admitted
+      input.addData(StreamingOps.NearDoc(4L, t(1, 2), base ^ 0x00000000000FF0FFL))
+      q.processAllAvailable()
+      val ids = spark.table("sneardup").collect()
+        .map(_.getAs[Long]("id")).toSet
+      assert(ids == Set(1L, 3L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("streamingNearDupSimhash admission is deterministic within a trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.NearDoc]
+    val out = StreamingOps.streamingNearDupSimhash(
+      input.toDS(), maxHamming = 3, bucketBits = 8,
+      watermarkDelay = "10 minutes", ttlMs = 600000L)
+    val q = out.writeStream.format("memory").queryName("sneardup2")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int, s: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:$s%02d")
+      val base = 0x7A5A5A5A5A5A5A5AL
+      // both near-dups arrive in ONE batch: the earlier ts (tie-broken
+      // by id) must win, the other must be dropped
+      input.addData(
+        StreamingOps.NearDoc(9L, t(1, 0, 1), base ^ 1L),
+        StreamingOps.NearDoc(5L, t(1, 0, 0), base))
+      q.processAllAvailable()
+      val ids = spark.table("sneardup2").collect()
+        .map(_.getAs[Long]("id")).toSet
+      assert(ids == Set(5L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("lastWinsUpserts keeps newest version per id across batches (J6 streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
