@@ -150,8 +150,12 @@ object QueriesExt4 {
     * sign reassembly) is hash-match gated cross-engine (the 64-bit
     * xxhash production path is `q_simhash`, rows-only). Token
     * multiplicity counts, like the production kernel. */
-  private def qSimhashOracle(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  private def qSimhashOracle(s: SparkSession, dir: String): DataFrame =
+    md5Simhash16(t(s, dir, "documents")).orderBy("doc_id")
+
+  /** The (doc_id, simhash16) table behind q_simhash_oracle; shared with
+    * QueriesExt5's banded-pair query so both gates see one construction. */
+  private[graft] def md5Simhash16(docs: DataFrame): DataFrame = {
     val tok = docs
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
@@ -170,7 +174,6 @@ object QueriesExt4 {
     docs.select("doc_id").join(sh, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("simhash16"), lit(0L)).as("simhash16"))
-      .orderBy("doc_id")
   }
 
   /** PQ-compressed ANN (SURVEY §7.5 scale path): 64-d float vectors
@@ -223,6 +226,26 @@ object QueriesExt4 {
     "q_rolling_range" -> (qRollingRange(_, _)),
     "q_intersect_ids" -> (qIntersectIds(_, _)),
     "q_ann_pq" -> (qAnnPq(_, _)))
+
+  /** Shared md5-simhash16 CTE chain ending in `fp(doc_id, simhash16)`;
+    * used by q_simhash_oracle here and q_simhash_pairs (QueriesExt5) so
+    * both gates run one construction. */
+  private[graft] val simhash16Cte: String =
+    """tok AS (SELECT doc_id, unnest(
+      |    regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS hx
+      |      FROM tok WHERE tok <> ''),
+      |b AS (SELECT doc_id, j,
+      |    CASE WHEN ((instr('0123456789abcdef', substr(hx, (j // 4) + 1, 1)) - 1)
+      |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j)),
+      |v AS (SELECT doc_id, j, sum(vote) AS s FROM b GROUP BY 1, 2),
+      |sh AS (SELECT doc_id,
+      |    sum(CASE WHEN s > 0 THEN 1 << (15 - j) ELSE 0 END) AS simhash16
+      |  FROM v GROUP BY 1),
+      |fp AS (SELECT d.doc_id, CAST(coalesce(sh.simhash16, 0) AS BIGINT) AS simhash16
+      |       FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_range_join" ->
@@ -284,22 +307,8 @@ object QueriesExt4 {
         |SELECT l_orderkey AS id FROM lineitem WHERE l_returnflag = 'R'
         |ORDER BY id""".stripMargin,
     "q_simhash_oracle" ->
-      """WITH tok AS (SELECT doc_id, unnest(
-        |    regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-        |  FROM documents),
-        |h AS (SELECT doc_id, substr(md5(tok), 1, 4) AS hx
-        |      FROM tok WHERE tok <> ''),
-        |b AS (SELECT doc_id, j,
-        |    CASE WHEN ((instr('0123456789abcdef', substr(hx, (j // 4) + 1, 1)) - 1)
-        |               >> (3 - (j % 4))) & 1 = 1 THEN 1 ELSE -1 END AS vote
-        |  FROM h CROSS JOIN (SELECT unnest(range(16)) AS j)),
-        |v AS (SELECT doc_id, j, sum(vote) AS s FROM b GROUP BY 1, 2),
-        |sh AS (SELECT doc_id,
-        |    sum(CASE WHEN s > 0 THEN 1 << (15 - j) ELSE 0 END) AS simhash16
-        |  FROM v GROUP BY 1)
-        |SELECT d.doc_id, CAST(coalesce(sh.simhash16, 0) AS BIGINT) AS simhash16
-        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $simhash16Cte
+        |SELECT doc_id, simhash16 FROM fp ORDER BY doc_id""".stripMargin,
     "q_minhash_oracle" ->
       """WITH b AS (SELECT doc_id,
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]

@@ -105,7 +105,21 @@ object QueriesExt5 {
       .orderBy("doc_id")
   }
 
+  /** Banded simhash pairing (Manku WWW'07) behind the oracle gate: the
+    * Spark side generates candidates via the pigeonhole band join —
+    * never all pairs — while DuckDB brute-forces every pair; equality
+    * PROVES the banded candidate set is complete on this corpus, not
+    * just heuristically good. Runs on the md5 16-bit simhash both
+    * engines construct identically (q_simhash_oracle). */
+  private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.bandedHammingPairs(
+        QueriesExt4.md5Simhash16(t(s, dir, "documents")),
+        "doc_id", "simhash16", maxHamming = 3, hashBits = 16)
+      .withColumn("hamming", col("hamming").cast("bigint"))
+      .orderBy("doc_a", "doc_b")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_simhash_pairs" -> (qSimhashPairs(_, _)),
     "q_neardup_exact" -> (qNeardupExact(_, _)),
     "q_quality_filter" -> (qQualityFilter(_, _)),
     "q_strip_stopwords" -> (qStripStopwords(_, _)),
@@ -162,6 +176,13 @@ object QueriesExt5 {
         |SELECT d.doc_id, d.fp, k.n_dups, d.lang, d.n_chars
         |FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH ${QueriesExt4.simhash16Cte}
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_reembed_oracle" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(coalesce(sum(CASE WHEN idx = $i THEN sgn ELSE 0 END), 0) AS BIGINT) AS e$i")

@@ -298,6 +298,70 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
   }
 
+  /** COMPLETE simhash near-dup pairs via the banded construction
+    * (Manku, Jain & Das Sarma, WWW'07): the 64-bit fingerprint is cut
+    * into `maxHamming + 1` disjoint bands, and by pigeonhole any pair
+    * within `maxHamming` bits must agree EXACTLY on at least one band —
+    * so the union of per-band bucket joins is a guaranteed candidate
+    * superset, unlike `simhashPairs`' single high-bit block (which
+    * misses pairs whose differing bits fall in the block). Replication
+    * is maxHamming+1 rows per doc; each band key is ~64/(k+1) bits, so
+    * buckets stay small and the join is a plain hash-partitioned
+    * equi-join. Pairs colliding in several bands are deduped by a
+    * (doc_a, doc_b) aggregate — the hamming value is identical in
+    * every collision, so min() is pure dedup, not selection. */
+  def simhashPairsBanded(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    bandedHammingPairs(simhashes(docs, idCol, textCol),
+      idCol, "simhash", maxHamming)
+
+  /** The banded-join kernel over raw (id, fingerprint) rows: emits all
+    * pairs with hamming(fp_a, fp_b) <= maxHamming, exactly once each.
+    * Public so any fingerprint family (64-bit simhash, media
+    * content_hash, the 16-bit oracle simhash) can reuse the complete
+    * candidate generation. `hashBits` is the fingerprint's real width:
+    * banding a narrow hash over 64 bits would put every row in the
+    * same all-zero bucket for the high bands (3× a full cross join);
+    * banding over the true width keeps buckets selective. */
+  def bandedHammingPairs(fps: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, hashBits: Int = 64): DataFrame = {
+    require(hashBits > 0 && hashBits <= 64, "hashBits in (0, 64]")
+    require(maxHamming >= 0 && maxHamming < hashBits,
+      "maxHamming in [0, hashBits)")
+    val bands = maxHamming + 1
+    val width = hashBits / bands
+    // band i covers bits [hashBits - (i+1)*width, hashBits - i*width);
+    // the last band absorbs the hashBits % bands remainder bits at the
+    // low end
+    def bandKey(c: Column, i: Int): Column = {
+      val w = if (i == bands - 1) hashBits - i * width else width
+      val shifted = shiftrightunsigned(c, hashBits - i * width - w)
+      if (w == 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1L))
+    }
+    val bandKeys = (0 until bands).map(i =>
+      struct(lit(i).as("band"), bandKey(col(hashCol), i).as("key")))
+    val keyed = fps.select(col(idCol).as("vid"), col(hashCol).as("fp"),
+      explode(array(bandKeys: _*)).as("bk"))
+      .select(col("vid"), col("fp"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = keyed.toDF("da", "ha", "band", "key")
+    val b = keyed.toDF("db", "hb", "band", "key")
+    // A pair within maxHamming collides in EVERY band its diff bits
+    // miss — possibly several. Emitting only from the FIRST agreeing
+    // band (computable from the two fingerprints in-row) dedupes
+    // inline: no groupBy over the candidate stream, one less shuffle
+    // at the pipeline's widest point.
+    val firstAgree = (0 until bands).foldRight(lit(-1)) { (i, rest) =>
+      when(bandKey(col("ha"), i) === bandKey(col("hb"), i), lit(i))
+        .otherwise(rest)
+    }
+    a.join(b, Seq("band", "key")).filter(col("da") < col("db"))
+      .filter(col("band") === firstAgree)
+      .withColumn("hamming", TF.hamming64(col("ha"), col("hb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: vectors are
     * bucketed by the sign pattern of `planes` pseudo-random hyperplane
     * projections (deterministic, derived from xxhash64 of (plane, dim)),

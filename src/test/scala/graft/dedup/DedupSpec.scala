@@ -50,6 +50,31 @@ class DedupSpec extends SparkSpec {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("bandedHammingPairs equals brute force, including high-bit diffs") {
+    import spark.implicits._
+    val base = 0x5A5A5A5A5A5A5A5AL
+    val fixed = Seq(
+      1L -> base,
+      2L -> (base ^ (1L << 63)), // differs ONLY in the top bit — the
+                                 // single-block heuristic would miss it
+      3L -> (base ^ 0x7L),       // hamming 3 at the low end
+      4L -> ~base)               // hamming 64 — never a pair
+    val rnd = new scala.util.Random(11)
+    val rows = fixed ++ (5L to 40L).map(i => i -> rnd.nextLong())
+    val df = rows.toDF("doc_id", "fp")
+    for (maxH <- Seq(0, 3, 8)) {
+      val got = Dedup.bandedHammingPairs(df, "doc_id", "fp", maxH)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          r.getAs[Number](2).longValue())).toMap
+      val expected = (for {
+        (ia, ha) <- rows; (ib, hb) <- rows
+        if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= maxH
+      } yield ((ia, ib), java.lang.Long.bitCount(ha ^ hb).toLong)).toMap
+      assert(got == expected, s"maxHamming=$maxH")
+    }
+  }
+
   test("exactCosinePairs equals brute force for every block count") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
