@@ -307,9 +307,8 @@ object Dedup {
     * misses pairs whose differing bits fall in the block). Replication
     * is maxHamming+1 rows per doc; each band key is ~64/(k+1) bits, so
     * buckets stay small and the join is a plain hash-partitioned
-    * equi-join. Pairs colliding in several bands are deduped by a
-    * (doc_a, doc_b) aggregate — the hamming value is identical in
-    * every collision, so min() is pure dedup, not selection. */
+    * equi-join. Pairs colliding in several bands are emitted exactly
+    * once — from the first agreeing band (see bandedHammingPairs). */
   def simhashPairsBanded(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame =
     bandedHammingPairs(simhashes(docs, idCol, textCol),
