@@ -226,11 +226,20 @@ object QueriesExt3 {
           "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
     val tf = toks.filter(col("doc_id") < 10)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val n = t(s, dir, "documents").count()
-    tf.join(df, "tok")
+    // The inner join on tok discards every corpus token absent from the
+    // probed docs, so filter BEFORE the heavy distinct-aggregate: semi-
+    // join the corpus tokens to the (small, broadcastable) probe vocab
+    // and only shuffle (tok, doc_id) pairs that can survive. At 100 TB
+    // this turns a full-vocabulary shuffle into a probe-sized one.
+    val df = toks
+      .join(broadcast(tf.select("tok").distinct()), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    // Corpus size as a broadcast 1-row aggregate, not a driver count()
+    // action — keeps the query a single job.
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("__n"))
+    tf.join(df, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"), col("tf"), col("df"),
-        (col("tf") * log(lit(n.toDouble) / col("df"))).as("tfidf"))
+        (col("tf") * log(col("__n").cast("double") / col("df"))).as("tfidf"))
       .orderBy("doc_id", "tok")
   }
 
