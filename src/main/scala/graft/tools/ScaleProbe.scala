@@ -41,6 +41,13 @@ object ScaleProbe {
       Dedup.minhashLshPairs(d10, "doc_id", "text", 3, 32, 8, 0.25).count())
     time("simhash 50k docs")(
       Dedup.simhashes(d10, "doc_id", "text").count())
+    // Banded pairing is COMPLETE for hamming<=3, so the 10x corpus is
+    // its worst case too: every replica group collides in all 4 bands
+    // of every bucket it lands in. Work must stay bucket-bounded.
+    time("simhashBanded pairs 5k docs")(
+      Dedup.simhashPairsBanded(d1, "doc_id", "text", 3).count())
+    time("simhashBanded pairs 50k docs")(
+      Dedup.simhashPairsBanded(d10, "doc_id", "text", 3).count())
     time("exact dedup 50k docs")(
       Dedup.exactGroups(d10, "doc_id", md5(col("text"))).count())
 
