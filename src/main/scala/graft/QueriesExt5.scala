@@ -21,6 +21,9 @@ import graft.functions.{TextFunctions => TF}
   *  - q_dedup_survivors: exact-dedup survivor materialization (the rows
   *                       a pipeline actually keeps, not just the group
   *                       table of q_dedup_exact)
+  *  - q_repetition:      Gopher-style within-document repetition
+  *                       metrics (unique-token / top-token / top-bigram
+  *                       fractions)
   */
 object QueriesExt5 {
 
@@ -105,6 +108,38 @@ object QueriesExt5 {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style within-document repetition metrics (Rae et al. 2021
+    * §A1.1: repetitious documents are low-quality training data):
+    * unique-token fraction, most-frequent-token fraction, and
+    * most-frequent-bigram fraction per document. Frequencies come from
+    * explode + two-level aggregation (map-side partial combine keyed by
+    * (doc_id, gram)) — never a per-row O(n²) array scan — so the
+    * per-key state is one counter and the shape survives 100 TB. */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(lower(col("text"))).as("toks"))
+    val tokStats = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_uniq"),
+        max("c").as("top_tok"))
+    val bgStats = base.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bg"), max("c").as("top_bg"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        round(col("n_uniq").cast("double") / col("n_tok"), 6).as("uniq_frac"),
+        round(col("top_tok").cast("double") / col("n_tok"), 6).as("top_tok_frac"),
+        round(coalesce(col("top_bg").cast("double") / col("n_bg"), lit(0d)), 6)
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Banded simhash pairing (Manku WWW'07) behind the oracle gate: the
     * Spark side generates candidates via the pigeonhole band join —
     * never all pairs — while DuckDB brute-forces every pair; equality
@@ -124,6 +159,7 @@ object QueriesExt5 {
     "q_quality_filter" -> (qQualityFilter(_, _)),
     "q_strip_stopwords" -> (qStripStopwords(_, _)),
     "q_dedup_survivors" -> (qDedupSurvivors(_, _)),
+    "q_repetition" -> (qRepetition(_, _)),
     "q_reembed_oracle" -> (qReembedOracle(_, _)))
 
   private val stopList = TF.stopwordsSqlLiteral
@@ -176,6 +212,27 @@ object QueriesExt5 {
         |SELECT d.doc_id, d.fp, k.n_dups, d.lang, d.n_chars
         |FROM d JOIN k ON d.fp = k.fp AND d.doc_id = k.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tc AS (SELECT doc_id, tok, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS tok FROM b) GROUP BY 1, 2),
+        |tm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |         count(*) AS n_uniq, max(c) AS top_tok FROM tc GROUP BY 1),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |    FROM b WHERE len(toks) >= 2) GROUP BY 1, 2),
+        |bm AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |         max(c) AS top_bg FROM bc GROUP BY 1)
+        |SELECT tm.doc_id, n_tok,
+        |  round(n_uniq::DOUBLE / n_tok, 6) AS uniq_frac,
+        |  round(top_tok::DOUBLE / n_tok, 6) AS top_tok_frac,
+        |  round(coalesce(top_bg::DOUBLE / n_bg, 0), 6) AS top_bigram_frac
+        |FROM tm LEFT JOIN bm ON tm.doc_id = bm.doc_id
+        |ORDER BY tm.doc_id""".stripMargin,
     "q_simhash_pairs" ->
       s"""WITH ${QueriesExt4.simhash16Cte}
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
