@@ -397,6 +397,18 @@ object Dedup {
     * `blocks` with cluster parallelism. LSH stays the sub-quadratic
     * scale path; this kernel is for when exactness is required, and is
     * the recall oracle the approximate paths are judged against. */
+  /** Block count so a corpus of `n` rows lands ~`tileRows` rows per
+    * hash block: per-task memory and per-tile pair-work then stay
+    * CONSTANT as the corpus grows (blocks ∝ n, tiles ∝ n²,
+    * absorbed by cluster parallelism) — the sizing rule the 1×/10×
+    * scale probe established. Size `blocks` with this, not with the
+    * executor count. */
+  def blocksForTileBudget(n: Long, tileRows: Long = 1000L): Int = {
+    require(tileRows > 0, "tileRows must be positive")
+    if (n <= 1) 1
+    else math.min((n - 1) / tileRows + 1, Int.MaxValue).toInt
+  }
+
   def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blocks: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions

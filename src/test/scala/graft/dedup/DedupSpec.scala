@@ -100,6 +100,18 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("blocksForTileBudget keeps per-block rows at the budget") {
+    assert(Dedup.blocksForTileBudget(0) == 1)
+    assert(Dedup.blocksForTileBudget(999, 1000) == 1)
+    assert(Dedup.blocksForTileBudget(1000, 1000) == 1)
+    assert(Dedup.blocksForTileBudget(1001, 1000) == 2)
+    // blocks ∝ n: the decade multiplies blocks, not per-tile rows
+    assert(Dedup.blocksForTileBudget(50000, 1000) ==
+      10 * Dedup.blocksForTileBudget(5000, 1000))
+    assert(Dedup.blocksForTileBudget(Long.MaxValue, 1) == Int.MaxValue)
+    intercept[IllegalArgumentException](Dedup.blocksForTileBudget(5, 0))
+  }
+
   test("exactCosinePairs plans as an equi-join, never cartesian/BNLJ") {
     import spark.implicits._
     val vecs = (1L to 10L).map(i => (i, Array.fill(4)(i.toFloat)))
