@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-3 batch: four more training-data-pipeline operators behind the
+  * DuckDB oracle gate, each a distinct op family not yet covered:
+  *
+  *  - q_redact:      PII pattern redaction (emails / IPv4) with per-doc
+  *                   redaction counts — the scrubbing step every corpus
+  *                   release runs; pure codegen'd regexp expressions
+  *  - q_tfidf_pairs: EXACT tf-idf-weighted cosine between documents via
+  *                   an inverted-index join (the CCNet-style fuzzy-dedup
+  *                   scorer) — sparse dot products as a token equi-join,
+  *                   never a dense cross join
+  *  - q_dedup_best:  quality-priority dedup survivors (keep the LONGEST
+  *                   doc per content fingerprint, not the min id) — the
+  *                   keep-best policy production dedup actually uses
+  *  - q_outliers:    robust per-group outlier detection (median/MAD
+  *                   z-score) over event values — numeric data-quality
+  *                   filtering without a learned model
+  */
+object QueriesExt6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // Shared PII patterns: the SAME regex text is valid and equivalent in
+  // Java regex (Spark) and RE2 (DuckDB) — character classes, bounded
+  // repetition, \b and \d only.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: synthetic contact lines are appended
+    * deterministically (the corpus itself has none, and the gate needs
+    * known ground truth), then emails and IPv4s are replaced with
+    * placeholder tags and counted. Single scan, zero shuffles before
+    * the presentation sort; at 100 TB this is the map-only stage it
+    * looks like. */
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com via 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit(".1"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(withPii, lit(emailPat)).as("n_emails"),
+        regexp_count(withPii, lit(ipPat)).as("n_ips"),
+        regexp_replace(regexp_replace(withPii, emailPat, "<EMAIL>"),
+          ipPat, "<IP>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  /** EXACT tf-idf cosine similarity between probe documents (doc_id <
+    * 100), scored through an inverted index: weights meet ONLY where a
+    * token is shared (one shuffle keyed on the token), so the sparse
+    * dot product never materializes the dense pair matrix. Document
+    * frequency comes from the FULL corpus (pruned to the probe
+    * vocabulary by a broadcast semi-join, as q_tfidf established);
+    * norms are per-doc aggregates over all probe-doc terms. At 100 TB
+    * the probe set is whatever candidate generation (LSH / df-capped
+    * shingles) emitted — this kernel is the exact scorer behind it. */
+  private def qTfidfPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(
+          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+    val tf = toks.filter(col("doc_id") < 100)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks
+      .join(broadcast(tf.select("tok").distinct()), Seq("tok"), "left_semi")
+      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+    val n = t(s, dir, "documents").agg(count(lit(1)).as("__n"))
+    val w = tf.join(df, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(col("__n").cast("double") / col("df"))).as("w"))
+    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val a = w.toDF("da", "tok", "wa")
+    val b = w.toDF("db", "tok", "wb")
+    a.join(b, Seq("tok")).filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.toDF("da", "na"), "da")
+      .join(norms.toDF("db", "nb"), "db")
+      .withColumn("cosine", col("dot") / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.3)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Quality-priority dedup survivors: per content fingerprint keep the
+    * LONGEST document (ties → min doc_id) — the keep-best policy (vs
+    * q_dedup_survivors' keep-min-id), one window pass over the
+    * fingerprint partition. */
+  private def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val wn = Window.partitionBy("fp")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("fp", md5(substring(col("text"), 1, 40)))
+      .withColumn("rn", row_number().over(wn))
+      .withColumn("n_dups", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fp"), col("n_dups"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Robust outlier detection per event type: median/MAD z-score
+    * (|value − median| > 3 × 1.4826 × MAD), reported as per-group
+    * counts. Two percentile aggregations (median, then median absolute
+    * deviation) — exact here; at extreme scale both swap for
+    * approx_percentile (mergeable sketch) without changing the shape. */
+  private def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = ev.join(med, "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * 3 * 1.4826, 1L).otherwise(0L))
+          .as("n_outliers"),
+        round(max(col("med")), 6).as("med"),
+        round(max(col("mad")), 6).as("mad"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_redact" -> (qRedact(_, _)),
+    "q_tfidf_pairs" -> (qTfidfPairs(_, _)),
+    "q_dedup_best" -> (qDedupBest(_, _)),
+    "q_outliers" -> (qOutliers(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |    text || ' contact: user' || doc_id || '@example.com via 10.0.'
+        |         || (doc_id % 256) || '.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_tfidf_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+        |       WHERE doc_id < 100 GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.tok,
+        |        tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS w
+        |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
+        |         FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(dot / (x.nrm * y.nrm), 6) AS cosine
+        |FROM dots JOIN nrm x ON x.doc_id = da JOIN nrm y ON y.doc_id = db
+        |WHERE dot / (x.nrm * y.nrm) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_best" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    md5(substr(text, 1, 40)) AS fp FROM documents),
+        |r AS (SELECT doc_id, fp, n_chars,
+        |    row_number() OVER (PARTITION BY fp
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY fp) AS n_dups
+        |  FROM d)
+        |SELECT doc_id, fp, n_dups, n_chars FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |        FROM events e JOIN med m ON e.event_type = m.event_type),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN d.dev > a.mad * 3 * 1.4826 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(d.med), 6) AS med, round(max(a.mad), 6) AS mad
+        |FROM dev d JOIN mad a ON d.event_type = a.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Result- and plan-level checks for the QueriesExt6 batch (the DuckDB
+  * hash-match at sf0.01 is the primary gate; these pin the semantics
+  * and the physical shape at sf0.001 so regressions fail fast). */
+class QueriesExt6Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q_redact scrubs every injected email/ip and counts them") {
+    val rows = q("q_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val redacted = r.getAs[String]("redacted")
+      assert(r.getAs[Int]("n_emails") >= 1, "injected email not counted")
+      assert(r.getAs[Int]("n_ips") >= 1, "injected ip not counted")
+      assert(redacted.contains("<EMAIL>") && redacted.contains("<IP>"))
+      assert(!redacted.contains("@example.com"), "email survived redaction")
+    }
+  }
+
+  test("q_redact is map-only: no UDF, single exchange (presentation sort)") {
+    val p = plan(q("q_redact"))
+    assert(!p.contains("ScalaUDF"), "UDF leaked into redaction plan")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
+  }
+
+  test("q_tfidf_pairs: inverted-index join, never a cartesian/nested-loop") {
+    val df = q("q_tfidf_pairs")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+    // the probe-vocab prune is a broadcast semi join
+    assert(p.contains("LeftSemi"), s"probe-vocab semi join missing:\n$p")
+    // cosine is symmetric-bounded
+    val bad = df.filter(col("cosine") > 1.000001 || col("cosine") < 0.3).count()
+    assert(bad == 0, "cosine outside [threshold, 1]")
+  }
+
+  test("q_dedup_best keeps exactly one (longest) doc per fingerprint") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("fp", md5(substring(col("text"), 1, 40)))
+    val nFps = docs.select("fp").distinct().count()
+    val survivors = q("q_dedup_best")
+    assert(survivors.count() == nFps, "one survivor per fingerprint")
+    // the survivor really is the longest member of its group
+    val maxLen = docs.groupBy("fp").agg(max("n_chars").as("max_chars"))
+    val mismatch = survivors.join(maxLen, "fp")
+      .filter(col("n_chars") =!= col("max_chars")).count()
+    assert(mismatch == 0, "survivor is not the longest doc in its group")
+  }
+
+  test("q_dedup_best shares one hash exchange across both windows") {
+    val p = plan(q("q_dedup_best"))
+    val hashEx = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"windows should reuse the fp partitioning:\n$p")
+  }
+
+  test("q_outliers: outliers are a subset and MAD is non-negative") {
+    val rows = q("q_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n"))
+      assert(r.getAs[Double]("mad") >= 0.0)
+    }
+  }
+}
