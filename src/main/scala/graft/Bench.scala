@@ -34,11 +34,19 @@ object Bench {
     picked.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // Per-query MIN over `passes` timed runs: this host has bursty
+    // neighbor contention (identical runs span 39-364 s; BASELINE.md
+    // (c)), and the min is the closest observable to uncontended cost.
+    // duck_bench.py applies the same min-of-N to the DuckDB side, so
+    // the comparison stays engine-fair.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val results = (1 to passes).flatMap { _ =>
+      picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }.groupMapReduce(_._1)(_._2)(math.min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

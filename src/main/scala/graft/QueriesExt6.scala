@@ -152,7 +152,26 @@ object QueriesExt6 {
       .orderBy("l_linestatus")
   }
 
+  /** Deterministic weighted sample (Efraimidis–Spirakis priority
+    * sampling, IPL 2006): each doc gets key u^(1/w) with u a uniform
+    * derived from md5(doc_id) and w = n_chars; the global top-10 keys
+    * are a weighted sample without replacement. Like q_split_sample /
+    * q_stratified, the draw is a pure function of the id — reproducible
+    * across engines, runs, and partitionings — and the top-k is a
+    * TakeOrderedAndProject, never a full sort. */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("double") + 1.0) / 65536.0
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), key.as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("priority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_weighted_sample" -> (qWeightedSample(_, _)),
     "q_redact" -> (qRedact(_, _)),
     "q_tfidf_pairs" -> (qTfidfPairs(_, _)),
     "q_dedup_best" -> (qDedupBest(_, _)),
@@ -160,6 +179,17 @@ object QueriesExt6 {
     "q_bloom_semi" -> (qBloomSemi(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |     (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) + 1)
+        |      / 65536.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  round(pow(u, 1.0 / n_chars), 9) AS priority
+        |FROM b ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 10""".stripMargin,
     "q_bloom_semi" ->
       """SELECT l_linestatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

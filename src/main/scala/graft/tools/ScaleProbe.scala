@@ -121,6 +121,46 @@ object ScaleProbe {
     time("exactCosinePairs 20k vecs (b=32)")(
       Dedup.exactCosinePairs(v10, "vec_id", "embedding", 0.5, blocks = 32)
         .count())
+
+    // Bloom-prefiltered semi-join vs plain semi-join on the sf0.1 fact
+    // table: the result sets are identical (QueriesExt6Spec asserts it);
+    // the probe shows what the prefilter buys/costs at this scale. At
+    // 100 TB the win is the fact-side shuffle carrying ~13% of rows.
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val urgent = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+    time("plain semi-join 600k lineitem")(
+      li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+        .count())
+    time("bloom semi-join 600k lineitem")(
+      graft.ops.Scale.bloomSemiJoin(li, col("l_orderkey"),
+        urgent, col("o_orderkey"), expectedItems = 200000L).count())
+
+    // tf-idf pair scoring: probe set ×5 (100 → 500 docs) over the 10×
+    // corpus — candidate pairs grow ~25×, corpus df work ~10×; the
+    // inverted-index join must stay token-bounded.
+    def tfidfPairs(docs: org.apache.spark.sql.DataFrame,
+        probeLt: Int): Long = {
+      val toks = docs.select(col("doc_id"),
+        explode(expr(
+          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+      val tf = toks.filter(col("doc_id") < probeLt)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfc = toks
+        .join(broadcast(tf.select("tok").distinct()), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count_distinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val w = tf.join(dfc, "tok").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("tok"),
+          (col("tf") * log(col("__n").cast("double") / col("df"))).as("w"))
+      val a = w.toDF("da", "tok", "wa")
+      val b = w.toDF("db", "tok", "wb")
+      a.join(b, Seq("tok")).filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
+        .count()
+    }
+    time("tfidf pairs 5k docs, probe 100")(tfidfPairs(d1, 100))
+    time("tfidf pairs 50k docs, probe 500")(tfidfPairs(d10, 500))
     spark.stop()
   }
 }

@@ -9,6 +9,7 @@ Usage: python3 tools/duck_bench.py <sfDir> <verifyOutDir> [threads]
 (<verifyOutDir> must contain oracle_sql.json from graft.Verify.)
 """
 import json
+import os
 import sys
 import time
 
@@ -33,21 +34,29 @@ def main():
             con.sql(sql).fetchall()
         except Exception as e:
             print(f"WARM-FAIL {name}: {e}")
+    # per-query MIN over `passes` timed runs — same noise treatment as
+    # graft.Bench (bursty neighbor contention; see BASELINE.md (c))
+    passes = int(os.environ.get("DUCK_BENCH_PASSES", "3"))
     times = {}
     failed = []
-    for name, sql in sorted(oracle.items()):
-        t0 = time.time()
-        try:
-            con.sql(sql).fetchall()
-        except Exception as e:
-            # keep the benchmark alive: a single dialect-drifted query
-            # must not discard every other timing
-            failed.append(name)
-            print(f"TIMED-FAIL {name}: {e}", file=sys.stderr)
-            continue
-        times[name] = time.time() - t0
+    for _ in range(passes):
+        for name, sql in sorted(oracle.items()):
+            if name in failed:
+                continue
+            t0 = time.time()
+            try:
+                con.sql(sql).fetchall()
+            except Exception as e:
+                # keep the benchmark alive: a single dialect-drifted query
+                # must not discard every other timing
+                failed.append(name)
+                print(f"TIMED-FAIL {name}: {e}", file=sys.stderr)
+                continue
+            dt = time.time() - t0
+            times[name] = min(times.get(name, dt), dt)
     total = sum(times.values())
     print(json.dumps({"engine": "duckdb", "threads": threads,
+                      "passes": passes,
                       "total_sec": round(total, 3), "failed": failed,
                       "queries": {k: round(v, 4) for k, v in
                                   sorted(times.items(), key=lambda x: -x[1])}}))
