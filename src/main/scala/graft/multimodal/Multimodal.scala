@@ -141,6 +141,62 @@ object Multimodal {
     }(enc)
   }
 
+  /** Batched payload→payload transform (the image-resize shape): a new
+    * binary payload plus updated width/height metadata. */
+  trait MediaResizer extends Serializable {
+    /** Transform a batch of payloads to (payload, width, height).
+      * Order-preserving; null payload → (null, null, null). */
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int)
+        : Seq[(Array[Byte], Integer, Integer)]
+  }
+
+  /** Deterministic fake resizer: truncates/cycles the payload to
+    * exactly w*h bytes — stands in for a real decode→scale→encode
+    * kernel; the metadata contract and batch shape are real. */
+  final class StubResizer extends MediaResizer {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int)
+        : Seq[(Array[Byte], Integer, Integer)] =
+      payloads.map { p =>
+        if (p == null) (null, null, null)
+        else {
+          val out = new Array[Byte](w * h)
+          if (p.nonEmpty) {
+            var i = 0
+            while (i < out.length) { out(i) = p(i % p.length); i += 1 }
+          }
+          (out, Integer.valueOf(w), Integer.valueOf(h))
+        }
+      }
+  }
+
+  /** Rewrite the payload column in place (same name) with resized
+    * bytes, and set the width/height metadata columns to the target
+    * size. Batched per partition like `extractFeatures`: one batch of
+    * bytes resident per task, output payload replaces (never
+    * duplicates) the input payload in the row. */
+  def resize(df: DataFrame, payloadCol: String, w: Int, h: Int,
+      resizer: MediaResizer, batchSize: Int = 64): DataFrame = {
+    require(w > 0 && h > 0, "target dims must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val wIdx = df.schema.fieldIndex("width")
+    val hIdx = df.schema.fieldIndex("height")
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val payloads = batch.map(r =>
+          if (r.isNullAt(pIdx)) null else r.getAs[Array[Byte]](pIdx))
+        val resized = resizer.resizeBatch(payloads, w, h)
+        batch.iterator.zip(resized.iterator).map { case (r, (p2, w2, h2)) =>
+          val vals = r.toSeq.toArray
+          vals(pIdx) = p2
+          vals(wIdx) = w2
+          vals(hIdx) = h2
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }
+    }(enc)
+  }
+
   /** Column-expression variants for payload metadata that don't need a
     * decode kernel at all (cheaper: stays in codegen). */
   def byteLen(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

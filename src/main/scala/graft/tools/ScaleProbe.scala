@@ -25,7 +25,16 @@ object ScaleProbe {
     }
 
     val d1 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    val d10 = spark.read.parquet(args.headOption.getOrElse("/tmp/documents_x10.parquet"))
+    val d10Path = args.headOption.getOrElse("/tmp/documents_x10.parquet")
+    // self-generate the 10× corpus (id-shifted replicas) if absent —
+    // _SUCCESS, not the bare dir, so an interrupted write regenerates
+    if (!new java.io.File(d10Path, "_SUCCESS").exists()) {
+      val n = d1.count()
+      (0 until 10).map(i => d1.withColumn("doc_id", col("doc_id") + lit(i * n)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(d10Path)
+    }
+    val d10 = spark.read.parquet(d10Path)
 
     // warm-up (JIT + codegen)
     Dedup.ngramJaccardPairs(d1.limit(500), "doc_id", "text", 3, 10, 0.1).count()

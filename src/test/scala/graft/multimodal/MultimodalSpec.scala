@@ -60,6 +60,20 @@ class MultimodalSpec extends SparkSpec {
       again("a").map(_.getSeq[Float](out.columns.length - 1)).toSeq)
   }
 
+  test("resize rewrites payload in place and sets width/height metadata") {
+    val out = Multimodal.resize(media, "payload", 8, 2,
+      new Multimodal.StubResizer, batchSize = 2)
+    assert(out.schema == media.schema, "resize must not change the schema")
+    val byId = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("a").getAs[Array[Byte]]("payload").length == 16)
+    assert(byId("a").getAs[Int]("width") == 8 && byId("a").getAs[Int]("height") == 2)
+    // null payload stays null, metadata nulled too
+    assert(byId("c").isNullAt(out.columns.indexOf("payload")))
+    assert(byId("c").isNullAt(out.columns.indexOf("width")))
+    // other columns ride through untouched
+    assert(byId("b").getAs[Long]("duration_ms") == 1200L)
+  }
+
   test("dropBinaryColumns removes payloads unless kept (util.py:357-368)") {
     assert(!Multimodal.dropBinaryColumns(media).columns.contains("payload"))
     assert(Multimodal.dropBinaryColumns(media, keep = Set("payload"))
