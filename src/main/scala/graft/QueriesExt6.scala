@@ -170,7 +170,39 @@ object QueriesExt6 {
       .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("priority"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every word 3-gram in
+    * positional order, slide a window of 4 consecutive hashes, keep
+    * each window's minimum; the distinct kept hashes are the document's
+    * fingerprint set, with the guarantee that any match of length ≥
+    * w+k-1 tokens between two documents shares a fingerprint. Pure
+    * window-min over (doc, pos) — one exchange on doc_id, and the
+    * ROWS-frame min is streaming (no per-row rescan). Docs shorter than
+    * k+w-1 tokens have no full window and drop out (both engines). */
+  private def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    val k = 3; val w = 4
+    val grams = t(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("ng"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+            "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+          .as(Seq("pos", "gram")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc_id"), col("ng"), col("pos"),
+        min(md5(col("gram"))).over(win).as("fp"))
+      .filter(col("pos") <= col("ng") - w)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fps"), min(col("fp")).as("min_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow" -> (qWinnow(_, _)),
     "q_weighted_sample" -> (qWeightedSample(_, _)),
     "q_redact" -> (qRedact(_, _)),
     "q_tfidf_pairs" -> (qTfidfPairs(_, _)),
@@ -179,6 +211,24 @@ object QueriesExt6 {
     "q_bloom_semi" -> (qBloomSemi(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_winnow" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, len(toks) - 2 AS ng,
+        |    generate_subscripts(grams, 1) - 1 AS pos, unnest(grams) AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          list_transform(range(1, len(toks) - 1),
+        |            i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS grams
+        |        FROM b WHERE len(toks) >= 6)),
+        |w AS (SELECT doc_id, ng, pos,
+        |    min(md5(gram)) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT doc_id, count(DISTINCT fp) AS n_fps, min(fp) AS min_fp
+        |FROM w WHERE pos <= ng - 4
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH b AS (SELECT doc_id, n_chars,
         |    ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
