@@ -179,27 +179,12 @@ object QueriesExt6 {
     * window-min over (doc, pos) — one exchange on doc_id, and the
     * ROWS-frame min is streaming (no per-row rescan). Docs shorter than
     * k+w-1 tokens have no full window and drop out (both engines). */
-  private def qWinnow(s: SparkSession, dir: String): DataFrame = {
-    val k = 3; val w = 4
-    val grams = t(s, dir, "documents")
-      .select(col("doc_id"), expr(
-        "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')").as("toks"))
-      .filter(size(col("toks")) >= k + w - 1)
-      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("ng"),
-        posexplode(expr(
-          s"transform(sequence(0, size(toks) - $k), " +
-            "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
-          .as(Seq("pos", "gram")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .select(col("doc_id"), col("ng"), col("pos"),
-        min(md5(col("gram"))).over(win).as("fp"))
-      .filter(col("pos") <= col("ng") - w)
+  private def qWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
       .groupBy("doc_id")
       .agg(countDistinct(col("fp")).as("n_fps"), min(col("fp")).as("min_fp"))
       .orderBy("doc_id")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow" -> (qWinnow(_, _)),

@@ -361,6 +361,37 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("hamming"))
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): hash every word k-gram in positional order,
+    * slide a window of `w` consecutive hashes, keep each window's
+    * minimum; the DISTINCT kept hashes are the document's fingerprint
+    * set. Guarantee: any verbatim match of ≥ w+k−1 tokens between two
+    * documents contributes at least one SHARED fingerprint
+    * (WinnowSpec property-tests it). One exchange on the doc id; the
+    * ROWS-frame min streams, so cost is linear in tokens. Docs shorter
+    * than k+w−1 tokens have no full window and yield no rows. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val gram = (0 until k).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs
+      .select(col(idCol).as("doc_id"), expr(
+        s"filter(split(trim(lower($textCol)), '\\\\s+'), x -> x != '')").as("toks"))
+      .filter(size(col("toks")) >= k + w - 1)
+      .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("ng"),
+        posexplode(expr(
+          s"transform(sequence(0, size(toks) - $k), i -> $gram)"))
+          .as(Seq("pos", "gram")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .select(col("doc_id"), col("ng"), col("pos"),
+        min(md5(col("gram"))).over(win).as("fp"))
+      .filter(col("pos") <= col("ng") - w)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs, LSH-blocked: vectors are
     * bucketed by the sign pattern of `planes` pseudo-random hyperplane
     * projections (deterministic, derived from xxhash64 of (plane, dim)),
