@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains contract is "print ONE JSON line": with the
+// default LoggedOutput strategy sbt prefixes forked stdout with
+// "[info] " and appends a "[success] Total time" line, so the JSON is
+// never the last raw stdout line. StdoutOutput passes the forked
+// process's stdout/stderr straight through, and showSuccess drops the
+// trailing banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
