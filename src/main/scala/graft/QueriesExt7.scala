@@ -34,34 +34,12 @@ object QueriesExt7 {
     d.select(col("doc_id"), expr(
       "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')").as("toks"))
 
-  /** Exact repeated-span statistics over word 8-grams. Every 8-token
-    * window travels to a gram-keyed aggregate that counts DISTINCT
-    * holders; a doc's grams then re-meet that table on the same key to
-    * score how much of the doc is duplicated text elsewhere in the
-    * corpus. The gram text never leaves the map side: grams shuffle as
-    * 8-byte xxhash64 keys, exactly like Dedup.minhashSignatures'
-    * shingles (halves shuffle bytes; measured 2.0 → 1.4 s at sf0.1;
-    * collision odds across g grams ≈ g²/2⁶⁵ — ~10⁻⁹ at a billion
-    * grams — and the sf0.01 oracle gate checks the counts against
-    * DuckDB grouping on the raw gram text). Nothing ever pairs
-    * documents, so — like the shingle pipelines — no stage is O(n²)
-    * in docs. */
-  private def qDupSpans(s: SparkSession, dir: String): DataFrame = {
-    val grams = tokens(t(s, dir, "documents"))
-      .filter(size(col("toks")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 7), i -> xxhash64(array_join(slice(toks, i, 8), ' ')))"))
-        .as("gram"))
-    val holders = grams.groupBy("gram")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    grams.join(holders, "gram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-      .withColumn("dup_frac",
-        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  /** Exact repeated-span statistics over word 8-grams — delegates to
+    * `Dedup.dupSpanStats` (grams shuffle as xxhash64 longs via a
+    * compiled kernel; 2.0 → 1.2 s at sf0.1; see its scaladoc). */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", 8)
       .orderBy("doc_id")
-  }
 
   /** Ordered conversion funnel: per user, the first 'view', the first
     * 'click' AFTER that view, the first 'purchase' AFTER that click —

@@ -121,6 +121,61 @@ object Dedup {
     }(enc)
   }
 
+  /** ALL positional word n-grams of one document (non-distinct, unlike
+    * `shingleIter`): the unit of exact-substring duplication. Docs
+    * shorter than n tokens emit nothing. */
+  private def gramIter(text: String, n: Int): Iterator[String] = {
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Iterator.empty
+    else (0 to toks.length - n).iterator.map { i =>
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = i + 1
+      while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
+      sb.toString
+    }
+  }
+
+  /** Per-document exact repeated-substring statistics over positional
+    * word n-grams (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22 — the per-doc signal behind
+    * exact-substring dedup): how many of a doc's n-grams also occur in
+    * at least one OTHER document.
+    *
+    * Gram text never leaves the map side — grams travel as xxhash64
+    * longs (seed 42, bit-equal to SQL `xxhash64(gram)`, like
+    * `shingleHashRows`). Two gram-keyed exchanges (distinct-holder
+    * count, then the score join); nothing ever pairs documents, so no
+    * stage is O(n²) in docs and work per gram bucket is bounded by that
+    * gram's true frequency. Oracle-gated as `q_dup_spans` (DuckDB
+    * groups on the raw gram text; collision odds ≈ g²/2⁶⁵). */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val in = docs.select(col(idCol).as("doc_id"), col(textCol).cast("string"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields.head.copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val grams = in.flatMap { r =>
+      val id = r.get(0)
+      val text = if (r.isNullAt(1)) "" else r.getString(1)
+      gramIter(text, n).map { s =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            org.apache.spark.sql.types.StringType, 42L)
+        org.apache.spark.sql.Row(id, h)
+      }
+    }(enc)
+    val holders = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    grams.join(holders, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Rare-shingle Jaccard candidate pairs via inverted index.
     *
     * Shingles with document frequency > dfCap are dropped before the

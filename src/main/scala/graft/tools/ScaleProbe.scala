@@ -170,6 +170,30 @@ object ScaleProbe {
     }
     time("tfidf pairs 5k docs, probe 100")(tfidfPairs(d1, 100))
     time("tfidf pairs 50k docs, probe 500")(tfidfPairs(d10, 500))
+
+    // Exact repeated-substring stats (dup spans): gram count grows 10×,
+    // but the 10× corpus also makes EVERY gram a duplicate (each doc has
+    // 9 replicas), so the holder aggregate's distinct-count work grows
+    // 10× while output stays per-doc — the gram-bucket-bounded behavior
+    // that holds at 1000×.
+    time("dupSpanStats 5k docs")(
+      Dedup.dupSpanStats(d1, "doc_id", "text", 8).count())
+    time("dupSpanStats 50k docs")(
+      Dedup.dupSpanStats(d10, "doc_id", "text", 8).count())
+
+    // Corpus reshaping: chunking is map-only (explode of a computed
+    // sequence — should scale ~linearly with docs); packing is one
+    // per-source window cumsum (source cardinality fixed, rows/key ×10).
+    time("chunk 5k docs")(graft.QueriesExt8.chunk(d1, 32, 24).count())
+    time("chunk 50k docs")(graft.QueriesExt8.chunk(d10, 32, 24).count())
+    time("pack 50k docs")(graft.QueriesExt8.pack(d10, 512).count())
+
+    // Winnowing fingerprints: per-doc window-min — one exchange on
+    // doc_id, rows/doc constant, so the decade should be ~linear.
+    time("winnow 5k docs")(
+      Dedup.winnowFingerprints(d1, "doc_id", "text", 3, 4).count())
+    time("winnow 50k docs")(
+      Dedup.winnowFingerprints(d10, "doc_id", "text", 3, 4).count())
     spark.stop()
   }
 }
