@@ -58,17 +58,21 @@ object Cli {
       case "consolidate" :: Nil => cmdConsolidate(spark, args)
       case "count" :: Nil => cmdCount(spark, args)
       case "id-list" :: Nil => cmdIdList(spark, args)
+      case "dedup" :: Nil => cmdDedup(spark, args)
       case other =>
         System.err.println(
           s"""unknown command: ${other.mkString(" ")}
-             |usage: graft <export|import|reembed|consolidate|count|id-list> [--flags]
+             |usage: graft <export|import|reembed|consolidate|count|id-list|dedup> [--flags]
              |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
              |  import      --db mock --db_root DIR --dir VDF_DIR [--index I]
              |              [--id_range LO:HI] [--id_list FILE] [--max_rows N] [--create_new]
              |  reembed     --dir VDF_DIR --index I --model M --text_column C [--quantize int8] [--dims D]
              |  consolidate --dir VDF_DIR --index I [--max_size_gb G]
              |  count       --dir VDF_DIR
-             |  id-list     --dir VDF_DIR --out FILE""".stripMargin)
+             |  id-list     --dir VDF_DIR --out FILE
+             |  dedup       --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash]
+             |              [--id_column doc_id] [--text_column text]
+             |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25]""".stripMargin)
         2
     }
   }
@@ -191,6 +195,41 @@ object Cli {
       .distinct()
     ids.orderBy(idCol).write.mode("overwrite").csv(a.flags("out"))
     println(s"wrote distinct ids to ${a.flags("out")}")
+    0
+  }
+
+  /** Corpus dedup as a tool: exact (content fingerprint, keep min id)
+    * or minhash (LSH candidate pairs → connected-component clusters →
+    * keep min id per cluster — `DupClusters.dedupKeepMin`). Operates on
+    * a plain parquet document table, the shape training pipelines
+    * actually dedup; beyond-parity op (SURVEY §7.5). */
+  private def cmdDedup(spark: SparkSession, a: Args): Int = {
+    val docs = spark.read.parquet(a.flags("in"))
+    val idCol = a.flags.getOrElse("id_column", "doc_id")
+    val textCol = a.flags.getOrElse("text_column", "text")
+    val method = a.flags.getOrElse("method", "exact")
+    val survivors = method match {
+      case "exact" =>
+        val keep = graft.dedup.Dedup
+          .exactGroups(docs, idCol, md5(col(textCol)))
+          .select(col("keep_id").as(idCol))
+        docs.join(keep, Seq(idCol), "left_semi")
+      case "minhash" =>
+        val pairs = graft.dedup.Dedup.minhashLshPairs(docs, idCol, textCol,
+          a.flags.getOrElse("k", "3").toInt,
+          a.flags.getOrElse("sig", "32").toInt,
+          a.flags.getOrElse("bands", "8").toInt,
+          a.flags.getOrElse("threshold", "0.25").toDouble)
+        graft.dedup.DupClusters.dedupKeepMin(docs, idCol, pairs,
+          "doc_a", "doc_b")
+      case other =>
+        System.err.println(s"unknown dedup method: $other")
+        return 2
+    }
+    survivors.write.mode("overwrite").parquet(a.flags("out"))
+    val (n0, n1) = (docs.count(),
+      spark.read.parquet(a.flags("out")).count())
+    println(s"dedup($method): kept $n1 of $n0 rows -> ${a.flags("out")}")
     0
   }
 

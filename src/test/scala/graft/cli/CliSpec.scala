@@ -98,4 +98,25 @@ class CliSpec extends SparkSpec {
     assert(a.positional == List("import"))
     assert(a.flags == Map("db" -> "mock", "create_new" -> "true", "max_rows" -> "5"))
   }
+
+  test("dedup exact keeps one row per identical text; minhash collapses near-dups") {
+    import spark.implicits._
+    val in = tmp() + "/docs"; val outE = tmp() + "/exact"; val outM = tmp() + "/mh"
+    // 3 distinct texts; ids 4,5 duplicate id 1's text verbatim
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (1L, base), (2L, "completely different words live here entirely"),
+      (3L, "a third unrelated document body with its own tokens"),
+      (4L, base), (5L, base))
+      .toDF("doc_id", "text").write.parquet(in)
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", outE)) == 0)
+    val kept = spark.read.parquet(outE).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 2L, 3L)), s"kept ${kept.mkString(",")}")
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", outM,
+      "--method", "minhash", "--threshold", "0.9")) == 0)
+    val keptM = spark.read.parquet(outM).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(keptM.sameElements(Array(1L, 2L, 3L)), s"kept ${keptM.mkString(",")}")
+  }
 }
