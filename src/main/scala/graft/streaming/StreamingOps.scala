@@ -188,4 +188,76 @@ object StreamingOps {
           }
       }
   }
+
+  final case class FunnelEvent(user: String, ts: java.sql.Timestamp,
+      stage: String)
+  final case class FunnelTimes(times: Seq[Seq[Long]])
+  final case class FunnelOut(user: String, stages_reached: Int,
+      stage_ms: Seq[Long])
+
+  /** Streaming ordered funnel (the continuous form of q_funnel): per
+    * user, the earliest chain t₁ < t₂ < … across the named stages,
+    * refined as events arrive IN ANY ORDER across triggers (a late
+    * 'view' may lower t₁ and admit previously-rejected 'click's).
+    *
+    * Correct-under-late-data needs candidate retention: per stage the
+    * state keeps the event times that could still participate, pruned
+    * once the watermark finalizes a prefix of the chain — stage i
+    * collapses to its single chosen time when t₁…tᵢ are all below the
+    * watermark (nothing older can arrive to change them), and stage
+    * i+1 drops candidates ≤ a finalized tᵢ. State is therefore
+    * bounded by the watermark horizon, not the stream, and the op
+    * scales per-user like every other keyed-state op here. Emits one
+    * Update-mode row per active user per trigger. */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String],
+      watermarkDelay: String): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val k = stages.size
+    val idx = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("stage").isin(stages: _*))
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[FunnelTimes, FunnelOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: String, rows: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
+          val prev = state.getOption.map(_.times.map(_.toList))
+            .getOrElse(Seq.fill(k)(List.empty[Long]))
+          val fresh = rows.toSeq.groupBy(e => idx(e.stage))
+          var times: Seq[List[Long]] = prev.zipWithIndex.map { case (l, i) =>
+            (l ++ fresh.getOrElse(i, Nil).map(_.ts.getTime)).sorted.distinct
+          }
+          // earliest chain over the retained candidates
+          val chosen = Array.fill(k)(-1L)
+          var lo = Long.MinValue
+          var i = 0
+          var ok = true
+          while (i < k && ok) {
+            times(i).find(_ > lo) match {
+              case Some(t) => chosen(i) = t; lo = t
+              case None => ok = false
+            }
+            i += 1
+          }
+          // watermark-bounded pruning: a prefix of the chain is FINAL
+          // once every link sits below the watermark (nothing older can
+          // arrive to lower an earlier link and re-qualify candidates)
+          val wm = state.getCurrentWatermarkMs()
+          val finalized = Array.fill(k)(false)
+          var pfx = true
+          for (j <- 0 until k) {
+            pfx = pfx && chosen(j) >= 0 && chosen(j) <= wm
+            finalized(j) = pfx
+          }
+          times = times.zipWithIndex.map { case (l, j) =>
+            if (finalized(j)) List(chosen(j)) // single survivor
+            else if (j > 0 && finalized(j - 1))
+              l.filter(_ > chosen(j - 1)) // dead candidates can't qualify
+            else l
+          }
+          state.update(FunnelTimes(times))
+          Iterator.single(FunnelOut(user, chosen.count(_ >= 0),
+            chosen.toSeq))
+      }
+  }
 }

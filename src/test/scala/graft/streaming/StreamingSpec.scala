@@ -258,4 +258,41 @@ class StreamingSpec extends SparkSpec {
     val rest = StreamingOps.unexported(all, done, "id").collect().map(_.getString(0))
     assert(rest.sorted.toSeq == (4 to 10).map(_.toString).sorted)
   }
+
+  test("funnelStream: late middle-stage event refines the chain across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val out = StreamingOps.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"), "10 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel_s")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      def ev(u: String, ts: java.sql.Timestamp, s: String) =
+        StreamingOps.FunnelEvent(u, ts, s)
+      // trigger 1: view + purchase only — chain stops at stage 1
+      // (purchase can't qualify without a click before it)
+      input.addData(ev("u1", t(1, 0), "view"), ev("u1", t(1, 30), "purchase"),
+        ev("u2", t(1, 5), "view"))
+      q.processAllAvailable()
+      val r1 = spark.table("funnel_s").filter(col("user") === "u1")
+        .orderBy(col("stages_reached").desc).head()
+      assert(r1.getAs[Int]("stages_reached") == 1, s"got $r1")
+      // trigger 2: the click arrives late (between view and purchase) —
+      // the retained purchase candidate now qualifies: full chain
+      input.addData(ev("u1", t(1, 15), "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_s").filter(col("user") === "u1").collect()
+      val best = rows.map(_.getAs[Int]("stages_reached")).max
+      assert(best == 3, s"late click did not complete funnel: ${rows.mkString(";")}")
+      val chain = rows.filter(_.getAs[Int]("stages_reached") == 3).head
+        .getAs[scala.collection.Seq[Long]]("stage_ms")
+      assert(chain(0) < chain(1) && chain(1) < chain(2), s"chain not ordered: $chain")
+      // u2 never clicked: still stage 1
+      val u2 = spark.table("funnel_s").filter(col("user") === "u2")
+        .collect().map(_.getAs[Int]("stages_reached")).max
+      assert(u2 == 1)
+    } finally q.stop()
+  }
 }
