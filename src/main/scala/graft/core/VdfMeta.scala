@@ -112,6 +112,15 @@ object VdfMeta {
   def exists(dir: String): Boolean = Files.exists(Paths.get(dir, FileName))
 }
 
+/** Typed row at the connector boundary (SURVEY §1.1): the canonical
+  * `(id, vector, metadata…)` point (`export_vdf/vdb_export_cls.py:68-84`)
+  * with the open-world metadata flattened into a string map. The
+  * untyped DataFrame stays the working currency — this is for the
+  * typed paths where a case-class Encoder pays (connector upserts,
+  * property tests, user-facing Dataset APIs). */
+final case class VdfPoint(id: String, vector: Array[Float],
+    meta: Map[String, String])
+
 /** Engine constants (reference `constants.py:1-4`). */
 object Constants {
   val IdColumn = "id"

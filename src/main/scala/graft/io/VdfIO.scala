@@ -37,6 +37,35 @@ object VdfIO {
       .option("pathGlobFilter", "*.parquet")
       .parquet(Paths.get(dir, ns.data_path).toString)
 
+  /** Typed view of a point table (SURVEY §1.1): id cast to string,
+    * the vector column as float array, every other column stringified
+    * into the open-world meta map (null values preserved as null map
+    * entries). The inverse of `fromPoints` for the given meta keys. */
+  def toPoints(df: DataFrame, idCol: String = Constants.IdColumn,
+      vectorCol: String = "vector"): org.apache.spark.sql.Dataset[graft.core.VdfPoint] = {
+    import df.sparkSession.implicits._
+    val metaCols = df.columns.filter(c => c != idCol && c != vectorCol).sorted
+    val metaMap =
+      if (metaCols.isEmpty) map().cast("map<string,string>")
+      else map(metaCols.flatMap(c =>
+        Seq(lit(c), col(c).cast("string"))): _*)
+    df.select(
+      col(idCol).cast("string").as("id"),
+      col(vectorCol).cast("array<float>").as("vector"),
+      metaMap.as("meta"))
+      .as[graft.core.VdfPoint]
+  }
+
+  /** Back to the columnar shape: one column per requested meta key
+    * (strings — the typed boundary is stringly for metadata, like the
+    * reference's dict-of-str rows). */
+  def fromPoints(ds: org.apache.spark.sql.Dataset[graft.core.VdfPoint],
+      metaKeys: Seq[String], idCol: String = Constants.IdColumn,
+      vectorCol: String = "vector"): DataFrame =
+    ds.select(
+      (col("id").as(idCol) +: col("vector").as(vectorCol) +:
+        metaKeys.map(k => col("meta").getItem(k).as(k))): _*)
+
   /** Read the whole dataset: (index, namespace) → DataFrame. */
   def readVdf(spark: SparkSession, dir: String): Map[(String, String), DataFrame] = {
     val meta = readMeta(dir)

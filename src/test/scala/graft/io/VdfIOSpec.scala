@@ -114,4 +114,25 @@ class VdfIOSpec extends SparkSpec {
     assert(back.columns.toSet == Set("id", "vector", "title", "extra"))
     assert(newMeta.file_structure.exists(_.contains("idx1")))
   }
+
+  test("toPoints/fromPoints typed round trip (open-world meta as string map)") {
+    val df = points(10)
+      .withColumn("views", col("id").cast("long") * 7)
+      .withColumn("flag", col("id").cast("long") % 2 === 0)
+      .withColumn("title", when(col("id") === "3", null).otherwise(col("title")))
+    val ds = VdfIO.toPoints(df, "id", "vector")
+    val pts = ds.collect().sortBy(_.id)
+    assert(pts.length == 10)
+    val p0 = pts.find(_.id == "0").get
+    assert(p0.vector.toSeq == Seq(0f, 1f, 2f, 3f))
+    assert(p0.meta("title") == "title-0" && p0.meta("views") == "0" &&
+      p0.meta("flag") == "true")
+    // null metadata survives as a null map value
+    assert(pts.find(_.id == "3").get.meta("title") == null)
+    // inverse restores the columnar shape (stringly, as at the boundary)
+    val back = VdfIO.fromPoints(ds, Seq("title", "views", "flag"))
+    assert(back.columns.toSeq == Seq("id", "vector", "title", "views", "flag"))
+    assert(back.count() == 10)
+    assert(back.filter(col("id") === "4").head().getAs[String]("views") == "28")
+  }
 }
