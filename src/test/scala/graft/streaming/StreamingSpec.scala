@@ -295,4 +295,41 @@ class StreamingSpec extends SparkSpec {
       assert(u2 == 1)
     } finally q.stop()
   }
+
+  test("funnelStream reproduces batch q_funnel stage counts (single batch)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("string").as("user"),
+        // ns → µs: Timestamp's full precision, so strict-inequality
+        // chains agree with the ns-grain batch query unless two events
+        // fall in the same microsecond (none do in this corpus)
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"),
+        col("event_type").as("stage"))
+      .as[StreamingOps.FunnelEvent]
+      .collect().toSeq
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"), "1 minute")
+      .writeStream.format("memory").queryName("funnel_eq")
+      .outputMode("update").start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      // latest emission per user (one trigger → one row per active user)
+      val perUser = spark.table("funnel_eq")
+        .groupBy("user").agg(max("stages_reached").as("r"))
+      val got = (
+        perUser.filter(col("r") >= 1).count(),
+        perUser.filter(col("r") >= 2).count(),
+        perUser.filter(col("r") >= 3).count())
+      val batch = graft.SparkEntry.queries("q_funnel")(spark, dir).head()
+      val want = (batch.getAs[Long]("n_view"),
+        batch.getAs[Long]("n_view_click"),
+        batch.getAs[Long]("n_view_click_purchase"))
+      assert(got == want, s"stream $got != batch $want")
+    } finally q.stop()
+  }
 }
