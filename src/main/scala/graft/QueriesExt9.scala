@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 continuation batch 3: dataset-versioning operators —
+  *
+  *  - q_corpus_diff: snapshot diff between two corpus versions (the
+  *                   dataset-curation loop's "what changed" step):
+  *                   one full-outer join on id + fingerprint compare,
+  *                   classifying added / removed / changed / same
+  *  - q_merge_cdc:   CDC MERGE — apply a changes table (upserts +
+  *                   tombstone deletes) onto a base table, the
+  *                   lakehouse MERGE INTO semantics as one full-outer
+  *                   join; survivors = coalesce(change, base) minus
+  *                   deletes
+  *
+  * Both derive the second input deterministically from the corpus (the
+  * gate needs identical inputs in both engines); the operators read any
+  * two tables in production.
+  */
+object QueriesExt9 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** v2 := drop every 7th doc, rewrite every 5th, add 50 fresh ids —
+    * the deterministic "next snapshot" both engines construct. */
+  private def v2(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(
+        docs.orderBy("doc_id").limit(50)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+
+  /** Snapshot diff: classify every id across two versions with ONE
+    * full-outer join on the id, comparing content fingerprints (never
+    * the full text — at 100 TB the fingerprint column is what moves
+    * through the shuffle). Emits per-status counts. */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val a = docs.select(col("doc_id"), md5(col("text")).as("fp_a"))
+    val b = v2(docs).select(col("doc_id"), md5(col("text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(when(col("fp_a").isNull, "added")
+        .when(col("fp_b").isNull, "removed")
+        .when(col("fp_a") =!= col("fp_b"), "changed")
+        .otherwise("same").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** Changes table: upserts for every 10th doc (rewritten text), a
+    * tombstone for every 11th, inserts for 30 fresh ids. */
+  private def changes(docs: DataFrame): DataFrame = {
+    val upserts = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), concat(lit("updated "), col("text")).as("text"),
+        lit(false).as("deleted"))
+    val deletes = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      .select(col("doc_id"), lit(null).cast("string").as("text"),
+        lit(true).as("deleted"))
+    val inserts = docs.orderBy("doc_id").limit(30)
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(lit("inserted "), col("text")).as("text"),
+        lit(false).as("deleted"))
+    // a doc can be both %10 and %11 (e.g. 110): tombstone wins, like
+    // a MERGE whose WHEN MATCHED DELETE clause fires first
+    upserts.join(deletes.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(deletes).unionByName(inserts)
+  }
+
+  /** MERGE INTO semantics as one full-outer join: matched+tombstone →
+    * drop, matched+upsert → change row wins, unmatched change →
+    * insert, unmatched base → keep. Emits survivor-set statistics
+    * (count + content hash groups) so the gate checks the whole merged
+    * state, not a sample. */
+  private def qMergeCdc(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val ch = changes(t(s, dir, "documents"))
+    val merged = base.select(col("doc_id"), col("text").as("base_text"))
+      .join(ch, Seq("doc_id"), "full_outer")
+      .filter(col("deleted").isNull || !col("deleted"))
+      .select(col("doc_id"),
+        coalesce(col("text"), col("base_text")).as("text"))
+    merged.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum(when(col("text").startsWith("updated "), 1L).otherwise(0L)).as("n_updated"),
+      sum(when(col("text").startsWith("inserted "), 1L).otherwise(0L)).as("n_inserted"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_diff" -> (qCorpusDiff(_, _)),
+    "q_merge_cdc" -> (qMergeCdc(_, _)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL BY NAME
+        |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+        |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)),
+        |a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+        |b AS (SELECT doc_id, md5(text) AS fp_b FROM v2),
+        |d AS (SELECT CASE WHEN fp_a IS NULL THEN 'added'
+        |                  WHEN fp_b IS NULL THEN 'removed'
+        |                  WHEN fp_a <> fp_b THEN 'changed'
+        |                  ELSE 'same' END AS status
+        |      FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT status, count(*) AS n FROM d GROUP BY status ORDER BY status""".stripMargin,
+    "q_merge_cdc" ->
+      """WITH up AS (SELECT doc_id, 'updated ' || text AS text, false AS deleted
+        |            FROM documents WHERE doc_id % 10 = 0 AND doc_id % 11 <> 0),
+        |del AS (SELECT doc_id, NULL::VARCHAR AS text, true AS deleted
+        |        FROM documents WHERE doc_id % 11 = 0),
+        |ins AS (SELECT doc_id + 2000000 AS doc_id, 'inserted ' || text AS text,
+        |          false AS deleted
+        |        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)),
+        |ch AS (SELECT * FROM up UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+        |m AS (SELECT coalesce(ch.doc_id, b.doc_id) AS doc_id,
+        |        coalesce(ch.text, b.text) AS text, ch.deleted
+        |      FROM documents b FULL OUTER JOIN ch ON b.doc_id = ch.doc_id
+        |      )
+        |SELECT count(*) AS n_rows, count(DISTINCT doc_id) AS n_ids,
+        |  CAST(sum(CASE WHEN text LIKE 'updated %' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(sum(CASE WHEN text LIKE 'inserted %' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM m WHERE deleted IS NULL OR NOT deleted""".stripMargin)
+}
