@@ -138,6 +138,46 @@ object Ivf {
     cents.zipWithIndex.map { case (cv, i) => i -> cv }.toSeq
   }
 
+  /** Materialize the index at rest: list-partitioned parquet, one
+    * directory per coarse list. This is the layout the scaladoc's
+    * 100 TB story depends on — probes become partition pruning, so a
+    * search touches nprobe/nlist of the bytes no matter how large the
+    * corpus grows. */
+  def writeIndex(index: IvfIndex, path: String): Unit =
+    index.assigned.write.mode("overwrite")
+      .partitionBy("list_id").parquet(path)
+
+  /** Re-open a materialized index (centroids are the driver-sized
+    * artifact the caller persists alongside — e.g. in the VDF manifest
+    * `index_config`). */
+  def readIndex(spark: SparkSession, path: String,
+      centroids: Seq[(Int, Array[Float])], idCol: String,
+      vecCol: String): IvfIndex =
+    IvfIndex(centroids, spark.read.parquet(path), idCol, vecCol)
+
+  /** Single-vector search over a materialized index with a STATIC
+    * probe filter: centroid ranking runs on the driver (the centroid
+    * table is KB-sized by construction), and the chosen lists become
+    * `list_id IN (...)` — on a `writeIndex` layout that is partition
+    * pruning at the file listing, visible as PartitionFilters in the
+    * scan (IvfSpec asserts it). The DataFrame-of-queries `search`
+    * below keeps the broadcast-join form (dynamic pruning at scale). */
+  def searchVector(index: IvfIndex, q: Array[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = index.centroids.map { case (i, c) =>
+      var dot = 0.0; var nrm = 0.0; var j = 0
+      while (j < c.length) { dot += q(j).toDouble * c(j); nrm += c(j).toDouble * c(j); j += 1 }
+      (i, -dot / math.sqrt(nrm))
+    }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
+    index.assigned
+      .filter(col("list_id").isin(probed: _*))
+      .withColumn("sim", graft.functions.VectorFunctions
+        .cosineSimilarity(lit(q), col(index.vecCol)))
+      .orderBy(col("sim").desc, col(index.idCol))
+      .limit(k)
+      .select(col(index.idCol), col("sim"), col("list_id"))
+  }
+
   /** Top-k cosine neighbors per query, scanning only the `nprobe`
     * nearest lists. queries: (q_id, q_vec). */
   def search(index: IvfIndex, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {

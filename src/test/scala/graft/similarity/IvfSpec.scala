@@ -57,6 +57,28 @@ class IvfSpec extends SparkSpec {
     assert(onDisk.columns.toSet == index.assigned.columns.toSet)
   }
 
+  test("writeIndex → readIndex → searchVector: static probe prunes partitions, matches in-memory result") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Ivf.writeIndex(index, dir)
+    val reopened = Ivf.readIndex(spark, dir, index.centroids, "vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val onDisk = Ivf.searchVector(reopened, q, k = 5, nprobe = 1)
+    // the nprobe list choice became a PARTITION filter on the scan
+    val scan = onDisk.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty && scan.get.partitionFilters.nonEmpty,
+      onDisk.queryExecution.executedPlan.toString)
+    // and the result is identical to probing the in-memory assignment
+    val mem = Ivf.searchVector(index, q, k = 5, nprobe = 1)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+    assert(key(onDisk) == key(mem))
+    // all 5 neighbors come from the probed (own) cluster: ids ≡ 0 mod 3
+    assert(onDisk.collect().forall(_.getLong(0) % 3 == 0))
+  }
+
   test("search with nprobe=1 stays inside the query's own cluster") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") === 0) // cluster 0
