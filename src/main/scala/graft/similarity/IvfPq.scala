@@ -45,6 +45,25 @@ object IvfPq {
       idCol, vecCol)
   }
 
+  /** Materialize at rest: the PQ-encoded table partitioned by coarse
+    * list — codes are the only payload that has to travel at search
+    * time, and a probe's `list_id` choice prunes whole directories
+    * (same layout story as `Ivf.writeIndex`, with PQ's ~d·4/m
+    * compression on top). The wide raw-vector column is dropped: the
+    * index is codes + id, the corpus stays the source of truth. */
+  def writeIndex(index: IvfPqIndex, path: String): Unit =
+    index.encoded.select(col(index.idCol), col("codes"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Re-open a materialized index (centroids + codebooks are the
+    * driver-sized artifacts persisted alongside). */
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Seq[(Int, Array[Float])],
+      codebooks: Array[Array[Array[Float]]], dsub: Int, idCol: String,
+      vecCol: String): IvfPqIndex =
+    IvfPqIndex(centroids, codebooks, dsub, spark.read.parquet(path),
+      idCol, vecCol)
+
   /** Top-k per query: rank centroids (broadcast), keep `nprobe` lists,
     * ADC-score only candidates in those lists. Returns
     * (q_id, idCol, adc) — smaller adc = closer (squared L2 to the

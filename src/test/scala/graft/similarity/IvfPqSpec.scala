@@ -39,6 +39,28 @@ class IvfPqSpec extends SparkSpec {
     assert(ivfpq == full)
   }
 
+  test("writeIndex → readIndex → search: codes-only layout, partition-pruned, same results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    IvfPq.writeIndex(index, dir)
+    val reopened = IvfPq.readIndex(spark, dir, index.centroids,
+      index.codebooks, index.dsub, "vec_id", "embedding")
+    // the raw vector column is NOT stored — codes are the index payload
+    assert(reopened.encoded.columns.toSet == Set("vec_id", "codes", "list_id"))
+    val q = vecs.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val onDisk = IvfPq.search(reopened, q, k = 5, nprobe = 1)
+    // the at-rest layout is one directory per coarse list (what a
+    // probe's list_id filter prunes; pruning mechanics are asserted on
+    // the static-filter path in IvfSpec)
+    val listDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+    assert(listDirs.length == 4, listDirs.mkString(","))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(onDisk) == key(IvfPq.search(index, q, k = 5, nprobe = 1)))
+  }
+
   test("search with nprobe=1 stays inside the query's cluster") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") === 1) // cluster 1
