@@ -95,11 +95,39 @@ object QueriesExt9 {
       sum(when(col("text").startsWith("inserted "), 1L).otherwise(0L)).as("n_inserted"))
   }
 
+  /** Per-label elementwise vector statistics through the typed
+    * Aggregator (`VectorAggregates.ElementwiseStats`): vectors never
+    * posexplode — each group carries ONE buffer of three double arrays
+    * through the exchange, the d× row amplification of q_vec_minmax's
+    * formulation disappears. The tiny (label × dim) result explodes
+    * only AFTER aggregation, for presentation. */
+  private def qVecStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(graft.functions.VectorAggregates.elementwiseStats(col("embedding")).as("st"))
+      .select(col("label"), col("st.n").as("n"),
+        posexplode(expr("arrays_zip(st.min, st.max, st.sum)")).as(Seq("dim", "z")))
+      .select(col("label"), col("dim"),
+        round(col("z.min"), 6).as("vmin"),
+        round(col("z.max"), 6).as("vmax"),
+        round(col("z.sum") / col("n"), 6).as("vmean"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_diff" -> (qCorpusDiff(_, _)),
-    "q_merge_cdc" -> (qMergeCdc(_, _)))
+    "q_merge_cdc" -> (qMergeCdc(_, _)),
+    "q_vec_stats" -> (qVecStats(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_vec_stats" ->
+      """SELECT label, i - 1 AS dim,
+        |  round(CAST(min(e) AS DOUBLE), 6) AS vmin,
+        |  round(CAST(max(e) AS DOUBLE), 6) AS vmax,
+        |  round(sum(CAST(e AS DOUBLE)) / count(*), 6) AS vmean
+        |FROM (SELECT label, UNNEST(embedding) AS e,
+        |        generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q_corpus_diff" ->
       """WITH v2 AS (
         |  SELECT doc_id,
