@@ -71,7 +71,7 @@ object QueriesExt6 {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr(
-          "transform(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''), x -> xxhash64(x))")).as("tok"))
+          s"transform(${QueriesCommon.toksSql}, x -> xxhash64(x))")).as("tok"))
     val tf = toks.filter(col("doc_id") < 100)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = toks

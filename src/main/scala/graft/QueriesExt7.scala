@@ -30,9 +30,7 @@ object QueriesExt7 {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  private def tokens(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), expr(
-      "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')").as("toks"))
+  private def tokens(d: DataFrame): DataFrame = QueriesCommon.tokens(d)
 
   /** Exact repeated-span statistics over word 8-grams — delegates to
     * `Dedup.dupSpanStats` (grams shuffle as xxhash64 longs via a

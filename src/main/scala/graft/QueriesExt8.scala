@@ -24,9 +24,7 @@ object QueriesExt8 {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  private def tokens(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), expr(
-      "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')").as("toks"))
+  private def tokens(d: DataFrame): DataFrame = QueriesCommon.tokens(d)
 
   /** Overlapping fixed-size chunks: a window of `size` tokens starts at
     * every `stride` position while the start is inside the doc; trailing
@@ -51,7 +49,7 @@ object QueriesExt8 {
     * (bin = floor(exclusive-cumsum / budget)); reports per-bin
     * occupancy. One per-source window cumsum + one aggregate. */
   def pack(docs: DataFrame, budget: Int = 512): DataFrame = {
-    val n = expr("size(filter(split(trim(lower(text)), '\\\\s+'), x -> x != ''))")
+    val n = size(QueriesCommon.toksExpr)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("source"), col("doc_id"), n.as("n_toks"))

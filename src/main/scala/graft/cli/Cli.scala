@@ -204,6 +204,18 @@ object Cli {
     * a plain parquet document table, the shape training pipelines
     * actually dedup; beyond-parity op (SURVEY §7.5). */
   private def cmdDedup(spark: SparkSession, a: Args): Int = {
+    // mode(overwrite) deletes --out before the lazy survivors plan has
+    // read --in; writing onto (or under/over) the input would destroy
+    // the corpus mid-read. Refuse in-place invocations outright.
+    val inP = java.nio.file.Paths.get(a.flags("in")).toAbsolutePath.normalize
+    val outP = java.nio.file.Paths.get(a.flags("out")).toAbsolutePath.normalize
+    if (outP == inP || outP.startsWith(inP) || inP.startsWith(outP)) {
+      System.err.println(
+        s"dedup: --out ($outP) overlaps --in ($inP); write to a fresh " +
+          "directory and swap afterwards (in-place overwrite would " +
+          "delete the input while the job is still reading it)")
+      return 2
+    }
     val docs = spark.read.parquet(a.flags("in"))
     val idCol = a.flags.getOrElse("id_column", "doc_id")
     val textCol = a.flags.getOrElse("text_column", "text")

@@ -43,31 +43,37 @@ object Dedup {
     docs.groupBy(fp.as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Exploded (doc_id, shingle) rows via a per-partition kernel.
-    *
-    * Semantically identical to `explode(TF.wordShingles(text, k))`
-    * (distinct word k-shingles of the lowercased text; short docs
-    * yield the whole text as one shingle), but ~100× cheaper: the
-    * nested higher-order-function expression evaluates interpreted
-    * (~0.8 ms/doc measured at sf0.1), while this flatMap is plain
-    * compiled Scala. This is the one hot path where SURVEY §2.10's
-    * "mapPartitions as a last resort" is warranted — the kernel is
-    * still fully distributed and streams row-by-row. */
-  /** Distinct word k-shingles of one document — the ONE tokenization/
-    * sliding-window implementation both kernel variants share, so the
-    * string and hashed paths can never drift (lowercased, whitespace
-    * tokens; short docs yield the whole text as one shingle). */
+  /** THE tokenization every kernel in this file shares (and the Scala
+    * twin of the SQL `filter(split(trim(lower(text)), '\s+'), ...)`
+    * the oracle queries use) — one definition so the string, hashed,
+    * and positional-gram paths can never drift. */
+  private def wordTokens(text: String): Array[String] =
+    text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** The k-token window starting at `i`, joined with single spaces. */
+  private def windowAt(toks: Array[String], i: Int, k: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(i))
+    var j = i + 1
+    while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
+    sb.toString
+  }
+
+  /** Distinct word k-shingles of one document; short docs yield the
+    * whole text as one shingle. Used inside the per-partition kernels
+    * below — semantically identical to `explode(TF.wordShingles)` but
+    * ~100× cheaper (nested higher-order-function expressions evaluate
+    * interpreted, ~0.8 ms/doc measured at sf0.1, while this flatMap is
+    * plain compiled Scala). This is the one hot path where SURVEY
+    * §2.10's "mapPartitions as a last resort" is warranted — the
+    * kernel stays fully distributed and streams row-by-row. */
   private def shingleIter(text: String, k: Int): Iterator[String] = {
-    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val toks = wordTokens(text)
     if (toks.length < k) Iterator.single(toks.mkString(" "))
     else {
       val seen = new scala.collection.mutable.LinkedHashSet[String]
       var i = 0
       while (i + k <= toks.length) {
-        val sb = new java.lang.StringBuilder(toks(i))
-        var j = i + 1
-        while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
-        seen += sb.toString
+        seen += windowAt(toks, i, k)
         i += 1
       }
       seen.iterator
@@ -122,17 +128,13 @@ object Dedup {
   }
 
   /** ALL positional word n-grams of one document (non-distinct, unlike
-    * `shingleIter`): the unit of exact-substring duplication. Docs
-    * shorter than n tokens emit nothing. */
+    * `shingleIter`; same `wordTokens`/`windowAt` building blocks): the
+    * unit of exact-substring duplication. Docs shorter than n tokens
+    * emit nothing. */
   private def gramIter(text: String, n: Int): Iterator[String] = {
-    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val toks = wordTokens(text)
     if (toks.length < n) Iterator.empty
-    else (0 to toks.length - n).iterator.map { i =>
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = i + 1
-      while (j < i + n) { sb.append(' ').append(toks(j)); j += 1 }
-      sb.toString
-    }
+    else (0 to toks.length - n).iterator.map(windowAt(toks, _, n))
   }
 
   /** Per-document exact repeated-substring statistics over positional

@@ -197,18 +197,27 @@ object StreamingOps {
 
   /** Streaming ordered funnel (the continuous form of q_funnel): per
     * user, the earliest chain t₁ < t₂ < … across the named stages,
-    * refined as events arrive IN ANY ORDER across triggers (a late
-    * 'view' may lower t₁ and admit previously-rejected 'click's).
+    * refined as events arrive IN ANY ORDER across triggers within the
+    * watermark horizon (a late 'view' may lower t₁ and admit
+    * previously-rejected 'click's).
     *
     * Correct-under-late-data needs candidate retention: per stage the
-    * state keeps the event times that could still participate, pruned
-    * once the watermark finalizes a prefix of the chain — stage i
-    * collapses to its single chosen time when t₁…tᵢ are all below the
-    * watermark (nothing older can arrive to change them), and stage
-    * i+1 drops candidates ≤ a finalized tᵢ. State is therefore
-    * bounded by the watermark horizon, not the stream, and the op
-    * scales per-user like every other keyed-state op here. Emits one
-    * Update-mode row per active user per trigger. */
+    * state keeps the event times that could still participate. Pruning
+    * rests on the premise that rows older than the watermark never
+    * reach the function — Spark enforces that for
+    * flatMapGroupsWithState ONLY under EventTimeTimeout (with
+    * NoTimeout, late rows are delivered), hence the timeout mode here
+    * even though no per-key timeout is registered. Given that premise:
+    *  - a chain prefix is FINAL once every link is strictly below the
+    *    watermark (nothing can arrive to lower an earlier link), and
+    *    collapses to its single chosen time;
+    *  - candidates ≤ a finalized predecessor can never qualify: drop;
+    *  - if stage j−1 has NO candidates, every future j−1 event arrives
+    *    ≥ wm, so stage-j candidates ≤ wm can never follow one: drop
+    *    (this bounds state for stalled funnels — users who entered
+    *    mid-funnel and may never produce the first stage).
+    * State per key is therefore bounded by the watermark horizon.
+    * Emits one Update-mode row per active user per trigger. */
   def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String],
       watermarkDelay: String): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
@@ -219,7 +228,7 @@ object StreamingOps {
       .filter(col("stage").isin(stages: _*))
       .groupByKey(_.user)
       .flatMapGroupsWithState[FunnelTimes, FunnelOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (user: String, rows: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
           val prev = state.getOption.map(_.times.map(_.toList))
             .getOrElse(Seq.fill(k)(List.empty[Long]))
@@ -239,20 +248,22 @@ object StreamingOps {
             }
             i += 1
           }
-          // watermark-bounded pruning: a prefix of the chain is FINAL
-          // once every link sits below the watermark (nothing older can
-          // arrive to lower an earlier link and re-qualify candidates)
           val wm = state.getCurrentWatermarkMs()
           val finalized = Array.fill(k)(false)
           var pfx = true
           for (j <- 0 until k) {
-            pfx = pfx && chosen(j) >= 0 && chosen(j) <= wm
+            // strict < wm: immune to either boundary convention for
+            // Spark's late-row filter
+            pfx = pfx && chosen(j) >= 0 && chosen(j) < wm
             finalized(j) = pfx
           }
+          val before = times
           times = times.zipWithIndex.map { case (l, j) =>
             if (finalized(j)) List(chosen(j)) // single survivor
             else if (j > 0 && finalized(j - 1))
               l.filter(_ > chosen(j - 1)) // dead candidates can't qualify
+            else if (j > 0 && before(j - 1).isEmpty)
+              l.filter(_ > wm) // stalled prefix: predecessor can only arrive ≥ wm
             else l
           }
           state.update(FunnelTimes(times))

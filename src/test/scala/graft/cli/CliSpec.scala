@@ -99,6 +99,16 @@ class CliSpec extends SparkSpec {
     assert(a.flags == Map("db" -> "mock", "create_new" -> "true", "max_rows" -> "5"))
   }
 
+  test("dedup refuses --out equal to or inside --in (would destroy input)") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    Seq((1L, "some text")).toDF("doc_id", "text").write.parquet(in)
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", in)) == 2)
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", s"$in/out")) == 2)
+    // input untouched
+    assert(spark.read.parquet(in).count() == 1)
+  }
+
   test("dedup exact keeps one row per identical text; minhash collapses near-dups") {
     import spark.implicits._
     val in = tmp() + "/docs"; val outE = tmp() + "/exact"; val outM = tmp() + "/mh"

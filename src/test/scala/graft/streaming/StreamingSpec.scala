@@ -263,8 +263,11 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[StreamingOps.FunnelEvent]
+    // 1-hour lateness horizon: the out-of-order click below arrives
+    // within it (events under the watermark are dropped — see the
+    // EventTimeTimeout premise test)
     val out = StreamingOps.funnelStream(input.toDS(),
-      Seq("view", "click", "purchase"), "10 minutes")
+      Seq("view", "click", "purchase"), "1 hour")
     val q = out.writeStream.format("memory").queryName("funnel_s")
       .outputMode("update").start()
     try {
@@ -296,6 +299,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream drops events below the watermark (EventTimeTimeout premise)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"), "10 minutes")
+      .writeStream.format("memory").queryName("funnel_wm")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      def ev(u: String, ts: java.sql.Timestamp, s: String) =
+        StreamingOps.FunnelEvent(u, ts, s)
+      // u3 reaches stage 2; a 9:00 event pushes the watermark to 8:50
+      input.addData(ev("u3", t(1, 0), "view"), ev("u3", t(2, 0), "click"),
+        ev("u9", t(9, 0), "view"))
+      q.processAllAvailable()
+      // this purchase (3:00) is far below the 8:50 watermark: the
+      // pruning contract requires Spark to DROP it, so u3 must stay at
+      // stage 2 — if late rows leaked through (NoTimeout behavior),
+      // u3 would reach 3 and pruned state could give wrong chains
+      input.addData(ev("u3", t(3, 0), "purchase"))
+      q.processAllAvailable()
+      val u3 = spark.table("funnel_wm").filter(col("user") === "u3")
+        .collect().map(_.getAs[Int]("stages_reached")).max
+      assert(u3 == 2, s"sub-watermark event was not dropped (got stage $u3)")
+    } finally q.stop()
+  }
+
   test("funnelStream reproduces batch q_funnel stage counts (single batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -303,10 +334,12 @@ class StreamingSpec extends SparkSpec {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val evs = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id").cast("string").as("user"),
-        // ns → µs: Timestamp's full precision, so strict-inequality
-        // chains agree with the ns-grain batch query unless two events
-        // fall in the same microsecond (none do in this corpus)
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("ts"),
+        // ns → µs via INTEGER division (`div`): Column./ is double
+        // division and epoch-ns longs exceed 2^53, so a float path
+        // could shift an event by a microsecond; strict-inequality
+        // chains then agree with the ns-grain batch query unless two
+        // events share a microsecond (none do in this corpus)
+        timestamp_micros(expr("ts div 1000")).as("ts"),
         col("event_type").as("stage"))
       .as[StreamingOps.FunnelEvent]
       .collect().toSeq
