@@ -299,6 +299,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream candidate state survives a checkpointed restart") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-fun-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fun-ckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-fun-out").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def writeBatch(rows: (String, java.sql.Timestamp, String)*): Unit =
+      rows.toSeq.toDF("user", "ts", "stage").coalesce(1)
+        .write.mode("append").parquet(inDir)
+    def startQuery() = {
+      val in = spark.readStream
+        .schema("user STRING, ts TIMESTAMP, stage STRING").parquet(inDir)
+        .as[StreamingOps.FunnelEvent]
+      // Update-mode flatMapGroupsWithState can't feed the append-only
+      // file sink directly; foreachBatch bridges it
+      StreamingOps.funnelStream(in, Seq("view", "click", "purchase"), "1 hour")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.FunnelOut], _: Long) =>
+          df.write.mode("append").parquet(outDir); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+    }
+    // batch 1: view + a RETAINED purchase candidate (no click yet)
+    writeBatch(("u1", ts("2026-01-01 10:00:00"), "view"),
+      ("u1", ts("2026-01-01 10:30:00"), "purchase"))
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // batch 2 lands while the query is DOWN; the restart must recover
+    // the purchase candidate from the checkpoint for the late click to
+    // complete the chain
+    writeBatch(("u1", ts("2026-01-01 10:15:00"), "click"))
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val best = spark.read.parquet(outDir)
+      .filter(col("user") === "u1")
+      .agg(max("stages_reached")).head().getInt(0)
+    assert(best == 3, "restart lost the retained purchase candidate")
+  }
+
   test("funnelStream drops events below the watermark (EventTimeTimeout premise)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
