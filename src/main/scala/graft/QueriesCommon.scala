@@ -10,7 +10,10 @@ object QueriesCommon {
     * '\s+')`-with-empty-guard construction (and of
     * `Dedup.wordTokens`). Single-sourced so a tokenization change
     * can't silently diverge one query from its oracle. */
-  val toksSql: String = "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
+  def toksSqlFor(textCol: String): String =
+    s"filter(split(trim(lower($textCol)), '\\\\s+'), x -> x != '')"
+
+  val toksSql: String = toksSqlFor("text")
 
   def toksExpr: Column = expr(toksSql)
 

@@ -205,8 +205,7 @@ object QueriesExt3 {
   private def qVocab(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr(
-          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+        explode(expr(QueriesCommon.toksSql)).as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col("doc_id")).as("doc_freq"))
@@ -222,8 +221,7 @@ object QueriesExt3 {
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr(
-          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+        explode(expr(QueriesCommon.toksSql)).as("tok"))
     val tf = toks.filter(col("doc_id") < 10)
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     // The inner join on tok discards every corpus token absent from the

@@ -207,8 +207,29 @@ object Cli {
     // mode(overwrite) deletes --out before the lazy survivors plan has
     // read --in; writing onto (or under/over) the input would destroy
     // the corpus mid-read. Refuse in-place invocations outright.
-    val inP = java.nio.file.Paths.get(a.flags("in")).toAbsolutePath.normalize
-    val outP = java.nio.file.Paths.get(a.flags("out")).toAbsolutePath.normalize
+    // Syntactic compare alone is bypassable (file:// URIs parse as
+    // weird relative paths; symlinked aliases normalize differently),
+    // so URI schemes are rejected and links resolved via the deepest
+    // existing ancestor's real path.
+    if (Seq("in", "out").exists(f => a.flags(f).matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))) {
+      System.err.println(
+        "dedup: --in/--out must be plain local paths (no URI scheme)")
+      return 2
+    }
+    def real(s: String): java.nio.file.Path = {
+      var p = java.nio.file.Paths.get(s).toAbsolutePath.normalize
+      var tail = List.empty[String]
+      while (p != null && !java.nio.file.Files.exists(p)) {
+        tail = p.getFileName.toString :: tail
+        p = p.getParent
+      }
+      val base = if (p == null)
+        java.nio.file.Paths.get(s).toAbsolutePath.normalize
+      else p.toRealPath()
+      tail.foldLeft(base)(_.resolve(_))
+    }
+    val inP = real(a.flags("in"))
+    val outP = real(a.flags("out"))
     if (outP == inP || outP.startsWith(inP) || inP.startsWith(outP)) {
       System.err.println(
         s"dedup: --out ($outP) overlaps --in ($inP); write to a fresh " +

@@ -432,8 +432,8 @@ object Dedup {
     require(k >= 1 && w >= 1, "k and w must be positive")
     val gram = (0 until k).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
     val grams = docs
-      .select(col(idCol).as("doc_id"), expr(
-        s"filter(split(trim(lower($textCol)), '\\\\s+'), x -> x != '')").as("toks"))
+      .select(col(idCol).as("doc_id"),
+        expr(graft.QueriesCommon.toksSqlFor(textCol)).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
       .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("ng"),
         posexplode(expr(

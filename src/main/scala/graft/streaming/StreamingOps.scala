@@ -211,15 +211,21 @@ object StreamingOps {
     *  - a chain prefix is FINAL once every link is strictly below the
     *    watermark (nothing can arrive to lower an earlier link), and
     *    collapses to its single chosen time;
-    *  - candidates ≤ a finalized predecessor can never qualify: drop;
-    *  - if stage j−1 has NO candidates, every future j−1 event arrives
-    *    ≥ wm, so stage-j candidates ≤ wm can never follow one: drop
-    *    (this bounds state for stalled funnels — users who entered
-    *    mid-funnel and may never produce the first stage).
-    * State per key is therefore bounded by the watermark horizon.
-    * Emits one Update-mode row per active user per trigger. */
+    *  - each stage keeps a FLOOR — a provable lower bound on its
+    *    eventual chain time given current candidates and the fact that
+    *    future events arrive ≥ wm — and stage-j candidates at or below
+    *    stage j−1's floor can never follow any achievable predecessor:
+    *    drop. (This subsumes both "predecessor finalized" and "stalled
+    *    prefix, e.g. mid-funnel bots with no first stage", including
+    *    stages two or more past an empty one.)
+    * State per key is therefore bounded by the watermark horizon. The
+    * KEY COUNT still grows with distinct users — lifetime funnels
+    * retain one small entry per user, like any per-user aggregate;
+    * pass `evictAfterMs` to forget keys idle past that horizon (their
+    * funnel restarts from scratch if they reappear). Emits one
+    * Update-mode row per active user per trigger. */
   def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String],
-      watermarkDelay: String): Dataset[FunnelOut] = {
+      watermarkDelay: String, evictAfterMs: Option[Long] = None): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     val k = stages.size
     val idx = stages.zipWithIndex.toMap
@@ -230,6 +236,11 @@ object StreamingOps {
       .flatMapGroupsWithState[FunnelTimes, FunnelOut](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         (user: String, rows: Iterator[FunnelEvent], state: GroupState[FunnelTimes]) =>
+          if (state.hasTimedOut) {
+            // idle past the eviction horizon: forget the key
+            state.remove()
+            Iterator.empty
+          } else {
           val prev = state.getOption.map(_.times.map(_.toList))
             .getOrElse(Seq.fill(k)(List.empty[Long]))
           val fresh = rows.toSeq.groupBy(e => idx(e.stage))
@@ -257,18 +268,38 @@ object StreamingOps {
             pfx = pfx && chosen(j) >= 0 && chosen(j) < wm
             finalized(j) = pfx
           }
-          val before = times
+          // floors(j): no achievable chain can have t_j below this.
+          // candMin = best current candidate continuing the floor chain;
+          // futureMin = best a not-yet-arrived event could do (≥ wm and
+          // after the predecessor floor). Monotone by construction.
+          val floors = new Array[Long](k)
+          var prevFloor = Long.MinValue
+          for (j <- 0 until k) {
+            val futureMin = math.max(wm, prevFloor)
+            val f = times(j).find(_ > prevFloor) match {
+              case Some(c) => math.min(c, futureMin)
+              case None => futureMin
+            }
+            floors(j) = f
+            prevFloor = f
+          }
           times = times.zipWithIndex.map { case (l, j) =>
             if (finalized(j)) List(chosen(j)) // single survivor
-            else if (j > 0 && finalized(j - 1))
-              l.filter(_ > chosen(j - 1)) // dead candidates can't qualify
-            else if (j > 0 && before(j - 1).isEmpty)
-              l.filter(_ > wm) // stalled prefix: predecessor can only arrive ≥ wm
+            else if (j > 0) l.filter(_ > floors(j - 1)) // provably-dead candidates
             else l
           }
           state.update(FunnelTimes(times))
+          evictAfterMs.foreach { ms =>
+            // anchor idleness to the key's own latest event (the
+            // watermark is 0 on the first trigger); timeouts fire on
+            // the first trigger after the watermark passes this
+            val base = fresh.valuesIterator.flatten
+              .map(_.ts.getTime).foldLeft(wm)(math.max)
+            if (base > 0) state.setTimeoutTimestamp(base + ms)
+          }
           Iterator.single(FunnelOut(user, chosen.count(_ >= 0),
             chosen.toSeq))
+          }
       }
   }
 }

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.QueriesCommon
 import graft.dedup.Dedup
 
 /** Scale-sanity probe: times the near-dup pipelines at 1× and 10× the
@@ -151,8 +152,7 @@ object ScaleProbe {
     def tfidfPairs(docs: org.apache.spark.sql.DataFrame,
         probeLt: Int): Long = {
       val toks = docs.select(col("doc_id"),
-        explode(expr(
-          "filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')")).as("tok"))
+        explode(expr(QueriesCommon.toksSql)).as("tok"))
       val tf = toks.filter(col("doc_id") < probeLt)
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       val dfc = toks

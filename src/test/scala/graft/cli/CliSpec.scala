@@ -105,6 +105,13 @@ class CliSpec extends SparkSpec {
     Seq((1L, "some text")).toDF("doc_id", "text").write.parquet(in)
     assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", in)) == 2)
     assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", s"$in/out")) == 2)
+    // URI-scheme forms would dodge a purely syntactic compare
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", s"file://$in")) == 2)
+    // a symlinked alias of the input resolves to the same real path
+    val link = tmp() + "/link"
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(link), java.nio.file.Paths.get(in))
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", link)) == 2)
     // input untouched
     assert(spark.read.parquet(in).count() == 1)
   }

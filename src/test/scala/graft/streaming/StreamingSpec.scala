@@ -367,6 +367,67 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: floor pruning never drops live candidates (mid-funnel entry)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"), "10 minutes")
+      .writeStream.format("memory").queryName("funnel_bot")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      def ev(u: String, ts: java.sql.Timestamp, s: String) =
+        StreamingOps.FunnelEvent(u, ts, s)
+      // bot enters mid-funnel: clicks/purchases with NO view; wm → 4:50
+      input.addData(ev("b1", t(1, 0), "click"), ev("b1", t(1, 30), "purchase"),
+        ev("b1", t(5, 0), "click"))
+      q.processAllAvailable()
+      // a view arrives (≥ wm); chain must complete with the RETAINED
+      // post-wm click and a fresh purchase — pruning may only have
+      // dropped candidates that were provably dead
+      input.addData(ev("b1", t(4, 55), "view"), ev("b1", t(5, 10), "purchase"))
+      q.processAllAvailable()
+      val best = spark.table("funnel_bot").filter(col("user") === "b1")
+        .collect().map(_.getAs[Int]("stages_reached")).max
+      assert(best == 3, s"live candidate was wrongly pruned (got $best)")
+    } finally q.stop()
+  }
+
+  test("funnelStream evicts idle keys past evictAfterMs; fresh events restart the funnel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingOps.FunnelEvent]
+    val q = StreamingOps.funnelStream(input.toDS(),
+      Seq("view", "click", "purchase"), "10 minutes",
+      evictAfterMs = Some(60 * 60 * 1000L))
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("update").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      def ev(u: String, ts: java.sql.Timestamp, s: String) =
+        StreamingOps.FunnelEvent(u, ts, s)
+      input.addData(ev("u1", t(1, 0), "view"), ev("u1", t(1, 5), "click"))
+      q.processAllAvailable() // u1 at stage 2; wm ≈ 0:55
+      // push the watermark far past wm + evictAfter (0:55 + 1h)
+      input.addData(ev("zz", t(9, 0), "view"))
+      q.processAllAvailable()
+      input.addData(ev("zz", t(12, 0), "view"))
+      q.processAllAvailable() // u1's timeout fires; state removed
+      // u1 returns: the funnel restarts from scratch — a purchase with
+      // no remembered view/click reaches stage 0
+      input.addData(ev("u1", t(12, 5), "purchase"))
+      q.processAllAvailable()
+      val stages = spark.table("funnel_evict").filter(col("user") === "u1")
+        .collect().map(_.getAs[Int]("stages_reached")).toSet
+      assert(stages.contains(2), "pre-eviction progress missing")
+      // with state evicted, the lone purchase restarts at stage 0;
+      // had the view/click survived, it would have completed stage 3
+      assert(stages.contains(0) && !stages.contains(3),
+        s"state survived eviction: $stages")
+    } finally q.stop()
+  }
+
   test("funnelStream reproduces batch q_funnel stage counts (single batch)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
