@@ -113,12 +113,35 @@ object QueriesExt9 {
         round(col("z.sum") / col("n"), 6).as("vmean"))
       .orderBy("label", "dim")
 
+  /** Cross-source overlap matrix: for every ordered source pair, how
+    * many distinct content fingerprints they share (diagonal = each
+    * source's own distinct-content count) — the "is one source a
+    * re-crawl of another" curation analytic. One fingerprint-keyed
+    * self-join over the DISTINCT (source, fp) projection: at 100 TB
+    * the joined relation is #distinct-contents × #holding-sources,
+    * already deduplicated, and the matrix output is |sources|². */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val fps = t(s, dir, "documents")
+      .select(col("source"), md5(col("text")).as("fp")).distinct()
+    fps.toDF("src_a", "fp")
+      .join(fps.toDF("src_b", "fp"), "fp")
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_diff" -> (qCorpusDiff(_, _)),
     "q_merge_cdc" -> (qMergeCdc(_, _)),
-    "q_vec_stats" -> (qVecStats(_, _)))
+    "q_vec_stats" -> (qVecStats(_, _)),
+    "q_source_overlap" -> (qSourceOverlap(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_overlap" ->
+      """WITH fps AS (SELECT DISTINCT source, md5(text) AS fp FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.fp = b.fp
+        |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin,
     "q_vec_stats" ->
       """SELECT label, i - 1 AS dim,
         |  round(CAST(min(e) AS DOUBLE), 6) AS vmin,
