@@ -204,6 +204,14 @@ object Cli {
     * a plain parquet document table, the shape training pipelines
     * actually dedup; beyond-parity op (SURVEY §7.5). */
   private def cmdDedup(spark: SparkSession, a: Args): Int = {
+    val missing = Seq("in", "out").filterNot(a.flags.contains)
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"dedup: missing required ${missing.map("--" + _).mkString(", ")} " +
+          "(usage: dedup --in PARQUET_DIR --out PARQUET_DIR " +
+          "[--method exact|minhash])")
+      return 2
+    }
     // mode(overwrite) deletes --out before the lazy survivors plan has
     // read --in; writing onto (or under/over) the input would destroy
     // the corpus mid-read. Refuse in-place invocations outright.

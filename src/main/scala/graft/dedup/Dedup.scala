@@ -168,14 +168,21 @@ object Dedup {
         org.apache.spark.sql.Row(id, h)
       }
     }(enc)
-    val holders = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-    grams.join(holders, "h")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
-      .withColumn("dup_frac",
-        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+    // pre-aggregate to (doc_id, h, c) once and cache it: it feeds BOTH
+    // the distinct-holder count and the score join, and without the
+    // cache the gram kernel (the dominant cost) would run twice per
+    // action — same move as minhashLshPairs' signature cache.
+    val perDoc = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+    withCached(perDoc) {
+      val holders = perDoc.groupBy("h")
+        .agg(count(lit(1)).as("nd")) // rows are distinct (doc, h) pairs
+      perDoc.join(holders, "h")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"))
+        .withColumn("dup_frac",
+          round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+    }
   }
 
   /** Rare-shingle Jaccard candidate pairs via inverted index.

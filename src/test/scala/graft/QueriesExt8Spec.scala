@@ -67,8 +67,10 @@ class QueriesExt8Spec extends SparkSpec {
   test("pack: per-source window => no exchange besides source hash + final sort") {
     val p = q("q_pack").queryExecution.executedPlan.toString
     val nExch = "Exchange hashpartitioning".r.findAllIn(p).length
-    // one for the window partition, one for the groupBy (AQE may reuse),
-    // plus the presentation range-sort
+    // exactly ONE hash exchange: the window's source partitioning also
+    // satisfies the (source, bin) groupBy (source ⊂ keys); the only
+    // other exchange is the presentation range-sort
+    assert(nExch == 1, s"expected one hash exchange, got $nExch:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"global serial pack leaked into plan:\n$p")
   }
