@@ -97,4 +97,34 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("dupSpanStats matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    // small vocab so cross-doc gram collisions actually happen
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val corpus = Gen.chooseNum(2, 8).flatMap(n => Gen.listOfN(n, doc))
+    forAll(corpus, 8) { docs =>
+      val n = 3 // 3-grams keep tiny docs in play
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.dedup.Dedup.dupSpanStats(df, "doc_id", "text", n)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // brute force in plain Scala over the same tokenization
+      def grams(t: String): Seq[String] = {
+        val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.length < n) Seq.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      }
+      val all = docs.zipWithIndex.map { case (t, i) => i.toLong -> grams(t) }
+      val holders = all.flatMap { case (id, gs) => gs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      val want = all.filter(_._2.nonEmpty).map { case (id, gs) =>
+        id -> (gs.size.toLong, gs.count(g => holders(g) >= 2).toLong)
+      }.toMap
+      assert(got == want, s"docs=$docs got=$got want=$want")
+    }
+  }
 }
