@@ -24,18 +24,18 @@ import graft.functions.{TextFunctions => TF}
   */
 object Dedup {
 
-  /** Run `body` with `cached` persisted, materialize the (small) result
-    * eagerly with a local checkpoint, then release the cached
-    * intermediates. Near-dup candidate sets are orders of magnitude
-    * smaller than the corpus, so checkpointing the output while freeing
-    * the shingle/signature tables is the right storage trade at scale —
-    * and repeated calls in a long-lived session no longer accumulate
-    * cached blocks. */
-  private def withCached(cached: DataFrame*)(body: => DataFrame): DataFrame = {
-    cached.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    try body.localCheckpoint(true)
-    finally cached.foreach(_.unpersist(false))
-  }
+  /** Cut lineage and persist `df` lazily at the RDD level
+    * (`localCheckpoint(false)`, the same move `exactCosinePairs` makes):
+    * blocks are written when the first action computes the plan, every
+    * later scan of the same DataFrame in that plan reads the blocks
+    * instead of re-running the shingle/signature kernel, and the
+    * ContextCleaner frees them once the plan is unreachable. Unlike the
+    * DataFrame-level persist + eager-checkpoint this replaces, there is
+    * no CacheManager entry to leak and no extra blocking
+    * materialization job per call (which double-paid a full job at
+    * local scale — the round-3 q_minhash_lsh/q_ngram_jaccard
+    * regression). */
+  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
   /** Exact dedup: group by content fingerprint; keep the smallest id
     * (deterministic winner), count members. */
@@ -172,17 +172,16 @@ object Dedup {
     // the distinct-holder count and the score join, and without the
     // cache the gram kernel (the dominant cost) would run twice per
     // action — same move as minhashLshPairs' signature cache.
-    val perDoc = grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-    withCached(perDoc) {
-      val holders = perDoc.groupBy("h")
-        .agg(count(lit(1)).as("nd")) // rows are distinct (doc, h) pairs
-      perDoc.join(holders, "h")
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_grams"),
-          sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"))
-        .withColumn("dup_frac",
-          round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
-    }
+    val perDoc = materialized(
+      grams.groupBy("doc_id", "h").agg(count(lit(1)).as("c")))
+    val holders = perDoc.groupBy("h")
+      .agg(count(lit(1)).as("nd")) // rows are distinct (doc, h) pairs
+    perDoc.join(holders, "h")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_grams"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
   /** Rare-shingle Jaccard candidate pairs via inverted index.
@@ -198,31 +197,29 @@ object Dedup {
     // the shingle kernel runs once over the corpus. Shingles travel as
     // 64-bit hashes (shingleHashRows): identity-only downstream, so
     // every shuffle row is 8 bytes instead of the k-gram text.
-    val sh = shingleHashRows(docs, idCol, textCol, k)
+    val sh = materialized(shingleHashRows(docs, idCol, textCol, k))
     val df = sh.groupBy("h").agg(count(lit(1)).as("c"))
-    val kept = sh.join(df.filter(col("c") <= dfCap), "h")
-      .select("doc_id", "h")
-    withCached(sh, kept) {
-      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = kept.toDF("da", "h")
-      val b = kept.toDF("db", "h")
-      // Shuffled-hash beats sort-merge for the inverted-index self-join
-      // (measured 2.3 s → 1.8 s at sf0.1): both sides are identically
-      // partitioned narrow rows, so hashing one side skips two sorts.
-      // Safe HERE because the df-cap bounds every bucket (<= dfCap
-      // rows per shingle) and shuffle.partitions is sized with the
-      // data; the uncapped band/bucket joins below deliberately stay
-      // sort-merge for spill robustness.
-      val inter = a.join(b.hint("shuffle_hash"), Seq("h"))
-        .filter(col("da") < col("db"))
-        .groupBy("da", "db").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.toDF("da", "na"), "da")
-        .join(sizes.toDF("db", "nb"), "db")
-        .select(col("da").as("doc_a"), col("db").as("doc_b"),
-          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jac"))
-        .filter(col("jac") >= threshold)
-    }
+    val kept = materialized(
+      sh.join(df.filter(col("c") <= dfCap), "h").select("doc_id", "h"))
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = kept.toDF("da", "h")
+    val b = kept.toDF("db", "h")
+    // Shuffled-hash beats sort-merge for the inverted-index self-join
+    // (measured 2.3 s → 1.8 s at sf0.1): both sides are identically
+    // partitioned narrow rows, so hashing one side skips two sorts.
+    // Safe HERE because the df-cap bounds every bucket (<= dfCap
+    // rows per shingle) and shuffle.partitions is sized with the
+    // data; the uncapped band/bucket joins below deliberately stay
+    // sort-merge for spill robustness.
+    val inter = a.join(b.hint("shuffle_hash"), Seq("h"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.toDF("da", "na"), "da")
+      .join(sizes.toDF("db", "nb"), "db")
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jac"))
+      .filter(col("jac") >= threshold)
   }
 
   /** MinHash signatures: (id, sig array<long>) from word shingles.
@@ -259,26 +256,25 @@ object Dedup {
     // and without a cache both join sides and every exploded band row
     // would recompute it. At cluster scale this is the stage you'd
     // checkpoint to storage; in-memory cache is the local analog.
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleK, sigLen)
-    withCached(sigs) {
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(TF.lshBandKeys(col("sig"), bands, rows)).as("bk"))
-        .select(col("doc_id"), col("sig"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      val a = banded.toDF("da", "siga", "band", "key")
-      val b = banded.toDF("db", "sigb", "band", "key")
-      // deliberately NOT shuffle_hash: band-bucket sizes are uncapped
-      // (boilerplate-heavy corpora put thousands of docs in one key),
-      // and sort-merge spills where a hash build side would OOM
-      a.join(b, Seq("band", "key"))
-        .filter(col("da") < col("db"))
-        .select(col("da"), col("db"),
-          (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
-            bool => bool)).cast("double") / lit(sigLen)).as("est_jaccard"))
-        .distinct()
-        .filter(col("est_jaccard") >= estThreshold)
-        .select(col("da").as("doc_a"), col("db").as("doc_b"), col("est_jaccard"))
-    }
+    val sigs = materialized(
+      minhashSignatures(docs, idCol, textCol, shingleK, sigLen))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(TF.lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("da", "siga", "band", "key")
+    val b = banded.toDF("db", "sigb", "band", "key")
+    // deliberately NOT shuffle_hash: band-bucket sizes are uncapped
+    // (boilerplate-heavy corpora put thousands of docs in one key),
+    // and sort-merge spills where a hash build side would OOM
+    a.join(b, Seq("band", "key"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          bool => bool)).cast("double") / lit(sigLen)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("est_jaccard"))
   }
 
   /** Benchmark-contamination check: corpus documents sharing at least
