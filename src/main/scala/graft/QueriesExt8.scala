@@ -46,15 +46,18 @@ object QueriesExt8 {
 
   /** Token-budget packing: per source, docs in doc_id order are
     * assigned to the bin holding their cumulative token start
-    * (bin = floor(exclusive-cumsum / budget)); reports per-bin
-    * occupancy. One per-source window cumsum + one aggregate. */
+    * (bin = exclusive-cumsum div budget, pure long arithmetic — a
+    * double division before the floor would go inexact past 2⁵³
+    * cumulative tokens, exactly the regime a 100 TB corpus reaches);
+    * reports per-bin occupancy. One per-source window cumsum + one
+    * aggregate. */
   def pack(docs: DataFrame, budget: Int = 512): DataFrame = {
     val n = size(QueriesCommon.toksExpr)
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("source"), col("doc_id"), n.as("n_toks"))
-      .withColumn("bin",
-        floor((sum(col("n_toks")).over(w) - col("n_toks")) / budget))
+      .withColumn("cum_start", sum(col("n_toks")).over(w) - col("n_toks"))
+      .withColumn("bin", expr(s"cum_start div $budget"))
       .groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
   }
@@ -85,9 +88,9 @@ object QueriesExt8 {
         |         ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END AS n_toks
         |  FROM documents),
         |c AS (SELECT source, doc_id, n_toks,
-        |    CAST(floor((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |    CAST(((sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
-        |      / 512) AS BIGINT) AS bin
+        |      // 512) AS BIGINT) AS bin
         |  FROM n)
         |SELECT source, bin, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens

@@ -26,6 +26,15 @@ object QueriesExt9 {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Fresh-id offset = max(doc_id)+1, as a broadcast one-row relation:
+    * synthesized ids can never collide with real ones at ANY scale
+    * factor (a fixed constant would collide once the corpus passes
+    * that many docs, silently degrading 'added'/insert semantics even
+    * though both engines would still agree). The oracle SQL computes
+    * the same offset with a scalar subquery. */
+  private def idOff(docs: DataFrame): DataFrame =
+    broadcast(docs.agg((max(col("doc_id")) + 1L).as("id_off")))
+
   /** v2 := drop every 7th doc, rewrite every 5th, add 50 fresh ids —
     * the deterministic "next snapshot" both engines construct. */
   private def v2(docs: DataFrame): DataFrame =
@@ -35,7 +44,8 @@ object QueriesExt9 {
           .otherwise(col("text")))
       .unionByName(
         docs.orderBy("doc_id").limit(50)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .crossJoin(idOff(docs))
+          .select((col("doc_id") + col("id_off")).as("doc_id"),
           concat(lit("new "), col("text")).as("text"),
           col("lang"), col("source"), col("n_chars")))
 
@@ -66,7 +76,8 @@ object QueriesExt9 {
       .select(col("doc_id"), lit(null).cast("string").as("text"),
         lit(true).as("deleted"))
     val inserts = docs.orderBy("doc_id").limit(30)
-      .select((col("doc_id") + 2000000).as("doc_id"),
+      .crossJoin(idOff(docs))
+      .select((col("doc_id") + col("id_off")).as("doc_id"),
         concat(lit("inserted "), col("text")).as("text"),
         lit(false).as("deleted"))
     // a doc can be both %10 and %11 (e.g. 110): tombstone wins, like
@@ -157,7 +168,8 @@ object QueriesExt9 {
         |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
         |  FROM documents WHERE doc_id % 7 <> 0
         |  UNION ALL BY NAME
-        |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    'new ' || text AS text
         |  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)),
         |a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
         |b AS (SELECT doc_id, md5(text) AS fp_b FROM v2),
@@ -172,8 +184,8 @@ object QueriesExt9 {
         |            FROM documents WHERE doc_id % 10 = 0 AND doc_id % 11 <> 0),
         |del AS (SELECT doc_id, NULL::VARCHAR AS text, true AS deleted
         |        FROM documents WHERE doc_id % 11 = 0),
-        |ins AS (SELECT doc_id + 2000000 AS doc_id, 'inserted ' || text AS text,
-        |          false AS deleted
+        |ins AS (SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |          'inserted ' || text AS text, false AS deleted
         |        FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 30)),
         |ch AS (SELECT * FROM up UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
         |m AS (SELECT coalesce(ch.doc_id, b.doc_id) AS doc_id,

@@ -224,17 +224,32 @@ object Cli {
         "dedup: --in/--out must be plain local paths (no URI scheme)")
       return 2
     }
+    // Component-wise walk, resolving each existing segment to its real
+    // (symlink-free) path BEFORE applying a later '..': a textual
+    // normalize collapses 'link/../x' to the link's PARENT while the
+    // filesystem resolves it under the link's TARGET, so normalizing
+    // first would let an overlapping --out slip past the guard.
+    // Nonexistent tail segments append textually ('..' on them is safe:
+    // a path that does not exist cannot be a symlink).
     def real(s: String): java.nio.file.Path = {
-      var p = java.nio.file.Paths.get(s).toAbsolutePath.normalize
-      var tail = List.empty[String]
-      while (p != null && !java.nio.file.Files.exists(p)) {
-        tail = p.getFileName.toString :: tail
-        p = p.getParent
+      import java.nio.file.{Files, LinkOption, Paths}
+      val abs = Paths.get(s).toAbsolutePath
+      var p = abs.getRoot
+      val it = abs.iterator()
+      while (it.hasNext) {
+        it.next().toString match {
+          case "" | "." => ()
+          case ".." => p = Option(p.getParent).getOrElse(p)
+          case name =>
+            val cand = p.resolve(name)
+            p =
+              if (Files.exists(cand, LinkOption.NOFOLLOW_LINKS))
+                try cand.toRealPath()
+                catch { case _: java.io.IOException => cand }
+              else cand
+        }
       }
-      val base = if (p == null)
-        java.nio.file.Paths.get(s).toAbsolutePath.normalize
-      else p.toRealPath()
-      tail.foldLeft(base)(_.resolve(_))
+      p
     }
     val inP = real(a.flags("in"))
     val outP = real(a.flags("out"))

@@ -167,7 +167,12 @@ object Ivf {
     val probed = index.centroids.map { case (i, c) =>
       var dot = 0.0; var nrm = 0.0; var j = 0
       while (j < c.length) { dot += q(j).toDouble * c(j); nrm += c(j).toDouble * c(j); j += 1 }
-      (i, -dot / math.sqrt(nrm))
+      // zero-norm centroid: cosine distance is undefined — rank it
+      // LAST explicitly (+∞) rather than let 0/0's NaN sort there by
+      // accident of Ordering[Double]; the DataFrame `search` below
+      // agrees via asc_nulls_last (Spark's divide yields null on a 0
+      // divisor).
+      (i, if (nrm == 0.0) Double.PositiveInfinity else -dot / math.sqrt(nrm))
     }.sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
     index.assigned
       .filter(col("list_id").isin(probed: _*))
@@ -185,8 +190,12 @@ object Ivf {
     import spark.implicits._
     val cents = index.centroids.toDF("list_id", "centroid")
     // per-query centroid ranking — queries × nlist rows, centroid side broadcast
+    // asc_nulls_last: a zero-norm centroid's cdist is null (0 divisor)
+    // and must rank after every real distance, matching searchVector's
+    // explicit +∞ — default asc would rank nulls FIRST and waste a
+    // probe on a degenerate list.
     val probeW = Window.partitionBy("q_id")
-      .orderBy(col("cdist").asc, col("list_id"))
+      .orderBy(col("cdist").asc_nulls_last, col("list_id"))
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("cdist",
         -GraftExtensions.dot(col("q_vec"), col("centroid")) /
