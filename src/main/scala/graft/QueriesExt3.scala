@@ -71,13 +71,28 @@ object QueriesExt3 {
     * (`plans.AsofJoinNative`: custom LogicalPlan + Strategy +
     * streaming merge SparkPlan) — oracle-checked against the identical
     * DuckDB ASOF JOIN, so the custom physical operator itself sits
-    * behind the correctness gate. */
+    * behind the correctness gate.
+    *
+    * The rollup is written partitioning-aware: `repartition(custkey)`
+    * BEFORE the groupBy puts the aggregation on the same hash
+    * partitioning the as-of's right side requires, so the rollup and
+    * the merge share ONE exchange (EnsureRequirements inserts none for
+    * the right child — AsofJoinNativeSpec asserts it). This is the
+    * native node's structural advantage: it declares its clustering
+    * requirement, so upstream partitioning is reusable; the
+    * union+window form must re-shuffle the union whatever the inputs'
+    * layout. Trade: the shuffle carries raw order rows instead of the
+    * (custkey, day) rollup — map-side combine is given up for one
+    * fewer exchange, the right call when the rollup ratio is modest
+    * (~10:1 here) and the right answer either way at 100 TB only if
+    * the as-of's key partitioning is reused, as it is here. */
   private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
       date_from_unix_date(
         expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
         .as("event_date"))
     val orders = t(s, dir, "orders")
+      .repartition(col("o_custkey"))
       .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
       .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
     graft.plans.AsofJoinNative.asof(events, orders,

@@ -19,21 +19,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * its real requirements — children clustered on the key and sorted by
   * (key, time) — so the planner co-partitions both sides and the merge
   * itself is a streaming one-pass per partition holding ONE buffered
-  * right row. No union row-blowup, no window frame state, and
-  * downstream operators see `outputOrdering`/`outputPartitioning`
-  * preserved (a following groupBy on the key plans without another
-  * exchange — the window formulation can't promise that).
+  * right row. No union row-blowup, no window frame state, and both
+  * directions of partitioning reuse work: upstream, a child already
+  * hash-partitioned on its key (e.g. `repartition(key)` feeding a
+  * rollup) plans with NO as-of exchange at all; downstream, operators
+  * see `outputOrdering`/`outputPartitioning` preserved (a following
+  * groupBy on the key plans without another exchange). The window
+  * formulation can promise neither — its union must re-shuffle on the
+  * tag key regardless of how the inputs arrive.
   *
   * Semantics = `AsofJoin.asofBackward` (asserted equal in
   * AsofJoinNativeSpec): every left row + latest right row with equal
   * key and time <= (inclusive) / < (strict) the left time; right rows
   * must be unique per (key, time) for determinism.
   *
-  * Honest trade (measured at sf0.1): this exec runs row-at-a-time
-  * outside whole-stage codegen, so on a standalone query the codegen'd
-  * union+window formulation is ~4× faster; the native node wins when a
-  * downstream stage reuses the key partitioning/ordering it declares,
-  * or when the window's union row-blowup matters. Pick per pipeline.
+  * The merge loop compares keys/times through type-specialized
+  * primitive comparators ([[AsofCmp]]) — no per-row boxing for the
+  * long/int/date/timestamp keys that dominate event data; only
+  * genuinely generic types (string, decimal) take the boxed path.
   */
 final case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, rightKey: Attribute,
@@ -62,6 +65,75 @@ final case class AsofJoinBroadcastNode(left: LogicalPlan, right: LogicalPlan,
     copy(left = newLeft, right = newRight)
 }
 
+/** Column comparator over InternalRows for the as-of merge, specialized
+  * by data type so the hot loop never boxes: every integral-backed type
+  * (long/int/short/byte, date, timestamp) compares as a primitive long;
+  * only genuinely generic orderable types (string, decimal, double)
+  * take the boxed `Comparable` path. Side A is the right (reference)
+  * row, side B the left (probe) row; the snapshot slot retains B's
+  * value across iterator steps (the sort exec reuses row buffers, so a
+  * raw reference would go stale). */
+private[plans] sealed trait AsofCmp {
+  def cmpAB(a: InternalRow, ai: Int, b: InternalRow, bi: Int): Int
+  def snapB(b: InternalRow, bi: Int): Unit
+  def snapMatchesB(b: InternalRow, bi: Int): Boolean
+  def clearSnap(): Unit
+  def hasSnap: Boolean
+}
+
+private[plans] object AsofCmp {
+  import org.apache.spark.sql.types._
+  private def longGetter(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+    case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+    case ShortType => (r, i) => r.getShort(i).toLong
+    case ByteType => (r, i) => r.getByte(i).toLong
+    case _ => null
+  }
+  def apply(dtA: DataType, dtB: DataType): AsofCmp = {
+    val ga = longGetter(dtA)
+    val gb = longGetter(dtB)
+    if (ga != null && gb != null) new LongAsofCmp(ga, gb)
+    else new GenericAsofCmp(dtA, dtB)
+  }
+}
+
+private[plans] final class LongAsofCmp(
+    ga: (InternalRow, Int) => Long,
+    gb: (InternalRow, Int) => Long) extends AsofCmp {
+  private var snapSet = false
+  private var snapV = 0L
+  override def cmpAB(a: InternalRow, ai: Int, b: InternalRow, bi: Int): Int =
+    java.lang.Long.compare(ga(a, ai), gb(b, bi))
+  override def snapB(b: InternalRow, bi: Int): Unit = {
+    snapV = gb(b, bi); snapSet = true
+  }
+  override def snapMatchesB(b: InternalRow, bi: Int): Boolean =
+    snapSet && snapV == gb(b, bi)
+  override def clearSnap(): Unit = snapSet = false
+  override def hasSnap: Boolean = snapSet
+}
+
+private[plans] final class GenericAsofCmp(
+    dtA: org.apache.spark.sql.types.DataType,
+    dtB: org.apache.spark.sql.types.DataType) extends AsofCmp {
+  private var snapSet = false
+  private var snapV: Any = _
+  override def cmpAB(a: InternalRow, ai: Int, b: InternalRow, bi: Int): Int =
+    a.get(ai, dtA).asInstanceOf[Comparable[Any]].compareTo(b.get(bi, dtB))
+  override def snapB(b: InternalRow, bi: Int): Unit = {
+    snapV = b.get(bi, dtB) match {
+      case s: UTF8String => s.clone()
+      case x => x
+    }
+    snapSet = true
+  }
+  override def snapMatchesB(b: InternalRow, bi: Int): Boolean =
+    snapSet && snapV.asInstanceOf[Comparable[Any]].compareTo(b.get(bi, dtB)) == 0
+  override def clearSnap(): Unit = { snapSet = false; snapV = null }
+  override def hasSnap: Boolean = snapSet
+}
+
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsofJoinNode(l, r, lk, rk, lt, rt, pay, incl) =>
@@ -69,6 +141,37 @@ object AsofJoinStrategy extends SparkStrategy {
     case AsofJoinBroadcastNode(l, r, lk, rk, lt, rt, pay, incl) =>
       AsofJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lt, rt, pay, incl) :: Nil
     case _ => Nil
+  }
+}
+
+/** As-of join elimination — the operator-aware optimizer rule a custom
+  * node must bring along or it becomes an optimization BARRIER: a
+  * backward as-of join emits exactly one output row per left row (a
+  * left-outer point lookup), so when a parent consumes no right-side
+  * column the join contributes nothing and the left child can stand in
+  * for it. Catalyst does precisely this for its own cardinality-safe
+  * joins (`EliminateOuterJoin`, left-semi pruning) and for windows
+  * (`RemoveRedundantWindow`-style collapses) — e.g. `count(*)` over
+  * the union+window as-of formulation optimizes all the way down to a
+  * bare scan count; without this rule the same query through the
+  * native node would execute both shuffles and the merge to count rows
+  * the left side already determines. */
+object AsofJoinEliminationRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, n: AsofJoinNode)
+        if p.references.subsetOf(n.left.outputSet) =>
+      p.copy(child = n.left)
+    case p @ Project(_, n: AsofJoinBroadcastNode)
+        if p.references.subsetOf(n.left.outputSet) =>
+      p.copy(child = n.left)
+    case a @ Aggregate(_, _, n: AsofJoinNode, _)
+        if a.references.subsetOf(n.left.outputSet) =>
+      a.copy(child = n.left)
+    case a @ Aggregate(_, _, n: AsofJoinBroadcastNode, _)
+        if a.references.subsetOf(n.left.outputSet) =>
+      a.copy(child = n.left)
   }
 }
 
@@ -95,15 +198,6 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Values pulled out of reused row buffers must be defensively
-    * copied before being retained across iterator steps. */
-  private def retained(v: Any): Any = v match {
-    case s: UTF8String => s.clone()
-    case x => x
-  }
-  @inline private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
-
   override protected def doExecute(): RDD[InternalRow] = {
     val lkOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
     val ltOrd = left.output.indexWhere(_.exprId == leftTime.exprId)
@@ -125,11 +219,15 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val outProj = UnsafeProjection.create(outAttrs, leftSchema ++ rightOut)
       val nullRight = new GenericInternalRow(nRight)
       val joined = new JoinedRow
+      // A = right row, B = left row; the snapshot slot in keyCmp holds
+      // the left key the carried match belongs to (primitive long for
+      // integral keys — no per-row boxing anywhere in the loop).
+      val keyCmp = AsofCmp(rkT, lkT)
+      val timeCmp = AsofCmp(rtT, ltT)
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var lastMatch: UnsafeRow = _
-        private var lastMatchKey: Any = _
         private def advanceRight(): Unit =
           rHead = if (rIter.hasNext) rIter.next() else null
         advanceRight()
@@ -140,29 +238,30 @@ final case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
             return outProj(joined(l, nullRight))
           }
-          val lk = l.get(lkOrd, lkT)
-          val lt = l.get(ltOrd, ltT)
-          // consume right rows with (key, time) at or before (lk, lt);
-          // the latest consumed row with key == lk is the match
+          // left is sorted by key: when the key group changes, the
+          // carried match from the previous group is dead
+          if (keyCmp.hasSnap && !keyCmp.snapMatchesB(l, lkOrd)) {
+            keyCmp.clearSnap(); lastMatch = null
+          }
+          // consume right rows with (key, time) at or before the left
+          // row's; the latest consumed row with an equal key matches
           var scanning = true
           while (scanning && rHead != null) {
             if (rHead.isNullAt(rkOrd) || rHead.isNullAt(rtOrd)) advanceRight()
             else {
-              val kc = cmp(rHead.get(rkOrd, rkT), lk)
+              val kc = keyCmp.cmpAB(rHead, rkOrd, l, lkOrd)
               if (kc < 0) advanceRight()
               else if (kc == 0) {
-                val tc = cmp(rHead.get(rtOrd, rtT), lt)
+                val tc = timeCmp.cmpAB(rHead, rtOrd, l, ltOrd)
                 if (tc < 0 || (incl && tc == 0)) {
                   lastMatch = rightProj(rHead).copy()
-                  lastMatchKey = retained(lk)
+                  keyCmp.snapB(l, lkOrd)
                   advanceRight()
                 } else scanning = false
               } else scanning = false
             }
           }
-          val m =
-            if (lastMatchKey != null && cmp(lastMatchKey, lk) == 0) lastMatch
-            else nullRight
+          val m = if (lastMatch != null && keyCmp.hasSnap) lastMatch else nullRight
           outProj(joined(l, m))
         }
       }
@@ -289,11 +388,15 @@ object AsofJoinBroadcastExec {
 /** DataFrame-level API over the native operator. */
 object AsofJoinNative {
 
-  /** Install the planner strategy on the session (idempotent). */
+  /** Install the planner strategy and the elimination rule on the
+    * session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(AsofJoinStrategy))
       spark.experimental.extraStrategies = cur :+ AsofJoinStrategy
+    val curOpt = spark.experimental.extraOptimizations
+    if (!curOpt.contains(AsofJoinEliminationRule))
+      spark.experimental.extraOptimizations = curOpt :+ AsofJoinEliminationRule
   }
 
   /** Backward as-of join via the custom operator; same contract as

@@ -30,6 +30,7 @@ object PerfScratch {
 
     which match {
       case "asof" => asof(spark, dir)
+      case "asofnative" => asofNative(spark, dir)
       case "ivf" => ivf(spark, dir)
       case "joinagg" => joinAgg(spark, dir)
       case other =>
@@ -74,6 +75,30 @@ object PerfScratch {
       graft.ops.AsofJoin.asofBackwardBroadcast(left, orders,
         "user_id", "o_custkey", "event_date", "om").count()
     }
+  }
+
+  def asofNative(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    def events = t(spark, dir, "events").select(col("event_id"), col("user_id"),
+      date_from_unix_date(
+        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+        .as("event_date"))
+    def orders = t(spark, dir, "orders")
+      .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
+      .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))
+    println(s"events rows: ${events.count()}, orders rollup rows: ${orders.count()}")
+    (1 to 3).foreach { i => time(s"inputs only run$i") {
+      events.count(); orders.count() } }
+    (1 to 3).foreach { i => time(s"native no-sort run$i") {
+      graft.plans.AsofJoinNative.asof(events, orders,
+        "user_id", "o_custkey", "event_date", "od").count() } }
+    (1 to 3).foreach { i => time(s"window no-sort run$i") {
+      graft.ops.AsofJoin.asofBackward(events, orders,
+        "user_id", "o_custkey", "event_date", "od").count() } }
+    (1 to 3).foreach { i => time(s"native full run$i") {
+      graft.SparkEntry.queries("q_asof_native")(spark, dir).count() } }
+    (1 to 3).foreach { i => time(s"window full run$i") {
+      graft.SparkEntry.queries("q_asof_join")(spark, dir).count() } }
   }
 
   def joinAgg(spark: SparkSession, dir: String): Unit = {

@@ -70,4 +70,45 @@ class AsofJoinNativeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got == expected)
   }
+
+  test("count-only plans eliminate the as-of join (cardinality-preserving)") {
+    for (asof <- Seq(
+        AsofJoinNative.asof(left, right, "k", "rk", "t", "rt"),
+        AsofJoinNative.asofBroadcast(left, right, "k", "rk", "t", "rt"))) {
+      val cnt = asof.groupBy().count()
+      val plan = cnt.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("AsofJoin"), plan)
+      assert(cnt.as[Long].head() == left.count())
+    }
+  }
+
+  test("projections consuming right columns keep the join") {
+    val df = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
+      .select("id", "payload")
+    assert(df.queryExecution.optimizedPlan.toString.contains("AsofJoin"))
+    // and left-only projections drop it while preserving multiplicity
+    val leftOnly = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
+      .select("id", "k")
+    assert(!leftOnly.queryExecution.optimizedPlan.toString.contains("AsofJoin"))
+    assert(leftOnly.count() == left.count())
+  }
+
+  test("a right side pre-partitioned on the key reuses its exchange") {
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange (hash|range)partitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val plain = AsofJoinNative.asof(left, right, "k", "rk", "t", "rt")
+    val prePart = AsofJoinNative.asof(left,
+      right.repartition(col("rk")), "k", "rk", "t", "rt")
+    // plain: one planner-inserted exchange per side; pre-partitioned:
+    // the user repartition IS the right side's clustering, so
+    // EnsureRequirements inserts nothing for it
+    assert(nExchanges(plain) == 2,
+      plain.queryExecution.executedPlan.toString)
+    assert(nExchanges(prePart) == 2,
+      prePart.queryExecution.executedPlan.toString)
+    val expected = AsofJoin.asofBackward(left, right, "k", "rk", "t", "rt")
+      .collect().map(_.toSeq).toSet
+    assert(prePart.collect().map(_.toSeq).toSet == expected)
+  }
 }
