@@ -47,7 +47,10 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }.groupMapReduce(_._1)(_._2)(math.min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // sorted keys: the contract line can get tail-truncated by capture
+    // buffers, so a deterministic order keeps which queries survive
+    // predictable round-over-round
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Print the contract JSON line AFTER spark.stop() (and silence the

@@ -49,9 +49,119 @@ object Cli {
     Args(pos, flags)
   }
 
+  val commands: Seq[String] =
+    Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup")
+
+  /** Frozen per-command help transcripts, mirroring the reference's
+    * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
+    * CliHelpSpec diffs this text against the checked-in goldens under
+    * `docs/cli/`, so any CLI surface change is an explicit golden
+    * update, never an accident. */
+  def helpText(command: String): String = command match {
+    case "export" =>
+      """usage: graft export --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
+        |
+        |Scan every index of the source vector DB into a VDF dataset
+        |directory (chunked parquet + VDF_META.json).
+        |
+        |  --db DB             connector name (default: mock)
+        |  --db_root DIR       connector root / connection target
+        |  --out VDF_DIR       output VDF directory
+        |  --max_file_rows N   rows per parquet chunk file (default: engine)""".stripMargin
+    case "import" =>
+      """usage: graft import --db mock --db_root DIR --dir VDF_DIR [--index I]
+        |                    [--id_range LO:HI] [--id_list FILE] [--max_rows N] [--create_new]
+        |
+        |Read a VDF dataset and upsert it into the target vector DB,
+        |with the reference's subset filters.
+        |
+        |  --db DB             connector name (default: mock)
+        |  --db_root DIR       connector root / connection target
+        |  --dir VDF_DIR       input VDF directory
+        |  --index I           import only this index
+        |  --id_range LO:HI    keep ids in [LO, HI] (inclusive)
+        |  --id_list FILE      keep ids listed in FILE (one per line)
+        |  --max_rows N        global row cap
+        |  --create_new        always create a fresh index (name-N suffixing)""".stripMargin
+    case "reembed" =>
+      """usage: graft reembed --dir VDF_DIR --index I --model M --text_column C
+        |                     [--quantize int8|uint8|binary|ubinary] [--dims D]
+        |
+        |Embed a text column into a new vector column with a new model;
+        |writes new files then swaps (never in place) and updates the
+        |manifest's vector_columns/model_map.
+        |
+        |  --dir VDF_DIR       VDF directory to transform
+        |  --index I           index to re-embed
+        |  --model M           embedding model name (default: hashing)
+        |  --text_column C     source text column(s), comma-separated
+        |  --quantize Q        optional output quantization
+        |  --dims D            embedding dimensions (default: 64)""".stripMargin
+    case "consolidate" =>
+      """usage: graft consolidate --dir VDF_DIR --index I [--max_size_gb G]
+        |
+        |Compact an index's many small parquet chunk files into few
+        |size-bounded files with a unified schema; patches the manifest.
+        |
+        |  --dir VDF_DIR       VDF directory
+        |  --index I           index to consolidate
+        |  --max_size_gb G     target max file size in GB (default: 0.5)""".stripMargin
+    case "count" =>
+      """usage: graft count --dir VDF_DIR
+        |
+        |Row count per (index, namespace) plus the total.
+        |
+        |  --dir VDF_DIR       VDF directory""".stripMargin
+    case "id-list" =>
+      """usage: graft id-list --dir VDF_DIR --out FILE
+        |
+        |Write the sorted distinct id set of the whole dataset to CSV.
+        |
+        |  --dir VDF_DIR       VDF directory
+        |  --out FILE          output CSV path""".stripMargin
+    case "dedup" =>
+      """usage: graft dedup --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash]
+        |                   [--id_column doc_id] [--text_column text]
+        |                   [--k 3] [--sig 32] [--bands 8] [--threshold 0.25]
+        |
+        |Deduplicate a document corpus: exact content fingerprints, or
+        |minhash-LSH near-dup clusters keeping the smallest id per
+        |cluster. --out must not overlap --in.
+        |
+        |  --in PARQUET_DIR    input document table
+        |  --out PARQUET_DIR   survivor output (fresh directory)
+        |  --method M          exact (default) or minhash
+        |  --id_column C       id column (default: doc_id)
+        |  --text_column C     text column (default: text)
+        |  --k N               shingle size (minhash; default: 3)
+        |  --sig N             signature length (minhash; default: 32)
+        |  --bands N           LSH bands (minhash; default: 8)
+        |  --threshold T       est. Jaccard cut (minhash; default: 0.25)""".stripMargin
+    case _ =>
+      s"""usage: graft <${commands.mkString("|")}> [--flags]
+        |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
+        |  import      --db mock --db_root DIR --dir VDF_DIR [--index I]
+        |              [--id_range LO:HI] [--id_list FILE] [--max_rows N] [--create_new]
+        |  reembed     --dir VDF_DIR --index I --model M --text_column C [--quantize int8] [--dims D]
+        |  consolidate --dir VDF_DIR --index I [--max_size_gb G]
+        |  count       --dir VDF_DIR
+        |  id-list     --dir VDF_DIR --out FILE
+        |  dedup       --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash]
+        |              [--id_column doc_id] [--text_column text]
+        |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25]
+        |
+        |graft help <command> prints per-command help.""".stripMargin
+  }
+
   def run(spark: SparkSession, argv: Seq[String]): Int = {
     val args = parseArgs(argv)
     args.positional match {
+      case "help" :: rest =>
+        println(helpText(rest.headOption.getOrElse("")))
+        0
+      case cmd :: Nil if args.flags.contains("help") =>
+        println(helpText(cmd))
+        0
       case "export" :: Nil => cmdExport(spark, args)
       case "import" :: Nil => cmdImport(spark, args)
       case "reembed" :: Nil => cmdReembed(spark, args)
@@ -60,19 +170,8 @@ object Cli {
       case "id-list" :: Nil => cmdIdList(spark, args)
       case "dedup" :: Nil => cmdDedup(spark, args)
       case other =>
-        System.err.println(
-          s"""unknown command: ${other.mkString(" ")}
-             |usage: graft <export|import|reembed|consolidate|count|id-list|dedup> [--flags]
-             |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
-             |  import      --db mock --db_root DIR --dir VDF_DIR [--index I]
-             |              [--id_range LO:HI] [--id_list FILE] [--max_rows N] [--create_new]
-             |  reembed     --dir VDF_DIR --index I --model M --text_column C [--quantize int8] [--dims D]
-             |  consolidate --dir VDF_DIR --index I [--max_size_gb G]
-             |  count       --dir VDF_DIR
-             |  id-list     --dir VDF_DIR --out FILE
-             |  dedup       --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash]
-             |              [--id_column doc_id] [--text_column text]
-             |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25]""".stripMargin)
+        System.err.println(s"unknown command: ${other.mkString(" ")}")
+        System.err.println(helpText(""))
         2
     }
   }
