@@ -163,12 +163,17 @@ object QueriesExt {
       .orderBy("id_a", "id_b")
 
   /** LSH-bucketed approximate top-k (the scale path next to
-    * qCosineTopk's exact baseline). */
+    * qCosineTopk's exact baseline), through the ENGINE-NEUTRAL md5
+    * integer planes (`Knn.md5LshTopK`) so the whole ANN route — plane
+    * derivation, quantized integer projections, bucket join, cosine
+    * ranking — is hash-match gated against DuckDB (previously
+    * rows-only with xxhash planes; the xxhash production path remains
+    * `Knn.lshTopK`, recall-gated in SimilaritySpec). */
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Knn.lshTopK(q, e.select("vec_id", "embedding"), planes = 4, k = 3)
+    Knn.md5LshTopK(q, e.select("vec_id", "embedding"), planes = 4, k = 3)
       .withColumn("sim", round(col("sim"), 6))
       .orderBy("q_id", "vec_id")
   }
@@ -282,6 +287,30 @@ object QueriesExt {
       """SELECT vec_id,
         |  round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS qv
+        |           FROM embeddings),
+        |pl AS (SELECT p, list_transform(
+        |         range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+        |         j -> CAST(strpos('0123456789abcdef',
+        |                substr(md5(p || ':' || j), 1, 1)) - 9 AS DOUBLE)) AS c
+        |       FROM range(0, 4) t(p)),
+        |pb AS (SELECT vec_id, any_value(v) AS v,
+        |         CAST(sum(CASE WHEN list_dot_product(qv, c) >= 0
+        |                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM e CROSS JOIN pl GROUP BY vec_id, qv),
+        |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM pb WHERE vec_id < 8),
+        |s AS (SELECT q_id, pb.vec_id,
+        |        list_dot_product(q_vec, pb.v) /
+        |        (sqrt(list_dot_product(q_vec, q_vec)) *
+        |         sqrt(list_dot_product(pb.v, pb.v))) AS sim
+        |      FROM q JOIN pb ON q.bucket = pb.bucket AND pb.vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, sim,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        |      FROM s)
+        |SELECT q_id, vec_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
+        |ORDER BY q_id, vec_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 8),

@@ -58,6 +58,42 @@ object Lsh {
   def probeDims(df: DataFrame, vecCol: String): Int =
     df.where(col(vecCol).isNotNull).select(size(col(vecCol)))
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** ENGINE-NEUTRAL integer plane matrix: component (p, j) is the first
+    * hex nibble of md5("p:j") minus 8, i.e. an int in [-8, 7] — the
+    * value any SQL engine computes as
+    * `strpos('0123456789abcdef', substr(md5(p || ':' || j), 1, 1)) - 9`.
+    * Pure driver-side Scala (java MessageDigest), no Spark job — this
+    * also answers the round-3 note that `planeMatrix` spends a job to
+    * build a KB-sized matrix. */
+  def md5PlaneMatrixInt(planes: Int, dims: Int): Seq[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { j =>
+        val h = md.digest(s"$p:$j".getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xf) - 8
+      }.toArray
+    }
+  }
+
+  /** Bucket from the md5 integer planes over a QUANTIZED vector
+    * (floor(x·1000) per component): every projection is a sum of
+    * small-integer products (|term| ≤ 8000, 64 terms ⇒ |sum| < 2²⁰),
+    * far inside double exactness — so an engine summing in doubles in
+    * ANY order gets the bit-identical projection, and the sign test
+    * (and therefore the bucket) is hash-match reproducible cross-engine.
+    * The xxhash64 `hyperplaneBucket` stays the production path; this
+    * variant exists so the LSH route itself can sit behind the DuckDB
+    * oracle gate. */
+  def md5QuantBucket(v: Column, planeVecs: Seq[Array[Int]]): Column = {
+    val qv = transform(v, x => floor(x.cast("double") * 1000))
+    planeVecs.zipWithIndex.map { case (pv, p) =>
+      val proj = aggregate(
+        zip_with(qv, typedLit(pv.toSeq.map(_.toLong)), (x, c) => x * c),
+        lit(0L), (a, t) => a + t)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
 }
 
 /** Approximate/exact nearest-neighbor search over an embedding column. */
@@ -88,6 +124,23 @@ object Knn {
     val pm = Lsh.planeMatrix(candidates.sparkSession, planes, dims)
     val qb = queries.withColumn("bucket", Lsh.hyperplaneBucketFast(col("q_vec"), pm))
     val cb = candidates.withColumn("bucket", Lsh.hyperplaneBucketFast(col("embedding"), pm))
+    bucketedTopK(qb, cb, k)
+  }
+
+  /** `lshTopK` with the engine-neutral md5 integer planes
+    * (`Lsh.md5QuantBucket`): same join/score/rank pipeline, but the
+    * bucketing is reproducible in plain SQL, putting the whole ANN
+    * route — planes, quantized projections, bucket join, cosine top-k —
+    * behind the cross-engine hash-match gate. */
+  def md5LshTopK(queries: DataFrame, candidates: DataFrame, planes: Int, k: Int): DataFrame = {
+    val dims = Lsh.probeDims(candidates, "embedding")
+    val pm = Lsh.md5PlaneMatrixInt(planes, dims)
+    val qb = queries.withColumn("bucket", Lsh.md5QuantBucket(col("q_vec"), pm))
+    val cb = candidates.withColumn("bucket", Lsh.md5QuantBucket(col("embedding"), pm))
+    bucketedTopK(qb, cb, k)
+  }
+
+  private def bucketedTopK(qb: DataFrame, cb: DataFrame, k: Int): DataFrame = {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("sim", VF.cosineSimilarity(col("q_vec"), col("embedding")))
