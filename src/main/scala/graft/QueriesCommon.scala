@@ -1,10 +1,33 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Shared query-building blocks. */
 object QueriesCommon {
+
+  // Parquet schemas keyed by resolved file path — the single-table
+  // analogue of a catalog's table metadata. Without it every
+  // `spark.read.parquet` call pays a footer-read schema-inference job
+  // (~0.2 s and 2 Spark jobs per table at local scale, measured by
+  // tools/FloorProbe: q_semi_idlist 0.87 s → 0.38 s with schemas
+  // supplied). The test parquet is immutable within a run, and at
+  // cluster scale a real deployment would resolve schemas from a
+  // metastore the same way.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** Shared table loader: nanos-as-long (events.ts is TIMESTAMP(NANOS),
+    * which Spark 4 rejects by default; the long preserves exact
+    * ns-precision ordering) + cached schema. */
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => s.read.parquet(p).schema)
+    s.read.schema(schema).parquet(path)
+  }
   /** The ONE tokenizing expression the text queries share — the Spark
     * twin of the oracle SQL's `regexp_split_to_array(trim(lower(text)),
     * '\s+')`-with-empty-guard construction (and of

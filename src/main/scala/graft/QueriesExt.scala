@@ -14,10 +14,8 @@ import graft.functions.{CleaningFunctions => CF, TextFunctions => TF, VectorFunc
   * analysis, SURVEY §7.5). Registered via SparkEntry. */
 object QueriesExt {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   /** F13 JSON metadata extraction (`qdrant_import.py:421-432` tries
     * json.loads on every string): typed key pull from a JSON column. */

@@ -14,10 +14,8 @@ import graft.transform.Reembed
   * pipelines (re-embed, media feature extraction) run distributed. */
 object QueriesExt2 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   /** P6 drop-null-vector filter (`chroma_import.py:166-172`): nulls are
     * injected deterministically, then na.drop removes them — the

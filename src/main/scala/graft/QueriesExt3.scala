@@ -14,10 +14,8 @@ import graft.ops.{AsofJoin, Profiling, Sessions}
   * is a recursive CTE computing the same transitive closure). */
 object QueriesExt3 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   /** Duplicate clusters: transitive closure of the n-gram Jaccard
     * near-dup pairs (the oracle-checked edge generator of

@@ -16,10 +16,8 @@ import graft.similarity.Pq
   * total ORDER BY. */
 object QueriesExt4 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   /** Interval join (SURVEY §7.5 extension): events land in the ±3-day
     * windows around the 20 peak-traffic days (busiest by event count).

@@ -27,10 +27,8 @@ import graft.functions.{TextFunctions => TF}
   */
 object QueriesExt5 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   /** Exact cosine pairs over the whole embedding corpus. All pairs are
     * scored — distributed as block tiles (Dedup.exactCosinePairs), not

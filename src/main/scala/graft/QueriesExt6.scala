@@ -23,10 +23,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object QueriesExt6 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   // Shared PII patterns: the SAME regex text is valid and equivalent in
   // Java regex (Spark) and RE2 (DuckDB) — character classes, bounded

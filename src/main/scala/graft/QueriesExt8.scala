@@ -19,10 +19,8 @@ import org.apache.spark.sql.expressions.Window
   */
 object QueriesExt8 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   private def tokens(d: DataFrame): DataFrame = QueriesCommon.tokens(d)
 

@@ -21,10 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object QueriesExt9 {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
 
   /** Fresh-id offset = max(doc_id)+1, as a broadcast one-row relation:
     * synthesized ids can never collide with real ones at ANY scale

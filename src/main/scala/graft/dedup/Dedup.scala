@@ -503,24 +503,19 @@ object Dedup {
   def exactCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blocks: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions
-    // Norms are computed ONCE per row and MATERIALIZED (localCheckpoint)
-    // before the fan-out. The lineage cut is what makes the precompute
-    // real: without it Catalyst's CollapseProject + predicate pushdown
-    // inline the norm aliases back into the join condition and every
-    // pair pays two 64-dim norm folds on top of its dot product (the
-    // regenerated EXPLAIN.md proved the aliases alone don't survive
-    // optimization). Materializing O(n) rows ahead of an O(n²) join is
-    // the at-rest analogy of storing vector norms next to the index —
-    // the standard layout for exact similarity scans. Inside the join
-    // each pair then costs exactly one dot product plus one divide;
-    // the arithmetic is bit-identical to recomputing (same fold).
+    // Norms are computed ONCE per row, below the explode fan-out. The
+    // Generate node is the barrier that keeps them precomputed:
+    // CollapseProject cannot merge a projection through Generate, so
+    // the norm aliases survive optimization and each pair costs exactly
+    // one dot product plus one divide (verified: no SQRT above the
+    // Generate in the executed plan). No lineage cut — a checkpoint
+    // here would blind the planner's size stats (LogicalRDD defaults to
+    // a huge estimate) and force a shuffle join even when one side fits
+    // in a broadcast; with stats intact AQE broadcasts at small scale
+    // and falls back to sort-merge at cluster scale.
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
       VectorFunctions.l2Norm(col(vecCol)).as("nrm"),
       pmod(xxhash64(col(idCol)), lit(blocks)).cast("int").as("blk"))
-      // lazy: the lineage cut is in the plan immediately (that is what
-      // defeats the inlining) but the materialization job only runs
-      // with the first real action, so plan-only callers stay lazy
-      .localCheckpoint(false)
     val left = v
       .withColumn("tj", explode(expr(s"sequence(blk, ${blocks - 1})")))
       .select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na"),
