@@ -18,11 +18,40 @@ object QueriesCommon {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  // Adaptive execution re-plans at every exchange, which means every
+  // shuffle materializes as its own job (a scheduling barrier) before
+  // the next stage is planned. That is exactly right when a shuffle
+  // writes gigabytes — runtime coalescing, skew splitting, and
+  // broadcast conversion all need the observed sizes — and pure
+  // overhead when the entire input is a few megabytes and the static
+  // plan is already correct (tools/FloorProbe: q_semi_idlist
+  // 0.93 s → 0.33 s, q_join_agg 0.95 s → 0.46 s with AQE off at
+  // sf0.1). Gate it on total input bytes — the same statistic a
+  // catalog-backed cost model consults — so small interactive inputs
+  // run as one DAG submission while anything at real scale keeps the
+  // full adaptive machinery. Threshold overridable for testing.
+  private val adaptiveMinInputBytes: Long =
+    java.lang.Long.getLong("graft.adaptive.minInputBytes", 1L << 30)
+  private val dirBytes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def totalBytes(dir: String): Long =
+    dirBytes.computeIfAbsent(dir, d => {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles match {
+          case null => 0L
+          case kids => kids.map(walk).sum
+        } else f.length
+      walk(new java.io.File(d))
+    })
+
   /** Shared table loader: nanos-as-long (events.ts is TIMESTAMP(NANOS),
     * which Spark 4 rejects by default; the long preserves exact
-    * ns-precision ordering) + cached schema. */
+    * ns-precision ordering) + cached schema + size-gated AQE. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.adaptive.enabled",
+      (totalBytes(dir) >= adaptiveMinInputBytes).toString)
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path,
       p => s.read.parquet(p).schema)
