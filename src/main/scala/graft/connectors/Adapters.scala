@@ -151,4 +151,185 @@ object Adapters {
         indexType = "AUTOINDEX")
     }
   }
+
+  /** Shared reverse-metric helper: normalized manifest metric name →
+    * this DB's name, with the reference's double fallback
+    * (`util.py:235-248`: unknown metric warns and resolves as Cosine). */
+  private def reverseMetric(db: String, metric: Option[String]): String = {
+    val std = metric.flatMap(m => Metric.all.find(_.name == m))
+      .getOrElse(Metric.Cosine)
+    Metric.toDbName(db, std)
+      .orElse(Metric.toDbName(db, Metric.Cosine))
+      .getOrElse("cosine")
+  }
+
+  // --------------------------------------------------------- Pinecone
+
+  /** Index placement: exactly one of serverless (cloud/region) or pod
+    * (environment/pod_type) — the two `spec=` branches of
+    * `pinecone_import.py:132-158`. */
+  sealed trait PineconePlacement
+  final case class PineconeServerless(cloud: String, region: String)
+      extends PineconePlacement
+  final case class PineconePod(environment: String, podType: String)
+      extends PineconePlacement
+
+  /** Everything `pc.create_index` receives
+    * (`pinecone_import.py:129-158`). */
+  final case class PineconeIndexSpec(
+      name: String, dimension: Int, metric: String,
+      placement: PineconePlacement)
+
+  object Pinecone {
+    /** Pinecone index names are lowercase-dashed
+      * (`pinecone_import.py:108-110`). */
+    def compliantName(name: String): String =
+      name.toLowerCase.replace("_", "-")
+
+    /** Create-index translation (`pinecone_import.py:126-158`):
+      * compliant name, manifest dims, metric reversed through the
+      * Pinecone bimap (cosine/euclidean/dotproduct), and the
+      * serverless-vs-pod placement with the reference's defaults
+      * (cloud "aws", region "us-west-2", pod_type "starter"). */
+    def indexSpec(indexName: String, ns: NamespaceMeta,
+        serverless: Boolean,
+        cloud: Option[String] = None, region: Option[String] = None,
+        environment: Option[String] = None,
+        podType: Option[String] = None): PineconeIndexSpec =
+      PineconeIndexSpec(
+        name = compliantName(indexName),
+        dimension = ns.dimensions,
+        metric = reverseMetric("pinecone", ns.metric),
+        placement =
+          if (serverless)
+            PineconeServerless(cloud.getOrElse("aws"),
+              region.getOrElse("us-west-2"))
+          else
+            PineconePod(
+              environment.getOrElse(throw new IllegalArgumentException(
+                "pod placement requires an environment")),
+              podType.getOrElse("starter")))
+
+    /** Upsert row shaping (`pinecone_import.py:243-259`): ids are
+      * stringified and nothing else — per-row None-valued metadata
+      * entries are dropped on the DataFrame side with the same
+      * map_filter the oracle-checked cleaning path uses. */
+    def upsertRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+        vecCol: String, metaCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      // metadata as map<string,string-ish>: entries whose value is
+      // null vanish (the reference's `if v is not None` dict filter)
+      val metaMap = map_filter(
+        map(metaCols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*),
+        (_, v) => v.isNotNull)
+      df.select(col(idCol).cast("string").as("id"),
+        col(vecCol).as("values"), metaMap.as("metadata"))
+    }
+  }
+
+  // ----------------------------------------------------------- Chroma
+
+  /** Chroma collection distance lives in collection METADATA under
+    * "hnsw:space" (`chroma_export.py:173-176` reads it with default
+    * "cosine"); import creates collections with that key. */
+  final case class ChromaCollectionSpec(
+      name: String, metadata: Map[String, String])
+
+  object Chroma {
+    def collectionName(indexName: String, namespace: String): String =
+      if (namespace.nonEmpty) s"${indexName}_$namespace" else indexName
+
+    def collectionSpec(indexName: String, ns: NamespaceMeta): ChromaCollectionSpec =
+      ChromaCollectionSpec(
+        name = collectionName(indexName, ns.namespace),
+        metadata = Map("hnsw:space" -> reverseMetric("chroma", ns.metric)))
+
+    /** Chroma supports ONE vector column; the reference warns and keeps
+      * the first (`chroma_import.py:141-144`). */
+    def vectorColumn(vectorColumns: Seq[String]): (String, Seq[String]) =
+      (vectorColumns.head, vectorColumns.tail)
+
+    /** The `documents` column fed to upsert (`chroma_import.py:180-190`):
+      * the model_map's text column when recorded for the vector column,
+      * else the stringified ids. */
+    def documentsColumn(ns: NamespaceMeta, vectorColumn: String): Option[String] =
+      ns.model_map.flatMap(_.get(vectorColumn)).flatMap(_.text_column)
+
+    /** Upsert row shaping (`chroma_import.py:166-213`): drop rows with
+      * a null vector, stringify ids, keep only scalar-typed metadata
+      * columns (str/int/float/bool — the reference's isinstance
+      * filter), and emit documents from the text column or the id. */
+    def upsertRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+        vecCol: String, ns: NamespaceMeta): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types._
+      val scalarMeta = df.schema.fields.collect {
+        case f if f.name != idCol && f.name != vecCol && (f.dataType match {
+          case StringType | BooleanType | ByteType | ShortType |
+               IntegerType | LongType | FloatType | DoubleType => true
+          case _ => false
+        }) => f.name
+      }.toSeq
+      val docCol = documentsColumn(ns, vecCol)
+        .map(col).getOrElse(col(idCol).cast("string"))
+      df.na.drop(Seq(vecCol))
+        .select(col(idCol).cast("string").as("id") +:
+          col(vecCol).as("embedding") +: docCol.as("document") +:
+          scalarMeta.map(col): _*)
+    }
+  }
+
+  // ---------------------------------------------------------- LanceDB
+
+  object LanceDb {
+    def tableName(indexName: String, namespace: String): String =
+      if (namespace.nonEmpty) s"${indexName}_$namespace" else indexName
+
+    /** Schema-drift reconciliation (`lancedb_import.py:117-128` +
+      * `get_default_value:155-166`): batch columns missing from the
+      * table are added with a type-keyed default (string "", integral
+      * 0, floating 0.0, boolean false; temporal types get NULL — the
+      * pandas NaT analog). Returns (column, default-value literal)
+      * pairs for the columns `have` lacks. */
+    def missingColumnDefaults(
+        incoming: org.apache.spark.sql.types.StructType,
+        have: Set[String]): Seq[(String, Any)] = {
+      import org.apache.spark.sql.types._
+      incoming.fields.toSeq.collect {
+        case f if !have.contains(f.name) =>
+          f.name -> (f.dataType match {
+            case StringType => ""
+            case ByteType | ShortType | IntegerType | LongType => 0L
+            case FloatType | DoubleType => 0.0
+            case BooleanType => false
+            case _ => null // timestamps/arrays: NaT analog
+          })
+      }
+    }
+  }
+
+  // ---------------------------------------------------------- AstraDB
+
+  /** AstraDB has two create paths (`astradb_import.py:143-166`): the
+    * JSON API's create_collection(dimension, metric) and the CQL
+    * `CREATE TABLE ks.name (id text PRIMARY KEY, "$vector"
+    * vector<float,N>)` DDL. Both synthesized here. */
+  final case class AstraCollectionSpec(
+      name: String, dimension: Int, metric: String)
+
+  object Astra {
+    def collectionName(indexName: String, namespace: String): String =
+      if (namespace.nonEmpty) s"${indexName}_$namespace" else indexName
+
+    def collectionSpec(indexName: String, ns: NamespaceMeta): AstraCollectionSpec =
+      AstraCollectionSpec(
+        name = collectionName(indexName, ns.namespace),
+        dimension = ns.dimensions,
+        metric = reverseMetric("astradb", ns.metric))
+
+    /** The CQL DDL string of `astradb_import.py:163-166`. */
+    def createTableCql(keyspace: String, spec: AstraCollectionSpec): String =
+      s"""CREATE TABLE IF NOT EXISTS $keyspace.${spec.name}""" +
+        s""" (id text PRIMARY KEY, "$$vector" vector<float,${spec.dimension}>)"""
+  }
 }

@@ -91,4 +91,63 @@ class AdaptersSpec extends AnyFunSuite {
     assert(Adapters.Milvus.indexSpec(ns(8, Some("weird"), None)) ==
       Adapters.MilvusIndexSpec("COSINE", "AUTOINDEX"))
   }
+
+  test("pinecone index spec: compliant name, metric reverse, placements") {
+    val sv = Adapters.Pinecone.indexSpec("My_Index",
+      ns(1536, Some("Dot"), None), serverless = true)
+    assert(sv.name == "my-index")
+    assert(sv.dimension == 1536)
+    assert(sv.metric == "dotproduct")
+    assert(sv.placement == Adapters.PineconeServerless("aws", "us-west-2"))
+    val pod = Adapters.Pinecone.indexSpec("idx",
+      ns(8, Some("Euclid"), None), serverless = false,
+      environment = Some("us-east1-gcp"))
+    assert(pod.metric == "euclidean")
+    assert(pod.placement == Adapters.PineconePod("us-east1-gcp", "starter"))
+    // pod placement without an environment is the reference's
+    // interactive prompt — headless, that's an error
+    intercept[IllegalArgumentException] {
+      Adapters.Pinecone.indexSpec("idx", ns(8, None, None), serverless = false)
+    }
+  }
+
+  test("chroma collection spec: hnsw:space metadata + single vector column") {
+    val spec = Adapters.Chroma.collectionSpec("docs",
+      ns(384, Some("Euclid"), None, namespace = "train"))
+    assert(spec.name == "docs_train")
+    assert(spec.metadata == Map("hnsw:space" -> "l2"))
+    // missing metric defaults to cosine, like chroma_export.py:173-176
+    assert(Adapters.Chroma.collectionSpec("d", ns(8, None, None))
+      .metadata("hnsw:space") == "cosine")
+    assert(Adapters.Chroma.vectorColumn(Seq("a", "b", "c")) ==
+      (("a", Seq("b", "c"))))
+  }
+
+  test("chroma documents column follows the model_map text column") {
+    val withMap = ns(8, None, None).copy(model_map = Some(Map(
+      "emb" -> graft.core.ModelMap(text_column = Some("body")))))
+    assert(Adapters.Chroma.documentsColumn(withMap, "emb").contains("body"))
+    assert(Adapters.Chroma.documentsColumn(withMap, "other").isEmpty)
+    assert(Adapters.Chroma.documentsColumn(ns(8, None, None), "emb").isEmpty)
+  }
+
+  test("lancedb missing-column defaults are keyed by type") {
+    import org.apache.spark.sql.types._
+    val incoming = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("ok", BooleanType),
+      StructField("ts", TimestampType)))
+    val defaults = Adapters.LanceDb.missingColumnDefaults(incoming, Set("id"))
+    assert(defaults.toMap == Map(
+      "name" -> "", "score" -> 0.0, "ok" -> false, "ts" -> null))
+  }
+
+  test("astra collection spec + CQL DDL") {
+    val spec = Adapters.Astra.collectionSpec("users",
+      ns(3, Some("Euclid"), None))
+    assert(spec == Adapters.AstraCollectionSpec("users", 3, "euclidean"))
+    assert(Adapters.Astra.createTableCql("default_keyspace", spec) ==
+      "CREATE TABLE IF NOT EXISTS default_keyspace.users" +
+        " (id text PRIMARY KEY, \"$vector\" vector<float,3>)")
+  }
 }

@@ -96,4 +96,41 @@ class ConnectorSpec extends SparkSpec {
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 35) // 4 intervals of ~10ms after the first call
   }
+
+  test("pinecone upsert rows: string ids, null metadata entries dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f), Some("a"), Some(10)),
+      (2L, Array(3.0f, 4.0f), None, Some(20)),
+      (3L, Array(5.0f, 6.0f), Some("c"), None))
+      .toDF("pk", "vec", "title", "rank")
+    val rows = Adapters.Pinecone.upsertRows(df, "pk", "vec",
+      Seq("title", "rank")).collect().map(r =>
+      (r.getString(0), r.getAs[Map[String, String]]("metadata"))).toMap
+    assert(rows.keySet == Set("1", "2", "3"))
+    assert(rows("1") == Map("title" -> "a", "rank" -> "10"))
+    assert(rows("2") == Map("rank" -> "20")) // null title vanished
+    assert(rows("3") == Map("title" -> "c"))
+  }
+
+  test("chroma upsert rows: null-vector drop, scalar-only metadata, docs") {
+    import spark.implicits._
+    import graft.core.{ModelMap, NamespaceMeta}
+    val df = Seq(
+      (1L, Option(Array(1.0f)), "body one", Array(1, 2), 0.5),
+      (2L, None, "body two", Array(3), 0.6),
+      (3L, Option(Array(2.0f)), "body three", Array.empty[Int], 0.7))
+      .toDF("pk", "vec", "body", "tags", "score")
+    val ns = NamespaceMeta(model_map = Some(Map(
+      "vec" -> ModelMap(text_column = Some("body")))))
+    val out = Adapters.Chroma.upsertRows(df, "pk", "vec", ns)
+    // null-vector row 2 dropped; array column excluded from metadata
+    assert(out.columns.toSeq ==
+      Seq("id", "embedding", "document", "body", "score"))
+    val got = out.select("id", "document").as[(String, String)].collect().toMap
+    assert(got == Map("1" -> "body one", "3" -> "body three"))
+    // no text column recorded → ids become the documents
+    val noMap = Adapters.Chroma.upsertRows(df, "pk", "vec", NamespaceMeta())
+    assert(noMap.select("document").as[String].collect().toSet == Set("1", "3"))
+  }
 }
