@@ -70,22 +70,44 @@ object QueriesExt6 {
       .select(col("doc_id"),
         explode(expr(
           s"transform(${QueriesCommon.toksSql}, x -> xxhash64(x))")).as("tok"))
-    val tf = toks.filter(col("doc_id") < 100)
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks
-      .join(broadcast(tf.select("tok").distinct()), Seq("tok"), "left_semi")
-      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
-    val n = t(s, dir, "documents").agg(count(lit(1)).as("__n"))
-    val w = tf.join(df, "tok").crossJoin(broadcast(n))
-      .select(col("doc_id"), col("tok"),
-        (col("tf") * log(col("__n").cast("double") / col("df"))).as("w"))
-    val norms = w.groupBy("doc_id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    val a = w.toDF("da", "tok", "wa")
-    val b = w.toDF("db", "tok", "wb")
-    a.join(b, Seq("tok")).filter(col("da") < col("db"))
-      .groupBy("da", "db").agg(sum(col("wa") * col("wb")).as("dot"))
-      .join(norms.toDF("da", "na"), "da")
-      .join(norms.toDF("db", "nb"), "db")
+    // Corpus size as a plan-time scalar: one footer-count job instead
+    // of a broadcast-subquery future whose job would serialize behind
+    // the heavy aggregation below.
+    val nDocs = t(s, dir, "documents").count()
+    // ONE pass over the corpus: reduce postings to per-(tok, doc) tf,
+    // then per token keep the corpus document frequency plus the probe
+    // docs' postings as an array. Everything downstream (pairs, norms)
+    // is probe-vocabulary-sized, so this is the only corpus-scale
+    // shuffle in the query — the earlier form paid a probe-vocab
+    // broadcast, a token self-join, and two norm joins on top of it.
+    // The probe array is bounded by the candidate-set size (|probes| ≤
+    // 100 here; at 100 TB whatever LSH emitted), never corpus-sized.
+    val pw = toks
+      .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("tok").agg(
+        count(lit(1)).as("df"),
+        collect_list(when(col("doc_id") < 100,
+          struct(col("doc_id").as("d"), col("tf").as("tf")))).as("ps"))
+      .filter(size(col("ps")) > 0)
+      .select(expr(
+        s"transform(ps, p -> struct(p.d AS d, p.tf * ln(cast($nDocs AS double) / df) AS w))")
+        .as("pw"))
+      .localCheckpoint(false) // feeds pairs AND norms; probe-vocab-sized
+    // Pairs materialize inline from each token's probe array — the
+    // sparse dot product never becomes a join, let alone a shuffle.
+    val dots = pw.select(explode(expr(
+        """flatten(transform(pw, a ->
+          |  transform(filter(pw, b -> b.d > a.d), b ->
+          |    struct(a.d AS da, b.d AS db, a.w * b.w AS p))))""".stripMargin))
+        .as("pr"))
+      .groupBy(col("pr.da").as("da"), col("pr.db").as("db"))
+      .agg(sum(col("pr.p")).as("dot"))
+    val norms = pw.select(explode(col("pw")).as("q"))
+      .groupBy(col("q.d").as("doc_id"))
+      .agg(sqrt(sum(col("q.w") * col("q.w"))).as("nrm"))
+    dots
+      .join(broadcast(norms.toDF("da", "na")), "da")
+      .join(broadcast(norms.toDF("db", "nb")), "db")
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.3)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
