@@ -33,12 +33,16 @@ class QueriesExt6Spec extends SparkSpec {
     assert(exchanges == 1, s"expected only the final sort exchange:\n$p")
   }
 
-  test("q_tfidf_pairs: inverted-index join, never a cartesian/nested-loop") {
+  test("q_tfidf_pairs: pairs inline from per-token arrays, no self-join") {
     val df = q("q_tfidf_pairs")
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
-    // the probe-vocab prune is a broadcast semi join
-    assert(p.contains("LeftSemi"), s"probe-vocab semi join missing:\n$p")
+    // pairs come from exploding each token's probe array — the sparse
+    // dot product must never become a token self-join shuffle
+    assert(!p.contains("SortMergeJoin"), s"token self-join crept back:\n$p")
+    assert(p.contains("explode"), s"inline pair generation missing:\n$p")
+    // the norm joins are probe-sized and must broadcast
+    assert(p.contains("BroadcastHashJoin"), s"norm join not broadcast:\n$p")
     // cosine is symmetric-bounded
     val bad = df.filter(col("cosine") > 1.000001 || col("cosine") < 0.3).count()
     assert(bad == 0, "cosine outside [threshold, 1]")
