@@ -45,13 +45,32 @@ object QueriesCommon {
       walk(new java.io.File(d))
     })
 
+  // Below the AQE threshold the static plan also keeps the session's
+  // full shuffle fan-out (one task per core), which for megabyte
+  // inputs is pure per-task scheduling overhead at every exchange —
+  // the very waste AQE coalescing exists to remove at scale. Size the
+  // fan-out from the same input statistic instead: one shuffle
+  // partition per ~4 MiB of input, floored at 4 for parallelism,
+  // capped at the session default so at-scale runs (where AQE owns
+  // the decision) are untouched.
+  private val sessionShufflePartitions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Shared table loader: nanos-as-long (events.ts is TIMESTAMP(NANOS),
     * which Spark 4 rejects by default; the long preserves exact
-    * ns-precision ordering) + cached schema + size-gated AQE. */
+    * ns-precision ordering) + cached schema + size-gated AQE and
+    * size-gated shuffle fan-out. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val bytes = totalBytes(dir)
     s.conf.set("spark.sql.adaptive.enabled",
-      (totalBytes(dir) >= adaptiveMinInputBytes).toString)
+      (bytes >= adaptiveMinInputBytes).toString)
+    val defaultP = sessionShufflePartitions
+      .computeIfAbsent(s, _.conf.get("spark.sql.shuffle.partitions"))
+    val p =
+      if (bytes >= adaptiveMinInputBytes) defaultP.toLong
+      else math.min(defaultP.toLong, math.max(4L, bytes >> 22))
+    s.conf.set("spark.sql.shuffle.partitions", p.toString)
     val path = s"$dir/$name.parquet"
     val schema = schemaCache.computeIfAbsent(path,
       p => s.read.parquet(p).schema)
