@@ -76,6 +76,22 @@ object QueriesCommon {
       p => s.read.parquet(p).schema)
     s.read.schema(schema).parquet(path)
   }
+  /** Like `table`, but fans the scan out to the session's cores when
+    * the input sits below the adaptive threshold. The test parquet
+    * ships a single row group per file, which Spark cannot split, so a
+    * heavy per-row kernel planned directly on the bare scan (shingle
+    * hashing, tokenize+hash, tile dot products) runs in ONE task no
+    * matter how many cores the session has. The round-robin exchange
+    * this adds moves only the raw input bytes — megabytes, by the
+    * gate — and buys full-width map parallelism; at scale the gate
+    * makes it the bare scan again, where real inputs carry real
+    * splits and the extra exchange would be waste. */
+  def fannedTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = table(s, dir, name)
+    if (totalBytes(dir) >= adaptiveMinInputBytes) df
+    else df.repartition(s.sparkContext.defaultParallelism)
+  }
+
   /** The ONE tokenizing expression the text queries share — the Spark
     * twin of the oracle SQL's `regexp_split_to_array(trim(lower(text)),
     * '\s+')`-with-empty-guard construction (and of

@@ -16,6 +16,9 @@ object QueriesExt {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
+  // heavy per-row kernels sit on this one (see QueriesCommon.fannedTable)
+  private def ft(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.fannedTable(s, dir, name)
 
   /** F13 JSON metadata extraction (`qdrant_import.py:421-432` tries
     * json.loads on every string): typed key pull from a JSON column. */
@@ -137,7 +140,7 @@ object QueriesExt {
 
   /** N-gram Jaccard near-dup candidates via the inverted-index join. */
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.ngramJaccardPairs(ft(s, dir, "documents"), "doc_id", "text",
         k = 3, dfCap = 10, threshold = 0.1)
       .orderBy("doc_a", "doc_b")
 
@@ -145,18 +148,18 @@ object QueriesExt {
 
   /** MinHash + banded LSH near-dup candidates. */
   private def qMinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+    Dedup.minhashLshPairs(ft(s, dir, "documents"), "doc_id", "text",
         shingleK = 3, sigLen = 32, bands = 8, estThreshold = 0.25)
       .orderBy("doc_a", "doc_b")
 
   /** SimHash fingerprints per document. */
   private def qSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashes(t(s, dir, "documents"), "doc_id", "text")
+    Dedup.simhashes(ft(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Embedding near-dup pairs, hyperplane-LSH blocked. */
   private def qEmbedNeardup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.embeddingNearDupPairs(ft(s, dir, "embeddings"), "vec_id", "embedding",
         planes = 8, minCosine = 0.25)
       .orderBy("id_a", "id_b")
 

@@ -16,6 +16,9 @@ object QueriesExt3 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
+  // heavy per-row kernels sit on this one (see QueriesCommon.fannedTable)
+  private def ft(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.fannedTable(s, dir, name)
 
   /** Duplicate clusters: transitive closure of the n-gram Jaccard
     * near-dup pairs (the oracle-checked edge generator of
@@ -23,7 +26,7 @@ object QueriesExt3 {
     * components; every document gets its cluster's min doc_id. */
   private def qDupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+    val pairs = Dedup.ngramJaccardPairs(ft(s, dir, "documents"), "doc_id", "text",
       k = 3, dfCap = 10, threshold = 0.1)
     val comp = DupClusters.connectedComponents(pairs, "doc_a", "doc_b")
     docs.select("doc_id")
@@ -205,7 +208,7 @@ object QueriesExt3 {
     val docs = t(s, dir, "documents")
     val probes = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("pid"), col("text").as("ptext"))
-    Dedup.contaminationPairs(docs, "doc_id", "text",
+    Dedup.contaminationPairs(ft(s, dir, "documents"), "doc_id", "text",
         probes, "pid", "ptext", k = 3, minShared = 3L)
       .filter(col("doc_id") =!= col("probe_id"))
       .orderBy("doc_id", "probe_id")

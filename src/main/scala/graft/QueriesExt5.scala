@@ -29,13 +29,16 @@ object QueriesExt5 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
+  // heavy per-row kernels sit on this one (see QueriesCommon.fannedTable)
+  private def ft(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.fannedTable(s, dir, name)
 
   /** Exact cosine pairs over the whole embedding corpus. All pairs are
     * scored — distributed as block tiles (Dedup.exactCosinePairs), not
     * a cartesian — making this the ground truth the approximate
     * near-dup paths are graded against. */
   private def qNeardupExact(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.exactCosinePairs(ft(s, dir, "embeddings"), "vec_id", "embedding",
         minCosine = 0.25, blocks = 8)
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("id_a", "id_b")
@@ -146,7 +149,7 @@ object QueriesExt5 {
     * engines construct identically (q_simhash_oracle). */
   private def qSimhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.bandedHammingPairs(
-        QueriesExt4.md5Simhash16(t(s, dir, "documents")),
+        QueriesExt4.md5Simhash16(ft(s, dir, "documents")),
         "doc_id", "simhash16", maxHamming = 3, hashBits = 16)
       .withColumn("hamming", col("hamming").cast("bigint"))
       .orderBy("doc_a", "doc_b")

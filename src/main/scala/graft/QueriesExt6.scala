@@ -25,6 +25,9 @@ object QueriesExt6 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
+  // heavy per-row kernels sit on this one (see QueriesCommon.fannedTable)
+  private def ft(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.fannedTable(s, dir, name)
 
   // Shared PII patterns: the SAME regex text is valid and equivalent in
   // Java regex (Spark) and RE2 (DuckDB) — character classes, bounded
@@ -66,7 +69,7 @@ object QueriesExt6 {
     // keys on the token, so tokens travel as 8-byte xxhash64 longs (the
     // Dedup.minhashSignatures pattern; the sf0.01 oracle gate groups on
     // the raw text and checks the resulting cosines hash-exactly).
-    val toks = t(s, dir, "documents")
+    val toks = ft(s, dir, "documents")
       .select(col("doc_id"),
         explode(expr(
           s"transform(${QueriesCommon.toksSql}, x -> xxhash64(x))")).as("tok"))
@@ -205,7 +208,7 @@ object QueriesExt6 {
     * k+w-1 tokens have no full window and drop out (both engines). */
   private def qWinnow(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.winnowFingerprints(
-        t(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        ft(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
       .groupBy("doc_id")
       .agg(countDistinct(col("fp")).as("n_fps"), min(col("fp")).as("min_fp"))
       .orderBy("doc_id")

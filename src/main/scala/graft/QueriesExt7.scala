@@ -27,6 +27,9 @@ object QueriesExt7 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
+  // heavy per-row kernels sit on this one (see QueriesCommon.fannedTable)
+  private def ft(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.fannedTable(s, dir, name)
 
   private def tokens(d: DataFrame): DataFrame = QueriesCommon.tokens(d)
 
@@ -34,7 +37,7 @@ object QueriesExt7 {
     * `Dedup.dupSpanStats` (grams shuffle as xxhash64 longs via a
     * compiled kernel; 2.0 → 1.2 s at sf0.1; see its scaladoc). */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
-    graft.dedup.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text", 8)
+    graft.dedup.Dedup.dupSpanStats(ft(s, dir, "documents"), "doc_id", "text", 8)
       .orderBy("doc_id")
 
   /** Ordered conversion funnel: per user, the first 'view', the first

@@ -31,15 +31,17 @@ object JobProbe {
         lines += f"  stage ${si.stageId}%3d ${si.numTasks}%4d tasks  $dt%.2f s  ${si.name.take(60)}"
       }
     })
-    val fn = graft.SparkEntry.queries(name)
-    fn(spark, dir).count() // warm
-    Thread.sleep(300); lines.clear()
-    val t0 = System.nanoTime()
-    fn(spark, dir).count()
-    val total = (System.nanoTime() - t0) / 1e9
-    Thread.sleep(300)
-    lines.foreach(println)
-    println(f"TOTAL $name $total%.2f s")
+    for (n <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, dir).count() // warm
+      Thread.sleep(300); lines.clear()
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val total = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      lines.foreach(println)
+      println(f"TOTAL $n $total%.2f s")
+    }
     spark.stop()
   }
 }
