@@ -95,22 +95,29 @@ object QueriesExt6 {
       .select(expr(
         s"transform(ps, p -> struct(p.d AS d, p.tf * ln(cast($nDocs AS double) / df) AS w))")
         .as("pw"))
-      .localCheckpoint(false) // feeds pairs AND norms; probe-vocab-sized
     // Pairs materialize inline from each token's probe array — the
     // sparse dot product never becomes a join, let alone a shuffle.
-    val dots = pw.select(explode(expr(
+    // The expansion keeps the DIAGONAL (b.d >= a.d): the (x, x) row's
+    // sum is exactly Σw² = ‖x‖², so norms fall out of the SAME
+    // aggregation as the dots and the one pass over pw feeds
+    // everything — no cache barrier, no norm joins. Each side's norm
+    // then travels to its pair rows via a window over the pair set
+    // (probe-bounded, thousands of rows), and sqrt is applied per
+    // side so the denominator is bit-equal to the oracle's nrm_a*nrm_b.
+    val wa = Window.partitionBy("da")
+    val wb = Window.partitionBy("db")
+    pw.select(explode(expr(
         """flatten(transform(pw, a ->
-          |  transform(filter(pw, b -> b.d > a.d), b ->
+          |  transform(filter(pw, b -> b.d >= a.d), b ->
           |    struct(a.d AS da, b.d AS db, a.w * b.w AS p))))""".stripMargin))
         .as("pr"))
       .groupBy(col("pr.da").as("da"), col("pr.db").as("db"))
       .agg(sum(col("pr.p")).as("dot"))
-    val norms = pw.select(explode(col("pw")).as("q"))
-      .groupBy(col("q.d").as("doc_id"))
-      .agg(sqrt(sum(col("q.w") * col("q.w"))).as("nrm"))
-    dots
-      .join(broadcast(norms.toDF("da", "na")), "da")
-      .join(broadcast(norms.toDF("db", "nb")), "db")
+      .withColumn("na",
+        sqrt(max(when(col("da") === col("db"), col("dot"))).over(wa)))
+      .withColumn("nb",
+        sqrt(max(when(col("da") === col("db"), col("dot"))).over(wb)))
+      .filter(col("da") < col("db"))
       .withColumn("cosine", col("dot") / (col("na") * col("nb")))
       .filter(col("cosine") >= 0.3)
       .select(col("da").as("doc_a"), col("db").as("doc_b"),

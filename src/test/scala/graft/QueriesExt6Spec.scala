@@ -37,12 +37,11 @@ class QueriesExt6Spec extends SparkSpec {
     val df = q("q_tfidf_pairs")
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
-    // pairs come from exploding each token's probe array — the sparse
-    // dot product must never become a token self-join shuffle
-    assert(!p.contains("SortMergeJoin"), s"token self-join crept back:\n$p")
+    // pairs come from exploding each token's probe array, and norms are
+    // the diagonal of the same aggregation — the whole query must plan
+    // without a single join operator
+    assert(!p.contains("Join"), s"join crept back into the pair path:\n$p")
     assert(p.contains("explode"), s"inline pair generation missing:\n$p")
-    // the norm joins are probe-sized and must broadcast
-    assert(p.contains("BroadcastHashJoin"), s"norm join not broadcast:\n$p")
     // cosine is symmetric-bounded
     val bad = df.filter(col("cosine") > 1.000001 || col("cosine") < 0.3).count()
     assert(bad == 0, "cosine outside [threshold, 1]")
