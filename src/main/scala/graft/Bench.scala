@@ -17,6 +17,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // static conf: the default 100-entry codegen cache thrashes once a
+      // workload carries more than a few dozen distinct plans, making
+      // every run re-compile every whole-stage unit through Janino
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up passes, outside the timed region, so per-query timings

@@ -20,6 +20,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the default 100-entry codegen cache thrashes once a
+      // workload carries more than a few dozen distinct plans, making
+      // every run re-compile every whole-stage unit through Janino
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

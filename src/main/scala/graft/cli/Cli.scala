@@ -405,6 +405,10 @@ object Cli {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.ui.enabled", "false")
+      // static conf: the default 100-entry codegen cache thrashes once a
+      // workload carries more than a few dozen distinct plans, making
+      // every run re-compile every whole-stage unit through Janino
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val rc = run(spark, args.toSeq)
