@@ -332,4 +332,148 @@ object Adapters {
       s"""CREATE TABLE IF NOT EXISTS $keyspace.${spec.name}""" +
         s""" (id text PRIMARY KEY, "$$vector" vector<float,${spec.dimension}>)"""
   }
+
+  // ----------------------------------------------------------- KDB.AI
+
+  /** One column of the KDB.AI create-table schema
+    * (`kdbai_import.py:150-182`): the chosen vector column carries a
+    * vectorIndex config, every other parquet column a pytype. */
+  final case class KdbaiVectorIndex(dims: Int, metric: String, `type`: String)
+  final case class KdbaiColumn(name: String,
+      pytype: Option[String] = None,
+      vectorIndex: Option[KdbaiVectorIndex] = None)
+  final case class KdbaiTableSpec(columns: Seq[KdbaiColumn],
+      droppedColumns: Seq[String])
+
+  object KdbAi {
+    /** `kdbai_import.py:78-83`: dashes become underscores; a leading
+      * underscore gains a "col" prefix. Applied to EVERY parquet
+      * column, not just vectors (`kdbai_import.py:127-137`). */
+    def compliantName(name: String): String = {
+      val n = name.replace("-", "_")
+      if (n.startsWith("_")) "col" + n else n
+    }
+
+    /** pytype mapping (`kdbai_import.py:177-182`): parquet "string" →
+      * "str", "double" → "float64"; everything else passes through. */
+    def pytype(parquetType: String): String = parquetType match {
+      case "string" => "str"
+      case "double" => "float64"
+      case t => t
+    }
+
+    /** Schema synthesis (`kdbai_import.py:150-175`): the chosen vector
+      * column leads with its vectorIndex (manifest dims, metric through
+      * the KDB.AI bimap CS/L2/IP, lowercased index type); other parquet
+      * columns follow as pytypes; NON-chosen vector columns are
+      * dropped. `parquetColumns` is (name, parquet type) pre-rename. */
+    def tableSpec(ns: NamespaceMeta, indexType: String,
+        parquetColumns: Seq[(String, String)],
+        vectorColumns: Seq[String], vectorColumn: String): KdbaiTableSpec = {
+      val vecCols = vectorColumns.map(compliantName).toSet
+      val vecCol = compliantName(vectorColumn)
+      val head = KdbaiColumn(vecCol, vectorIndex = Some(KdbaiVectorIndex(
+        ns.dimensions, reverseMetric("kdbai", ns.metric),
+        indexType.toLowerCase)))
+      val renamed = parquetColumns.map { case (n, t) => (compliantName(n), t) }
+      val rest = renamed.collect {
+        case (n, t) if !vecCols.contains(n) =>
+          KdbaiColumn(n, pytype = Some(pytype(t)))
+      }
+      val dropped = renamed.collect {
+        case (n, _) if vecCols.contains(n) && n != vecCol => n
+      }
+      KdbaiTableSpec(head +: rest, dropped)
+    }
+  }
+
+  // ------------------------------------------- Vertex AI Vector Search
+
+  /** Tree-AH index creation args with the reference's defaults
+    * (`vertexai_vector_search_import.py:320-330`). */
+  final case class VertexIndexSpec(
+      displayName: String, dimensions: Int,
+      approximateNeighborsCount: Int = 150,
+      leafNodeEmbeddingCount: Int = 1000,
+      leafNodesToSearchPercent: Int = 7,
+      distanceMeasureType: String = "DOT_PRODUCT_DISTANCE",
+      shardSize: String = "SHARD_SIZE_MEDIUM")
+
+  /** One string-filter restrict config (`vertexai…import.py:236-268`):
+    * a namespace plus the row COLUMNS whose values become allow/deny
+    * tokens per datapoint. */
+  final case class VertexRestrict(namespace: String,
+      allowCols: Seq[String] = Nil, denyCols: Seq[String] = Nil)
+  final case class VertexNumericRestrict(namespace: String, dataType: String)
+
+  object VertexAi {
+    /** Index naming (`vertexai…import.py:300-310`): `{base}_{namespace}`
+      * when the namespace is nonempty; under create_new, collision
+      * suffixes append CUMULATIVELY (idx → idx_2 → idx_2_3), exactly
+      * as the reference's loop concatenates. */
+    def indexName(base: String, namespace: String,
+        existing: Set[String], createNew: Boolean): String = {
+      val n0 = if (namespace.nonEmpty) s"${base}_$namespace" else base
+      if (!createNew) n0
+      else {
+        var n = n0
+        var suffix = 2
+        while (existing(n)) { n = s"${n}_$suffix"; suffix += 1 }
+        n
+      }
+    }
+
+    def indexSpec(name: String, ns: NamespaceMeta,
+        distanceMeasure: Option[String] = None): VertexIndexSpec =
+      VertexIndexSpec(
+        displayName = name, dimensions = ns.dimensions,
+        distanceMeasureType =
+          distanceMeasure.getOrElse("DOT_PRODUCT_DISTANCE"))
+
+    /** Datapoint shaping (`vertexai…import.py:905-985`): stringified
+      * ids, the raw vector as feature_vector, per-row restricts whose
+      * allow/deny token lists accumulate CUMULATIVELY across restrict
+      * entries (the reference shares one allow_values/deny_values list
+      * per row across its entry loop — faithfully reproduced), numeric
+      * restricts carrying the typed row value, and a stringified
+      * crowding tag. All column expressions — no driver-side row
+      * loop. */
+    def datapointRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+        vecCol: String,
+        restricts: Seq[VertexRestrict] = Nil,
+        numeric: Seq[VertexNumericRestrict] = Nil,
+        crowdingTagCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      var allowSoFar = Seq.empty[org.apache.spark.sql.Column]
+      var denySoFar = Seq.empty[org.apache.spark.sql.Column]
+      val restrictCols = restricts.map { r =>
+        allowSoFar ++= r.allowCols.map(c => col(c).cast("string"))
+        denySoFar ++= r.denyCols.map(c => col(c).cast("string"))
+        struct(lit(r.namespace).as("namespace"),
+          array(allowSoFar: _*).as("allow_list"),
+          array(denySoFar: _*).as("deny_list"))
+      }
+      // the reference keys the row value by data_type (value_int /
+      // value_float / value_double on the datapoint proto); one typed
+      // double field plus the data_type discriminator carries the same
+      // information without per-entry struct shapes
+      val numericCols = numeric.map { nr =>
+        struct(lit(nr.namespace).as("namespace"),
+          lit(nr.dataType).as("data_type"),
+          col(nr.namespace).cast("double").as("value"))
+      }
+      df.select(
+        col(idCol).cast("string").as("datapoint_id"),
+        col(vecCol).as("feature_vector"),
+        (if (restrictCols.nonEmpty) array(restrictCols: _*)
+         else array().cast("array<struct<namespace:string," +
+           "allow_list:array<string>,deny_list:array<string>>>"))
+          .as("restricts"),
+        (if (numericCols.nonEmpty) array(numericCols: _*)
+         else array().cast("array<struct<namespace:string," +
+           "data_type:string,value:double>>")).as("numeric_restricts"),
+        crowdingTagCol.map(c => col(c).cast("string"))
+          .getOrElse(lit(null).cast("string")).as("crowding_tag"))
+    }
+  }
 }

@@ -24,8 +24,13 @@ object Metric {
     "kdbai" -> Map("CS" -> Cosine, "L2" -> Euclid, "IP" -> Dot),
     "chroma" -> Map("cosine" -> Cosine, "l2" -> Euclid, "ip" -> Dot),
     "astradb" -> Map("cosine" -> Cosine, "euclidean" -> Euclid, "dot_product" -> Dot),
-    "lancedb" -> Map("cosine" -> Cosine, "l2" -> Euclid, "dot" -> Dot),
-    "turbopuffer" -> Map("cosine_distance" -> Cosine, "euclidean_squared" -> Euclid),
+    "lancedb" -> Map("Cosine" -> Cosine, "L2" -> Euclid, "Dot" -> Dot),
+    "turbopuffer" -> Map("cosine_distance" -> Cosine,
+      "euclidean_distance" -> Euclid, "dot_product" -> Dot),
+    "weaviate" -> Map("cosine" -> Cosine, "l2-squared" -> Euclid,
+      "dot" -> Dot, "manhattan" -> Manhattan),
+    "vespa" -> Map("angular" -> Cosine, "euclidean" -> Euclid,
+      "dotproduct" -> Dot),
     "vertexai_vectorsearch" -> Map(
       "COSINE_DISTANCE" -> Cosine, "SQUARED_L2_DISTANCE" -> Euclid,
       "DOT_PRODUCT_DISTANCE" -> Dot, "L1_DISTANCE" -> Manhattan))

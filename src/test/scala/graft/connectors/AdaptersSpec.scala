@@ -150,4 +150,41 @@ class AdaptersSpec extends AnyFunSuite {
       "CREATE TABLE IF NOT EXISTS default_keyspace.users" +
         " (id text PRIMARY KEY, \"$vector\" vector<float,3>)")
   }
+
+  test("kdbai compliant names, pytypes, and table schema synthesis") {
+    // kdbai_import.py:78-83
+    assert(Adapters.KdbAi.compliantName("my-col") == "my_col")
+    assert(Adapters.KdbAi.compliantName("_hidden") == "col_hidden")
+    // kdbai_import.py:177-182
+    assert(Adapters.KdbAi.pytype("string") == "str")
+    assert(Adapters.KdbAi.pytype("double") == "float64")
+    assert(Adapters.KdbAi.pytype("int64") == "int64")
+    // kdbai_import.py:150-175: chosen vector leads with its index
+    // config; other vector columns are dropped; scalars carry pytypes
+    val spec = Adapters.KdbAi.tableSpec(
+      ns(4, Some("Euclid"), None), indexType = "FLAT",
+      parquetColumns = Seq(("doc-id", "int64"), ("text", "string"),
+        ("emb", "double"), ("emb2", "double")),
+      vectorColumns = Seq("emb", "emb2"), vectorColumn = "emb")
+    assert(spec.columns.head == Adapters.KdbaiColumn("emb",
+      vectorIndex = Some(Adapters.KdbaiVectorIndex(4, "L2", "flat"))))
+    assert(spec.columns.tail == Seq(
+      Adapters.KdbaiColumn("doc_id", pytype = Some("int64")),
+      Adapters.KdbaiColumn("text", pytype = Some("str"))))
+    assert(spec.droppedColumns == Seq("emb2"))
+  }
+
+  test("vertexai index naming: namespace suffix + cumulative collision suffixes") {
+    // vertexai_vector_search_import.py:300-310
+    assert(Adapters.VertexAi.indexName("idx", "ns1", Set.empty,
+      createNew = false) == "idx_ns1")
+    assert(Adapters.VertexAi.indexName("idx", "", Set("idx", "idx_2"),
+      createNew = true) == "idx_2_3")
+    val spec = Adapters.VertexAi.indexSpec("idx", ns(8, Some("Cosine"), None))
+    assert(spec.dimensions == 8 && spec.approximateNeighborsCount == 150 &&
+      spec.leafNodeEmbeddingCount == 1000 &&
+      spec.leafNodesToSearchPercent == 7 &&
+      spec.distanceMeasureType == "DOT_PRODUCT_DISTANCE" &&
+      spec.shardSize == "SHARD_SIZE_MEDIUM")
+  }
 }

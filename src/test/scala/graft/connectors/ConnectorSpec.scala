@@ -133,4 +133,35 @@ class ConnectorSpec extends SparkSpec {
     val noMap = Adapters.Chroma.upsertRows(df, "pk", "vec", NamespaceMeta())
     assert(noMap.select("document").as[String].collect().toSet == Set("1", "3"))
   }
+
+  test("vertexai datapoint rows: restricts accumulate, numeric typed, crowding") {
+    import spark.implicits._
+    val df = Seq((7L, Array(1.0f, 2.0f), "news", "spam", 42, "groupA"))
+      .toDF("pk", "vec", "topic", "flag", "rank", "grp")
+    val out = Adapters.VertexAi.datapointRows(df, "pk", "vec",
+      restricts = Seq(
+        Adapters.VertexRestrict("topics", allowCols = Seq("topic")),
+        Adapters.VertexRestrict("flags", denyCols = Seq("flag"))),
+      numeric = Seq(Adapters.VertexNumericRestrict("rank", "value_int")),
+      crowdingTagCol = Some("grp"))
+    val r = out.collect().head
+    assert(r.getAs[String]("datapoint_id") == "7")
+    val restricts = r.getSeq[org.apache.spark.sql.Row](2)
+    // vertexai…import.py:920-945 shares one allow/deny list per row
+    // across entries, so entry 2 carries entry 1's allow token too
+    assert(restricts.map(_.getAs[String]("namespace")) ==
+      Seq("topics", "flags"))
+    assert(restricts(0).getSeq[String](1) == Seq("news"))
+    assert(restricts(1).getSeq[String](1) == Seq("news")) // cumulative
+    assert(restricts(1).getSeq[String](2) == Seq("spam"))
+    val nr = r.getSeq[org.apache.spark.sql.Row](3).head
+    assert(nr.getAs[String]("data_type") == "value_int" &&
+      nr.getAs[Double]("value") == 42.0)
+    assert(r.getAs[String]("crowding_tag") == "groupA")
+    // no configs → empty typed arrays, null crowding tag
+    val bare = Adapters.VertexAi.datapointRows(df, "pk", "vec").collect().head
+    assert(bare.getSeq[org.apache.spark.sql.Row](2).isEmpty &&
+      bare.getSeq[org.apache.spark.sql.Row](3).isEmpty &&
+      bare.isNullAt(4))
+  }
 }
