@@ -30,7 +30,9 @@ object QueriesCommon {
   // catalog-backed cost model consults — so small interactive inputs
   // run as one DAG submission while anything at real scale keeps the
   // full adaptive machinery. Threshold overridable for testing.
-  private val adaptiveMinInputBytes: Long =
+  // read per call (a property lookup) so tests can exercise BOTH
+  // regimes of every size gate by flipping the threshold
+  private def adaptiveMinInputBytes: Long =
     java.lang.Long.getLong("graft.adaptive.minInputBytes", 1L << 30)
   private val dirBytes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
