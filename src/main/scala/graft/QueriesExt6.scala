@@ -204,6 +204,65 @@ object QueriesExt6 {
       .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("priority"))
   }
 
+  /** Okapi BM25 retrieval scoring (Robertson et al., TREC-3; the
+    * Lucene-practical idf form `ln((N-df+0.5)/(df+0.5)+1)`, k1=1.2,
+    * b=0.75): the token sets of probe docs 0-4 act as queries, every
+    * corpus doc sharing a token is scored, top-10 per query survive.
+    * This is the exact lexical-retrieval scorer a contamination /
+    * benchmark-leak hunt runs after candidate generation.
+    *
+    * Shape (the qTfidfPairs family): document length travels INLINE
+    * with each token row (computed from the same text expression at
+    * scan time), so the length normalization never becomes a corpus
+    * join; a broadcast probe-vocab semi-join prunes the corpus stream
+    * BEFORE its one shuffle; df and the probe-hit list then come from
+    * windows over the same token partitioning (the repartition makes
+    * the grouping and both windows share one exchange). At 100 TB the
+    * probe side is whatever candidate generation emitted, and a df-cap
+    * (impact pruning / WAND territory) bounds stopword partitions —
+    * here the corpus is scored exactly. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val docs = ft(s, dir, "documents")
+    val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
+    val toks = docs.select(col("doc_id"),
+      expr(s"size($toksArr)").cast("double").as("dl"),
+      explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+    // probe vocabulary from the pushed-down doc_id<5 scan: tiny read,
+    // broadcast, prunes the corpus stream to tokens that can score
+    val probeVocab = t(s, dir, "documents").filter(col("doc_id") < 5)
+      .select(explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+      .distinct()
+    // corpus + doc-count scalars as a 1-row broadcast (single job)
+    val stats = t(s, dir, "documents")
+      .select(expr(s"size($toksArr)").cast("double").as("dl0"))
+      .agg(count(lit(1)).cast("double").as("n"), avg("dl0").as("avgdl"))
+    val wTok = Window.partitionBy("tok")
+    toks.join(broadcast(probeVocab), Seq("tok"), "left_semi")
+      .repartition(col("tok")) // grouping + both windows share this
+      .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(wTok))
+      .withColumn("qids",
+        collect_set(when(col("doc_id") < 5, col("doc_id"))).over(wTok))
+      .select(explode(col("qids")).as("query_id"), col("doc_id"),
+        col("tf").cast("double").as("tf"), col("dl"),
+        col("df").cast("double").as("df"))
+      .crossJoin(broadcast(stats))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .as("score"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("doc_id"),
+        round(col("score"), 6).as("bm25"))
+      .orderBy("query_id", "doc_id")
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03 — the MOSS algorithm): hash every word 3-gram in
     * positional order, slide a window of 4 consecutive hashes, keep
@@ -221,6 +280,7 @@ object QueriesExt6 {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> (qBm25(_, _)),
     "q_winnow" -> (qWinnow(_, _)),
     "q_weighted_sample" -> (qWeightedSample(_, _)),
     "q_redact" -> (qRedact(_, _)),
@@ -230,6 +290,34 @@ object QueriesExt6 {
     "q_bloom_semi" -> (qBloomSemi(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS tok
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT count(*) AS n,
+        |    avg(COALESCE(dl.dl, 0)) AS avgdl
+        |  FROM documents LEFT JOIN dl USING (doc_id)),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT DISTINCT doc_id AS query_id, tok FROM tok
+        |      WHERE doc_id < 5),
+        |scores AS (SELECT q.query_id, tf.doc_id,
+        |    sum(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+        |        * tf.tf * 2.2
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+        |  FROM q JOIN tf ON q.tok = tf.tok
+        |  JOIN df ON tf.tok = df.tok
+        |  JOIN dl ON tf.doc_id = dl.doc_id
+        |  CROSS JOIN stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id
+        |    ORDER BY round(score, 6) DESC, doc_id) AS rn FROM scores)
+        |SELECT query_id, doc_id, round(score, 6) AS bm25
+        |FROM r WHERE rn <= 10
+        |ORDER BY query_id, doc_id""".stripMargin,
     "q_winnow" ->
       """WITH b AS (SELECT doc_id,
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]

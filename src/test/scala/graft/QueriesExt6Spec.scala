@@ -47,6 +47,25 @@ class QueriesExt6Spec extends SparkSpec {
     assert(bad == 0, "cosine outside [threshold, 1]")
   }
 
+  test("q_bm25: one corpus shuffle; length normalization never joins") {
+    val df = q("q_bm25")
+    val p = plan(df)
+    // the probe-vocab prune is a broadcast semi join ahead of the
+    // corpus exchange
+    assert(p.contains("LeftSemi"), s"probe-vocab prune missing:\n$p")
+    // dl travels inline with the token rows — a corpus-sized dl join
+    // would appear as a SortMergeJoin; the only joins allowed are the
+    // broadcast semi (prune) + broadcast nested-loop (1-row stats)
+    assert(!p.contains("SortMergeJoin"), s"corpus join crept in:\n$p")
+    // scores are bounded and the output is top-10 per query
+    import spark.implicits._
+    val perQuery = df.groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_._2 <= 10))
+    // a probe doc must rank itself (it shares every token with itself)
+    val self = df.filter(col("query_id") === col("doc_id")).count()
+    assert(self == perQuery.length, "each query's own doc must surface")
+  }
+
   test("q_dedup_best keeps exactly one (longest) doc per fingerprint") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("fp", md5(substring(col("text"), 1, 40)))
