@@ -33,6 +33,35 @@ object QueriesExt5 {
   private def ft(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.fannedTable(s, dir, name)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the embedding
+    * corpus: partition the space into buckets (the paper uses k-means
+    * clusters; here the ENGINE-NEUTRAL md5 integer hyperplanes of
+    * `Lsh.md5QuantBucket`, so the whole route sits behind the DuckDB
+    * hash-match gate), compute pairwise cosine ONLY within a bucket,
+    * and keep a vector iff no lower-id bucket-mate sits within the
+    * similarity threshold — keep-min survivor semantics, matching
+    * q_dedup_survivors. The bucket count (planes) is the scale knob:
+    * at 100 TB more planes shrink buckets so the within-bucket
+    * quadratic term stays bounded, exactly like the paper's k. */
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val planes = 6
+    val emb = ft(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dims = graft.similarity.Lsh.probeDims(emb, "embedding")
+    val pm = graft.similarity.Lsh.md5PlaneMatrixInt(planes, dims)
+    val b = emb.withColumn("bucket",
+      graft.similarity.Lsh.md5QuantBucket(col("embedding"), pm))
+    val dropped = b.toDF("id_a", "va", "bucket")
+      .join(b.toDF("id_b", "vb", "bucket"), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosineSimilarity(
+        col("va"), col("vb")) >= 0.25)
+      .select(col("id_b").as("vec_id")).distinct()
+    b.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket"))
+      .orderBy("vec_id")
+  }
+
   /** Exact cosine pairs over the whole embedding corpus. All pairs are
     * scored — distributed as block tiles (Dedup.exactCosinePairs), not
     * a cartesian — making this the ground truth the approximate
@@ -161,11 +190,34 @@ object QueriesExt5 {
     "q_strip_stopwords" -> (qStripStopwords(_, _)),
     "q_dedup_survivors" -> (qDedupSurvivors(_, _)),
     "q_repetition" -> (qRepetition(_, _)),
-    "q_reembed_oracle" -> (qReembedOracle(_, _)))
+    "q_reembed_oracle" -> (qReembedOracle(_, _)),
+    "q_semdedup" -> (qSemDedup(_, _)))
 
   private val stopList = TF.stopwordsSqlLiteral
 
   val oracleSql: Map[String, String] = Map(
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS qv
+        |           FROM embeddings),
+        |pl AS (SELECT p, list_transform(
+        |         range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+        |         j -> CAST(strpos('0123456789abcdef',
+        |                substr(md5(p || ':' || j), 1, 1)) - 9 AS DOUBLE)) AS c
+        |       FROM range(0, 6) t(p)),
+        |pb AS (SELECT vec_id, any_value(v) AS v,
+        |         CAST(sum(CASE WHEN list_dot_product(qv, c) >= 0
+        |                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+        |       FROM e CROSS JOIN pl GROUP BY vec_id, qv),
+        |dropped AS (SELECT DISTINCT b.vec_id
+        |            FROM pb a JOIN pb b
+        |              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |            WHERE list_dot_product(a.v, b.v) /
+        |              (sqrt(list_dot_product(a.v, a.v)) *
+        |               sqrt(list_dot_product(b.v, b.v))) >= 0.25)
+        |SELECT vec_id, bucket FROM pb
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "q_neardup_exact" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

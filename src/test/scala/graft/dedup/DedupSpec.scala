@@ -233,4 +233,31 @@ class DedupSpec extends SparkSpec {
     val b2 = vecs.select(Lsh.hyperplaneBucket(col("v"), 4)).collect().map(_.getLong(0))
     assert(b1.sameElements(b2))
   }
+
+  test("q_semdedup keeps the min id of every within-bucket near-dup group") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.SparkEntry.queries("q_semdedup")(spark, dir)
+    val kept = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    // survivors are a strict, non-empty subset (the synthetic corpus
+    // carries ≥0.25-cosine neighbors — q_neardup_exact proves that)
+    val total = emb.count()
+    assert(kept.nonEmpty && kept.size < total,
+      s"semdedup dropped nothing (kept ${kept.size} of $total)")
+    // the minimum vec_id can never be dropped: it has no lower-id mate
+    val minId = emb.agg(min("vec_id")).collect().head.getLong(0)
+    assert(kept.contains(minId))
+    // every dropped vector has a KEPT lower-id bucket-mate within the
+    // threshold... or a dropped one, transitively — verify the direct
+    // SemDeDup invariant instead: no two kept vectors in one bucket
+    // are >= 0.25 cosine with the lower id first
+    val b = out.join(emb.select("vec_id", "embedding"), "vec_id")
+    val viol = b.toDF("ia", "ba", "va")
+      .join(b.toDF("ib", "bb", "vb"), col("ba") === col("bb"))
+      .filter(col("ia") < col("ib"))
+      .filter(graft.functions.VectorFunctions.cosineSimilarity(
+        col("va"), col("vb")) >= 0.25)
+      .count()
+    assert(viol == 0, s"$viol kept pairs still within threshold in-bucket")
+  }
 }
