@@ -204,6 +204,47 @@ object QueriesExt6 {
       .select(col("doc_id"), col("n_chars"), round(col("k"), 9).as("priority"))
   }
 
+  /** Bigram language-model scoring — the CCNet-style (Wenzek et al.
+    * 2020) perplexity quality filter: score every document by the
+    * add-1-smoothed bigram cross-entropy −avg ln P(w₂|w₁) with
+    * P(w₂|w₁) = (c(w₁,w₂)+1)/(c(w₁)+V). Here the LM trains on the
+    * corpus itself; at 100 TB the count tables come from the clean
+    * reference corpus and broadcast. Cross-entropy (not exp'd
+    * perplexity) is the output so rounding stays engine-stable.
+    *
+    * Shape: consecutive pairs come from zipping the token array with
+    * its own tail (pure map side — no positional window/sort);
+    * ONE exchange on w₁ then serves BOTH count tables as windows
+    * (HashPartitioning(w₁) satisfies the (w₁,w₂) clustering, and the
+    * (w₁,w₂) sort covers the w₁ frame), so the whole LM — train +
+    * score — is two exchanges plus the vocab scalar. */
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
+    val docs = ft(s, dir, "documents")
+    val bigrams = docs.select(col("doc_id"), expr(
+      s"""arrays_zip(
+         |  transform(slice($toksArr, 1, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)),
+         |  transform(slice($toksArr, 2, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)))
+         |""".stripMargin).as("bg"))
+      .select(col("doc_id"), explode(col("bg")).as("p"))
+      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+    // vocab size as a 1-row broadcast (the +V smoothing denominator)
+    val vocab = t(s, dir, "documents")
+      .select(explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("v"))
+    val cBg = Window.partitionBy("w1", "w2")
+    val cHist = Window.partitionBy("w1")
+    bigrams.repartition(col("w1"))
+      .withColumn("c12", count(lit(1)).over(cBg))
+      .withColumn("c1", count(lit(1)).over(cHist))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log((col("c12") + 1.0) / (col("c1") + col("v")))).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"), round(col("nll"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** Okapi BM25 retrieval scoring (Robertson et al., TREC-3; the
     * Lucene-practical idf form `ln((N-df+0.5)/(df+0.5)+1)`, k1=1.2,
     * b=0.75): the token sets of probe docs 0-4 act as queries, every
@@ -280,6 +321,7 @@ object QueriesExt6 {
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lm_score" -> (qLmScore(_, _)),
     "q_bm25" -> (qBm25(_, _)),
     "q_winnow" -> (qWinnow(_, _)),
     "q_weighted_sample" -> (qWeightedSample(_, _)),
@@ -290,6 +332,22 @@ object QueriesExt6 {
     "q_bloom_semi" -> (qBloomSemi(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_zip(toks[:-2], toks[2:])) AS p FROM d),
+        |b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+        |      FROM (SELECT unnest(toks) AS tok FROM d)),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln((c12.c12 + 1) / (c1.c1 + v.v))), 6) AS nll
+        |FROM b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        |JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_bm25" ->
       """WITH tok AS (SELECT doc_id, unnest(
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]

@@ -47,6 +47,22 @@ class QueriesExt6Spec extends SparkSpec {
     assert(bad == 0, "cosine outside [threshold, 1]")
   }
 
+  test("q_lm_score: LM train + score is two exchanges, no count-table join") {
+    val df = q("q_lm_score")
+    val p = plan(df)
+    // both count tables are windows over one w1 partitioning — a
+    // corpus-scale join on the bigram key must never appear
+    assert(!p.contains("SortMergeJoin"), s"count-table join crept in:\n$p")
+    // one sort serves both windows ((w1,w2) covers the w1 frame)
+    assert(p.split("Window").length >= 3, s"expected two window ops:\n$p")
+    import spark.implicits._
+    val rows = df.as[(Long, Long, Double)].collect()
+    // smoothed probabilities are < 1, so cross-entropy is positive
+    assert(rows.nonEmpty && rows.forall(_._3 > 0))
+    // every scored doc carries at least one bigram
+    assert(rows.forall(_._2 >= 1))
+  }
+
   test("q_bm25: one corpus shuffle; length normalization never joins") {
     val df = q("q_bm25")
     val p = plan(df)
