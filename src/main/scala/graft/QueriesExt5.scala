@@ -24,6 +24,9 @@ import graft.functions.{TextFunctions => TF}
   *  - q_repetition:      Gopher-style within-document repetition
   *                       metrics (unique-token / top-token / top-bigram
   *                       fractions)
+  *  - q_semdedup:        SemDeDup semantic dedup (round 4): md5-plane
+  *                       buckets, within-bucket cosine, keep-min
+  *                       survivors — fully oracle-gated
   */
 object QueriesExt5 {
 

@@ -4,8 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** Round-3 batch: four more training-data-pipeline operators behind the
-  * DuckDB oracle gate, each a distinct op family not yet covered:
+/** Training-data-pipeline operators behind the DuckDB oracle gate,
+  * each a distinct op family not yet covered (round 3 + round 4):
+  *
+  *  - q_bm25:        Okapi BM25 retrieval scoring (probe queries vs
+  *                   corpus) — the lexical scorer behind contamination
+  *                   and benchmark-leak hunts
+  *  - q_lm_score:    CCNet-style bigram-LM quality scoring (add-1
+  *                   smoothed cross-entropy), train + score in two
+  *                   exchanges
   *
   *  - q_redact:      PII pattern redaction (emails / IPv4) with per-doc
   *                   redaction counts — the scrubbing step every corpus
