@@ -53,16 +53,27 @@ object Bench {
     }.groupMapReduce(_._1)(_._2)(math.min)
     // sorted keys: the contract line can get tail-truncated by capture
     // buffers, so a deterministic order keeps which queries survive
-    // predictable round-over-round
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+    // predictable round-over-round; values rounded to 0.1 ms keeps the
+    // whole ~100-query line a third the size of raw doubles
+    def r4(v: Double): String = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The capture path between this process and BENCH_r{N}.json has a
+    // bounded buffer (round 4 lost the head of the line), so the line is
+    // also written whole to a file the driver — or a human — can ingest:
+    // $SPARK_GRAFT_BENCH_OUT, default bench_results.json in the repo root.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outFile: $e") }
     // Print the contract JSON line AFTER spark.stop() (and silence the
     // shutdown logs) so nothing — executor teardown, shutdown hooks —
     // can interleave output after it: it must be the last line emitted.
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(line)
     System.out.flush()
   }
 }
