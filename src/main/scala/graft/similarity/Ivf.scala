@@ -61,8 +61,15 @@ object Ivf {
       .map(_.getSeq[Float](0).toArray)
     require(train.length >= nlist, s"need at least $nlist training vectors")
     val centroids = lloyd(train, nlist, maxIter, seed)
+    IvfIndex(centroids, assign(vecs, centroids, idCol, vecCol), idCol, vecCol)
+  }
 
-    // distributed assignment: argmax over nlist codegen'd dot products
+  /** Distributed assignment: argmax over nlist codegen'd dot products
+    * (`v·c − ‖c‖²/2` ≡ nearest centroid in L2; ties → lowest list_id
+    * via array_position-of-first-max). Shared by the k-means and
+    * md5-seeded builds so the two can't drift. */
+  private def assign(vecs: DataFrame, centroids: Seq[(Int, Array[Float])],
+      idCol: String, vecCol: String): DataFrame = {
     val scores = array(centroids.map { case (_, c) =>
       val half = c.map(x => x.toDouble * x).sum / 2.0
       GraftExtensions.dot(col(vecCol), lit(c)) - lit(half)
@@ -73,7 +80,30 @@ object Ivf {
       .drop("__s")
     require(assigned.columns.contains(idCol) && assigned.columns.contains(vecCol),
       s"id/vector columns $idCol/$vecCol must exist in the input")
-    IvfIndex(centroids, assigned, idCol, vecCol)
+    assigned
+  }
+
+  /** Engine-neutral deterministic IVF build for oracle gating: the
+    * coarse centroids are the `nlist` corpus vectors that rank FIRST by
+    * `md5(CAST(id AS STRING))` (a seeded, unbiased sample any SQL
+    * engine reproduces exactly — the same trick as `Knn.md5LshTopK`'s
+    * integer planes), and assignment/search are the identical code
+    * paths the k-means build uses. The production quantizer stays
+    * `build` (k-means, recall-gated in IvfSpec); this exists so the
+    * whole IVF route — seed choice, argmax-dot assignment, probe
+    * ranking, in-list cosine top-k — is hash-match gated against the
+    * DuckDB oracle (q_ann_ivf_oracle). */
+  def buildMd5Seeded(vecs: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): IvfIndex = {
+    val seeds: Array[Array[Float]] = vecs
+      .select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.length >= nlist, s"need at least $nlist seed vectors")
+    val centroids = seeds.zipWithIndex.map { case (c, i) => i -> c }.toSeq
+    IvfIndex(centroids, assign(vecs, centroids, idCol, vecCol), idCol, vecCol)
   }
 
   /** Seeded k-means++ init + Lloyd iterations, driver-side, L2. */

@@ -65,6 +65,34 @@ object Pq {
     PqIndex(codebooks, dsub, encoded, idCol, vecCol)
   }
 
+  /** Engine-neutral deterministic PQ build for oracle gating: the
+    * codebook of every subspace is the sub-slice of the same `ksub`
+    * corpus vectors that rank FIRST by `md5(CAST(id AS STRING))` —
+    * a seeded sample any SQL engine reproduces — while encoding and
+    * ADC search run the identical expression paths as the k-means
+    * build. Production stays `build` (per-subspace Lloyd, recall-gated
+    * in PqSpec); this gates the full PQ route — codebook derivation,
+    * argmin-l2 encoding, distance tables, ADC ranking — against the
+    * DuckDB oracle (q_ann_pq_oracle). */
+  def buildMd5Seeded(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, ksub: Int): PqIndex = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val seeds: Array[Array[Float]] = vecs
+      .select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.length >= ksub, s"need at least $ksub seed vectors")
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      seeds.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+    }
+    val encoded = vecs.withColumn("codes",
+      encodeExpr(col(vecCol), codebooks, dsub))
+    PqIndex(codebooks, dsub, encoded, idCol, vecCol)
+  }
+
   /** codes[s] = argmin_c ‖v_sub(s) − codebook(s)(c)‖² as a pure column
     * expression: per subspace an array of codegen'd l2Sq distances and
     * an array_position argmin (ties → lowest code, deterministic). */
