@@ -46,10 +46,17 @@ object QueriesExt5 {
     * q_dedup_survivors. The bucket count (planes) is the scale knob:
     * at 100 TB more planes shrink buckets so the within-bucket
     * quadratic term stays bounded, exactly like the paper's k. */
-  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
-    val planes = 6
-    val emb = ft(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupSurvivors(
+      ft(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      planes = 6)
+
+  /** The SemDeDup kernel behind q_semdedup, with the plane count — the
+    * paper's cluster-count scale knob — as a parameter so the decade
+    * probe (tools/ScaleProbe2) can demonstrate it: more planes halve
+    * the expected bucket size per plane, bounding the within-bucket
+    * quadratic as the corpus grows. */
+  private[graft] def semDedupSurvivors(emb: DataFrame, planes: Int): DataFrame = {
     val dims = graft.similarity.Lsh.probeDims(emb, "embedding")
     val pm = graft.similarity.Lsh.md5PlaneMatrixInt(planes, dims)
     val b = emb.withColumn("bucket",
