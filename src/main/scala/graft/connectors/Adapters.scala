@@ -446,12 +446,16 @@ object Adapters {
       import org.apache.spark.sql.functions._
       var allowSoFar = Seq.empty[org.apache.spark.sql.Column]
       var denySoFar = Seq.empty[org.apache.spark.sql.Column]
+      // an empty token list must still be array<string> (array() alone
+      // types as array<void>, which breaks schema-checked writes)
+      def strArray(cols: Seq[org.apache.spark.sql.Column]) =
+        if (cols.isEmpty) array().cast("array<string>") else array(cols: _*)
       val restrictCols = restricts.map { r =>
         allowSoFar ++= r.allowCols.map(c => col(c).cast("string"))
         denySoFar ++= r.denyCols.map(c => col(c).cast("string"))
         struct(lit(r.namespace).as("namespace"),
-          array(allowSoFar: _*).as("allow_list"),
-          array(denySoFar: _*).as("deny_list"))
+          strArray(allowSoFar).as("allow_list"),
+          strArray(denySoFar).as("deny_list"))
       }
       // the reference keys the row value by data_type (value_int /
       // value_float / value_double on the datapoint proto); one typed

@@ -1,0 +1,240 @@
+package graft.connectors.dsv2
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.connectors.Adapters
+import graft.core.NamespaceMeta
+
+/** Wires the per-DB semantics adapters (`connectors/Adapters.scala`)
+  * through the DSv2 connector end-to-end, so an export→import
+  * round-trip per database runs as a DataSource — scan pushdown on the
+  * read side, batched last-wins upsert on the write side — with that
+  * DB's naming / DDL / row-shaping semantics applied.
+  *
+  * Division of labor (deliberate, and how a production connector
+  * should split at 100 TB):
+  *
+  *  - Row shaping (id stringification, null-metadata drop, column
+  *    renames, restrict assembly) is the SPARK PLAN: the adapter's
+  *    DataFrame-level functions run as codegen'd expressions across the
+  *    cluster, never as per-row driver/writer loops. Single-sourced in
+  *    `Adapters` — the DSv2 writer does not re-implement them.
+  *  - DDL translation (create-collection/index specs) happens here,
+  *    before the write, exactly like every reference import connector
+  *    (`qdrant_import.py:178-250` creates the collection, then
+  *    upserts). The translated spec is recorded on the service
+  *    (`InMemoryVdbServer.recordSpec`) so tests assert it at the write
+  *    boundary.
+  *  - The DSv2 write boundary validates the incoming frame against the
+  *    collection DDL (a real service rejects mismatched upserts) and
+  *    performs the batched, task-parallel, retry-safe upsert.
+  *
+  * Each `<db>Import` returns the service-side collection name; read it
+  * back with [[read]] (full pushdown via the DSv2 scan).
+  */
+object AdapterVdb {
+
+  val Format = "graft.connectors.dsv2.InMemoryVdbProvider"
+
+  /** DSv2 read of a translated collection — column pruning and limit
+    * pushdown reach the service (Dsv2Spec asserts). */
+  def read(spark: SparkSession, collection: String,
+      batchSize: Int = 1000): DataFrame =
+    spark.read.format(Format).option("index", collection)
+      .option("batchSize", batchSize.toString).load()
+
+  /** Shared tail: create the collection with the shaped schema, record
+    * the translated DDL, then push the shaped frame through the DSv2
+    * batched-upsert write path. */
+  private def createAndWrite(shaped: DataFrame, collection: String,
+      spec: Any, idCol: String, batchSize: Int): String = {
+    InMemoryVdbServer.ensure(collection, shaped.schema)
+    InMemoryVdbServer.recordSpec(collection, spec)
+    shaped.write.format(Format)
+      .option("index", collection)
+      .option("idCol", idCol)
+      .option("batchSize", batchSize.toString)
+      .mode("append").save()
+    collection
+  }
+
+  private def requireCols(df: DataFrame, cols: Seq[String], db: String): Unit =
+    cols.foreach(c => require(df.columns.contains(c),
+      s"$db import: required column '$c' missing from ${df.columns.mkString(",")}"))
+
+  // ---------------------------------------------------------- Qdrant
+
+  /** Qdrant: `index[_namespace]` collection, named dense-vector params
+    * per vector column, tuning sections from index_config
+    * (`qdrant_import.py:178-250`). Points carry id + named vectors +
+    * payload verbatim, so the frame writes unreshaped. */
+  def qdrantImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id", batchSize: Int = 1000): String = {
+    requireCols(df, idCol +: ns.vector_columns, "qdrant")
+    val spec = Adapters.Qdrant.collectionSpec(indexName, ns, ns.vector_columns)
+    createAndWrite(df, spec.collectionName, spec, idCol, batchSize)
+  }
+
+  // ---------------------------------------------------------- Milvus
+
+  /** Milvus: '-'→'_' on EVERY identifier, VARCHAR pk, dynamic fields
+    * on, reverse-metric AUTOINDEX (`milvus_import.py:92-146`). */
+  def milvusImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id", batchSize: Int = 1000): String = {
+    val vecCol = ns.vector_columns.head
+    requireCols(df, Seq(idCol, vecCol), "milvus")
+    val spec = Adapters.Milvus.collectionSpec(indexName, ns, idCol, vecCol)
+    val index = Adapters.Milvus.indexSpec(ns)
+    val shaped = df.toDF(df.columns.map(Adapters.Milvus.compliantName): _*)
+    createAndWrite(shaped, spec.collectionName, (spec, index),
+      Adapters.Milvus.compliantName(idCol), batchSize)
+  }
+
+  // -------------------------------------------------------- Pinecone
+
+  /** Pinecone: lowercase-dashed index name, serverless-vs-pod
+    * placement, stringified ids, None-valued metadata entries dropped
+    * (`pinecone_import.py:108-259`). Rows land under
+    * `index/namespace` like the reference's namespaced upsert. */
+  def pineconeImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id", serverless: Boolean = true,
+      cloud: Option[String] = None, region: Option[String] = None,
+      environment: Option[String] = None, podType: Option[String] = None,
+      batchSize: Int = 1000): String = {
+    val vecCol = ns.vector_columns.head
+    requireCols(df, Seq(idCol, vecCol), "pinecone")
+    val spec = Adapters.Pinecone.indexSpec(indexName, ns, serverless,
+      cloud, region, environment, podType)
+    val metaCols = df.columns.filterNot(c => c == idCol || ns.vector_columns.contains(c))
+    val shaped = Adapters.Pinecone.upsertRows(df, idCol, vecCol, metaCols.toSeq)
+    val collection =
+      if (ns.namespace.nonEmpty) s"${spec.name}/${ns.namespace}" else spec.name
+    createAndWrite(shaped, collection, spec, "id", batchSize)
+  }
+
+  // ---------------------------------------------------------- Chroma
+
+  /** Chroma: distance lives in collection metadata under "hnsw:space";
+    * one vector column (first wins); documents from the model_map text
+    * column or the stringified id; scalar-only metadata
+    * (`chroma_import.py:141-213`). */
+  def chromaImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id", batchSize: Int = 1000): String = {
+    val (vecCol, _) = Adapters.Chroma.vectorColumn(ns.vector_columns)
+    requireCols(df, Seq(idCol, vecCol), "chroma")
+    val spec = Adapters.Chroma.collectionSpec(indexName, ns)
+    val shaped = Adapters.Chroma.upsertRows(df, idCol, vecCol, ns)
+    createAndWrite(shaped, spec.name, spec, "id", batchSize)
+  }
+
+  // --------------------------------------------------------- LanceDB
+
+  /** LanceDB: schema-drift reconciliation (`lancedb_import.py:117-128`)
+    * — batch columns the table lacks are ADDED to the table with
+    * type-keyed defaults backfilled onto existing rows; table columns
+    * the batch lacks are filled into the batch with the same defaults.
+    * The recorded spec is the drift decision itself. */
+  def lancedbImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id", batchSize: Int = 1000): String = {
+    requireCols(df, Seq(idCol), "lancedb")
+    val collection = Adapters.LanceDb.tableName(indexName, ns.namespace)
+    if (!InMemoryVdbServer.exists(collection)) {
+      createAndWrite(df, collection, Seq.empty, idCol, batchSize)
+    } else {
+      val have = InMemoryVdbServer.schemaOf(collection).fieldNames.toSet
+      val added = Adapters.LanceDb.missingColumnDefaults(df.schema, have)
+      InMemoryVdbServer.extendSchema(collection,
+        added.map { case (n, d) => (df.schema(n), d) })
+      // widened table order; batch-missing columns get the same
+      // type-keyed defaults the reference's get_default_value returns
+      val widened = InMemoryVdbServer.schemaOf(collection)
+      val fills = Adapters.LanceDb
+        .missingColumnDefaults(widened, df.columns.toSet).toMap
+      val shaped = df.select(widened.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(fills(f.name)).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+      InMemoryVdbServer.recordSpec(collection, added)
+      shaped.write.format(Format).option("index", collection)
+        .option("idCol", idCol).option("batchSize", batchSize.toString)
+        .mode("append").save()
+      collection
+    }
+  }
+
+  // --------------------------------------------------------- AstraDB
+
+  /** AstraDB: JSON-API create_collection(dimension, metric) plus the
+    * CQL DDL twin; documents keyed `id` with the vector under
+    * `$vector` (`astradb_import.py:143-166`). */
+  def astraImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      keyspace: String, idCol: String = "id",
+      batchSize: Int = 1000): String = {
+    val vecCol = ns.vector_columns.head
+    requireCols(df, Seq(idCol, vecCol), "astradb")
+    val spec = Adapters.Astra.collectionSpec(indexName, ns)
+    val cql = Adapters.Astra.createTableCql(keyspace, spec)
+    val rest = df.columns.filterNot(c => c == idCol || c == vecCol)
+    val shaped = df.select(
+      (col(idCol).cast("string").as("id") +:
+        col(vecCol).as("$vector") +: rest.map(col).toSeq): _*)
+    createAndWrite(shaped, spec.name, (spec, cql), "id", batchSize)
+  }
+
+  // ---------------------------------------------------------- KDB.AI
+
+  /** KDB.AI: every column renamed compliant ('-'→'_', leading '_'
+    * prefixed), pytype-mapped schema led by the chosen vector column's
+    * vectorIndex, NON-chosen vector columns dropped
+    * (`kdbai_import.py:78-182`). */
+  def kdbaiImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      indexType: String = "flat", idCol: String = "id",
+      batchSize: Int = 1000): String = {
+    val vecCol = ns.vector_columns.head
+    requireCols(df, Seq(idCol, vecCol), "kdbai")
+    val parquetCols = df.schema.fields.toSeq.map(f => f.name -> (f.dataType match {
+      case StringType => "string"
+      case DoubleType => "double"
+      case LongType => "int64"
+      case IntegerType => "int32"
+      case FloatType => "float32"
+      case BooleanType => "bool"
+      case t => t.simpleString
+    }))
+    val spec = Adapters.KdbAi.tableSpec(ns, indexType, parquetCols,
+      ns.vector_columns, vecCol)
+    val dropped = spec.droppedColumns.toSet
+    val shaped = df.toDF(df.columns.map(Adapters.KdbAi.compliantName): _*)
+      .drop(dropped.toSeq: _*)
+    val collection = Adapters.KdbAi.compliantName(
+      if (ns.namespace.nonEmpty) s"${indexName}_${ns.namespace}" else indexName)
+    createAndWrite(shaped, collection, spec,
+      Adapters.KdbAi.compliantName(idCol), batchSize)
+  }
+
+  // ------------------------------------------- Vertex AI Vector Search
+
+  /** Vertex AI: `{base}_{namespace}` naming with cumulative collision
+    * suffixes against the LIVE service index list, tree-AH index spec,
+    * and datapoint shaping (restricts / numeric restricts / crowding)
+    * done entirely as column expressions
+    * (`vertexai_vector_search_import.py:236-330,905-985`). */
+  def vertexImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id",
+      restricts: Seq[Adapters.VertexRestrict] = Nil,
+      numeric: Seq[Adapters.VertexNumericRestrict] = Nil,
+      crowdingTagCol: Option[String] = None,
+      distanceMeasure: Option[String] = None,
+      createNew: Boolean = false, batchSize: Int = 1000): String = {
+    val vecCol = ns.vector_columns.head
+    requireCols(df, Seq(idCol, vecCol), "vertexai")
+    val name = Adapters.VertexAi.indexName(indexName, ns.namespace,
+      InMemoryVdbServer.indexNamesSnapshot, createNew)
+    val spec = Adapters.VertexAi.indexSpec(name, ns, distanceMeasure)
+    val shaped = Adapters.VertexAi.datapointRows(df, idCol, vecCol,
+      restricts, numeric, crowdingTagCol)
+    createAndWrite(shaped, name, spec, "datapoint_id", batchSize)
+  }
+}

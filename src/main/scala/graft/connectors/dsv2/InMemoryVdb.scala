@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import scala.jdk.CollectionConverters._
@@ -37,10 +37,45 @@ object InMemoryVdbServer {
   private val indexes =
     new java.util.concurrent.ConcurrentHashMap[String, (StructType, IndexedSeq[Row])]()
 
+  // The DDL the service received at index-creation time — for the
+  // adapter-wired write path (AdapterVdb) this is the per-DB translated
+  // create-collection struct (QdrantCollectionSpec, MilvusIndexSpec, …),
+  // recorded so tests can assert the translation AT the write boundary.
+  private val specs =
+    new java.util.concurrent.ConcurrentHashMap[String, Any]()
+
   def create(index: String, schema: StructType, rows: Seq[Row]): Unit =
     indexes.put(index, (schema, rows.toIndexedSeq))
 
+  /** Create empty if absent (idempotent — the DSv2 write path's DDL). */
+  def ensure(index: String, schema: StructType): Unit =
+    indexes.putIfAbsent(index, (schema, IndexedSeq.empty))
+
+  def exists(index: String): Boolean = indexes.containsKey(index)
+
+  def recordSpec(index: String, spec: Any): Unit = specs.put(index, spec)
+
+  def specOf(index: String): Option[Any] = Option(specs.get(index))
+
+  /** LanceDB-style schema drift (`lancedb_import.py:117-128`): add the
+    * given columns to the stored schema and backfill EXISTING rows with
+    * the type-keyed defaults. Incoming batches then write the wider
+    * schema. */
+  def extendSchema(index: String,
+      added: Seq[(StructField, Any)]): Unit = synchronized {
+    val (schema, rows) = indexes.get(index)
+    val fresh = added.filterNot { case (f, _) => schema.fieldNames.contains(f.name) }
+    if (fresh.nonEmpty) {
+      val widened = StructType(schema.fields ++ fresh.map(_._1))
+      val defaults = fresh.map(_._2)
+      indexes.put(index,
+        (widened, rows.map(r => Row.fromSeq(r.toSeq ++ defaults))))
+    }
+  }
+
   def schemaOf(index: String): StructType = indexes.get(index)._1
+
+  def indexNamesSnapshot: Set[String] = indexes.keySet.asScala.toSet
 
   def count(index: String): Long = indexes.get(index)._2.size.toLong
 
@@ -54,10 +89,11 @@ object InMemoryVdbServer {
   }
 
   /** Batched upsert — the write half. Last-wins on the id column,
-    * like every reference import connector. */
-  def upsert(index: String, batch: Seq[Row]): Unit = synchronized {
+    * like every reference import connector. The id column name is
+    * per-DB (e.g. Vertex datapoints key on `datapoint_id`). */
+  def upsert(index: String, batch: Seq[Row], idCol: String = "id"): Unit = synchronized {
     val (schema, existing) = indexes.get(index)
-    val idIdx = schema.fieldIndex("id")
+    val idIdx = schema.fieldIndex(idCol)
     val incoming = batch.map(r => r.get(idIdx) -> r).toMap
     val merged = existing.filterNot(r => incoming.contains(r.get(idIdx))) ++
       batch.distinctBy(_.get(idIdx)).map(r => incoming(r.get(idIdx)))
@@ -85,9 +121,26 @@ final class VdbTable(index: String, schema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VdbScanBuilder(index, schema,
       options.getInt("batchSize", 1000))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new VdbWriteBuilder(index, info.schema(),
-      info.options().getInt("batchSize", 1000))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // A real vector DB rejects an upsert whose shape doesn't match the
+    // collection DDL; mirror that at the boundary so a mis-shaped frame
+    // fails at plan time, not as silent column misalignment. (The
+    // adapter path — AdapterVdb — creates the collection with the
+    // translated schema first, so this check IS the per-DB contract.)
+    val have = InMemoryVdbServer.schemaOf(index)
+    val incoming = info.schema()
+    // nullability-insensitive compare: the analyzer may tighten or
+    // loosen nullable flags between the DDL-time schema and the write
+    // plan; a service DDL check cares about names and types only
+    require(
+      incoming.fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+        have.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+      s"upsert schema ${incoming.simpleString} does not match " +
+        s"collection $index DDL ${have.simpleString}")
+    new VdbWriteBuilder(index, incoming,
+      info.options().getInt("batchSize", 1000),
+      info.options().getOrDefault("idCol", "id"))
+  }
 }
 
 /** DSv2 write path: each task buffers up to batchSize rows and flushes
@@ -95,26 +148,26 @@ final class VdbTable(index: String, schema: StructType)
   * executor-parallel replacement for the reference's driver-side
   * thread pools (`qdrant_import.py:316-343`). Commit is idempotent on
   * the service side (last-wins by id), so Spark task retries are safe. */
-final class VdbWriteBuilder(index: String, schema: StructType, batchSize: Int)
-    extends WriteBuilder {
+final class VdbWriteBuilder(index: String, schema: StructType, batchSize: Int,
+    idCol: String = "id") extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
       override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-        new VdbDataWriterFactory(index, schema, batchSize)
+        new VdbDataWriterFactory(index, schema, batchSize, idCol)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
   }
 }
 
-final class VdbDataWriterFactory(index: String, schema: StructType, batchSize: Int)
-    extends DataWriterFactory {
+final class VdbDataWriterFactory(index: String, schema: StructType, batchSize: Int,
+    idCol: String = "id") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val toScala = CatalystTypeConverters.createToScalaConverter(schema)
       private val buf = scala.collection.mutable.ArrayBuffer[Row]()
       private def flush(): Unit = if (buf.nonEmpty) {
-        InMemoryVdbServer.upsert(index, buf.toSeq)
+        InMemoryVdbServer.upsert(index, buf.toSeq, idCol)
         buf.clear()
       }
       override def write(record: InternalRow): Unit = {
