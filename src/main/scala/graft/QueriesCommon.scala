@@ -109,4 +109,18 @@ object QueriesCommon {
   /** (doc_id, toks) projection over a documents-shaped frame. */
   def tokens(d: DataFrame): DataFrame =
     d.select(col("doc_id"), toksExpr.as("toks"))
+
+  /** Adjacent-bigram extraction as one map-side expression: tail-zip of
+    * the hashed token array (no positional explode+self-join, no sort —
+    * the q_lm_score shape). Single-sourced so the batch scorer and the
+    * streaming admission filter cannot diverge on what a "bigram" is.
+    * Yields array<struct<0:bigint,1:bigint>> of (xxhash64(w1),
+    * xxhash64(w2)); docs with < 2 tokens yield an empty array. */
+  def bigramsSqlFor(textCol: String): String = {
+    val toksArr = toksSqlFor(textCol)
+    s"""arrays_zip(
+       |  transform(slice($toksArr, 1, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)),
+       |  transform(slice($toksArr, 2, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)))
+       |""".stripMargin
+  }
 }

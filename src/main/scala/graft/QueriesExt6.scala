@@ -228,11 +228,8 @@ object QueriesExt6 {
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
     val docs = ft(s, dir, "documents")
-    val bigrams = docs.select(col("doc_id"), expr(
-      s"""arrays_zip(
-         |  transform(slice($toksArr, 1, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)),
-         |  transform(slice($toksArr, 2, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)))
-         |""".stripMargin).as("bg"))
+    val bigrams = docs.select(col("doc_id"),
+      expr(QueriesCommon.bigramsSqlFor("text")).as("bg"))
       .select(col("doc_id"), explode(col("bg")).as("p"))
       .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
     // vocab size as a 1-row broadcast (the +V smoothing denominator)

@@ -466,4 +466,75 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"stream $got != batch $want")
     } finally q.stop()
   }
+
+  test("lmAdmissionStream == batch scoring on a replayed corpus (r4 ask #7)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+    // model trained on a trusted reference slice; the stream is the corpus
+    val lm = StreamingOps.trainBigramLm(docs.filter(col("doc_id") < 300))
+    lm.c12.cache(); lm.c1.cache(); lm.vocab.cache()
+    // threshold at the batch median nll → both admit classes non-empty
+    val batchScored = StreamingOps.lmAdmissionStream(docs, lm, 0.0, "1 minute")
+      .drop("admitted")
+    val thr = batchScored.stat.approxQuantile("nll", Array(0.5), 0.0).head
+    val want = StreamingOps.lmAdmissionStream(docs, lm, thr, "1 minute")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(want.exists(_._4) && want.exists(!_._4)) // both classes present
+    val rows = docs.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2))).toSeq
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.lmAdmissionStream(
+      input.toDF().toDF("doc_id", "ts", "text"), lm, thr, "1 minute")
+      .writeStream.format("memory").queryName("lmadm")
+      .outputMode("append").start()
+    try {
+      // replay in three chunks, then a single-token flush doc whose ts
+      // pushes the watermark past every real doc (it carries no bigrams,
+      // so it never scores — in stream OR batch)
+      val chunks = rows.grouped((rows.size + 2) / 3).toSeq
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      input.addData((-1L,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700100000L)),
+        "flush"))
+      q.processAllAvailable()
+      val got = spark.table("lmadm").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .sortBy(_._1)
+      assert(got.length == want.length, s"${got.length} != ${want.length}")
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    } finally q.stop()
+  }
+
+  test("lmAdmissionStream drops documents older than the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq("the quick brown fox", "the quick red fox")
+      .toDF("text")
+    val lm = StreamingOps.trainBigramLm(ref)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = StreamingOps.lmAdmissionStream(
+      input.toDF().toDF("doc_id", "ts", "text"), lm, 100.0, "10 minutes")
+      .writeStream.format("memory").queryName("lmadm_late")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      input.addData((1L, t(1, 0), "the quick brown fox"))
+      input.addData((2L, t(3, 0), "the quick red fox"))
+      q.processAllAvailable()
+      // watermark is now 02:50; a 01:05 doc is finalized-past → dropped
+      input.addData((3L, t(1, 5), "the quick brown fox"))
+      input.addData((4L, t(5, 0), "flush"))
+      q.processAllAvailable()
+      val ids = spark.table("lmadm_late").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L) && ids.contains(2L) && !ids.contains(3L))
+      // doc 1 scored entirely in-model → admitted under a loose threshold
+      assert(spark.table("lmadm_late").filter(col("doc_id") === 1L)
+        .head.getAs[Boolean]("admitted"))
+    } finally q.stop()
+  }
 }
