@@ -387,6 +387,103 @@ object Adapters {
     }
   }
 
+  // ------------------------------------------------------------ Vespa
+
+  /** One Vespa Document-API document (`marqo_vespa_util.py:8-11`):
+    * an id plus a free-form fields map. */
+  final case class VespaDoc(id: String, fields: Map[String, Any])
+
+  /** One visit page (`marqo_vespa_util.py:13-18`): documents + count +
+    * the continuation token that drives the next fetch. */
+  final case class VespaVisitPage(pathId: String, documents: Seq[VespaDoc],
+      documentCount: Long, continuation: Option[String])
+
+  /** The reference's real Vespa logic lives in `marqo_vespa_util.py`
+    * (its vespa_export.py only drives it); these are the pure halves:
+    * URL/visit synthesis and the continuation-chain scan wiring. */
+  object Vespa {
+    private def stripSlashes(s: String): String =
+      s.dropWhile(_ == '/').reverse.dropWhile(_ == '/').reverse
+
+    /** Visit-URL synthesis (`marqo_vespa_util.py:66-95`
+      * get_all_documents): base URL stripped of slashes at both ends
+      * (python `strip("/")`), the path doubles the schema name
+      * (`/document/v1/{schema}/{schema}/docid`), `stream` always
+      * present as a lowercase boolean ("false" is a non-empty string,
+      * so the reference's `if value` filter keeps it), `continuation`
+      * only when non-empty. */
+    def visitUrl(documentUrl: String, schema: String, stream: Boolean,
+        continuation: Option[String]): String = {
+      val params = Seq("stream" -> stream.toString) ++
+        continuation.filter(_.nonEmpty).map("continuation" -> _)
+      s"${stripSlashes(documentUrl)}/document/v1/$schema/$schema/docid?" +
+        params.map { case (k, v) => s"$k=$v" }.mkString("&")
+    }
+
+    /** Feed-side twin (public Vespa Document API shape): one PUT per
+      * document id — the id-addressed upsert a real feed client calls. */
+    def feedUrl(documentUrl: String, schema: String, id: String): String =
+      s"${stripSlashes(documentUrl)}/document/v1/$schema/$schema/docid/$id"
+
+    /** Wire a visit-page fetcher into the engine's continuation-token
+      * scan shape: one Spark partition walks one schema's continuation
+      * chain (`PaginatedScan.byContinuation` — executors fetch, the
+      * driver never sees a page), flattening (id, fields) into
+      * `outSchema` columns; absent fields become null. The chain ends
+      * when the service stops returning a continuation token, exactly
+      * like the reference's visit loop. */
+    def scan(spark: org.apache.spark.sql.SparkSession,
+        outSchema: org.apache.spark.sql.types.StructType,
+        schemas: Seq[String])(
+        visit: (String, Option[String]) => VespaVisitPage): org.apache.spark.sql.DataFrame =
+      PaginatedScan.byContinuation(spark, outSchema, schemas) { (schema, tok) =>
+        val page = visit(schema, tok)
+        val rows = page.documents.map(d =>
+          org.apache.spark.sql.Row.fromSeq(outSchema.fieldNames.toSeq.map {
+            case "id" => d.id
+            case f => d.fields.getOrElse(f, null)
+          }))
+        (rows, page.continuation.filter(_.nonEmpty))
+      }
+  }
+
+  // --------------------------------------------------------- Weaviate
+
+  /** Class config for the import half (the reference ships no Weaviate
+    * import; this out-covers its stub using only public Weaviate
+    * naming rules): GraphQL class names are UpperCamel, vectors are
+    * brought-your-own (vectorizer "none"), and the manifest metric maps
+    * through the weaviate bimap into vectorIndexConfig.distance. */
+  final case class WeaviateClassSpec(className: String, vectorizer: String,
+      distance: String)
+
+  object Weaviate {
+    /** Class selection (`weaviate_export.py:67-76` get_index_names):
+      * no request → every class; otherwise requested classes missing
+      * from the instance are REPORTED (not fatal) and the kept set
+      * preserves the INSTANCE's order — the reference filters
+      * all_classes by membership, not the request order. */
+    def selectClasses(allClasses: Seq[String],
+        requested: Option[String]): (Seq[String], Set[String]) =
+      requested match {
+        case None => (allClasses, Set.empty)
+        case Some(s) =>
+          val want = s.split(",").toSet
+          (allClasses.filter(want), want -- allClasses.toSet)
+      }
+
+    /** Weaviate class names must begin uppercase (public naming rule). */
+    def compliantName(name: String): String =
+      name.headOption.fold(name)(h => h.toUpper.toString + name.tail)
+
+    def classSpec(indexName: String, ns: NamespaceMeta): WeaviateClassSpec =
+      WeaviateClassSpec(
+        className = compliantName(
+          if (ns.namespace.nonEmpty) s"${indexName}_${ns.namespace}" else indexName),
+        vectorizer = "none",
+        distance = reverseMetric("weaviate", ns.metric))
+  }
+
   // ------------------------------------------- Vertex AI Vector Search
 
   /** Tree-AH index creation args with the reference's defaults

@@ -187,4 +187,42 @@ class AdaptersSpec extends AnyFunSuite {
       spec.distanceMeasureType == "DOT_PRODUCT_DISTANCE" &&
       spec.shardSize == "SHARD_SIZE_MEDIUM")
   }
+
+  // --------------------------------------------------- Vespa (r4 ask #8)
+
+  test("vespa visitUrl: doubled schema path, stream always kept, " +
+      "continuation only when non-empty, slashes stripped both ends") {
+    assert(Adapters.Vespa.visitUrl("http://h:8080/", "prod", stream = true, None)
+      == "http://h:8080/document/v1/prod/prod/docid?stream=true")
+    // python str(False).lower() is "false" — non-empty, so the
+    // reference's `if value` filter KEEPS it
+    assert(Adapters.Vespa.visitUrl("http://h:8080", "prod", stream = false, None)
+      == "http://h:8080/document/v1/prod/prod/docid?stream=false")
+    assert(Adapters.Vespa.visitUrl("http://h:8080", "s", stream = true, Some("AAA"))
+      == "http://h:8080/document/v1/s/s/docid?stream=true&continuation=AAA")
+    // empty token == absent (the reference's falsy filter)
+    assert(Adapters.Vespa.visitUrl("http://h:8080", "s", stream = true, Some(""))
+      == "http://h:8080/document/v1/s/s/docid?stream=true")
+  }
+
+  test("vespa feedUrl addresses one document id") {
+    assert(Adapters.Vespa.feedUrl("http://h:8080/", "prod", "doc-7")
+      == "http://h:8080/document/v1/prod/prod/docid/doc-7")
+  }
+
+  test("weaviate selectClasses: instance order kept, missing reported") {
+    val all = Seq("Products", "Articles", "Users")
+    assert(Adapters.Weaviate.selectClasses(all, None) == (all, Set.empty))
+    // request order does NOT override instance order; unknown reported
+    val (kept, missing) =
+      Adapters.Weaviate.selectClasses(all, Some("Users,Products,Ghost"))
+    assert(kept == Seq("Products", "Users"))
+    assert(missing == Set("Ghost"))
+  }
+
+  test("weaviate classSpec: UpperCamel name, BYO vectors, distance bimap") {
+    val spec = Adapters.Weaviate.classSpec("articles",
+      ns(128, Some("Euclid"), None, namespace = "en"))
+    assert(spec == Adapters.WeaviateClassSpec("Articles_en", "none", "l2-squared"))
+  }
 }

@@ -60,6 +60,23 @@ class PaginatedScanSpec extends SparkSpec {
     assert(got == Set("a1", "a2", "a3", "b1", "b2"))
   }
 
+  test("vespa scan walks visit continuation chains, nulls absent fields") {
+    import Adapters.{VespaDoc, VespaVisitPage}
+    // one schema = one visit chain of 2 pages; page 2 returns no token
+    // (and the second doc omits "v", which must surface as null)
+    val df = Adapters.Vespa.scan(spark, schema, Seq("prod")) { (sch, tok) =>
+      tok match {
+        case None => VespaVisitPage(s"/document/v1/$sch/$sch/docid",
+          Seq(VespaDoc("d1", Map("v" -> 1))), 1, Some("AAA"))
+        case Some("AAA") => VespaVisitPage(s"/document/v1/$sch/$sch/docid",
+          Seq(VespaDoc("d2", Map.empty)), 1, Some("")) // empty == end
+        case other => sys.error(s"unexpected continuation $other")
+      }
+    }
+    val got = df.collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got == Map("d1" -> Some(1), "d2" -> None))
+  }
+
   test("idRange / probeWindows enumeration (S6b/S6d)") {
     val ids = PaginatedScan.idRange(spark, 5, 9).collect().map(_.getString(0))
     assert(ids.toSeq.sorted == Seq("5", "6", "7", "8", "9"))
