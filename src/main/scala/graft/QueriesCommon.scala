@@ -58,12 +58,9 @@ object QueriesCommon {
   private val sessionShufflePartitions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  /** Shared table loader: nanos-as-long (events.ts is TIMESTAMP(NANOS),
-    * which Spark 4 rejects by default; the long preserves exact
-    * ns-precision ordering) + cached schema + size-gated AQE and
+  /** Shared table loader: cached schema + size-gated AQE and
     * size-gated shuffle fan-out. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val bytes = totalBytes(dir)
     s.conf.set("spark.sql.adaptive.enabled",
       (bytes >= adaptiveMinInputBytes).toString)
@@ -93,6 +90,41 @@ object QueriesCommon {
     if (totalBytes(dir) >= adaptiveMinInputBytes) df
     else df.repartition(s.sparkContext.defaultParallelism)
   }
+
+  /** events.ts has shipped under two physical parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) (which Spark can only read
+    * as a nanos-as-long BIGINT) and timestamp[us] (which Spark 4 reads
+    * as TIMESTAMP_NTZ). Sniff the resolved column type and yield
+    * epoch-MICROS (BIGINT) under either encoding — the grain DuckDB's
+    * oracle side reads (`epoch_us(ts)`), exact in both directions.
+    * The NTZ arm measures from the NTZ epoch with `timestampdiff`
+    * rather than casting through TIMESTAMP, so the value is
+    * session-timezone-independent exactly like the BIGINT arm (a cast
+    * would re-interpret the wall-clock in the session zone). */
+  def eventTsMicrosSql(events: DataFrame): String =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ns → µs; pmod-subtraction keeps floor semantics pre-epoch
+        "((ts - pmod(ts, 1000)) DIV 1000)"
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+      case org.apache.spark.sql.types.TimestampType =>
+        "unix_micros(ts)"
+      case other =>
+        sys.error(s"events.ts: unsupported physical type $other")
+    }
+
+  def eventTsMicros(events: DataFrame): Column = expr(eventTsMicrosSql(events))
+
+  /** Days-since-epoch (BIGINT) of events.ts; timestamps are all
+    * post-epoch so truncating DIV is floor. */
+  def eventDay(events: DataFrame): Column =
+    expr(s"((${eventTsMicrosSql(events)}) DIV 86400000000)")
+
+  /** Hour-truncated epoch SECONDS (BIGINT) of events.ts — the Spark
+    * twin of DuckDB's `epoch(date_trunc('hour', ts))`. */
+  def eventHourEpoch(events: DataFrame): Column =
+    expr(s"((${eventTsMicrosSql(events)}) DIV 3600000000) * 3600")
 
   /** The ONE tokenizing expression the text queries share — the Spark
     * twin of the oracle SQL's `regexp_split_to_array(trim(lower(text)),

@@ -109,18 +109,20 @@ object QueriesExt {
       .orderBy("vec_id")
 
   /** The streaming-shaped workload (batch equivalent of a Structured
-    * Streaming tumbling window): hourly event rollup. ts is raw nanos
-    * (read as long); the bucket is pure integer math. pmod (not %) keeps
-    * floor semantics for pre-epoch timestamps, matching the oracle's
-    * date_trunc; the remainder-subtracted value divides exactly. */
-  private def qWindowHourly(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+    * Streaming tumbling window): hourly event rollup. The hour bucket
+    * comes from the schema-sniffing ts accessor
+    * (QueriesCommon.eventHourEpoch) — pure integer math under both
+    * testdata ts encodings, matching the oracle's date_trunc. */
+  private def qWindowHourly(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw
       .groupBy(
-        expr("CAST((ts - pmod(ts, 3600000000000)) DIV 1000000000 AS BIGINT)").as("hour_epoch"),
+        QueriesCommon.eventHourEpoch(raw).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)").as("sum_value"))
       .orderBy("hour_epoch", "event_type")
+  }
 
   /** Vector norms (double precision, deterministic fold). */
   private def qVecNorms(s: SparkSession, dir: String): DataFrame =

@@ -109,12 +109,14 @@ object QueriesExt2 {
 
   /** Streaming-shaped distinct-user rollup: hourly unique visitors —
     * the batch twin of a windowed approx_count_distinct stream. */
-  private def qWindowUsers(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(expr("CAST((ts - pmod(ts, 3600000000000)) DIV 1000000000 AS BIGINT)").as("hour_epoch"))
+  private def qWindowUsers(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    raw
+      .groupBy(QueriesCommon.eventHourEpoch(raw).as("hour_epoch"))
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"))
       .orderBy("hour_epoch")
+  }
 
   /** L6 top-k per group via window (the per-query top-k shape of
     * similarity search, on relational data): top-3 orders by price

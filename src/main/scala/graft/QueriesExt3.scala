@@ -37,11 +37,14 @@ object QueriesExt3 {
   }
 
   /** Gap sessionization of the event stream (4 h inactivity gap),
-    * summarized per session. Timestamps are nanos-as-long (TESTDATA);
-    * emitted as epoch micros to match DuckDB's ns→µs read. */
+    * summarized per session. ts is read through the schema-sniffing
+    * micros accessor (QueriesCommon.eventTsMicros) so the query is
+    * exact under both testdata ts encodings; emitted as epoch micros
+    * to match DuckDB's `epoch_us(ts)`. */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
-      expr("(ts - pmod(ts, 1000)) DIV 1000").as("tus"))
+    val raw = t(s, dir, "events")
+    val e = raw.select(col("user_id"), col("event_id"),
+      QueriesCommon.eventTsMicros(raw).as("tus"))
     Sessions.sessionStats(e, "user_id", "tus",
         gap = 4L * 3600 * 1000000, tieBreak = Seq("event_id"))
       .select(col("user_id"), col("session_id"), col("n_events"),
@@ -54,9 +57,9 @@ object QueriesExt3 {
     * is unique ⇒ deterministic). One shuffle + one window pass — no
     * inequality-join candidate explosion. */
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
-      date_from_unix_date(
-        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+    val raw = t(s, dir, "events")
+    val events = raw.select(col("event_id"), col("user_id"),
+      date_from_unix_date(QueriesCommon.eventDay(raw).cast("int"))
         .as("event_date"))
     val orders = t(s, dir, "orders")
       .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
@@ -88,9 +91,9 @@ object QueriesExt3 {
     * (~10:1 here) and the right answer either way at 100 TB only if
     * the as-of's key partitioning is reused, as it is here. */
   private def qAsofNative(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
-      date_from_unix_date(
-        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+    val raw = t(s, dir, "events")
+    val events = raw.select(col("event_id"), col("user_id"),
+      date_from_unix_date(QueriesCommon.eventDay(raw).cast("int"))
         .as("event_date"))
     val orders = t(s, dir, "orders")
       .repartition(col("o_custkey"))
@@ -109,9 +112,9 @@ object QueriesExt3 {
     * (the plan has no Exchange before the sort; SessionsAsofSpec
     * asserts it). */
   private def qAsofBroadcast(s: SparkSession, dir: String): DataFrame = {
-    val events = t(s, dir, "events").select(col("event_id"), col("user_id"),
-      date_from_unix_date(
-        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+    val raw = t(s, dir, "events")
+    val events = raw.select(col("event_id"), col("user_id"),
+      date_from_unix_date(QueriesCommon.eventDay(raw).cast("int"))
         .as("event_date"))
     val orders = t(s, dir, "orders")
       .groupBy(col("o_custkey"), trunc(col("o_orderdate"), "month").as("om"))

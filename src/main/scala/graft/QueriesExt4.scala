@@ -26,8 +26,9 @@ object QueriesExt4 {
     * bucket equi-join — hash-partitioned and skew-splittable — with
     * exact containment as a post-filter. */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("event_id"),
-      expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").as("day"))
+    val raw = t(s, dir, "events")
+    val ev = raw.select(col("event_id"),
+      QueriesCommon.eventDay(raw).as("day"))
     val daily = ev.groupBy("day").agg(count(lit(1)).as("n"))
     val busy = daily.orderBy(col("n").desc, col("day")).limit(20)
       .select(col("day").as("window_day"),

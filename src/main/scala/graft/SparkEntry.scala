@@ -17,8 +17,9 @@ import graft.functions.{CleaningFunctions => CF, TextFunctions => TF, VectorFunc
   *    across engines) and cast to double at the end; floating-point
   *    summation order can then never flip a digit.
   *  - Every query ends in a total ORDER BY on a unique key set.
-  *  - Raw nanosecond timestamps (events.ts) are never emitted directly
-  *    (Spark truncates to micros); they are bucketed or dropped.
+  *  - events.ts is never emitted directly; it is read through the
+  *    schema-sniffing micros accessor (QueriesCommon.eventTsMicros —
+  *    exact under both testdata ts encodings) and bucketed or dropped.
   */
 object SparkEntry {
 

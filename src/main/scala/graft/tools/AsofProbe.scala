@@ -15,7 +15,6 @@ object AsofProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val blocks = 8
     val v = emb.select(col("vec_id").as("vid"), col("embedding").as("v"),

@@ -41,10 +41,8 @@ object PerfScratch {
     spark.stop()
   }
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  }
 
   def asof(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -54,8 +52,7 @@ object PerfScratch {
     val ev = t(spark, dir, "events")
     time("events date project count") {
       ev.select(col("event_id"), col("user_id"),
-        date_from_unix_date(
-          expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+        date_from_unix_date(graft.QueriesCommon.eventDay(ev).cast("int"))
           .as("event_date")).count()
     }
     val orders = t(spark, dir, "orders")
@@ -64,8 +61,7 @@ object PerfScratch {
     time("orders rollup collect") { orders.collect().length }
     time("orders rollup collect 2") { orders.collect().length }
     val left = ev.select(col("event_id"), col("user_id"),
-      date_from_unix_date(
-        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
+      date_from_unix_date(graft.QueriesCommon.eventDay(ev).cast("int"))
         .as("event_date"))
     time("asof no-sort count") {
       graft.ops.AsofJoin.asofBackwardBroadcast(left, orders,
@@ -79,10 +75,12 @@ object PerfScratch {
 
   def asofNative(spark: SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.functions._
-    def events = t(spark, dir, "events").select(col("event_id"), col("user_id"),
-      date_from_unix_date(
-        expr("(ts - pmod(ts, 86400000000000)) DIV 86400000000000").cast("int"))
-        .as("event_date"))
+    def events = {
+      val raw = t(spark, dir, "events")
+      raw.select(col("event_id"), col("user_id"),
+        date_from_unix_date(graft.QueriesCommon.eventDay(raw).cast("int"))
+          .as("event_date"))
+    }
     def orders = t(spark, dir, "orders")
       .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("od"))
       .agg(count(lit(1)).as("n_orders"), max(col("o_totalprice")).as("top_price"))

@@ -432,15 +432,14 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evs = spark.read.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val evs = raw
       .select(col("user_id").cast("string").as("user"),
-        // ns → µs via INTEGER division (`div`): Column./ is double
-        // division and epoch-ns longs exceed 2^53, so a float path
-        // could shift an event by a microsecond; strict-inequality
-        // chains then agree with the ns-grain batch query unless two
-        // events share a microsecond (none do in this corpus)
-        timestamp_micros(expr("ts div 1000")).as("ts"),
+        // micros via the schema-sniffing accessor: exact integer math
+        // under both testdata ts encodings, so strict-inequality
+        // chains agree with the batch query unless two events share a
+        // microsecond (none do in this corpus)
+        timestamp_micros(graft.QueriesCommon.eventTsMicros(raw)).as("ts"),
         col("event_type").as("stage"))
       .as[StreamingOps.FunnelEvent]
       .collect().toSeq
