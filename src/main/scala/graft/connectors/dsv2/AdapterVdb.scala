@@ -214,6 +214,48 @@ object AdapterVdb {
       Adapters.KdbAi.compliantName(idCol), batchSize)
   }
 
+  // ------------------------------------------------------------ Vespa
+
+  /** Vespa: feed-side semantics behind the DSv2 write boundary. A real
+    * feed client PUTs one id-addressed document at a time
+    * (`Adapters.Vespa.feedUrl` — the Document-API twin of the visit
+    * URLs in `marqo_vespa_util.py:66-95`); the recorded spec is that
+    * PUT-URL template, with `{id}` where each document's id lands.
+    * Rows keep the exact (id, fields) shape Vespa documents carry
+    * (`marqo_vespa_util.py:8-11`): a stringified id column plus every
+    * other column verbatim as a field. Pairs with
+    * [[graft.connectors.Adapters.Vespa.scan]] — visit-chain scan in,
+    * DSv2 feed out — for a full export→import round-trip. */
+  def vespaImport(df: DataFrame, documentUrl: String, schema: String,
+      idCol: String = "id", batchSize: Int = 1000): String = {
+    requireCols(df, Seq(idCol), "vespa")
+    val spec = Adapters.Vespa.feedUrl(documentUrl, schema, "{id}")
+    val rest = df.columns.filterNot(_ == idCol)
+    val shaped = df.select(
+      (col(idCol).cast("string").as("id") +: rest.map(col).toSeq): _*)
+    createAndWrite(shaped, schema, spec, "id", batchSize)
+  }
+
+  // --------------------------------------------------------- Weaviate
+
+  /** Weaviate: UpperCamel class naming, BYO-vector class (vectorizer
+    * "none"), manifest metric through the weaviate bimap into
+    * vectorIndexConfig.distance (`Adapters.Weaviate.classSpec` — the
+    * import half the reference stubs, covered from public Weaviate
+    * naming rules). Objects carry a stringified id, the vector, and
+    * the remaining columns as properties — all column expressions. */
+  def weaviateImport(df: DataFrame, indexName: String, ns: NamespaceMeta,
+      idCol: String = "id", batchSize: Int = 1000): String = {
+    val vecCol = ns.vector_columns.head
+    requireCols(df, Seq(idCol, vecCol), "weaviate")
+    val spec = Adapters.Weaviate.classSpec(indexName, ns)
+    val rest = df.columns.filterNot(c => c == idCol || c == vecCol)
+    val shaped = df.select(
+      (col(idCol).cast("string").as("id") +: col(vecCol).as("vector") +:
+        rest.map(col).toSeq): _*)
+    createAndWrite(shaped, spec.className, spec, "id", batchSize)
+  }
+
   // ------------------------------------------- Vertex AI Vector Search
 
   /** Vertex AI: `{base}_{namespace}` naming with cumulative collision

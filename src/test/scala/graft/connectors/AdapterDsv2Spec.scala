@@ -168,6 +168,54 @@ class AdapterDsv2Spec extends SparkSpec {
     InMemoryVdbServer.drop(c); InMemoryVdbServer.drop(c2)
   }
 
+  test("vespa: visit-chain scan feeds the DSv2 write; feed-URL spec at the boundary") {
+    // fake two-page visit service: executors walk the continuation
+    // chain (None → "AAA" → end), exactly the reference's visit loop
+    val outSchema = StructType(Seq(StructField("id", StringType),
+      StructField("title", StringType)))
+    val scanned = Adapters.Vespa.scan(spark, outSchema, Seq("prod")) {
+      (_, tok) => tok match {
+        case None => VespaVisitPage("path",
+          (0 until 3).map(i => VespaDoc(s"d$i", Map("title" -> s"t$i"))),
+          3, Some("AAA"))
+        case Some("AAA") => VespaVisitPage("path",
+          Seq(VespaDoc("d3", Map("title" -> "t3"))), 1, None)
+        case other => throw new IllegalStateException(
+          s"unexpected continuation $other")
+      }
+    }
+    val c = AdapterVdb.vespaImport(scanned, "http://host:8080/", "prod")
+    assert(c == "prod")
+    // boundary spec = the id-addressed PUT-URL template a feed client uses
+    val spec = InMemoryVdbServer.specOf(c).get.asInstanceOf[String]
+    assert(spec == "http://host:8080/document/v1/prod/prod/docid/{id}")
+    val back = AdapterVdb.read(spark, c)
+    assert(back.count() == 4)
+    assert(back.filter(col("id") === "d3")
+      .select("title").head.getString(0) == "t3")
+    // pruned read reaches the service
+    val plan = back.select("id").queryExecution.executedPlan.toString
+    assert(plan.contains("columns=id"))
+    InMemoryVdbServer.drop(c)
+  }
+
+  test("weaviate: UpperCamel class, BYO-vector + metric bimap at the boundary") {
+    val c = AdapterVdb.weaviateImport(srcDf(), "art-icle",
+      ns(namespace = "en", metric = Some("Euclid")))
+    assert(c == "Art-icle_en")
+    val spec = InMemoryVdbServer.specOf(c).get.asInstanceOf[WeaviateClassSpec]
+    assert(spec.vectorizer == "none" && spec.distance == "l2-squared")
+    val back = AdapterVdb.read(spark, c)
+    assert(back.columns.toSeq ==
+      Seq("id", "vector", "title", "category", "score"))
+    assert(back.count() == 20)
+    // same ids upserted again: last-wins, count unchanged
+    AdapterVdb.weaviateImport(srcDf(), "art-icle",
+      ns(namespace = "en", metric = Some("Euclid")))
+    assert(InMemoryVdbServer.count(c) == 20)
+    InMemoryVdbServer.drop(c)
+  }
+
   test("write boundary rejects a frame that doesn't match the collection DDL") {
     import spark.implicits._
     val c = AdapterVdb.qdrantImport(srcDf(), "strict", ns())

@@ -25,8 +25,13 @@ def main():
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads}")
     for t in TABLES:
+        # table can be a single parquet file (driver testdata) or a
+        # Spark-written directory of part files (tools/BigGen output)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # warm-up pass (buffer cache, JIT-ish planning), then timed pass
     for name, sql in sorted(oracle.items()):
