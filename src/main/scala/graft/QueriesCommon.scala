@@ -18,6 +18,16 @@ object QueriesCommon {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  // The resolved relation itself, keyed (session, path) — the analogue
+  // of `spark.table(name)` resolving one catalog relation object:
+  // every `spark.read.parquet` call otherwise builds a fresh
+  // InMemoryFileIndex (driver-side file listing + relation wiring) for
+  // a path whose files are immutable within a run. Downstream
+  // operators still analyze/optimize per query; only the leaf relation
+  // is shared, exactly as it would be through a metastore.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   // Adaptive execution re-plans at every exchange, which means every
   // shuffle materializes as its own job (a scheduling barrier) before
   // the next stage is planned. That is exactly right when a shuffle
@@ -71,9 +81,11 @@ object QueriesCommon {
       else math.min(defaultP.toLong, math.max(4L, bytes >> 22))
     s.conf.set("spark.sql.shuffle.partitions", p.toString)
     val path = s"$dir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => s.read.parquet(p).schema)
-    s.read.schema(schema).parquet(path)
+    tableCache.computeIfAbsent((s, path), _ => {
+      val schema = schemaCache.computeIfAbsent(path,
+        p => s.read.parquet(p).schema)
+      s.read.schema(schema).parquet(path)
+    })
   }
   /** Like `table`, but fans the scan out to the session's cores when
     * the input sits below the adaptive threshold. The test parquet

@@ -80,14 +80,23 @@ object QueriesExt2 {
       .orderBy("doc_id")
 
   /** O2 id-set difference (`pinecone_export.py:198,408`): urgent orders
-    * with no returned lineitem, as EXCEPT (distinct) — distributed,
-    * never a collected id set. */
-  private def qExceptIds(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    * with no returned lineitem, as EXCEPT-distinct semantics —
+    * distributed, never a collected id set. Spelled directly as
+    * distinct + anti-join (what Catalyst rewrites EXCEPT to anyway);
+    * an explicit broadcast hint on the exclusion side was measured
+    * SLOWER below the size gate (the build job serializes the DAG) and
+    * at scale AQE converts small sides at runtime. */
+  private def qExceptIds(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("id"))
-      .except(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("id")))
+    val right = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("id"))
+    left.distinct()
+      .join(right, Seq("id"), "left_anti")
       .orderBy("id")
+  }
 
   /** F24 dims resolution over the whole table (the set variant of the
     * first-non-null probe): all distinct vector lengths. */

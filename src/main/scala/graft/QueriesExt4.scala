@@ -30,6 +30,11 @@ object QueriesExt4 {
     val ev = raw.select(col("event_id"),
       QueriesCommon.eventDay(raw).as("day"))
     val daily = ev.groupBy("day").agg(count(lit(1)).as("n"))
+    // busy is ≤20 rows by construction, but an explicit broadcast hint
+    // was MEASURED SLOWER here below the size gate: the broadcast build
+    // serializes into its own job (agg + collect barrier) where the
+    // un-hinted bucket equi-join keeps everything one pipelined DAG;
+    // at scale AQE converts the tiny side to a broadcast at runtime
     val busy = daily.orderBy(col("n").desc, col("day")).limit(20)
       .select(col("day").as("window_day"),
         (col("day") - 3).as("lo"), (col("day") + 3).as("hi"))
@@ -136,13 +141,21 @@ object QueriesExt4 {
 
   /** INTERSECT set operation (O-algebra completion next to except/
     * union): order keys that are both urgent and had a returned item.
-    * Plans as a semi-style hash aggregate — no row explosion. */
-  private def qIntersectIds(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    * Spelled directly as distinct + semi-join (INTERSECT-distinct
+    * semantics); an explicit broadcast hint on the probe side was
+    * measured SLOWER below the size gate (the build job serializes the
+    * DAG) and at scale AQE converts small sides at runtime. */
+  private def qIntersectIds(s: SparkSession, dir: String): DataFrame = {
+    val left = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("id"))
-      .intersect(t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("id")))
+    val right = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("id"))
+    left.distinct()
+      .join(right, Seq("id"), "left_semi")
       .orderBy("id")
+  }
 
   /** SimHash through an engine-neutral hash: a 16-bit simhash built
     * from md5 nibbles, so the CONSTRUCTION (tokenize → per-bit vote →

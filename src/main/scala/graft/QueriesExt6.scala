@@ -155,6 +155,10 @@ object QueriesExt6 {
     * approx_percentile (mergeable sketch) without changing the shape. */
   private def qOutliers(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(col("event_type"), col("value"))
+    // med/mad are one row per event_type; explicit broadcast hints were
+    // MEASURED SLOWER below the size gate (each build is its own
+    // sequential job where the un-hinted form is one pipelined DAG),
+    // and at scale AQE converts the tiny aggregates at runtime
     val med = ev.groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("med"))
     val dev = ev.join(med, "event_type")

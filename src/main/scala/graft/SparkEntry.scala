@@ -89,8 +89,11 @@ object SparkEntry {
     // joins anyway, but projecting BEFORE the broadcast/shuffle keeps
     // the exchanged rows minimal in the executed plan too (measured
     // 0.90 → 0.73 s at sf0.1). Orders deliberately NOT broadcast: it
-    // scales with the fact table (measured within noise of SMJ here,
-    // and AQE converts small sides at runtime when sizes allow).
+    // scales with the fact table (a size-gated hint re-measured SLOWER
+    // in round 6 — the build job serializes the DAG), and the 1.4 GiB
+    // AQE dump (BASELINE.md §e) shows the spine correctly staying a
+    // shuffled SortMergeJoin at scale while customer/nation convert to
+    // runtime broadcasts.
     val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
     val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
     val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
@@ -134,7 +137,7 @@ object SparkEntry {
     * have no lineitem rows. */
   private def qAntiMissing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(t(s, dir, "lineitem"),
+      .join(t(s, dir, "lineitem").select("l_orderkey"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")

@@ -29,16 +29,25 @@ class VectorAggregatesSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("q_vec_stats plan: no Generate before the aggregate (vectors don't explode)") {
+  test("q_vec_stats plan: explode stays map-side (partial agg before the one exchange)") {
+    // round 6 moved q_vec_stats from the typed Aggregator to
+    // posexplode + (label, dim) hash aggregate: the d× explode must be
+    // collapsed by a partial_min/max/sum HashAggregate BELOW the first
+    // Exchange (shuffle volume = groups × d per partition, the same
+    // bound the Aggregator's array buffer gave), and the aggregate
+    // must be codegen'd HashAggregate, not ObjectHashAggregate
     val df = graft.SparkEntry.queries("q_vec_stats")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
-    // the only Generate (posexplode) must be downstream of the
-    // aggregate — i.e. appear ABOVE it in the plan tree text
+    assert(!p.contains("ObjectHashAggregate"),
+      s"q_vec_stats regressed to a non-codegen object aggregate:\n$p")
     val gen = p.indexOf("Generate")
-    val aggIdx = p.indexOf("ObjectHashAggregate")
-    assert(aggIdx >= 0, s"typed Aggregator did not plan as ObjectHashAggregate:\n$p")
-    assert(gen >= 0 && gen < aggIdx,
-      s"Generate is not downstream of the aggregate:\n$p")
+    val partial = p.indexOf("partial_min")
+    val exchange = p.indexOf("Exchange hashpartitioning")
+    assert(gen >= 0 && partial >= 0 && exchange >= 0, p)
+    // plan text prints top-down: Generate is the deepest (largest idx),
+    // the partial agg sits between the explode and the exchange
+    assert(exchange < partial && partial < gen,
+      s"partial aggregate is not between the exchange and the explode:\n$p")
   }
 
   test("null and empty vectors are skipped; ragged input fails fast") {

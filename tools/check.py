@@ -26,6 +26,10 @@ def norm_cell(v):
         return v
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
+    # pandas NaT (null datetime): NaT != NaT, so two identical rows with a
+    # null timestamp cell would compare unequal — normalize to a sentinel
+    if v is not None and repr(v) == "NaT":
+        return "NaT"
     return v
 
 
