@@ -56,11 +56,24 @@ object QueriesExt10 {
       .orderBy("q_id", "vec_id")
   }
 
+  /** A2's num_rows (`scripts/count_rows_hf.py:5-17`) computed locally:
+    * exact corpus row count from parquet FOOTER metadata only
+    * (`io.HfDataset.countRowsMetadata`) — no column data read, footer
+    * reads sharded across executors. Oracle = the full COUNT(*), so
+    * the gate proves metadata-count == scan-count. */
+  private def qMetaCount(s: SparkSession, dir: String): DataFrame = {
+    val n = graft.io.HfDataset.countRowsMetadata(s, s"$dir/documents.parquet")
+    s.range(1).select(lit(n).as("n_rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivf_oracle" -> (qAnnIvfOracle(_, _)),
-    "q_ann_pq_oracle" -> (qAnnPqOracle(_, _)))
+    "q_ann_pq_oracle" -> (qAnnPqOracle(_, _)),
+    "q_meta_count" -> (qMetaCount(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_meta_count" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents",
     // Mirrors Ivf.buildMd5Seeded + Ivf.search step for step. The seed
     // ranking (md5 of the id string), the assignment score form
     // dot(v,c) − dot(c,c)/2 with DESC/list_id tie-break (≡ Spark's

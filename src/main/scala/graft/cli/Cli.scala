@@ -120,7 +120,7 @@ object Cli {
         |  --dir VDF_DIR       VDF directory
         |  --out FILE          output CSV path""".stripMargin
     case "dedup" =>
-      """usage: graft dedup --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash]
+      """usage: graft dedup --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash|excise]
         |                   [--id_column doc_id] [--text_column text]
         |                   [--k 3] [--sig 32] [--bands 8] [--threshold 0.25]
         |
@@ -130,7 +130,8 @@ object Cli {
         |
         |  --in PARQUET_DIR    input document table
         |  --out PARQUET_DIR   survivor output (fresh directory)
-        |  --method M          exact (default) or minhash
+        |  --method M          exact (default), minhash, or excise
+        |  --gram N            excision gram size (excise; default: 8)
         |  --id_column C       id column (default: doc_id)
         |  --text_column C     text column (default: text)
         |  --k N               shingle size (minhash; default: 3)
@@ -146,9 +147,9 @@ object Cli {
         |  consolidate --dir VDF_DIR --index I [--max_size_gb G]
         |  count       --dir VDF_DIR
         |  id-list     --dir VDF_DIR --out FILE
-        |  dedup       --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash]
+        |  dedup       --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash|excise]
         |              [--id_column doc_id] [--text_column text]
-        |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25]
+        |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25] [--gram 8]
         |
         |graft help <command> prints per-command help.""".stripMargin
   }
@@ -377,6 +378,17 @@ object Cli {
           a.flags.getOrElse("threshold", "0.25").toDouble)
         graft.dedup.DupClusters.dedupKeepMin(docs, idCol, pairs,
           "doc_a", "doc_b")
+      case "excise" =>
+        // exact-substring excision: REWRITES text (duplicated n-gram
+        // spans removed) instead of dropping rows; rows cleaned to
+        // empty text are dropped, like the reference pipelines drop
+        // empty docs after cleaning
+        val cleaned = graft.dedup.Dedup
+          .exciseDupSpans(docs, idCol, textCol,
+            a.flags.getOrElse("gram", "8").toInt)
+          .filter(col("clean") =!= "")
+          .select(col("doc_id").as(idCol), col("clean").as(textCol))
+        docs.drop(textCol).join(cleaned, Seq(idCol), "inner")
       case other =>
         System.err.println(s"unknown dedup method: $other")
         return 2
@@ -411,7 +423,14 @@ object Cli {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rc = run(spark, args.toSeq)
+    // Root span around the whole run, the reference's CLI shape
+    // (`export_vdf_cli.py:86-96`: start_as_current_span("…_cli_main"),
+    // errors recorded on the span, flush before exit); disabled by
+    // DISABLE_TELEMETRY_VECTORIO=1 exactly like the reference.
+    val rc = graft.telemetry.Spans.withSpan("graft_cli_main") {
+      graft.telemetry.Spans.setAttribute("argv", args.mkString(" "))
+      run(spark, args.toSeq)
+    }
     spark.stop()
     if (rc != 0) sys.exit(rc)
   }
