@@ -118,13 +118,52 @@ object QueriesExt7 {
           6).as("entropy"))
       .orderBy("doc_id")
 
+  /** Exact-substring excision (`dedup.Dedup.exciseDupSpans` — the
+    * removal half of Lee et al.'s ExactSubstr, at 8-gram granularity):
+    * per doc, the duplicated-span-free text. The cleaned text goes
+    * through md5 so the gate hash-matches the WHOLE reconstructed
+    * string without shipping megabytes of text through the compare. */
+  private def qDupExcise(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.exciseDupSpans(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_spans" -> (qDupSpans(_, _)),
+    "q_dup_excise" -> (qDupExcise(_, _)),
     "q_funnel" -> (qFunnel(_, _)),
     "q_zorder" -> (qZorder(_, _)),
     "q_token_entropy" -> (qTokenEntropy(_, _)))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dup_excise" ->
+      """WITH b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok,
+        |          generate_subscripts(toks, 1) - 1 AS t FROM b),
+        |g0 AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+        |       FROM b WHERE len(toks) >= 8),
+        |g AS (SELECT doc_id, i - 1 AS p, array_to_string(toks[i:i+7], ' ') AS gram
+        |      FROM g0),
+        |dh AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(p, p + 8)) AS t
+        |        FROM g JOIN dh USING (gram)),
+        |kept AS (SELECT tok.doc_id, tok.t, tok.tok
+        |         FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.t = cov.t
+        |         WHERE cov.t IS NULL),
+        |ka AS (SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(tok, ' ' ORDER BY t)) AS clean_md5
+        |       FROM kept GROUP BY doc_id),
+        |ca AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(ka.n_kept, 0) + coalesce(ca.n_removed, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(ca.n_removed, 0) AS BIGINT) AS n_removed,
+        |  coalesce(ka.clean_md5, md5('')) AS clean_md5
+        |FROM documents d LEFT JOIN ka USING (doc_id) LEFT JOIN ca USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH b AS (SELECT doc_id,
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]

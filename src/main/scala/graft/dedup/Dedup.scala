@@ -184,6 +184,74 @@ object Dedup {
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** Exact-substring EXCISION (the removal half of Lee et al. ACL'22,
+    * §4.1 ExactSubstr: "remove any substring appearing more than once
+    * in the corpus", approximated at n-token gram granularity, the
+    * standard practical relaxation): a token is removed iff some
+    * duplicated n-gram covers it; the kept tokens, in order, are the
+    * cleaned document.
+    *
+    * Shape: positional grams travel as (doc_id, pos, xxhash64) longs;
+    * one gram-keyed count finds duplicated hashes (total occurrences
+    * >= 2, INCLUDING same-doc repeats — corpus semantics, not
+    * cross-doc-only like `dupSpanStats`); covered token indices come
+    * from an explode of the (bounded, n-long) spans; the cleaned text
+    * is a doc-keyed anti-join + ordered re-join of the token stream.
+    * Every shuffle is gram- or doc-keyed, nothing pairs documents, and
+    * per-gram work is bounded by that gram's true frequency — the
+    * suffix-array sharding of the paper re-expressed as bounded
+    * hash-bucket relational ops. Output: (doc_id, n_tokens, n_removed,
+    * clean) with clean = ' '-joined kept tokens ('' when everything or
+    * nothing was there). Oracle-gated as `q_dup_excise` (DuckDB mirrors
+    * the construction on raw gram text). */
+  def exciseDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val in = docs.select(col(idCol).as("doc_id"), col(textCol).cast("string").as("text"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      in.schema.fields.head.copy(name = "doc_id"),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val grams = materialized(in.flatMap { r =>
+      val id = r.get(0)
+      val text = if (r.isNullAt(1)) "" else r.getString(1)
+      val toks = wordTokens(text)
+      if (toks.length < n) Iterator.empty
+      else (0 to toks.length - n).iterator.map { i =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String
+            .fromString(windowAt(toks, i, n)),
+            org.apache.spark.sql.types.StringType, 42L)
+        org.apache.spark.sql.Row(id, i, h)
+      }
+    }(enc))
+    val dupH = grams.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    val covered = grams.join(dupH, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("t"))
+      .distinct()
+    val toks = in.select(col("doc_id"),
+      posexplode(graft.QueriesCommon.toksExpr).as(Seq("t", "tok")))
+    val kept = toks.join(covered, Seq("doc_id", "t"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("t"), col("tok")))),
+          x => x("tok")), " ").as("clean"))
+    val removed = covered.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    in.select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("n_kept"), lit(0L)) +
+          coalesce(col("n_removed"), lit(0L))).as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
+
   /** Rare-shingle Jaccard candidate pairs via inverted index.
     *
     * Shingles with document frequency > dfCap are dropped before the

@@ -136,4 +136,21 @@ class CliSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(keptM.sameElements(Array(1L, 2L, 3L)), s"kept ${keptM.mkString(",")}")
   }
+
+  test("dedup excise rewrites duplicated spans out of the text, drops emptied docs") {
+    import spark.implicits._
+    val in = tmp() + "/docs"; val out = tmp() + "/excised"
+    Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "other words alpha beta gamma delta trailing"),
+      (3L, "wholly duplicated body"), (4L, "wholly duplicated body"))
+      .toDF("doc_id", "text").write.parquet(in)
+    assert(Cli.run(spark, Seq("dedup", "--in", in, "--out", out,
+      "--method", "excise", "--gram", "3")) == 0)
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // shared 3-gram span excised from both holders; fully-duplicated
+    // docs clean to empty and are dropped
+    assert(got == Map(1L -> "unique one", 2L -> "other words trailing"))
+  }
 }
