@@ -129,6 +129,20 @@ object ScaleProbe2 {
       time(s"bm25 50k docs, dfCap=${if (cap == Long.MaxValue) "off" else cap}")(
         bm25DfCap(dir10, cap))
 
+    // ---- round-6 addition: exact-substring excision at 1× vs 10× ----
+    // The 10× corpus replicates every document verbatim, so EVERY
+    // gram is duplicated and EVERY token gets excised — the maximal
+    // coverage case. Work stays linear (grams ×10, gram groups
+    // unchanged with 10× members each, covered = all tokens); the
+    // survivors count collapses to 0, the adversarial profile's
+    // correct answer.
+    def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
+      .repartition(spark.sparkContext.defaultParallelism)
+    for ((tag, d) <- Seq("5k docs" -> dir1, "50k docs (all replicas)" -> dir10))
+      time(s"excise $tag, survivors")(
+        graft.dedup.Dedup.exciseDupSpans(docsOf(d), "doc_id", "text")
+          .filter(col("clean") =!= "").count())
+
     spark.stop()
   }
 }
