@@ -72,8 +72,17 @@ object QueriesCommon {
     * size-gated shuffle fan-out. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val bytes = totalBytes(dir)
-    s.conf.set("spark.sql.adaptive.enabled",
-      (bytes >= adaptiveMinInputBytes).toString)
+    val atScale = bytes >= adaptiveMinInputBytes
+    s.conf.set("spark.sql.adaptive.enabled", atScale.toString)
+    // The broadcast ceiling stays at Spark's 10 MB default in BOTH
+    // regimes. A same-window A/B at 1.4 GiB tried raising it for the
+    // at-scale branch: 64 MB converted q_semi_idlist's ~38 MB probe
+    // (3.0 → 1.6 s) but ALSO converted q_join_agg's 12M-row spine side
+    // (3.9 → 8.9 s — a multi-million-entry hash relation build costs
+    // more than the sort-merge it replaced), and 32 MB converted
+    // neither. Any value between those sides is tuned to this one
+    // dataset; AQE's measured sizes plus the default ceiling is the
+    // setting that generalizes.
     val defaultP = sessionShufflePartitions
       .computeIfAbsent(s, _.conf.get("spark.sql.shuffle.partitions"))
     val p =
