@@ -270,7 +270,7 @@ object QueriesExt6 {
     * probe side is whatever candidate generation emitted, and a df-cap
     * (impact pruning / WAND territory) bounds stopword partitions —
     * here the corpus is scored exactly. */
-  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = ft(s, dir, "documents")
     val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
@@ -330,7 +330,7 @@ object QueriesExt6 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lm_score" -> (qLmScore(_, _)),
-    "q_bm25" -> (qBm25(_, _)),
+    "q_bm25" -> (bm25TopK(_, _)),
     "q_winnow" -> (qWinnow(_, _)),
     "q_weighted_sample" -> (qWeightedSample(_, _)),
     "q_redact" -> (qRedact(_, _)),
