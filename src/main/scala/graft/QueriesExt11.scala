@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.similarity.Knn
+import graft.similarity.{Ivf, IvfPq, Knn, Pq}
 
 /** Round-6 continuation: the two retrieval patterns of the hybrid /
   * multi-vector search APIs the reference moves data between —
@@ -44,7 +44,7 @@ object QueriesExt11 {
     * leg swapped in unchanged). This is the fusion layout Pinecone/
     * Weaviate run server-side for sparse-dense queries. */
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val lex = QueriesExt6.bm25TopK(s, dir) // (query_id, doc_id, bm25≈6dp)
+    val lex = QueriesExt6.bm25Scores(s, dir) // (query_id, doc_id, bm25≈6dp)
       .withColumn("lex_rank", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("bm25").desc, col("doc_id"))))
@@ -77,12 +77,15 @@ object QueriesExt11 {
     * score(q,d) = Σ_{qt∈q} max_{dt∈d} ⟨qt,dt⟩, top-5 docs per query.
     *
     * Shape: the query token set is broadcast (|Q|·8 vectors); the
-    * candidate token scan stays partition-parallel, the token-pair dot
-    * products collapse map-side via partial max on (q_doc, q_tok,
-    * doc), and ONE exchange on that key serves both the max and the
-    * outer sum. At 100 TB the candidate stream is what an ANN/IVF pass
-    * emitted (the documented prune), so the per-candidate cost is
-    * |q_toks|·|d_toks| dots — the late-interaction contract. */
+    * candidate token scan stays partition-parallel and the token-pair
+    * dot products collapse map-side via PARTIAL max on (q_doc, q_tok,
+    * doc) — an |d_toks|-fold reduction before the only data-scale
+    * exchange. The outer sum re-clusters on (q_doc, doc), but by then
+    * a row per (query, token, candidate) remains — |Q|·8·|docs|, index
+    * scale, not corpus scale. At 100 TB the candidate stream is what
+    * an ANN/IVF pass emitted (the documented prune), so the
+    * per-candidate cost is |q_toks|·|d_toks| dots — the
+    * late-interaction contract. */
   private def qMaxsim(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "embeddings")
       .select(expr("vec_id DIV 8").as("doc"), col("vec_id"),
@@ -103,9 +106,32 @@ object QueriesExt11 {
       .orderBy("q_doc", "doc")
   }
 
+  /** IVF-PQ with md5-seeded coarse lists AND codebooks — the third leg
+    * of the oracle-gated ANN trio (q_ann_ivf_oracle/q_ann_pq_oracle):
+    * the COMPOSED route — coarse assignment, l2-ranked nprobe pruning,
+    * in-list ADC scoring — hash-matched end to end. Production stays
+    * `q_ann_ivfpq` (k-means, recall-gated); every non-training stage
+    * here is the identical code path (`Ivf.assign`, `Pq.encodeExpr`,
+    * `IvfPq.search`). */
+  private def qAnnIvfPqOracle(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val ivf = Ivf.buildMd5Seeded(e, "vec_id", "embedding", nlist = 8)
+    val pq = Pq.buildMd5Seeded(ivf.assigned, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16)
+    val index = IvfPq.IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub,
+      pq.encoded, "vec_id", "embedding")
+    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    IvfPq.search(mat, q, k = 5, nprobe = 2)
+      .withColumn("adc", round(col("adc"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf" -> (qHybridRrf(_, _)),
-    "q_maxsim" -> (qMaxsim(_, _)))
+    "q_maxsim" -> (qMaxsim(_, _)),
+    "q_ann_ivfpq_oracle" -> (qAnnIvfPqOracle(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // The lexical CTEs are q_bm25's oracle verbatim (same rounding and
@@ -178,5 +204,67 @@ object QueriesExt11 {
         |    ORDER BY round(score, 6) DESC, doc) AS rn FROM sc)
         |SELECT q_doc, doc, round(score, 6) AS maxsim
         |FROM r WHERE rn <= 5
-        |ORDER BY q_doc, doc""".stripMargin)
+        |ORDER BY q_doc, doc""".stripMargin,
+    // Mirrors Ivf.buildMd5Seeded + Pq.buildMd5Seeded + IvfPq.search
+    // step for step: coarse seeds = first 8 md5-ranked ids, assignment
+    // dot(v,c)−‖c‖²/2 DESC (tie → list_id); PQ codebook = sub-slices
+    // of the first 16 md5-ranked ids, codes argmin Σ(x−c)² (tie →
+    // code); probe = TRUE squared L2 to the coarse centroid ASC (tie →
+    // list_id), nprobe 2; ADC = the m=8 left-associative lookup sum
+    // restricted to candidates whose assigned list was probed.
+    "q_ann_ivfpq_oracle" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |isd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+        |          v AS c FROM e),
+        |iseeds AS (SELECT list_id, c FROM isd WHERE list_id < 8),
+        |asg AS (SELECT vec_id, list_id FROM (
+        |    SELECT e.vec_id, s.list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) / 2) DESC,
+        |                 s.list_id) AS rn
+        |    FROM e CROSS JOIN iseeds s)
+        |  WHERE rn = 1),
+        |sd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+        |         v AS c FROM e),
+        |cb AS (SELECT code, c FROM sd WHERE code < 16),
+        |sp AS (SELECT unnest(range(8)) AS s),
+        |dpre AS (SELECT e.vec_id, sp.s, cb.code,
+        |    list_transform(range(1, 9), j -> e.v[sp.s * 8 + j] - cb.c[sp.s * 8 + j]) AS d
+        |  FROM e CROSS JOIN sp CROSS JOIN cb),
+        |dist AS (SELECT vec_id, s, code, list_dot_product(d, d) AS dd FROM dpre),
+        |codes AS (SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, code ASC) AS rn
+        |    FROM dist)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |ppre AS (SELECT q.q_id, q.qv, s.list_id,
+        |    list_transform(range(1, 65), j -> q.qv[j] - s.c[j]) AS d
+        |  FROM q CROSS JOIN iseeds s),
+        |pr AS (SELECT q_id, qv, list_id FROM (
+        |    SELECT q_id, qv, list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY list_dot_product(d, d) ASC, list_id) AS rn
+        |    FROM ppre)
+        |  WHERE rn <= 2),
+        |qpre AS (SELECT pr.q_id, sp.s, cb.code,
+        |    list_transform(range(1, 9), j -> pr.qv[sp.s * 8 + j] - cb.c[sp.s * 8 + j]) AS d
+        |  FROM (SELECT DISTINCT q_id, qv FROM pr) pr CROSS JOIN sp CROSS JOIN cb),
+        |qt AS (SELECT q_id, s, code, list_dot_product(d, d) AS dd FROM qpre),
+        |parts AS (SELECT pr.q_id, c2.vec_id, qt.s, qt.dd
+        |  FROM codes c2
+        |  JOIN asg a ON a.vec_id = c2.vec_id
+        |  JOIN pr ON pr.list_id = a.list_id
+        |  JOIN qt ON qt.q_id = pr.q_id AND qt.s = c2.s AND qt.code = c2.code
+        |  WHERE c2.vec_id <> pr.q_id),
+        |adc AS (SELECT q_id, vec_id,
+        |    min(CASE WHEN s = 0 THEN dd END) + min(CASE WHEN s = 1 THEN dd END)
+        |  + min(CASE WHEN s = 2 THEN dd END) + min(CASE WHEN s = 3 THEN dd END)
+        |  + min(CASE WHEN s = 4 THEN dd END) + min(CASE WHEN s = 5 THEN dd END)
+        |  + min(CASE WHEN s = 6 THEN dd END) + min(CASE WHEN s = 7 THEN dd END) AS adc
+        |  FROM parts GROUP BY q_id, vec_id),
+        |r AS (SELECT q_id, vec_id, adc,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn FROM adc)
+        |SELECT q_id, vec_id, round(adc, 6) AS adc FROM r WHERE rn <= 5
+        |ORDER BY q_id, vec_id""".stripMargin)
 }

@@ -270,7 +270,13 @@ object QueriesExt6 {
     * probe side is whatever candidate generation emitted, and a df-cap
     * (impact pruning / WAND territory) bounds stopword partitions —
     * here the corpus is scored exactly. */
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  /** q_bm25's result with the presentation sort applied; the fusion
+    * consumer (q_hybrid_rrf) reads `bm25Scores` instead — same rows,
+    * no final range exchange. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir).orderBy("query_id", "doc_id")
+
+  def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = ft(s, dir, "documents")
     val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
@@ -309,7 +315,6 @@ object QueriesExt6 {
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("doc_id"),
         round(col("score"), 6).as("bm25"))
-      .orderBy("query_id", "doc_id")
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
