@@ -74,6 +74,31 @@ object QueriesCommon {
     val bytes = totalBytes(dir)
     val atScale = bytes >= adaptiveMinInputBytes
     s.conf.set("spark.sql.adaptive.enabled", atScale.toString)
+    // Runtime bloom-filter injection (InjectRuntimeFilter) in the
+    // at-scale branch: Spark's defaults require the application side
+    // to scan >10 GB AND the creation side to estimate <10 MB. The
+    // first gate merely reflects "small inputs don't need it"; the
+    // second would keep the filter off at ANY scale for a probe side
+    // that grows with the fact table (q_semi_idlist's urgent-orders
+    // probe is ~38 MB at 1.4 GiB). Three interleaved A/B pairs at
+    // 1.4 GiB (tools/BloomProbe, BASELINE.md §e): 8.65→2.51 s,
+    // 4.14→2.24 s, 2.97→1.98 s — the bloom prunes ~80% of the fact
+    // rows BEFORE the semi-join exchange, and the bloom build (an
+    // aggregate over the already-scanned probe) costs far less than
+    // shuffling the pruned rows; the injected side is also markedly
+    // less contention-sensitive because less shuffle IO is in flight.
+    // No other subset query's plan changes (injection confirmed
+    // per-plan), so unlike the broadcast-ceiling A/B this is
+    // one-sided. Below the gate the defaults come back: at megabyte
+    // scale the extra build stage is the same multi-job floor the
+    // AQE gate exists to avoid.
+    if (atScale) {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "256MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+    } else {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    }
     // The broadcast ceiling stays at Spark's 10 MB default in BOTH
     // regimes. A same-window A/B at 1.4 GiB tried raising it for the
     // at-scale branch: 64 MB converted q_semi_idlist's ~38 MB probe

@@ -34,6 +34,10 @@ class QueriesCommonSpec extends SparkSpec {
       // ~0.5 MB input → the 4-partition parallelism floor (which this
       // test session's default happens to equal)
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+      // bloom injection stays at Spark's conservative defaults below
+      // the gate (the extra build stage is pure floor at MB scale)
+      assert(spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold") == "10MB")
       // single-row-group scan = 1 task; the fanned loader must widen it
       val fanned = QueriesCommon.fannedTable(spark, dir, "documents")
       assert(fanned.rdd.getNumPartitions ==
@@ -47,6 +51,11 @@ class QueriesCommonSpec extends SparkSpec {
       assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
       // AQE owns shuffle sizing; the session default must come back
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+      // at-scale branch widens the runtime bloom-filter gates so a
+      // probe side that grows with the fact table still injects
+      // (BloomProbe A/B, BASELINE.md §e)
+      assert(spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold") == "64MB")
       // no round-robin exchange on the at-scale branch: the fanned
       // loader degrades to the bare scan (its single row-group task)
       val bare = QueriesCommon.fannedTable(spark, dir, "documents")
