@@ -128,10 +128,28 @@ object QueriesExt11 {
       .orderBy("q_id", "vec_id")
   }
 
+  /** Metadata-filtered ANN (`Ivf.searchWhere`): cosine top-5 among
+    * even-labeled vectors only, over the md5-seeded IVF so the whole
+    * filtered route — seeds, assignment, probe ranking, PRE-filtered
+    * in-list scoring — sits behind the hash-match gate. Pre-filtering
+    * is the semantics every vector DB's filtered query serves: the
+    * top-k fills from qualifying vectors, not from an unfiltered top-k
+    * that the filter then thins. */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = Ivf.buildMd5Seeded(e, "vec_id", "embedding", nlist = 8)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Ivf.searchWhere(index, q, k = 5, nprobe = 2, pmod(col("label"), lit(2)) === 0)
+      .withColumn("sim", round(col("sim"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf" -> (qHybridRrf(_, _)),
     "q_maxsim" -> (qMaxsim(_, _)),
-    "q_ann_ivfpq_oracle" -> (qAnnIvfPqOracle(_, _)))
+    "q_ann_ivfpq_oracle" -> (qAnnIvfPqOracle(_, _)),
+    "q_ann_filtered" -> (qAnnFiltered(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // The lexical CTEs are q_bm25's oracle verbatim (same rounding and
@@ -205,6 +223,39 @@ object QueriesExt11 {
         |SELECT q_doc, doc, round(score, 6) AS maxsim
         |FROM r WHERE rn <= 5
         |ORDER BY q_doc, doc""".stripMargin,
+    // q_ann_ivf_oracle's CTE chain with the candidate PRE-filter of
+    // Ivf.searchWhere: the index (seeds, assignment) is built over the
+    // FULL corpus, the predicate prunes candidates at scoring time
+    // (sc), and the top-5 fills from qualifying vectors only.
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |sd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+        |         v AS c FROM e),
+        |seeds AS (SELECT list_id, c FROM sd WHERE list_id < 8),
+        |asg AS (SELECT vec_id, label, v, list_id FROM (
+        |    SELECT e.vec_id, e.label, e.v, s.list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) / 2) DESC,
+        |                 s.list_id) AS rn
+        |    FROM e CROSS JOIN seeds s)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |pr AS (SELECT q_id, qv, list_id FROM (
+        |    SELECT q.q_id, q.qv, s.list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |        ORDER BY (-list_dot_product(q.qv, s.c) / sqrt(list_dot_product(s.c, s.c))) ASC NULLS LAST,
+        |                 s.list_id) AS rn
+        |    FROM q CROSS JOIN seeds s)
+        |  WHERE rn <= 2),
+        |sc AS (SELECT pr.q_id, a.vec_id,
+        |    list_dot_product(pr.qv, a.v) /
+        |      (sqrt(list_dot_product(pr.qv, pr.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+        |  FROM pr JOIN asg a ON pr.list_id = a.list_id AND a.vec_id <> pr.q_id
+        |  WHERE a.label % 2 = 0),
+        |r AS (SELECT q_id, vec_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sc)
+        |SELECT q_id, vec_id, round(sim, 6) AS sim FROM r WHERE rn <= 5
+        |ORDER BY q_id, vec_id""".stripMargin,
     // Mirrors Ivf.buildMd5Seeded + Pq.buildMd5Seeded + IvfPq.search
     // step for step: coarse seeds = first 8 md5-ranked ids, assignment
     // dot(v,c)−‖c‖²/2 DESC (tie → list_id); PQ codebook = sub-slices

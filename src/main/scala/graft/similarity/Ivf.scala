@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -212,6 +212,21 @@ object Ivf {
       .limit(k)
       .select(col(index.idCol), col("sim"), col("list_id"))
   }
+
+  /** Metadata-filtered search — the filtered vector query every vector
+    * DB serves (Pinecone `filter=`, Qdrant payload filters, Weaviate
+    * `where`; the reference round-trips exactly these filter payloads,
+    * `pinecone_export.py:190-213`). The predicate prunes CANDIDATES
+    * before scoring (PRE-filtering): the top-k is taken among
+    * qualifying vectors, where post-filtering an unfiltered top-k
+    * would under-fill k whenever matches are sparse. On a `writeIndex`
+    * layout the predicate rides the probed-list scan as a pushed
+    * filter next to the list_id partition pruning, so selectivity
+    * compounds with nprobe/nlist instead of costing a second pass. */
+  def searchWhere(index: IvfIndex, queries: DataFrame, k: Int,
+      nprobe: Int, predicate: Column): DataFrame =
+    search(index.copy(assigned = index.assigned.filter(predicate)),
+      queries, k, nprobe)
 
   /** Top-k cosine neighbors per query, scanning only the `nprobe`
     * nearest lists. queries: (q_id, q_vec). */

@@ -88,4 +88,41 @@ class IvfSpec extends SparkSpec {
     assert(hits.length == 5)
     assert(hits.forall(_ % 3 == 0), s"left the cluster: ${hits.mkString(",")}")
   }
+
+  test("searchWhere PRE-filters: top-k fills from qualifying vectors only") {
+    import spark.implicits._
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // predicate: ids ≡ 0 mod 6 — half of the query's own cluster
+    val hits = Ivf.searchWhere(index, q, k = 5, nprobe = 1,
+        col("vec_id") % 6 === 0)
+      .collect().map(_.getLong(1))
+    assert(hits.length == 5, s"under-filled: ${hits.mkString(",")}")
+    assert(hits.forall(h => h % 6 == 0 && h != 0L),
+      s"non-qualifying hit: ${hits.mkString(",")}")
+    // post-filtering the unfiltered top-k would NOT yield 5 rows here
+    val post = Ivf.search(index, q, k = 5, nprobe = 1)
+      .filter(col("vec_id") % 6 === 0).count()
+    assert(post < 5, s"test not discriminating: post-filter kept $post")
+  }
+
+  test("searchWhere on the at-rest layout: predicate is pushed to the probed-list scan") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_filtered").toString
+    Ivf.writeIndex(index, dir)
+    val reopened = Ivf.readIndex(spark, dir, index.centroids, "vec_id", "embedding")
+    import spark.implicits._
+    val q = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val res = Ivf.searchWhere(reopened, q, k = 3, nprobe = 1,
+      col("vec_id") >= 30)
+    assert(res.collect().forall(_.getLong(1) >= 30))
+    // the metadata predicate reaches the parquet scan as a PUSHED
+    // filter, riding next to the list partition pruning (execute
+    // first: under AQE the final plan exists only after the run;
+    // string-match like PlanSpec since stages nest the scan)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*vec_id[^\\]]*\\].*"),
+      plan)
+  }
 }
