@@ -213,6 +213,14 @@ object Ivf {
       .select(col(index.idCol), col("sim"), col("list_id"))
   }
 
+  /** The assignment application, public for STREAMING ingest
+    * (`StreamingOps.ivfIngest`): pure per-row codegen'd expressions —
+    * no shuffle, no state — so the identical code path the batch
+    * build uses runs unchanged inside a streaming micro-batch. */
+  def assignTo(vecs: DataFrame, centroids: Seq[(Int, Array[Float])],
+      idCol: String, vecCol: String): DataFrame =
+    assign(vecs, centroids, idCol, vecCol)
+
   /** Metadata-filtered search — the filtered vector query every vector
     * DB serves (Pinecone `filter=`, Qdrant payload filters, Weaviate
     * `where`; the reference round-trips exactly these filter payloads,

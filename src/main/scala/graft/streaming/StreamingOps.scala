@@ -366,4 +366,30 @@ object StreamingOps {
           }
       }
   }
+
+  /** Streaming IVF index maintenance — the incremental half of
+    * `Ivf.writeIndex` (the reference's import loop upserts vectors
+    * into live indexes batch by batch, `pinecone_import.py:219-281`;
+    * here the "index" is the at-rest list-partitioned layout). New
+    * vectors stream in, each is assigned to its coarse list with the
+    * IDENTICAL codegen'd argmax-dot expression the batch build uses
+    * (per-row, stateless — no watermark, no shuffle, no state store),
+    * and the append-mode file sink adds list-partitioned parquet under
+    * the SAME layout `writeIndex` produces: existing files are never
+    * rewritten, a reader's partition-pruned search sees new vectors at
+    * the next micro-batch boundary, and the checkpoint makes ingest
+    * exactly-once across restarts. Centroids stay fixed between
+    * retrains — the FAISS operational model (retrain offline when
+    * drift warrants; reassignment stays incremental). */
+  def ivfIngest(vecs: DataFrame, centroids: Seq[(Int, Array[Float])],
+      idCol: String, vecCol: String, indexPath: String,
+      checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.similarity.Ivf.assignTo(vecs, centroids, idCol, vecCol)
+      .writeStream
+      .partitionBy("list_id")
+      .format("parquet")
+      .option("path", indexPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .start()
 }
