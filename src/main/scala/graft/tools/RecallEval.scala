@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ivf, IvfPq, Knn, Pq}
+
+/** Recall@k of every approximate ANN route against the exact
+  * brute-force cosine top-k, over the driver testdata embeddings —
+  * the standard ANN quality metric (recall = |approx ∩ exact| / k
+  * averaged over queries), reported per route with its scale knobs so
+  * the recall/cost dial is a committed number, not a spec threshold.
+  * Usage: tools/run_main.sh graft.tools.RecallEval [sfDir] [k]
+  */
+object RecallEval {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cands = e.select("vec_id", "embedding")
+    val nQ = 16.0
+
+    def topSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qid, a) => qid -> a.map(_._2).toSet }
+
+    val exact = topSet(Knn.bruteForceTopK(q, cands, k))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (qid, ex) =>
+        approx.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
+      }.sum / nQ
+
+    val routes: Seq[(String, () => DataFrame)] = Seq(
+      ("lsh planes=8" -> (() => Knn.lshTopK(q, cands, planes = 8, k))),
+      ("lsh planes=4" -> (() => Knn.lshTopK(q, cands, planes = 4, k))),
+      ("ivf nlist=8 nprobe=2" -> (() => {
+        val ix = Ivf.build(e, "vec_id", "embedding", nlist = 8)
+        Ivf.search(ix, q, k, nprobe = 2)
+      })),
+      ("ivf nlist=8 nprobe=4" -> (() => {
+        val ix = Ivf.build(e, "vec_id", "embedding", nlist = 8)
+        Ivf.search(ix, q, k, nprobe = 4)
+      })),
+      ("pq m=8 ksub=16" -> (() => {
+        val ix = Pq.build(e, "vec_id", "embedding", dim = 64, m = 8, ksub = 16)
+        Pq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)), q, k)
+      })),
+      ("ivf nlist=8 nprobe=8(=all)" -> (() => {
+        val ix = Ivf.build(e, "vec_id", "embedding", nlist = 8)
+        Ivf.search(ix, q, k, nprobe = 8)
+      })),
+      ("pq m=16 ksub=64" -> (() => {
+        val ix = Pq.build(e, "vec_id", "embedding", dim = 64, m = 16, ksub = 64)
+        Pq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)), q, k)
+      })),
+      ("ivfpq nlist=8 nprobe=4 m=8" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16)
+        IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 4)
+      })),
+      ("ivfpq nlist=8 nprobe=8 m=16 ksub=64" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 16, ksub = 64)
+        IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 8)
+      })))
+    println(s"# recall@$k vs exact cosine, ${exact.size} queries, $dir")
+    println("# note: driver embeddings are near-uniform random -- the")
+    println("# adversarial case for ANN (no cluster structure to exploit);")
+    println("# the point is the monotone recall/cost dial, not absolute values")
+    routes.foreach { case (label, run) =>
+      val r = recall(topSet(run()))
+      println(f"$label%-28s recall@$k = $r%.3f")
+    }
+    spark.stop()
+  }
+}
