@@ -50,7 +50,8 @@ object Cli {
   }
 
   val commands: Seq[String] =
-    Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup")
+    Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup",
+      "search")
 
   /** Frozen per-command help transcripts, mirroring the reference's
     * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
@@ -138,6 +139,27 @@ object Cli {
         |  --sig N             signature length (minhash; default: 32)
         |  --bands N           LSH bands (minhash; default: 8)
         |  --threshold T       est. Jaccard cut (minhash; default: 0.25)""".stripMargin
+    case "search" =>
+      """usage: graft search --in PARQUET_DIR (--query_id N | --vector F,F,...)
+        |                    [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2]
+        |                    [--filter EXPR] [--id_column vec_id] [--vector_column embedding]
+        |
+        |Cosine top-k over a vector table: brute force (exact) or IVF
+        |(coarse-quantized, nprobe of nlist lists scanned). --filter is a
+        |SQL predicate over the table's columns, applied to CANDIDATES
+        |before the top-k (pre-filtering, the filtered-search semantics
+        |of Pinecone/Qdrant/Weaviate). Prints id<TAB>sim, best first.
+        |
+        |  --in PARQUET_DIR     vector table (id + vector columns)
+        |  --query_id N         use the vector of row id N as the query
+        |  --vector F,F,...     literal query vector (comma-separated)
+        |  --k N                neighbors to return (default: 10)
+        |  --index M            brute (default, exact) or ivf
+        |  --nlist N            IVF lists (ivf; default: 8)
+        |  --nprobe N           IVF lists scanned per query (ivf; default: 2)
+        |  --filter EXPR        SQL predicate over table columns
+        |  --id_column C        id column (default: vec_id)
+        |  --vector_column C    vector column (default: embedding)""".stripMargin
     case _ =>
       s"""usage: graft <${commands.mkString("|")}> [--flags]
         |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
@@ -150,6 +172,8 @@ object Cli {
         |  dedup       --in PARQUET_DIR --out PARQUET_DIR [--method exact|minhash|excise]
         |              [--id_column doc_id] [--text_column text]
         |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25] [--gram 8]
+        |  search      --in PARQUET_DIR (--query_id N | --vector F,F,...)
+        |              [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2] [--filter EXPR]
         |
         |graft help <command> prints per-command help.""".stripMargin
   }
@@ -170,6 +194,7 @@ object Cli {
       case "count" :: Nil => cmdCount(spark, args)
       case "id-list" :: Nil => cmdIdList(spark, args)
       case "dedup" :: Nil => cmdDedup(spark, args)
+      case "search" :: Nil => cmdSearch(spark, args)
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println(helpText(""))
@@ -397,6 +422,63 @@ object Cli {
     val (n0, n1) = (docs.count(),
       spark.read.parquet(a.flags("out")).count())
     println(s"dedup($method): kept $n1 of $n0 rows -> ${a.flags("out")}")
+    0
+  }
+
+  /** Cosine top-k over a vector table — the query half of the vector
+    * DBs the reference moves data between (brute = exact; ivf = the
+    * coarse-quantized scale path; `--filter` = the pre-filtered search
+    * semantics of Pinecone `filter=`/Qdrant payload filters). */
+  private def cmdSearch(spark: SparkSession, a: Args): Int = {
+    if (!a.flags.contains("in") ||
+        !(a.flags.contains("query_id") || a.flags.contains("vector"))) {
+      System.err.println(
+        "search: need --in and one of --query_id / --vector " +
+          "(usage: search --in PARQUET_DIR (--query_id N | --vector F,F,...))")
+      return 2
+    }
+    val idCol = a.flags.getOrElse("id_column", "vec_id")
+    val vecCol = a.flags.getOrElse("vector_column", "embedding")
+    val k = a.flags.getOrElse("k", "10").toInt
+    val table = spark.read.parquet(a.flags("in"))
+    val q: DataFrame = a.flags.get("vector") match {
+      case Some(csv) =>
+        val v = csv.split(",").map(_.trim.toFloat).toSeq
+        spark.range(1).select(lit(-1L).as("q_id"), typedLit(v).as("q_vec"))
+      case None =>
+        val qid = a.flags("query_id").toLong
+        val qdf = table.filter(col(idCol) === qid)
+          .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("q_vec"))
+        if (qdf.isEmpty) {
+          System.err.println(s"search: --query_id $qid not found in ${a.flags("in")}")
+          return 2
+        }
+        qdf
+    }
+    val predicate = a.flags.get("filter").map(expr)
+    val hits = a.flags.getOrElse("index", "brute") match {
+      case "brute" =>
+        val cands = predicate.fold(table)(table.filter)
+          .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+        graft.similarity.Knn.bruteForceTopK(q, cands, k)
+      case "ivf" =>
+        val nlist = a.flags.getOrElse("nlist", "8").toInt
+        val nprobe = a.flags.getOrElse("nprobe", "2").toInt
+        val ix = graft.similarity.Ivf.build(table, idCol, vecCol, nlist)
+        predicate match {
+          case Some(p) => graft.similarity.Ivf.searchWhere(ix, q, k, nprobe, p)
+          case None => graft.similarity.Ivf.search(ix, q, k, nprobe)
+        }
+      case other =>
+        System.err.println(s"search: unknown --index $other (brute|ivf)")
+        return 2
+    }
+    val rows = hits
+      .select(col(hits.columns(1)).cast("string").as("id"), col("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .collect()
+    rows.foreach(r => println(s"${r.getString(0)}\t${"%.6f".format(r.getDouble(1))}"))
+    println(s"${rows.length} neighbor(s)")
     0
   }
 

@@ -153,4 +153,46 @@ class CliSpec extends SparkSpec {
     // docs clean to empty and are dropped
     assert(got == Map(1L -> "unique one", 2L -> "other words trailing"))
   }
+
+  test("search: brute top-k, literal vector, and pre-filter via CLI") {
+    import spark.implicits._
+    val in = tmp() + "/vecs"
+    // vectors along distinct directions: id i points mostly at axis i%4
+    (0L until 40L).map { i =>
+      (i, Array.tabulate(4)(j => if (j == (i % 4).toInt) 10f else 1f),
+        (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label").write.parquet(in)
+    def captured(args: String*): (Int, Seq[String]) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val rc = Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Cli.run(spark, args)
+      }
+      (rc, bos.toString("UTF-8").linesIterator.toSeq)
+    }
+    // by query id: neighbors share the query's axis (ids ≡ 0 mod 4)
+    val (rc1, out1) = captured("search", "--in", in, "--query_id", "0", "--k", "3")
+    assert(rc1 == 0 && out1.last == "3 neighbor(s)")
+    val ids1 = out1.dropRight(1).map(_.split("\t")(0).toLong)
+    assert(ids1.forall(i => i % 4 == 0 && i != 0L), ids1.mkString(","))
+    // literal vector along axis 2
+    val (rc2, out2) = captured("search", "--in", in,
+      "--vector", "0,0,10,0", "--k", "2")
+    assert(rc2 == 0 &&
+      out2.dropRight(1).map(_.split("\t")(0).toLong).forall(_ % 4 == 2))
+    // pre-filter: only odd labels qualify, still k rows
+    val (rc3, out3) = captured("search", "--in", in, "--query_id", "0",
+      "--k", "3", "--filter", "label = 1")
+    val ids3 = out3.dropRight(1).map(_.split("\t")(0).toLong)
+    assert(rc3 == 0 && ids3.length == 3 && ids3.forall(_ % 2 == 1),
+      ids3.mkString(","))
+    // ivf route with filter returns only qualifying ids too
+    val (rc4, out4) = captured("search", "--in", in, "--query_id", "0",
+      "--k", "3", "--index", "ivf", "--nlist", "4", "--nprobe", "4",
+      "--filter", "label = 1")
+    val ids4 = out4.dropRight(1).map(_.split("\t")(0).toLong)
+    assert(rc4 == 0 && ids4.nonEmpty && ids4.forall(_ % 2 == 1),
+      ids4.mkString(","))
+    // missing required flags → usage error
+    assert(captured("search", "--in", in)._1 == 2)
+  }
 }
