@@ -145,11 +145,31 @@ object QueriesExt11 {
       .orderBy("q_id", "vec_id")
   }
 
+  /** REAL audio-kernel gate (`Multimodal.pcmFeatures`): every doc gets
+    * a deterministic 32-byte payload (md5(text) ‖ md5(text·'1') — full
+    * byte range, so negative samples exercise the sign/zero-cross
+    * logic), the batched mapPartitions kernel parses it as 16-bit LE
+    * PCM and emits integer-exact features (Σs² in a Long → the double
+    * RMS is bit-stable), and DuckDB rebuilds the identical samples
+    * from the md5 hex string. The decode CONTRACT is what's gated —
+    * compressed codecs stay stubbed (no codec libs in-env), raw PCM
+    * is real compute. */
+  private def qAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents").select(col("doc_id"),
+      concat(unhex(md5(col("text"))),
+        unhex(md5(concat(col("text"), lit("1"))))).as("payload"))
+    graft.multimodal.Multimodal.pcmFeatures(m, "payload", batchSize = 64)
+      .select(col("doc_id"), col("n_samples"),
+        round(col("rms"), 6).as("rms"), col("n_zero_cross"), col("peak"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf" -> (qHybridRrf(_, _)),
     "q_maxsim" -> (qMaxsim(_, _)),
     "q_ann_ivfpq_oracle" -> (qAnnIvfPqOracle(_, _)),
-    "q_ann_filtered" -> (qAnnFiltered(_, _)))
+    "q_ann_filtered" -> (qAnnFiltered(_, _)),
+    "q_audio_features" -> (qAudioFeatures(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // The lexical CTEs are q_bm25's oracle verbatim (same rounding and
@@ -256,6 +276,28 @@ object QueriesExt11 {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn FROM sc)
         |SELECT q_id, vec_id, round(sim, 6) AS sim FROM r WHERE rn <= 5
         |ORDER BY q_id, vec_id""".stripMargin,
+    // Rebuilds pcmFeatures' samples from the md5 hex strings: byte k
+    // of the 32-byte payload is hex pair (2k, 2k+1); LE sample i is
+    // byte 2i | byte 2i+1 << 8, sign-adjusted at 32768. Σs² stays in
+    // BIGINT (exact), so the double sqrt matches Spark's bit-for-bit;
+    // zero-cross counts STRICT sign flips like the kernel.
+    "q_audio_features" ->
+      """WITH h AS (SELECT doc_id, md5(text) || md5(text || '1') AS hx
+        |  FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(0, 32), k ->
+        |    (instr('0123456789abcdef', substr(hx, 2 * k + 1, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(hx, 2 * k + 2, 1)) - 1)) AS bytes
+        |  FROM h),
+        |smp AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |    CASE WHEN bytes[2 * i + 1] + 256 * bytes[2 * i + 2] >= 32768
+        |         THEN bytes[2 * i + 1] + 256 * bytes[2 * i + 2] - 65536
+        |         ELSE bytes[2 * i + 1] + 256 * bytes[2 * i + 2] END) AS s
+        |  FROM b)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS n_samples,
+        |  round(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE) / 16), 6) AS rms,
+        |  CAST(len(list_filter(range(2, 17), i -> s[i] * s[i - 1] < 0)) AS BIGINT) AS n_zero_cross,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak
+        |FROM smp ORDER BY doc_id""".stripMargin,
     // Mirrors Ivf.buildMd5Seeded + Pq.buildMd5Seeded + IvfPq.search
     // step for step: coarse seeds = first 8 md5-ranked ids, assignment
     // dot(v,c)−‖c‖²/2 DESC (tie → list_id); PQ codebook = sub-slices

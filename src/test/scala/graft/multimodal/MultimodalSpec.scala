@@ -79,4 +79,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dropBinaryColumns(media, keep = Set("payload"))
       .columns.contains("payload"))
   }
+
+  test("pcmFeatures: real 16-bit LE parsing, sign-aware ZCR, exact RMS, odd tail ignored") {
+    import spark.implicits._
+    // samples: +1000, -2000, +3000, -32768 (LE bytes), plus a trailing
+    // odd byte that must be ignored
+    def le(s: Int): Seq[Byte] =
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+    val payload = (le(1000) ++ le(-2000) ++ le(3000) ++ le(-32768) ++
+      Seq(0x7f.toByte)).toArray
+    val df = Seq(("a", payload), ("nul", null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val out = Multimodal.pcmFeatures(df, "payload", batchSize = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(a.fieldIndex("n_samples")) == 4L)
+    // every adjacent pair flips sign → 3 crossings
+    assert(a.getLong(a.fieldIndex("n_zero_cross")) == 3L)
+    assert(a.getLong(a.fieldIndex("peak")) == 32768L)
+    val expectRms = math.sqrt(
+      (1000.0 * 1000 + 2000.0 * 2000 + 3000.0 * 3000 + 32768.0 * 32768) / 4)
+    assert(math.abs(a.getDouble(a.fieldIndex("rms")) - expectRms) < 1e-9)
+    // null payload → null features
+    assert(out("nul").isNullAt(out("nul").fieldIndex("n_samples")))
+  }
 }
