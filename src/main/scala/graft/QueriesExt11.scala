@@ -164,12 +164,34 @@ object QueriesExt11 {
       .orderBy("doc_id")
   }
 
+  /** REAL image-kernel gate (`Multimodal.rgbFeatures`): a 48-byte
+    * md5-derived payload stands in for a decoded 4×4 RGB888 frame;
+    * the kernel computes per-channel means and BT.601 luminance with
+    * integer-per-mille weights (every sum a Long → the double means
+    * are bit-stable), and DuckDB rebuilds the identical bytes. Same
+    * contract split as q_audio_features: raw-format compute is real,
+    * compressed codecs stay stubbed. */
+  private def qImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "documents").select(col("doc_id"),
+      concat(unhex(md5(col("text"))),
+        unhex(md5(concat(col("text"), lit("1")))),
+        unhex(md5(concat(col("text"), lit("2"))))).as("payload"))
+    graft.multimodal.Multimodal.rgbFeatures(m, "payload",
+        width = 4, height = 4, batchSize = 64)
+      .select(col("doc_id"), round(col("r_mean"), 6).as("r_mean"),
+        round(col("g_mean"), 6).as("g_mean"),
+        round(col("b_mean"), 6).as("b_mean"),
+        round(col("lum_mean_pm"), 6).as("lum_mean_pm"), col("lum_max_pm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_hybrid_rrf" -> (qHybridRrf(_, _)),
     "q_maxsim" -> (qMaxsim(_, _)),
     "q_ann_ivfpq_oracle" -> (qAnnIvfPqOracle(_, _)),
     "q_ann_filtered" -> (qAnnFiltered(_, _)),
-    "q_audio_features" -> (qAudioFeatures(_, _)))
+    "q_audio_features" -> (qAudioFeatures(_, _)),
+    "q_image_features" -> (qImageFeatures(_, _)))
 
   val oracleSql: Map[String, String] = Map(
     // The lexical CTEs are q_bm25's oracle verbatim (same rounding and
@@ -298,6 +320,32 @@ object QueriesExt11 {
         |  CAST(len(list_filter(range(2, 17), i -> s[i] * s[i - 1] < 0)) AS BIGINT) AS n_zero_cross,
         |  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak
         |FROM smp ORDER BY doc_id""".stripMargin,
+    // Rebuilds rgbFeatures' bytes from three md5 hex rounds: pixel i's
+    // channels are bytes (3i, 3i+1, 3i+2); luminance uses the same
+    // integer per-mille BT.601 weights, so all sums are BIGINT-exact.
+    "q_image_features" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(text) || md5(text || '1') || md5(text || '2') AS hx
+        |  FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(0, 48), k ->
+        |    (instr('0123456789abcdef', substr(hx, 2 * k + 1, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substr(hx, 2 * k + 2, 1)) - 1)) AS bytes
+        |  FROM h),
+        |px AS (SELECT doc_id,
+        |    list_transform(range(0, 16), i -> bytes[3 * i + 1]) AS r,
+        |    list_transform(range(0, 16), i -> bytes[3 * i + 2]) AS g,
+        |    list_transform(range(0, 16), i -> bytes[3 * i + 3]) AS bl,
+        |    list_transform(range(0, 16), i ->
+        |      299 * bytes[3 * i + 1] + 587 * bytes[3 * i + 2] +
+        |      114 * bytes[3 * i + 3]) AS lum
+        |  FROM b)
+        |SELECT doc_id,
+        |  round(CAST(list_sum(r) AS DOUBLE) / 16, 6) AS r_mean,
+        |  round(CAST(list_sum(g) AS DOUBLE) / 16, 6) AS g_mean,
+        |  round(CAST(list_sum(bl) AS DOUBLE) / 16, 6) AS b_mean,
+        |  round(CAST(list_sum(lum) AS DOUBLE) / 16, 6) AS lum_mean_pm,
+        |  CAST(list_max(lum) AS BIGINT) AS lum_max_pm
+        |FROM px ORDER BY doc_id""".stripMargin,
     // Mirrors Ivf.buildMd5Seeded + Pq.buildMd5Seeded + IvfPq.search
     // step for step: coarse seeds = first 8 md5-ranked ids, assignment
     // dot(v,c)−‖c‖²/2 DESC (tie → list_id); PQ codebook = sub-slices

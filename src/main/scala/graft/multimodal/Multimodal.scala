@@ -138,6 +138,90 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image kernel for raw RGB888 bitmaps (w·h·3 bytes,
+    * row-major, no header — the decoded-frame layout every codec
+    * produces): per-channel means and ITU-R BT.601 luminance
+    * (299R+587G+114B per mille — integer weights, so every sum stays
+    * in a Long and the double means are bit-stable across engines).
+    * Payloads shorter than w·h·3 yield null features (a truncated
+    * frame is corrupt, not zero-padded). Same batched shape as
+    * `pcmFeatures`. */
+  def rgbFeatures(df: DataFrame, payloadCol: String, width: Int,
+      height: Int, batchSize: Int = 64): DataFrame = {
+    val rgbSchema = StructType(Seq(
+      StructField("r_mean", DoubleType), StructField("g_mean", DoubleType),
+      StructField("b_mean", DoubleType),
+      // luminance stays in per-mille units (the integer weight scale):
+      // sums are Longs and the /n mean has so few fractional bits that
+      // decimal rounding can never land on a tie — cross-engine stable
+      StructField("lum_mean_pm", DoubleType),
+      StructField("lum_max_pm", LongType)))
+    val outSchema = StructType(df.schema.fields ++ rgbSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(payloadCol)
+    val need = width * height * 3
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val p = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+          if (p == null || p.length < need)
+            Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+          else {
+            var i = 0
+            var rs = 0L; var gs = 0L; var bs = 0L; var lumMax = 0L
+            val n = width * height
+            while (i < n) {
+              val rr = p(3 * i) & 0xff
+              val gg = p(3 * i + 1) & 0xff
+              val bb = p(3 * i + 2) & 0xff
+              rs += rr; gs += gg; bs += bb
+              val lum = 299L * rr + 587L * gg + 114L * bb
+              if (lum > lumMax) lumMax = lum
+              i += 1
+            }
+            val lumSum = 299L * rs + 587L * gs + 114L * bs
+            Row.fromSeq(r.toSeq ++ Seq(
+              java.lang.Double.valueOf(rs.toDouble / n),
+              java.lang.Double.valueOf(gs.toDouble / n),
+              java.lang.Double.valueOf(bs.toDouble / n),
+              java.lang.Double.valueOf(lumSum.toDouble / n),
+              java.lang.Long.valueOf(lumMax)))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** REAL nearest-neighbor resize for raw RGB888 bitmaps — the one
+    * image transform that needs no codec: source pixel (⌊x·sw/w⌋,
+    * ⌊y·sh/h⌋) for each target pixel, the standard NN mapping. Payloads
+    * that aren't sw·sh·3 bytes pass through as null (corrupt frame). */
+  final class RawRgbResizer(srcW: Int, srcH: Int) extends MediaResizer {
+    def resizeBatch(payloads: Seq[Array[Byte]], w: Int, h: Int)
+        : Seq[(Array[Byte], Integer, Integer)] =
+      payloads.map { p =>
+        if (p == null || p.length < srcW * srcH * 3)
+          (null, null, null): (Array[Byte], Integer, Integer)
+        else {
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val sy = y * srcH / h
+            var x = 0
+            while (x < w) {
+              val sx = x * srcW / w
+              val si = (sy * srcW + sx) * 3
+              val di = (y * w + x) * 3
+              out(di) = p(si); out(di + 1) = p(si + 1); out(di + 2) = p(si + 2)
+              x += 1
+            }
+            y += 1
+          }
+          (out, Integer.valueOf(w), Integer.valueOf(h))
+        }
+      }
+  }
+
   /** Batched frame sampler for video/audio payloads: one payload →
     * up to `maxFrames` per-frame feature vectors. */
   trait FrameSampler extends Serializable {

@@ -103,4 +103,45 @@ class MultimodalSpec extends SparkSpec {
     // null payload → null features
     assert(out("nul").isNullAt(out("nul").fieldIndex("n_samples")))
   }
+
+  test("rgbFeatures: channel means and BT.601 luminance on a known 2x2 bitmap") {
+    import spark.implicits._
+    // pixels: red, green, blue, white (RGB888 row-major)
+    val img = Array[Byte](
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+    val short = Array[Byte](1, 2, 3) // truncated frame → null features
+    val df = Seq(("ok", img), ("bad", short)).toDF("id", "payload")
+    val out = Multimodal.rgbFeatures(df, "payload", width = 2, height = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ok = out("ok")
+    assert(ok.getDouble(ok.fieldIndex("r_mean")) == 127.5)
+    assert(ok.getDouble(ok.fieldIndex("g_mean")) == 127.5)
+    assert(ok.getDouble(ok.fieldIndex("b_mean")) == 127.5)
+    // white pixel: (299+587+114)*255 = 255000 per-mille
+    assert(ok.getLong(ok.fieldIndex("lum_max_pm")) == 255000L)
+    val expectMean = 255.0 * (299 + 587 + 114 + 1000) / 4
+    assert(ok.getDouble(ok.fieldIndex("lum_mean_pm")) == expectMean)
+    assert(out("bad").isNullAt(out("bad").fieldIndex("r_mean")))
+  }
+
+  test("RawRgbResizer: exact nearest-neighbor pixels, up and down") {
+    val img = Array[Byte]( // 2x2: px(0,0)=A px(1,0)=B px(0,1)=C px(1,1)=D
+      10, 11, 12,  20, 21, 22,
+      30, 31, 32,  40, 41, 42)
+    val rz = new Multimodal.RawRgbResizer(2, 2)
+    // downscale to 1x1 keeps the top-left source pixel (NN floor map)
+    val down = rz.resizeBatch(Seq(img), 1, 1).head
+    assert(down._1.toSeq == Seq[Byte](10, 11, 12) && down._2 == 1)
+    // upscale to 4x4 replicates each source pixel into a 2x2 block
+    val up = rz.resizeBatch(Seq(img), 4, 4).head._1
+    assert(up.length == 48)
+    def px(x: Int, y: Int): Seq[Byte] =
+      up.slice((y * 4 + x) * 3, (y * 4 + x) * 3 + 3).toSeq
+    assert(px(0, 0) == Seq[Byte](10, 11, 12) && px(1, 1) == Seq[Byte](10, 11, 12))
+    assert(px(2, 0) == Seq[Byte](20, 21, 22) && px(3, 3) == Seq[Byte](40, 41, 42))
+    assert(px(0, 2) == Seq[Byte](30, 31, 32))
+    // corrupt (short) payload → null passthrough
+    assert(rz.resizeBatch(Seq(Array[Byte](1, 2)), 2, 2).head._1 == null)
+  }
 }
