@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 continuation: the data-mixture half of a training-data
+  * pipeline. The reference moves corpora between stores and re-embeds
+  * them; what a 100 TB pretraining pipeline does NEXT with those
+  * corpora is weight them — downsample over-represented sources to a
+  * target mixture (GPT-3's Table 2.2 sampling ratios; DoReMi, Xie et
+  * al. NeurIPS'23), upsample high-quality sources by fractional
+  * "epochs" (The Pile, Gao et al. 2020 — epochs per subset), and fix a
+  * deterministic global training order. All three are expressed so the
+  * draw is a pure integer function of the document id — reproducible
+  * across runs, engines, partitionings, and cluster sizes — which is
+  * what makes them oracle-gateable (DuckDB computes the identical
+  * integer arithmetic) and what `df.sample`/`randomSplit` (partitioning-
+  * dependent RNG) could never be.
+  *
+  *  - q_mixture_sample: downsample each source to target mixture
+  *    weights, scaled so the limiting source is kept whole
+  *  - q_mixture_epochs: fractional-epoch upsampling with explicit
+  *    repeat rows (sequence + explode — the physical form a
+  *    shuffled-shard writer consumes)
+  *  - q_interleave:     first page of the deterministic global
+  *    training order (hash-ordered TakeOrdered, never a global sort)
+  */
+object QueriesExt12 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
+
+  /** md5 bucket 0..255 of the id — the same engine-neutral coin every
+    * deterministic sampler here flips (q_split_sample's idiom). */
+  private def bucketSqlFor(idCol: String): String =
+    s"(instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 31, 1)) - 1) * 16" +
+      s" + instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 32, 1)) - 1"
+
+  /** Integer mixture weight 1..4 derived from the source name's
+    * numeric suffix — a stand-in for the per-source quality weights a
+    * real pipeline configures (weights are RELATIVE, so integers lose
+    * no generality). */
+  private val weightSql = "cast(substr(source, 4) AS int) % 4 + 1"
+
+  /** Mixture resampling (GPT-3 Table 2.2 / DoReMi): keep source s at
+    * rate w_s·T/n_s where T = min_s(n_s/w_s) — the largest corpus size
+    * at which EVERY source can meet its target share without
+    * upsampling; the limiting source is kept whole. The keep decision
+    * `bucket·w_m·n_s < 256·w_s·n_m` is pure BIGINT arithmetic (no
+    * float rate), so Spark and DuckDB keep bit-identical doc sets.
+    * The argmin over n_s/w_s compares n_s·(12/w_s) — exact integers,
+    * since every weight divides 12.
+    *
+    * Shape at 100 TB: per-source counts are a map-side partial
+    * aggregate into a ~|sources|-row table; the limiting row is a
+    * 1-row aggregate of that; both broadcast back onto the corpus
+    * scan, so the keep-filter is map-side — the ONLY corpus-scale
+    * exchange is the final per-source summary (and a materializing
+    * variant would have none at all: scan → filter → write). */
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_total"))
+      .withColumn("w", expr(weightSql))
+    // Lexicographic struct-min = argmin with source-name tie-break,
+    // carrying the limiting source's (n_m, w_m) out of one aggregate.
+    val lim = counts.agg(min(struct(expr("n_total * (12 div w)").as("key"),
+        col("source"), col("n_total").as("n_m"), col("w").as("w_m"))).as("m"))
+      .select(col("m.n_m").as("n_m"), col("m.w_m").as("w_m"))
+    docs
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(lim))
+      .filter(expr(s"(${bucketSqlFor("doc_id")}) * w_m * n_total < 256 * w * n_m"))
+      .groupBy("source")
+      .agg(max(col("w")).as("weight"), max(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Fractional-epoch upsampling (The Pile's epochs-per-subset): source
+    * s trains for e_s epochs, e_s carried in 1/256ths (256..640 ⇒
+    * 1.0–2.5 epochs off the source suffix). Every doc repeats
+    * ⌊e_s⌋ times; an md5-bucket draw (`bucket < e_s mod 256`) selects
+    * the extra fractional repeat — so emitted rows are a deterministic
+    * function of (doc_id, source), and expected share matches e_s
+    * exactly. The repeats are REAL rows (sequence + explode), the form
+    * a shard-shuffling writer consumes, then summarized per source for
+    * the gate.
+    *
+    * Shape at 100 TB: the explode is map-side (×e row growth, no
+    * shuffle); the only exchange is the per-source summary — a
+    * materializing variant is scan → explode → write, exchange-free. */
+  private def qMixtureEpochs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("e256", expr("256 + (cast(substr(source, 4) AS int) % 5) * 96"))
+      .withColumn("reps",
+        expr(s"e256 div 256 + if((${bucketSqlFor("doc_id")}) < e256 % 256, 1, 0)"))
+      .select(col("source"), col("e256"), col("doc_id"), col("n_chars"),
+        explode(expr("sequence(1, reps)")).as("rep"))
+      .groupBy("source")
+      .agg(max(col("e256")).as("e256"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("rows_emitted"),
+        sum(col("n_chars")).as("chars_emitted"))
+      .orderBy("source")
+
+  /** Deterministic global training order: rank every doc by
+    * md5(doc_id) — uniform shuffle in expectation, identical across
+    * engines and partitionings — and show the first page. The top-40
+    * is `orderBy(hash).limit(40)` = TakeOrderedAndProject (per-
+    * partition heaps + driver merge of 40-row tops, NEVER a global
+    * sort); the window that numbers them runs on 40 rows. The full-
+    * corpus materialization of the same order is
+    * `repartitionByRange(hash).sortWithinPartitions(hash)` → write —
+    * one range exchange, the sorted-shard layout trainers stream. */
+  private def qInterleave(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    val page = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .limit(40)
+    page.select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("h").asc, col("doc_id").asc)).as("rn"),
+        col("doc_id"), col("source"), col("lang"))
+      .orderBy("rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_sample" -> (qMixtureSample(_, _)),
+    "q_mixture_epochs" -> (qMixtureEpochs(_, _)),
+    "q_interleave" -> (qInterleave(_, _)))
+
+  private val duckBucket =
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16" +
+      " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mixture_sample" ->
+      s"""WITH counts AS (
+        |  SELECT source, count(*) AS n_total,
+        |    CAST(substr(source, 4) AS INT) % 4 + 1 AS w
+        |  FROM documents GROUP BY source),
+        |lim AS (SELECT n_total AS n_m, w AS w_m FROM counts
+        |        ORDER BY n_total * (12 // w), source LIMIT 1)
+        |SELECT d.source, max(c.w) AS weight, max(c.n_total) AS n_total,
+        |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN lim
+        |WHERE ($duckBucket) * lim.w_m * c.n_total < 256 * c.w * lim.n_m
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_mixture_epochs" ->
+      s"""WITH b AS (
+        |  SELECT source, doc_id, n_chars,
+        |    256 + (CAST(substr(source, 4) AS INT) % 5) * 96 AS e256,
+        |    $duckBucket AS bucket
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars, e256,
+        |    e256 // 256 + CASE WHEN bucket < e256 % 256 THEN 1 ELSE 0 END AS reps
+        |  FROM b),
+        |x AS (SELECT source, doc_id, n_chars, e256,
+        |    unnest(range(CAST(reps AS BIGINT))) AS rep FROM r)
+        |SELECT source, max(e256) AS e256, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS rows_emitted, CAST(sum(n_chars) AS BIGINT) AS chars_emitted
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
+    "q_interleave" ->
+      """SELECT rn, doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40 ORDER BY rn""".stripMargin)
+}

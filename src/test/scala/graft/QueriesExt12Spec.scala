@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the data-mixture batch (mixture resampling,
+  * fractional-epoch upsampling, deterministic training order); the
+  * DuckDB hash-match at all three SFs is the primary gate. */
+class QueriesExt12Spec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("mixture_sample: limiting source kept whole, rates track weights") {
+    val rows = q("q_mixture_sample").collect()
+    assert(rows.nonEmpty)
+    val bySource = rows.map { r =>
+      (r.getString(r.fieldIndex("source")),
+        (r.getInt(r.fieldIndex("weight")),
+          r.getLong(r.fieldIndex("n_total")),
+          r.getLong(r.fieldIndex("n_kept"))))
+    }.toMap
+    bySource.values.foreach { case (_, total, kept) =>
+      assert(kept >= 1 && kept <= total)
+    }
+    // the limiting source (min n/w) must survive in full — that's the
+    // definition of the scale factor T
+    val (_, (wm, nm, keptM)) = bySource.minBy { case (src, (w, n, _)) =>
+      (n * (12 / w), src)
+    }
+    assert(keptM == nm, s"limiting source not kept whole: $keptM of $nm (w=$wm)")
+    // kept counts follow the target rate w_s·T/n_s in expectation:
+    // every source's realized rate must stay within the md5-coin's
+    // binomial noise of its target (generous 4-sigma band)
+    bySource.foreach { case (src, (w, n, kept)) =>
+      val target = math.min(1.0, w.toDouble * nm / (wm.toDouble * n))
+      val sigma = math.sqrt(n * target * (1 - target))
+      assert(math.abs(kept - n * target) <= 4 * sigma + 1,
+        s"$src: kept=$kept target=${n * target} sigma=$sigma")
+    }
+  }
+
+  test("mixture_epochs: emitted rows bounded by floor/ceil epochs; 1.0-epoch sources emit exactly n") {
+    q("q_mixture_epochs").collect().foreach { r =>
+      val e256 = r.getInt(r.fieldIndex("e256"))
+      val n = r.getLong(r.fieldIndex("n_docs"))
+      val emitted = r.getLong(r.fieldIndex("rows_emitted"))
+      val lo = n * (e256 / 256)
+      val hi = n * (e256 / 256 + (if (e256 % 256 == 0) 0 else 1))
+      assert(emitted >= lo && emitted <= hi,
+        s"emitted=$emitted outside [$lo,$hi] for e256=$e256 n=$n")
+      if (e256 == 256) assert(emitted == n)
+    }
+  }
+
+  test("mixture_epochs: explode-side aggregate equals the closed-form rep count") {
+    // rows_emitted must equal Σ reps computed directly (no explode) —
+    // guards the sequence(1, reps) plumbing
+    val docs = QueriesCommon.table(spark, dir, "documents")
+    val bucket =
+      "(instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 31, 1)) - 1) * 16" +
+        " + instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 32, 1)) - 1"
+    val direct = docs
+      .withColumn("e256", expr("256 + (cast(substr(source, 4) AS int) % 5) * 96"))
+      .withColumn("reps", expr(s"e256 div 256 + if(($bucket) < e256 % 256, 1, 0)"))
+      .groupBy("source").agg(sum(col("reps")).as("expect"))
+    val got = q("q_mixture_epochs").select(col("source"), col("rows_emitted"))
+    val joined = got.join(direct, "source")
+      .filter(col("rows_emitted") =!= col("expect"))
+    assert(joined.count() == 0)
+  }
+
+  test("interleave: a full page of distinct ranks, stable across runs, hash-ordered") {
+    val a = q("q_interleave").collect()
+    val b = q("q_interleave").collect()
+    assert(a.length == 40 && a.map(_.getInt(0)).toSeq == (1 to 40))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "order not deterministic")
+    // ranks really follow md5 order
+    val ids = a.map(r => r.getLong(r.fieldIndex("doc_id")))
+    val hashes = ids.map(id =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(hashes.toSeq == hashes.sorted.toSeq, "page not in md5 order")
+  }
+}
