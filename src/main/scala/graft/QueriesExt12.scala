@@ -126,10 +126,81 @@ object QueriesExt12 {
       .orderBy("rn")
   }
 
+  /** Per-source token budget (the "cap CommonCrawl at N tokens" knob
+    * next to mixture weights): keep each source's docs in md5-priority
+    * order until the running token total would pass the budget — a
+    * greedy deterministic prefix of a uniform-random permutation, so
+    * the kept set is unbiased yet reproducible. Budgets vary by source
+    * suffix ((suffix%3+1)·1000 tokens) standing in for configured
+    * caps; tokens are the engine's ONE shared tokenization
+    * (`QueriesCommon.toksSql`).
+    *
+    * Shape at 100 TB: token counts are per-row map-side; the only
+    * corpus-scale exchange is the per-source window (hash-partitioned
+    * on source — skewed sources salt the same way q_salted_agg does,
+    * or swap the exact prefix for a per-partition quota); the summary
+    * agg rides the same partitioning, exchange-free. */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "documents")
+      .withColumn("budget",
+        expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
+      .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .filter(col("cum") <= col("budget"))
+      .groupBy("source")
+      .agg(max(col("budget")).as("budget"), count(lit(1)).as("n_kept"),
+        max(col("cum")).as("tokens_kept"))
+      .orderBy("source")
+  }
+
+  /** Incremental dedup against an existing index — the nightly-crawl
+    * shape: yesterday's corpus is a fingerprint INDEX, today's batch
+    * drops (a) docs whose content fingerprint already exists in the
+    * index and (b) within-batch dups (keep-min doc_id). The index/new
+    * split is an md5 coin on the id so both engines cut identically.
+    *
+    * Shape at 100 TB: the index side is ONLY fingerprints (the
+    * materialized `q_dedup_exact` output a real pipeline keeps
+    * between runs); new-vs-index is a fingerprint anti-join and
+    * within-batch survival a fingerprint window — both ride one
+    * fingerprint-keyed exchange per side, no text moves after the
+    * map-side hash. */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("is_new", expr(s"(${bucketSqlFor("doc_id")}) >= 128"))
+    val index = docs.filter(!col("is_new")).select("fp").distinct()
+    val fresh = docs.filter(col("is_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("doc_id").asc)
+    val marked = fresh
+      .join(index.withColumn("in_index", lit(true)), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("status",
+        when(col("in_index").isNotNull, lit("dup_vs_index"))
+          .when(col("rn") > 1, lit("dup_within"))
+          .otherwise(lit("kept")))
+    marked.groupBy("source")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("status") === "dup_vs_index", 1L).otherwise(0L))
+          .as("n_dup_index"),
+        sum(when(col("status") === "dup_within", 1L).otherwise(0L))
+          .as("n_dup_within"),
+        sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture_sample" -> (qMixtureSample(_, _)),
     "q_mixture_epochs" -> (qMixtureEpochs(_, _)),
-    "q_interleave" -> (qInterleave(_, _)))
+    "q_interleave" -> (qInterleave(_, _)),
+    "q_token_budget" -> (qTokenBudget(_, _)),
+    "q_dedup_incremental" -> (qDedupIncremental(_, _)))
 
   private val duckBucket =
     "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16" +
@@ -167,5 +238,35 @@ object QueriesExt12 {
         |  SELECT doc_id, source, lang,
         |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 40 ORDER BY rn""".stripMargin)
+        |WHERE rn <= 40 ORDER BY rn""".stripMargin,
+    "q_token_budget" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 1000 AS budget,
+        |    len(CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS toks
+        |  FROM documents),
+        |c AS (SELECT source, budget, toks,
+        |    sum(toks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT source, max(budget) AS budget, count(*) AS n_kept,
+        |  CAST(max(cum) AS BIGINT) AS tokens_kept
+        |FROM c WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""WITH d AS (
+        |  SELECT source, doc_id, md5(trim(lower(text))) AS fp,
+        |    ($duckBucket) >= 128 AS is_new
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM d WHERE NOT is_new),
+        |m AS (SELECT f.source, f.fp, idx.fp IS NOT NULL AS in_index,
+        |    row_number() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+        |  FROM d f LEFT JOIN idx ON f.fp = idx.fp WHERE f.is_new)
+        |SELECT source, count(*) AS n_new,
+        |  CAST(sum(CASE WHEN in_index THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_index,
+        |  CAST(sum(CASE WHEN NOT in_index AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_within,
+        |  CAST(sum(CASE WHEN NOT in_index AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM m GROUP BY source ORDER BY source""".stripMargin)
 }

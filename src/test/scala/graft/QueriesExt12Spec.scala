@@ -71,6 +71,63 @@ class QueriesExt12Spec extends SparkSpec {
     assert(joined.count() == 0)
   }
 
+  test("token_budget: kept prefix is within budget and greedily maximal") {
+    val bucket = expr(
+      "(instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 31, 1)) - 1) * 16" +
+        " + instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 32, 1)) - 1")
+    val docs = QueriesCommon.table(spark, dir, "documents")
+      .withColumn("budget",
+        expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
+      .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+    val perSource = docs.select("source", "budget", "toks", "h", "doc_id")
+      .collect()
+      .groupBy(_.getString(0))
+    q("q_token_budget").collect().foreach { r =>
+      val src = r.getString(r.fieldIndex("source"))
+      val budget = r.getInt(r.fieldIndex("budget"))
+      val kept = r.getLong(r.fieldIndex("n_kept"))
+      val toksKept = r.getLong(r.fieldIndex("tokens_kept"))
+      assert(toksKept <= budget)
+      // recompute the greedy PREFIX (stop at first overflow — not a
+      // knapsack) in plain Scala: same count & total
+      val ordered = perSource(src).sortBy(x => (x.getString(3), x.getLong(4)))
+      var cum = 0L; var n = 0L
+      ordered.iterator.takeWhile { x =>
+        val ok = cum + x.getInt(2) <= budget
+        if (ok) { cum += x.getInt(2); n += 1 }
+        ok
+      }.foreach(_ => ())
+      assert(n == kept && cum == toksKept,
+        s"$src: spark ($kept,$toksKept) vs recomputed ($n,$cum)")
+    }
+  }
+
+  test("dedup_incremental: statuses partition the batch; kept fps disjoint from index") {
+    val rows = q("q_dedup_incremental").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_new"))
+      val a = r.getLong(r.fieldIndex("n_dup_index"))
+      val b = r.getLong(r.fieldIndex("n_dup_within"))
+      val k = r.getLong(r.fieldIndex("n_kept"))
+      assert(a + b + k == n, s"statuses don't partition: $a+$b+$k != $n")
+    }
+    // semantic cross-check: every kept count equals the distinct new
+    // fingerprints not present in the index
+    val docs = QueriesCommon.table(spark, dir, "documents")
+      .withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("is_new", expr(
+        "(instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 31, 1)) - 1) * 16" +
+          " + instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 32, 1)) - 1 >= 128"))
+    val idx = docs.filter(!col("is_new")).select("fp").distinct()
+    val totalKept = rows.map(_.getLong(rows.head.fieldIndex("n_kept"))).sum
+    val expect = docs.filter(col("is_new"))
+      .join(idx, Seq("fp"), "left_anti")
+      .select("fp").distinct().count()
+    assert(totalKept == expect, s"kept=$totalKept expect=$expect")
+  }
+
   test("interleave: a full page of distinct ranks, stable across runs, hash-ordered") {
     val a = q("q_interleave").collect()
     val b = q("q_interleave").collect()
