@@ -42,6 +42,24 @@ object StreamingOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(fpCol)
 
+  /** Streaming incremental dedup against a static fingerprint index —
+    * the continuous form of `q_dedup_incremental`'s nightly-crawl
+    * shape: a crawler firehose admits a doc only if its content
+    * fingerprint is (a) absent from the existing corpus index and
+    * (b) unseen in the stream within the watermark horizon. The index
+    * side is ONLY fingerprints (the materialized `q_dedup_exact`
+    * output a pipeline keeps between runs) joined stream-static
+    * left-anti — broadcast when it fits, shuffled-on-fp when it
+    * doesn't; within-stream state is one fp-keyed store bounded by
+    * event time. The batch pass stays the periodic full-history
+    * sweep, exactly as for `streamingDedupExact`. */
+  def incrementalDedupStream(docs: DataFrame, tsCol: String, fpCol: String,
+      index: DataFrame, watermarkDelay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .join(index.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+      .dropDuplicatesWithinWatermark(fpCol)
+
   final case class Upsert(id: String, ts: Long, payload: String)
 
   /** Streaming last-wins dedupe (J6 as continuous state): keeps the

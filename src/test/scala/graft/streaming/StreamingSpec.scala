@@ -536,4 +536,45 @@ class StreamingSpec extends SparkSpec {
         .head.getAs[Boolean]("admitted"))
     } finally q.stop()
   }
+
+  test("incrementalDedupStream admits exactly the batch q_dedup_incremental kept set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val bucket =
+      "(instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 31, 1)) - 1) * 16" +
+        " + instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 32, 1)) - 1"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("is_new", expr(s"($bucket) >= 128"))
+    val index = docs.filter(!col("is_new")).select("fp").distinct()
+    // replay the new half as a firehose in doc_id order with synthetic
+    // in-horizon event times
+    val fresh = docs.filter(col("is_new"))
+      .select(col("doc_id"), col("fp")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          1700000000L + r.getLong(0))), r.getString(1)))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val admitted = StreamingOps.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "ts", "fp"), "ts", "fp", index, "1 hour")
+    val q = admitted.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(fresh.toSeq)
+      q.processAllAvailable()
+      val gotFps = spark.table("incdedup").collect()
+        .map(_.getAs[String]("fp")).toSet
+      val wantFps = docs.filter(col("is_new"))
+        .join(index, Seq("fp"), "left_anti")
+        .select("fp").distinct().collect().map(_.getString(0)).toSet
+      assert(gotFps == wantFps,
+        s"admitted ${gotFps.size} fps, batch keeps ${wantFps.size}")
+      // the total admitted count equals q_dedup_incremental's kept sum
+      val batchKept = graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
+        .agg(sum("n_kept")).head.getLong(0)
+      assert(spark.table("incdedup").count() == batchKept)
+    } finally q.stop()
+  }
 }
