@@ -48,8 +48,11 @@ object QueriesExt12 {
     * upsampling; the limiting source is kept whole. The keep decision
     * `bucket·w_m·n_s < 256·w_s·n_m` is pure BIGINT arithmetic (no
     * float rate), so Spark and DuckDB keep bit-identical doc sets.
-    * The argmin over n_s/w_s compares n_s·(12/w_s) — exact integers,
-    * since every weight divides 12.
+    * The argmin over n_s/w_s compares n_s·(2520/w_s) — exact integers,
+    * since every weight 1..10 divides 2520 (the oracle uses 12; any
+    * common multiple yields the same order). Kernel lives in
+    * `ops/Mixture.resample` — the same code the `graft mixture` CLI
+    * runs, so the CLI path sits behind this oracle gate.
     *
     * Shape at 100 TB: per-source counts are a map-side partial
     * aggregate into a ~|sources|-row table; the limiting row is a
@@ -57,25 +60,14 @@ object QueriesExt12 {
     * scan, so the keep-filter is map-side — the ONLY corpus-scale
     * exchange is the final per-source summary (and a materializing
     * variant would have none at all: scan → filter → write). */
-  private def qMixtureSample(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val counts = docs.groupBy("source")
-      .agg(count(lit(1)).as("n_total"))
-      .withColumn("w", expr(weightSql))
-    // Lexicographic struct-min = argmin with source-name tie-break,
-    // carrying the limiting source's (n_m, w_m) out of one aggregate.
-    val lim = counts.agg(min(struct(expr("n_total * (12 div w)").as("key"),
-        col("source"), col("n_total").as("n_m"), col("w").as("w_m"))).as("m"))
-      .select(col("m.n_m").as("n_m"), col("m.w_m").as("w_m"))
-    docs
-      .join(broadcast(counts), "source")
-      .crossJoin(broadcast(lim))
-      .filter(expr(s"(${bucketSqlFor("doc_id")}) * w_m * n_total < 256 * w * n_m"))
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.resample(t(s, dir, "documents"), "source", "doc_id",
+        expr(weightSql), keepDiagnostics = true)
       .groupBy("source")
-      .agg(max(col("w")).as("weight"), max(col("n_total")).as("n_total"),
+      .agg(max(col("weight")).cast("int").as("weight"),
+        max(col("n_total")).as("n_total"),
         count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
       .orderBy("source")
-  }
 
   /** Fractional-epoch upsampling (The Pile's epochs-per-subset): source
     * s trains for e_s epochs, e_s carried in 1/256ths (256..640 ⇒
@@ -91,12 +83,11 @@ object QueriesExt12 {
     * shuffle); the only exchange is the per-source summary — a
     * materializing variant is scan → explode → write, exchange-free. */
   private def qMixtureEpochs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("e256", expr("256 + (cast(substr(source, 4) AS int) % 5) * 96"))
-      .withColumn("reps",
-        expr(s"e256 div 256 + if((${bucketSqlFor("doc_id")}) < e256 % 256, 1, 0)"))
-      .select(col("source"), col("e256"), col("doc_id"), col("n_chars"),
-        explode(expr("sequence(1, reps)")).as("rep"))
+    graft.ops.Mixture.epochs(
+        t(s, dir, "documents")
+          .withColumn("e256",
+            expr("256 + (cast(substr(source, 4) AS int) % 5) * 96")),
+        "doc_id", col("e256"))
       .groupBy("source")
       .agg(max(col("e256")).as("e256"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -140,23 +131,17 @@ object QueriesExt12 {
     * on source — skewed sources salt the same way q_salted_agg does,
     * or swap the exact prefix for a per-partition quota); the summary
     * agg rides the same partitioning, exchange-free. */
-  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    t(s, dir, "documents")
-      .withColumn("budget",
-        expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
-      .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})"))
-      .withColumn("cum", sum(col("toks")).over(w))
-      .filter(col("cum") <= col("budget"))
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.tokenBudget(
+        t(s, dir, "documents")
+          .withColumn("budget",
+            expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
+          .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})")),
+        "source", "doc_id", col("toks"), col("budget"))
       .groupBy("source")
       .agg(max(col("budget")).as("budget"), count(lit(1)).as("n_kept"),
-        max(col("cum")).as("tokens_kept"))
+        sum(col("toks")).as("tokens_kept"))
       .orderBy("source")
-  }
 
   /** Incremental dedup against an existing index — the nightly-crawl
     * shape: yesterday's corpus is a fingerprint INDEX, today's batch

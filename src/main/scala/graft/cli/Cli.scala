@@ -51,7 +51,7 @@ object Cli {
 
   val commands: Seq[String] =
     Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup",
-      "search")
+      "search", "mixture")
 
   /** Frozen per-command help transcripts, mirroring the reference's
     * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
@@ -160,6 +160,32 @@ object Cli {
         |  --filter EXPR        SQL predicate over table columns
         |  --id_column C        id column (default: vec_id)
         |  --vector_column C    vector column (default: embedding)""".stripMargin
+    case "mixture" =>
+      """usage: graft mixture --in PARQUET_DIR --out PARQUET_DIR
+        |                     [--weights SRC=W,...] [--default_weight 1]
+        |                     [--epochs SRC=E,...] [--budget N]
+        |                     [--source_column source] [--id_column doc_id]
+        |                     [--text_column text]
+        |
+        |Resample a document corpus to a target data mixture. Applied in
+        |order: (1) --weights downsamples each source to the target
+        |mixture (integer weights 1..10; the limiting source is kept
+        |whole; unlisted sources get --default_weight, 0 drops them);
+        |(2) --budget caps every source at N whitespace tokens (greedy
+        |md5-priority prefix); (3) --epochs upsamples by fractional
+        |epochs (e.g. 2.5 - repeats become real rows with a `rep`
+        |column). Every draw is a pure function of the id, so reruns,
+        |engines, and cluster sizes agree. --out must not overlap --in.
+        |
+        |  --in PARQUET_DIR     input document table
+        |  --out PARQUET_DIR    resampled output (fresh directory)
+        |  --weights SRC=W,...  integer mixture weights per source (1..10)
+        |  --default_weight W   weight for unlisted sources (default: 1)
+        |  --epochs SRC=E,...   fractional epochs per source (default 1.0)
+        |  --budget N           per-source token cap (default: none)
+        |  --source_column C    source column (default: source)
+        |  --id_column C        id column (default: doc_id)
+        |  --text_column C      text column for --budget (default: text)""".stripMargin
     case _ =>
       s"""usage: graft <${commands.mkString("|")}> [--flags]
         |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
@@ -174,6 +200,8 @@ object Cli {
         |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25] [--gram 8]
         |  search      --in PARQUET_DIR (--query_id N | --vector F,F,...)
         |              [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2] [--filter EXPR]
+        |  mixture     --in PARQUET_DIR --out PARQUET_DIR [--weights SRC=W,...]
+        |              [--epochs SRC=E,...] [--budget N] [--default_weight 1]
         |
         |graft help <command> prints per-command help.""".stripMargin
   }
@@ -195,6 +223,7 @@ object Cli {
       case "id-list" :: Nil => cmdIdList(spark, args)
       case "dedup" :: Nil => cmdDedup(spark, args)
       case "search" :: Nil => cmdSearch(spark, args)
+      case "mixture" :: Nil => cmdMixture(spark, args)
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println(helpText(""))
@@ -328,26 +357,27 @@ object Cli {
     * keep min id per cluster — `DupClusters.dedupKeepMin`). Operates on
     * a plain parquet document table, the shape training pipelines
     * actually dedup; beyond-parity op (SURVEY §7.5). */
-  private def cmdDedup(spark: SparkSession, a: Args): Int = {
+  /** Shared --in/--out safety gate for corpus-rewriting commands.
+    * mode(overwrite) deletes --out before the lazy plan has read
+    * --in; writing onto (or under/over) the input would destroy the
+    * corpus mid-read. Refuse in-place invocations outright.
+    * Syntactic compare alone is bypassable (file:// URIs parse as
+    * weird relative paths; symlinked aliases normalize differently),
+    * so URI schemes are rejected and links resolved via the deepest
+    * existing ancestor's real path. Returns Some(exitCode) on
+    * rejection. */
+  private def inOutGuard(a: Args, cmd: String): Option[Int] = {
     val missing = Seq("in", "out").filterNot(a.flags.contains)
     if (missing.nonEmpty) {
       System.err.println(
-        s"dedup: missing required ${missing.map("--" + _).mkString(", ")} " +
-          "(usage: dedup --in PARQUET_DIR --out PARQUET_DIR " +
-          "[--method exact|minhash])")
-      return 2
+        s"$cmd: missing required ${missing.map("--" + _).mkString(", ")} " +
+          s"(usage: $cmd --in PARQUET_DIR --out PARQUET_DIR ...)")
+      return Some(2)
     }
-    // mode(overwrite) deletes --out before the lazy survivors plan has
-    // read --in; writing onto (or under/over) the input would destroy
-    // the corpus mid-read. Refuse in-place invocations outright.
-    // Syntactic compare alone is bypassable (file:// URIs parse as
-    // weird relative paths; symlinked aliases normalize differently),
-    // so URI schemes are rejected and links resolved via the deepest
-    // existing ancestor's real path.
     if (Seq("in", "out").exists(f => a.flags(f).matches("^[A-Za-z][A-Za-z0-9+.-]*:.*"))) {
       System.err.println(
-        "dedup: --in/--out must be plain local paths (no URI scheme)")
-      return 2
+        s"$cmd: --in/--out must be plain local paths (no URI scheme)")
+      return Some(2)
     }
     // Component-wise walk, resolving each existing segment to its real
     // (symlink-free) path BEFORE applying a later '..': a textual
@@ -380,10 +410,18 @@ object Cli {
     val outP = real(a.flags("out"))
     if (outP == inP || outP.startsWith(inP) || inP.startsWith(outP)) {
       System.err.println(
-        s"dedup: --out ($outP) overlaps --in ($inP); write to a fresh " +
+        s"$cmd: --out ($outP) overlaps --in ($inP); write to a fresh " +
           "directory and swap afterwards (in-place overwrite would " +
           "delete the input while the job is still reading it)")
-      return 2
+      return Some(2)
+    }
+    None
+  }
+
+  private def cmdDedup(spark: SparkSession, a: Args): Int = {
+    inOutGuard(a, "dedup") match {
+      case Some(code) => return code
+      case None =>
     }
     val docs = spark.read.parquet(a.flags("in"))
     val idCol = a.flags.getOrElse("id_column", "doc_id")
@@ -479,6 +517,79 @@ object Cli {
       .collect()
     rows.foreach(r => println(s"${r.getString(0)}\t${"%.6f".format(r.getDouble(1))}"))
     println(s"${rows.length} neighbor(s)")
+    0
+  }
+
+  /** Data-mixture resampling over a document corpus — the curation
+    * step next to dedup in a training pipeline: target source weights,
+    * per-source token budgets, fractional-epoch upsampling, applied in
+    * that order. Kernels are `ops/Mixture` — the same code paths the
+    * oracle-gated q_mixture_sample / q_token_budget / q_mixture_epochs
+    * queries hash-match against DuckDB. */
+  private def cmdMixture(spark: SparkSession, a: Args): Int = {
+    inOutGuard(a, "mixture") match {
+      case Some(code) => return code
+      case None =>
+    }
+    val srcCol = a.flags.getOrElse("source_column", "source")
+    val idCol = a.flags.getOrElse("id_column", "doc_id")
+    val textCol = a.flags.getOrElse("text_column", "text")
+    def parsePairs(flag: String): Either[String, Map[String, String]] =
+      a.flags.get(flag) match {
+        case None => Right(Map.empty)
+        case Some(s) =>
+          val kvs = s.split(",").filter(_.nonEmpty).map(_.split("=", 2))
+          if (kvs.exists(_.length != 2))
+            Left(s"mixture: --$flag expects SRC=VALUE,SRC=VALUE,...")
+          else Right(kvs.map(kv => kv(0) -> kv(1)).toMap)
+      }
+    val (weights, epochs) =
+      (parsePairs("weights"), parsePairs("epochs")) match {
+        case (Left(e), _) => System.err.println(e); return 2
+        case (_, Left(e)) => System.err.println(e); return 2
+        case (Right(w), Right(ep)) => (w, ep)
+      }
+    val defW = a.flags.getOrElse("default_weight", "1")
+    val allW = weights.values.toSeq :+ defW
+    if (allW.exists(v => v.toIntOption.isEmpty || v.toInt < 0 || v.toInt > 10)) {
+      System.err.println("mixture: weights must be integers 0..10 " +
+        "(0 drops the source; the keep rule needs weights dividing 2520)")
+      return 2
+    }
+    if (epochs.values.exists(v =>
+        v.toDoubleOption.isEmpty || v.toDouble <= 0 || v.toDouble > 16)) {
+      System.err.println("mixture: epochs must be in (0, 16]")
+      return 2
+    }
+    var df = spark.read.parquet(a.flags("in"))
+    var stages = List.empty[String]
+    if (weights.nonEmpty || defW != "1") {
+      val wCol = weights.foldLeft(lit(defW.toInt)) { case (acc, (src, w)) =>
+        when(col(srcCol) === src, lit(w.toInt)).otherwise(acc)
+      }
+      df = graft.ops.Mixture.resample(df, srcCol, idCol, wCol)
+      stages ::= s"weights(${weights.size} listed, default $defW)"
+    }
+    a.flags.get("budget").foreach { b =>
+      val budget = b.toLong
+      if (budget <= 0) { System.err.println("mixture: --budget must be > 0"); return 2 }
+      df = graft.ops.Mixture.tokenBudget(df, srcCol, idCol,
+        expr(s"size(${graft.QueriesCommon.toksSqlFor(textCol)})"), lit(budget))
+      stages ::= s"budget($budget tokens/source)"
+    }
+    if (epochs.nonEmpty) {
+      val eCol = epochs.foldLeft(lit(256L)) { case (acc, (src, e)) =>
+        when(col(srcCol) === src,
+          lit(math.round(e.toDouble * 256))).otherwise(acc)
+      }
+      df = graft.ops.Mixture.epochs(df, idCol, eCol)
+      stages ::= s"epochs(${epochs.size} listed)"
+    }
+    df.write.mode("overwrite").parquet(a.flags("out"))
+    val (n0, n1) = (spark.read.parquet(a.flags("in")).count(),
+      spark.read.parquet(a.flags("out")).count())
+    println(s"mixture(${stages.reverse.mkString(" -> ")}): " +
+      s"$n0 rows -> $n1 rows -> ${a.flags("out")}")
     0
   }
 

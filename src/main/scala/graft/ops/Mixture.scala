@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-mixture primitives (GPT-3 Table 2.2 sampling ratios; DoReMi,
+  * Xie et al. NeurIPS'23; The Pile's epochs-per-subset, Gao et al.
+  * 2020): downsample sources to target weights, upsample by fractional
+  * epochs, cap a source at a token budget. Every draw is a pure
+  * integer function of the row id (md5 bucket 0..255), so results are
+  * reproducible across runs, engines, partitionings, and cluster
+  * sizes — the library half behind the oracle-gated
+  * q_mixture_sample / q_mixture_epochs / q_token_budget queries, and
+  * the `graft mixture` CLI.
+  */
+object Mixture {
+
+  /** md5 bucket 0..255 of the id — the engine-neutral coin. */
+  def bucket(idCol: String): Column =
+    expr(s"(instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 31, 1)) - 1) * 16" +
+      s" + instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 32, 1)) - 1")
+
+  /** Downsample each source to target mixture weights, scaled so the
+    * limiting source (min nₛ/wₛ) is kept whole: keep rate
+    * wₛ·T/nₛ with T = min nₛ/wₛ. The keep decision
+    * `bucket·w_m·nₛ < 256·wₛ·n_m` is pure BIGINT arithmetic — no
+    * float rate anywhere. Weights must be positive integers dividing
+    * LCM 2520 (1..10 all qualify); rows whose weight expression is
+    * 0/null are dropped.
+    *
+    * Returns the KEPT rows with the input schema. Shape at 100 TB:
+    * per-source counts are one tiny map-side-partial aggregate,
+    * broadcast back with the 1-row limiting aggregate; the keep
+    * filter itself is map-side, so a scan → resample → write pipeline
+    * has NO corpus-scale exchange. */
+  def resample(docs: DataFrame, sourceCol: String, idCol: String,
+      weightCol: Column, keepDiagnostics: Boolean = false): DataFrame = {
+    val inCols = docs.columns.toSeq
+    val d = docs.withColumn("__w", weightCol.cast("long"))
+      .filter(col("__w").isNotNull && col("__w") > 0)
+    val counts = d.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"),
+      max(col("__w")).as("__wS"))
+    val lim = counts.agg(min(struct(expr("__n * (2520 div __wS)").as("key"),
+        col(sourceCol), col("__n").as("n_m"), col("__wS").as("w_m"))).as("m"))
+      .select(col("m.n_m").as("__n_m"), col("m.w_m").as("__w_m"))
+    val kept = d.join(broadcast(counts.drop("__wS")), Seq(sourceCol))
+      .crossJoin(broadcast(lim))
+      .filter(bucket(idCol) * col("__w_m") * col("__n") <
+        lit(256) * col("__w") * col("__n_m"))
+    val outCols =
+      if (keepDiagnostics)
+        inCols.map(col) :+ col("__w").as("weight") :+ col("__n").as("n_total")
+      else inCols.map(col)
+    kept.select(outCols: _*)
+  }
+
+  /** Fractional-epoch upsampling: every row repeats ⌊e⌋ times plus an
+    * md5-coin extra when `bucket < e mod 256`, with e carried in
+    * 1/256ths (`e256Col`). Returns the input schema plus a `rep`
+    * column (1-based repeat index) — real rows, the form a
+    * shard-shuffling writer consumes. Map-side only: no exchange. */
+  def epochs(docs: DataFrame, idCol: String, e256Col: Column): DataFrame = {
+    val d = docs.withColumn("__e256", e256Col.cast("long"))
+    d.withColumn("rep", explode(sequence(lit(1L),
+        expr("__e256 div 256") +
+          when(bucket(idCol) < col("__e256") % 256, 1L).otherwise(0L))))
+      .drop("__e256")
+  }
+
+  /** Cap each source at a token budget: keep the greedy prefix of the
+    * md5-priority order while the running token total stays within
+    * budget — an unbiased deterministic subset (the order is a
+    * uniform permutation of the source). One per-source window
+    * exchange; heavily skewed sources salt like q_salted_agg or swap
+    * the exact prefix for per-partition quotas. */
+  def tokenBudget(docs: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: Column, budgetCol: Column): DataFrame = {
+    val inCols = docs.columns.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.withColumn("__toks", tokensCol.cast("long"))
+      .withColumn("__budget", budgetCol.cast("long"))
+      .withColumn("__cum", sum(col("__toks")).over(w))
+      .filter(col("__cum") <= col("__budget"))
+      .select(inCols.map(col): _*)
+  }
+}

@@ -195,4 +195,54 @@ class CliSpec extends SparkSpec {
     // missing required flags → usage error
     assert(captured("search", "--in", in)._1 == 2)
   }
+
+  test("mixture: weights downsample, budget caps, epochs upsample — library-equal") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    (0L until 200L).map { i =>
+      (i, s"src${i % 4}", ("tok " * ((i % 7).toInt + 1)).trim)
+    }.toDF("doc_id", "source", "text").write.parquet(in)
+    val docs = spark.read.parquet(in)
+
+    // weights: src0..src3 get 1..4; result must equal Mixture.resample
+    val outW = tmp() + "/w"
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", outW,
+      "--weights", "src0=1,src1=2,src2=3,src3=4")) == 0)
+    val wCol = when(col("source") === "src0", 1)
+      .when(col("source") === "src1", 2)
+      .when(col("source") === "src2", 3).otherwise(4)
+    val wantW = graft.ops.Mixture.resample(docs, "source", "doc_id", wCol)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotW = spark.read.parquet(outW)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotW == wantW && gotW.nonEmpty)
+
+    // budget: tokens per source capped; totals within budget
+    val outB = tmp() + "/b"
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", outB,
+      "--budget", "30")) == 0)
+    val totals = spark.read.parquet(outB)
+      .withColumn("toks", size(split(trim(lower(col("text"))), "\\s+")))
+      .groupBy("source").agg(sum("toks").as("t")).collect()
+    assert(totals.nonEmpty && totals.forall(_.getAs[Long]("t") <= 30))
+
+    // epochs: 2.0 epochs for src0 → every src0 doc exactly twice, rep column present
+    val outE = tmp() + "/e"
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", outE,
+      "--epochs", "src0=2.0")) == 0)
+    val e = spark.read.parquet(outE)
+    assert(e.columns.contains("rep"))
+    val perDoc = e.filter(col("source") === "src0")
+      .groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+    assert(perDoc == Set(2L))
+    assert(e.filter(col("source") =!= "src0")
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count() == 0)
+
+    // guard: overlapping out, bad weights, bad pairs → usage errors
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", in)) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/x",
+      "--weights", "src0=11")) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/y",
+      "--epochs", "src0")) == 2)
+  }
 }
