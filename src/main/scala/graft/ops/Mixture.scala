@@ -67,6 +67,24 @@ object Mixture {
       .drop("__e256")
   }
 
+  /** Materialize the deterministic global training order — the
+    * full-corpus form of `q_interleave`'s page: rank every row by
+    * md5(id) (a uniform permutation, identical across engines and
+    * cluster sizes) and write it as `numShards` sorted shards via ONE
+    * range exchange (`repartitionByRange` samples the hash space for
+    * balanced bounds) + an in-partition sort — never a global
+    * single-partition sort. Shard k's part-file holds a contiguous
+    * hash range below shard k+1's, so a trainer streaming the files
+    * in name order replays the exact global order, and any subset of
+    * shards is an unbiased sample of the corpus. */
+  def writeShuffledShards(docs: DataFrame, idCol: String, outDir: String,
+      numShards: Int): Unit =
+    docs.withColumn("__h", md5(col(idCol).cast("string")))
+      .repartitionByRange(numShards, col("__h"), col(idCol))
+      .sortWithinPartitions(col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").parquet(outDir)
+
   /** Cap each source at a token budget: keep the greedy prefix of the
     * md5-priority order while the running token total stays within
     * budget — an unbiased deterministic subset (the order is a
