@@ -180,7 +180,32 @@ object QueriesExt12 {
       .orderBy("source")
   }
 
+  /** Leakage-safe train/val/test split: the assignment coin is the
+    * CONTENT fingerprint, not the row id — every exact duplicate of a
+    * text lands in the same split BY CONSTRUCTION (same fp → same md5
+    * bucket), so the eval sets cannot contain a training dup.
+    * q_split_sample's id-keyed rule does leak on a corpus with dups;
+    * this is the split a dedup-aware pipeline actually ships
+    * (fp = the q_dedup_exact group key; for NEAR-dup safety, key on
+    * the q_dup_clusters component root instead — same shape, the
+    * cluster id replaces fp). Map-side assignment, one summary
+    * exchange. */
+  private def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(bucketSqlFor("fp"))
+    t(s, dir, "documents")
+      .withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("split",
+        when(bucket < 230, lit("train")).when(bucket < 243, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fps"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakfree" -> (qSplitLeakfree(_, _)),
     "q_mixture_sample" -> (qMixtureSample(_, _)),
     "q_mixture_epochs" -> (qMixtureEpochs(_, _)),
     "q_interleave" -> (qInterleave(_, _)),
@@ -191,7 +216,20 @@ object QueriesExt12 {
     "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16" +
       " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1"
 
+  private val duckFpBucket =
+    "(instr('0123456789abcdef', substr(md5(fp), 31, 1)) - 1) * 16" +
+      " + instr('0123456789abcdef', substr(md5(fp), 32, 1)) - 1"
+
   val oracleSql: Map[String, String] = Map(
+    "q_split_leakfree" ->
+      s"""WITH f AS (SELECT doc_id, n_chars, md5(trim(lower(text))) AS fp
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, fp, $duckFpBucket AS bucket FROM f)
+        |SELECT CASE WHEN bucket < 230 THEN 'train' WHEN bucket < 243 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, count(DISTINCT fp) AS n_fps,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM b GROUP BY split ORDER BY split""".stripMargin,
     "q_mixture_sample" ->
       s"""WITH counts AS (
         |  SELECT source, count(*) AS n_total,

@@ -128,6 +128,41 @@ class QueriesExt12Spec extends SparkSpec {
     assert(totalKept == expect, s"kept=$totalKept expect=$expect")
   }
 
+  test("split_leakfree: no fingerprint spans two splits; the id-keyed split DOES leak here") {
+    val docs = QueriesCommon.table(spark, dir, "documents")
+      .withColumn("fp", md5(trim(lower(col("text")))))
+    def bucketOf(c: String) = expr(
+      s"(instr('0123456789abcdef', substr(md5(cast($c AS string)), 31, 1)) - 1) * 16" +
+        s" + instr('0123456789abcdef', substr(md5(cast($c AS string)), 32, 1)) - 1")
+    def splitCol(b: org.apache.spark.sql.Column) =
+      when(b < 230, "train").when(b < 243, "val").otherwise("test")
+    // fp-keyed: every fp maps to exactly one split (structural, but
+    // prove it on data)
+    val leakFree = docs.withColumn("split", splitCol(bucketOf("fp")))
+      .groupBy("fp").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(leakFree == 0)
+    // the driver corpus carries no exact text dups, so demonstrate the
+    // leak the operator prevents on a corpus WITH dups: 40 texts × 50
+    // copies under distinct ids — the id-keyed rule scatters copies
+    // across splits, the fp-keyed rule provably cannot
+    import spark.implicits._
+    val dup = (0L until 2000L).map(i => (i, s"text ${i % 40}"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", md5(trim(lower(col("text")))))
+    val idLeaks = dup.withColumn("split", splitCol(bucketOf("doc_id")))
+      .groupBy("fp").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(idLeaks > 0, "id-keyed split happened not to leak even with 50x dups")
+    val fpLeaks = dup.withColumn("split", splitCol(bucketOf("fp")))
+      .groupBy("fp").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count()
+    assert(fpLeaks == 0)
+    // and the summary's totals agree with a direct count
+    val got = q("q_split_leakfree").agg(sum("n_docs")).head.getLong(0)
+    assert(got == docs.count())
+  }
+
   test("interleave: a full page of distinct ranks, stable across runs, hash-ordered") {
     val a = q("q_interleave").collect()
     val b = q("q_interleave").collect()
