@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Mixture {
 
-  /** md5 bucket 0..255 of the id — the engine-neutral coin. */
-  def bucket(idCol: String): Column =
-    expr(s"(instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 31, 1)) - 1) * 16" +
-      s" + instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 32, 1)) - 1")
+  /** md5 bucket 0..255 of the id — the engine-neutral coin, as the
+    * codegen'd [[graft.expressions.Md5Bucket]] (reads the one digest
+    * byte instead of building and scanning the 32-char hex; value-
+    * identical to the SQL idiom the DuckDB oracles use, so the
+    * q_mixture_* gates hold over this exact code path). */
+  def bucket(idCol: String): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.Md5Bucket(
+      Bridge.expression(col(idCol).cast("string"))))
+  }
 
   /** Downsample each source to target mixture weights, scaled so the
     * limiting source (min nₛ/wₛ) is kept whole: keep rate
