@@ -30,12 +30,6 @@ object QueriesExt12 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
 
-  /** md5 bucket 0..255 of the id — the same engine-neutral coin every
-    * deterministic sampler here flips (q_split_sample's idiom). */
-  private def bucketSqlFor(idCol: String): String =
-    s"(instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 31, 1)) - 1) * 16" +
-      s" + instr('0123456789abcdef', substr(md5(cast($idCol AS string)), 32, 1)) - 1"
-
   /** Integer mixture weight 1..4 derived from the source name's
     * numeric suffix — a stand-in for the per-source quality weights a
     * real pipeline configures (weights are RELATIVE, so integers lose
@@ -105,7 +99,7 @@ object QueriesExt12 {
     * `repartitionByRange(hash).sortWithinPartitions(hash)` → write —
     * one range exchange, the sorted-shard layout trainers stream. */
   private def qInterleave(s: SparkSession, dir: String): DataFrame = {
-    val h = md5(col("doc_id").cast("string"))
+    val h = graft.ops.Mixture.orderKey("doc_id")
     val page = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("lang"), h.as("h"))
       .orderBy(col("h").asc, col("doc_id").asc)
@@ -158,7 +152,7 @@ object QueriesExt12 {
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .withColumn("fp", md5(trim(lower(col("text")))))
-      .withColumn("is_new", expr(s"(${bucketSqlFor("doc_id")}) >= 128"))
+      .withColumn("is_new", graft.ops.Mixture.bucket("doc_id") >= 128)
     val index = docs.filter(!col("is_new")).select("fp").distinct()
     val fresh = docs.filter(col("is_new"))
     val w = org.apache.spark.sql.expressions.Window
@@ -191,7 +185,7 @@ object QueriesExt12 {
     * cluster id replaces fp). Map-side assignment, one summary
     * exchange. */
   private def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {
-    val bucket = expr(bucketSqlFor("fp"))
+    val bucket = graft.ops.Mixture.bucket("fp")
     t(s, dir, "documents")
       .withColumn("fp", md5(trim(lower(col("text")))))
       .withColumn("split",

@@ -27,6 +27,18 @@ object Md5BucketUtil {
     d.update(s.getBytes)
     d.digest()(15) & 0xff
   }
+
+  /** Raw 16-byte md5 digest. Spark orders BinaryType by UNSIGNED
+    * lexicographic compare, and byte-wise unsigned order of the digest
+    * IS the lexicographic order of its lowercase hex — so sorting by
+    * this is exactly sorting by `md5(s)` the string, with a 16-byte
+    * fixed-width sort key instead of a 32-char UTF8String. */
+  def digest(s: UTF8String): Array[Byte] = {
+    val d = md.get()
+    d.reset()
+    d.update(s.getBytes)
+    d.digest()
+  }
 }
 
 /** The engine-neutral sampling coin as ONE codegen'd expression:
@@ -56,5 +68,33 @@ case class Md5Bucket(child: Expression) extends UnaryExpression
       c => s"graft.expressions.Md5BucketUtil.bucket($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Bucket =
+    copy(child = newChild)
+}
+
+/** The deterministic-order SORT KEY as one codegen'd expression: the
+  * raw md5 digest of a string key. Sorting by it is bit-identical to
+  * sorting by the md5 hex string (unsigned binary order == hex
+  * lexicographic order — spec-asserted), with a fixed 16-byte key in
+  * the sort instead of a 32-char string. Used by the training-order
+  * writer and the token-budget window's priority order. */
+case class Md5Binary(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def prettyName: String = "graft_md5_binary"
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5BucketUtil.digest(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Md5BucketUtil.digest($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Binary =
     copy(child = newChild)
 }

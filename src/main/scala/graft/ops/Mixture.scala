@@ -26,6 +26,16 @@ object Mixture {
       Bridge.expression(col(idCol).cast("string"))))
   }
 
+  /** The deterministic-order sort key: raw md5 digest of the id —
+    * bit-identical ORDER to sorting by the md5 hex string (unsigned
+    * binary order == hex lexicographic order), 16 fixed bytes per row
+    * in the sort instead of a 32-char string. */
+  def orderKey(idCol: String): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.Md5Binary(
+      Bridge.expression(col(idCol).cast("string"))))
+  }
+
   /** Downsample each source to target mixture weights, scaled so the
     * limiting source (min nₛ/wₛ) is kept whole: keep rate
     * wₛ·T/nₛ with T = min nₛ/wₛ. The keep decision
@@ -85,7 +95,7 @@ object Mixture {
     * shards is an unbiased sample of the corpus. */
   def writeShuffledShards(docs: DataFrame, idCol: String, outDir: String,
       numShards: Int): Unit =
-    docs.withColumn("__h", md5(col(idCol).cast("string")))
+    docs.withColumn("__h", orderKey(idCol))
       .repartitionByRange(numShards, col("__h"), col(idCol))
       .sortWithinPartitions(col("__h"), col(idCol))
       .drop("__h")
@@ -102,7 +112,7 @@ object Mixture {
     val inCols = docs.columns.toSeq
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol))
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+      .orderBy(orderKey(idCol).asc, col(idCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     docs.withColumn("__toks", tokensCol.cast("long"))
