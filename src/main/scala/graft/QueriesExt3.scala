@@ -166,9 +166,9 @@ object QueriesExt3 {
     * pipeline needs from a split (Spark's `randomSplit` is
     * partitioning-dependent and would not be). ~90/5/5. */
   private def qSplitSample(s: SparkSession, dir: String): DataFrame = {
-    val bucket =
-      expr("(instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 31, 1)) - 1) * 16" +
-        " + instr('0123456789abcdef', substr(md5(cast(doc_id AS string)), 32, 1)) - 1")
+    // the codegen'd digest-byte coin; value-identical to the oracle's
+    // instr-hex idiom (expressions/SamplingExpressions)
+    val bucket = graft.ops.Mixture.bucket("doc_id")
     t(s, dir, "documents")
       .withColumn("split",
         when(bucket < 230, lit("train")).when(bucket < 243, lit("val"))
@@ -197,7 +197,7 @@ object QueriesExt3 {
   private def qStratified(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+      .orderBy(graft.ops.Mixture.orderKey("doc_id").asc, col("doc_id").asc)
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), row_number().over(w).as("rn"))
       .filter(col("rn") <= 3)
