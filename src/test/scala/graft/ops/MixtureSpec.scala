@@ -43,6 +43,71 @@ class MixtureSpec extends SparkSpec {
       .filter(col("count") =!= 2).count() == 0)
   }
 
+  test("resample law: realized per-source rate equals the integer rule exactly, any weights") {
+    import spark.implicits._
+    // deterministic seed sweep over random weight assignments 1..10
+    (0 until 6).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val nSrc = 2 + rnd.nextInt(5)
+      val ws = Array.fill(nSrc)(1 + rnd.nextInt(10))
+      val rows = (0L until 600L).map(i => (i + seed * 10000L, s"s${i % nSrc}"))
+      val df = rows.toDF("doc_id", "source")
+      val wCol = (0 until nSrc).foldLeft(lit(ws(0))) { (acc, j) =>
+        when(col("source") === s"s$j", lit(ws(j))).otherwise(acc)
+      }
+      val kept = Mixture.resample(df, "source", "doc_id", wCol)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // in-memory oracle: identical integer rule over MD5 last bytes
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(id: Long) = {
+        md.reset(); (md.digest(id.toString.getBytes("UTF-8"))(15) & 0xff)
+      }
+      val bySrc = rows.groupBy(_._2)
+      val counts = bySrc.view.mapValues(_.size.toLong).toMap
+      def w(s: String) = ws(s.drop(1).toInt)
+      val limiting = counts.keys.minBy(s => (counts(s) * (2520 / w(s)), s))
+      val (nM, wM) = (counts(limiting), w(limiting))
+      val expect = bySrc.map { case (s, docs) =>
+        s -> docs.count { case (id, _) =>
+          bucket(id).toLong * wM * counts(s) < 256L * w(s) * nM
+        }.toLong
+      }.filter(_._2 > 0)
+      assert(kept == expect, s"seed=$seed: $kept != $expect")
+      // the limiting source is kept whole
+      assert(!expect.contains(limiting) || expect(limiting) == nM)
+    }
+  }
+
+  test("tokenBudget law: kept set is exactly the greedy hash-order prefix, any budgets") {
+    import spark.implicits._
+    (0 until 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val rows = (0L until 400L).map { i =>
+        (i, s"s${i % 3}", rnd.nextInt(50).toLong)
+      }
+      val df = rows.toDF("doc_id", "source", "toks")
+      val budget = 50L + rnd.nextInt(500)
+      val kept = Mixture.tokenBudget(df, "source", "doc_id",
+          col("toks"), lit(budget))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val hex = rows.map { case (id, _, _) =>
+        id -> java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toMap
+      val expect = rows.groupBy(_._2).values.flatMap { docs =>
+        var cum = 0L
+        docs.sortBy(d => (hex(d._1), d._1)).takeWhile { d =>
+          val ok = cum + d._3 <= budget
+          if (ok) cum += d._3
+          ok
+        }.map(_._1)
+      }.toSet
+      assert(kept == expect, s"seed=$seed budget=$budget")
+    }
+  }
+
   test("writeShuffledShards: file-ordered replay IS the global md5 order") {
     val out = java.nio.file.Files.createTempDirectory("shards").toString + "/t"
     Mixture.writeShuffledShards(docs, "doc_id", out, numShards = 4)
