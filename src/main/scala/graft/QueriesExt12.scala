@@ -198,7 +198,45 @@ object QueriesExt12 {
       .orderBy("split")
   }
 
+  /** Embedding drift between corpus versions — the vector-space
+    * sibling of q_corpus_diff: per label, how far the version-2
+    * centroid rotated from version-1's (cosine) and the version
+    * populations. The v1/v2 cut is the md5 coin on the id (simulating
+    * two crawl snapshots); centroids come from ONE conditional-avg
+    * pass over the posexploded vectors — no join between versions, the
+    * per-(label,dim) aggregate carries both sides. The re-embedding /
+    * model-upgrade monitor every production vector pipeline runs
+    * before swapping an index (reference: reembed.py's model_map
+    * records exactly this lineage).
+    *
+    * Shape at 100 TB: one exchange on (label, dim) with map-side
+    * partial avgs (×dims row growth is the q_centroids shape; swap to
+    * VectorExpressions' elementwise array-sum agg to remove it), a
+    * ~|labels|·dims second-stage fold, and a tiny count agg — the
+    * corpus never joins itself. */
+  private def qEmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val is1 = graft.ops.Mixture.bucket("vec_id") < 128
+    val cents = e
+      .select(col("label"), is1.as("is1"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(avg(when(col("is1"), col("col").cast("double"))).as("c1"),
+        avg(when(!col("is1"), col("col").cast("double"))).as("c2"))
+    val sim = cents.groupBy("label")
+      .agg((sum(col("c1") * col("c2")) /
+          (sqrt(sum(col("c1") * col("c1"))) * sqrt(sum(col("c2") * col("c2")))))
+        .as("cos"))
+    e.groupBy("label")
+      .agg(sum(when(is1, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(!is1, 1L).otherwise(0L)).as("n_v2"))
+      .join(sim, "label")
+      .select(col("label"), col("n_v1"), col("n_v2"),
+        round(col("cos"), 6).as("centroid_cos"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_drift" -> (qEmbedDrift(_, _)),
     "q_split_leakfree" -> (qSplitLeakfree(_, _)),
     "q_mixture_sample" -> (qMixtureSample(_, _)),
     "q_mixture_epochs" -> (qMixtureEpochs(_, _)),
@@ -214,7 +252,29 @@ object QueriesExt12 {
     "(instr('0123456789abcdef', substr(md5(fp), 31, 1)) - 1) * 16" +
       " + instr('0123456789abcdef', substr(md5(fp), 32, 1)) - 1"
 
+  private val duckVecBucket =
+    "(instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1) * 16" +
+      " + instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1"
+
   val oracleSql: Map[String, String] = Map(
+    "q_embed_drift" ->
+      s"""WITH v AS (SELECT label, ($duckVecBucket) < 128 AS is1,
+        |    generate_subscripts(embedding, 1) - 1 AS pos,
+        |    UNNEST(embedding) AS e
+        |  FROM embeddings),
+        |c AS (SELECT label, pos,
+        |    avg(CASE WHEN is1 THEN CAST(e AS DOUBLE) END) AS c1,
+        |    avg(CASE WHEN NOT is1 THEN CAST(e AS DOUBLE) END) AS c2
+        |  FROM v GROUP BY 1, 2),
+        |s AS (SELECT label, sum(c1 * c2) /
+        |    (sqrt(sum(c1 * c1)) * sqrt(sum(c2 * c2))) AS cos
+        |  FROM c GROUP BY 1),
+        |n AS (SELECT label,
+        |    CAST(sum(CASE WHEN ($duckVecBucket) < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+        |    CAST(sum(CASE WHEN ($duckVecBucket) < 128 THEN 0 ELSE 1 END) AS BIGINT) AS n_v2
+        |  FROM embeddings GROUP BY 1)
+        |SELECT n.label, n.n_v1, n.n_v2, round(s.cos, 6) AS centroid_cos
+        |FROM n JOIN s ON n.label = s.label ORDER BY n.label""".stripMargin,
     "q_split_leakfree" ->
       s"""WITH f AS (SELECT doc_id, n_chars, md5(trim(lower(text))) AS fp
         |  FROM documents),

