@@ -235,7 +235,40 @@ object QueriesExt12 {
       .orderBy("label")
   }
 
+  /** NEAR-dup-safe split — the completion of q_split_leakfree's
+    * promise: the assignment coin is the duplicate-CLUSTER root
+    * (q_dup_clusters' component: n-gram-Jaccard pairs closed under
+    * large-star/small-star CC), so near-duplicates — not just exact
+    * ones — cannot straddle train/test. This is the decontamination
+    * discipline of Lee et al. ACL'22 / GPT-3's dedup appendix applied
+    * at split time. Summary per split: docs, clusters, chars.
+    *
+    * Shape at 100 TB: the pair/CC stages are q_dup_clusters' (df-cap
+    * before the inverted self-join, O(log n) star rounds); the
+    * assignment itself is one map-side coin on the component id plus
+    * a tiny summary exchange. */
+  private def qSplitNodup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(
+      QueriesCommon.fannedTable(s, dir, "documents"), "doc_id", "text",
+      k = 3, dfCap = 10, threshold = 0.1)
+    val comp = graft.dedup.DupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+    val bucket = graft.ops.Mixture.bucket("component")
+    docs
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 230, lit("train")).when(bucket < 243, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_nodup" -> (qSplitNodup(_, _)),
     "q_embed_drift" -> (qEmbedDrift(_, _)),
     "q_split_leakfree" -> (qSplitLeakfree(_, _)),
     "q_mixture_sample" -> (qMixtureSample(_, _)),
@@ -256,7 +289,50 @@ object QueriesExt12 {
     "(instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 31, 1)) - 1) * 16" +
       " + instr('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 32, 1)) - 1"
 
+  private val duckCompBucket =
+    "(instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 31, 1)) - 1) * 16" +
+      " + instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 32, 1)) - 1"
+
   val oracleSql: Map[String, String] = Map(
+    "q_split_nodup" ->
+      s"""WITH RECURSIVE b AS (SELECT doc_id,
+        |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+        |                i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        |  FROM b),
+        |ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        |df AS (SELECT sh, count(*) AS c FROM ex GROUP BY sh),
+        |kept AS (SELECT doc_id, ex.sh FROM ex JOIN df ON ex.sh = df.sh WHERE c <= 10),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db FROM inter
+        |          JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        |          WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.1),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |          UNION SELECT db AS a, da AS b FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.node),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |assigned AS (SELECT d.doc_id, d.n_chars,
+        |    coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+        |lab AS (SELECT doc_id, n_chars, component,
+        |    CASE WHEN ($duckCompBucket) < 230 THEN 'train'
+        |         WHEN ($duckCompBucket) < 243 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM assigned)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT component) AS n_clusters,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
     "q_embed_drift" ->
       s"""WITH v AS (SELECT label, ($duckVecBucket) < 128 AS is1,
         |    generate_subscripts(embedding, 1) - 1 AS pos,

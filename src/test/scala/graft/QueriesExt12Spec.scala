@@ -128,6 +128,31 @@ class QueriesExt12Spec extends SparkSpec {
     assert(totalKept == expect, s"kept=$totalKept expect=$expect")
   }
 
+  test("split_nodup: no near-dup pair straddles a split boundary") {
+    val docs = QueriesCommon.table(spark, dir, "documents")
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      k = 3, dfCap = 10, threshold = 0.1)
+    assert(pairs.count() > 0, "no near-dup pairs at this SF; test is vacuous")
+    val comp = graft.dedup.DupClusters.connectedComponents(pairs, "doc_a", "doc_b")
+    val bucket = graft.ops.Mixture.bucket("component")
+    val assigned = docs.select("doc_id")
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(assigned.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), Seq("doc_a"))
+      .join(assigned.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling == 0)
+    // and the summary accounts for every doc
+    val total = q("q_split_nodup").agg(sum("n_docs")).head.getLong(0)
+    assert(total == docs.count())
+  }
+
   test("embed_drift: populations partition each label; cosine bounded and high for an i.i.d. split") {
     val e = QueriesCommon.table(spark, dir, "embeddings")
     val totals = e.groupBy("label").count().collect()
