@@ -267,7 +267,28 @@ object QueriesExt12 {
       .orderBy("split")
   }
 
+  /** The explode-FREE centroid path — q_centroids' scaladoc promise
+    * made real: per-label centroids via the ElementwiseStats
+    * Aggregator (fixed-width array buffers, map-side partial merge),
+    * so the corpus-scale exchange carries ONE row per (group,
+    * partition) instead of ×dims exploded rows; only the ~|labels|
+    * aggregated rows posexplode for the long-format output. At 100 TB
+    * with dims=1024 this is the difference between shuffling 1024×
+    * the corpus and shuffling |labels|·|partitions| buffers. Output
+    * (rounded 6dp, both sides) matches the explode path's oracle. */
+  private def qCentroidsAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .groupBy("label")
+      .agg(graft.functions.VectorAggregates
+        .elementwiseStats(col("embedding")).as("st"))
+      .select(col("label"), col("st.n").as("n"), posexplode(col("st.sum")))
+      .select(col("label"), col("pos"), col("n"),
+        round(col("col") / col("n"), 6).as("centroid"))
+      .orderBy("label", "pos")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_centroids_agg" -> (qCentroidsAgg(_, _)),
     "q_split_nodup" -> (qSplitNodup(_, _)),
     "q_embed_drift" -> (qEmbedDrift(_, _)),
     "q_split_leakfree" -> (qSplitLeakfree(_, _)),
@@ -294,6 +315,13 @@ object QueriesExt12 {
       " + instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 32, 1)) - 1"
 
   val oracleSql: Map[String, String] = Map(
+    "q_centroids_agg" ->
+      """SELECT label, pos, count(*) AS n,
+        |  round(avg(CAST(e AS DOUBLE)), 6) AS centroid
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |        UNNEST(embedding) AS e
+        |      FROM embeddings WHERE embedding IS NOT NULL)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "q_split_nodup" ->
       s"""WITH RECURSIVE b AS (SELECT doc_id,
         |    CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]

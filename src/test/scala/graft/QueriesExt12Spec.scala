@@ -128,6 +128,34 @@ class QueriesExt12Spec extends SparkSpec {
     assert(totalKept == expect, s"kept=$totalKept expect=$expect")
   }
 
+  test("centroids_agg: the explode happens AFTER the aggregate, and values match q_centroids") {
+    val df = q("q_centroids_agg")
+    df.count() // force planning/execution
+    val plan = df.queryExecution.executedPlan
+    val gens = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.length == 1, s"expected one Generate, got ${gens.length}")
+    // the generate's input subtree must already contain the aggregation
+    // — i.e. only ~|labels| aggregated rows explode, never the corpus
+    val aggBelow = gens.head.child.collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggBelow.nonEmpty, "posexplode runs before the aggregate:\n" + plan)
+    // value parity with the explode-path query (same rounding)
+    val a = df.collect().map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    val b = q("q_centroids").collect().map(r => (r.getInt(0), r.getInt(1)) ->
+      (r.getLong(2), BigDecimal(r.getDouble(3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, (n, c)) =>
+      val (n2, c2) = b(k)
+      assert(n == n2 && math.abs(c - c2) <= 1e-6, s"$k: ($n,$c) vs ($n2,$c2)")
+    }
+  }
+
   test("split_nodup: no near-dup pair straddles a split boundary") {
     val docs = QueriesCommon.table(spark, dir, "documents")
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
