@@ -269,13 +269,17 @@ object QueriesExt12 {
 
   /** The explode-FREE centroid path — q_centroids' scaladoc promise
     * made real: per-label centroids via the ElementwiseStats
-    * Aggregator (fixed-width array buffers, map-side partial merge),
-    * so the corpus-scale exchange carries ONE row per (group,
-    * partition) instead of ×dims exploded rows; only the ~|labels|
-    * aggregated rows posexplode for the long-format output. At 100 TB
-    * with dims=1024 this is the difference between shuffling 1024×
-    * the corpus and shuffling |labels|·|partitions| buffers. Output
-    * (rounded 6dp, both sides) matches the explode path's oracle. */
+    * Aggregator (fixed-width array buffers, map-side partial merge).
+    * Honest accounting: partial aggregation collapses BOTH paths'
+    * exchanges, so the explode path's real cost is map-side — it
+    * materializes n×dims intermediate rows and hash-aggregates on
+    * n×dims (label,pos) keys, where the aggregator folds each vector
+    * into one array buffer (measured 1.24× at 1M×128,
+    * `tools/CentroidProbe`; the gap widens with dims and with memory
+    * pressure since the ×dims hash table can spill). Only the
+    * ~|labels| aggregated rows posexplode for the long-format output
+    * (plan-asserted). Output (rounded 6dp, both sides) matches the
+    * explode path's oracle. */
   private def qCentroidsAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("embedding").isNotNull)
