@@ -274,9 +274,10 @@ object QueriesExt12 {
     * exchanges, so the explode path's real cost is map-side — it
     * materializes n×dims intermediate rows and hash-aggregates on
     * n×dims (label,pos) keys, where the aggregator folds each vector
-    * into one array buffer (measured 1.24× at 1M×128,
-    * `tools/CentroidProbe`; the gap widens with dims and with memory
-    * pressure since the ×dims hash table can spill). Only the
+    * into one array buffer (measured 1.0–1.2× at 1M×128 across
+    * windows, `tools/CentroidProbe` — modest in one JVM; the
+    * structural win is the absent n×dims hash table, which is what
+    * spills first under executor memory pressure). Only the
     * ~|labels| aggregated rows posexplode for the long-format output
     * (plan-asserted). Output (rounded 6dp, both sides) matches the
     * explode path's oracle. */
