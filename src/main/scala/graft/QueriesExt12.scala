@@ -143,8 +143,15 @@ object QueriesExt12 {
     * index and (b) within-batch dups (keep-min doc_id). The index/new
     * split is an md5 coin on the id so both engines cut identically.
     *
+    * The fp here is md5(trim(lower(text))) — full normalized content.
+    * NOTE: a deployment must fix ONE canonical fp across its
+    * dedup/index/split operators; the q_dedup_exact demo query
+    * deliberately uses a 40-char-prefix fp to manufacture dup groups
+    * in the synthetic corpus, so its output is NOT this operator's
+    * index — the shapes compose, the keys are the deployment's choice.
+    *
     * Shape at 100 TB: the index side is ONLY fingerprints (the
-    * materialized `q_dedup_exact` output a real pipeline keeps
+    * materialized exact-dedup fp table a real pipeline keeps
     * between runs); new-vs-index is a fingerprint anti-join and
     * within-batch survival a fingerprint window — both ride one
     * fingerprint-keyed exchange per side, no text moves after the
@@ -180,8 +187,10 @@ object QueriesExt12 {
     * bucket), so the eval sets cannot contain a training dup.
     * q_split_sample's id-keyed rule does leak on a corpus with dups;
     * this is the split a dedup-aware pipeline actually ships
-    * (fp = the q_dedup_exact group key; for NEAR-dup safety, key on
-    * the q_dup_clusters component root instead — same shape, the
+    * (fp = md5 of the trim/lower-normalized text, the SAME definition
+    * q_dedup_incremental keys on — one canonical fp across the
+    * dedup/index/split family; for NEAR-dup safety q_split_nodup keys
+    * on the q_dup_clusters component root instead — same shape, the
     * cluster id replaces fp). Map-side assignment, one summary
     * exchange. */
   private def qSplitLeakfree(s: SparkSession, dir: String): DataFrame = {

@@ -571,11 +571,15 @@ object Cli {
       stages ::= s"weights(${weights.size} listed, default $defW)"
     }
     a.flags.get("budget").foreach { b =>
-      val budget = b.toLong
-      if (budget <= 0) { System.err.println("mixture: --budget must be > 0"); return 2 }
-      df = graft.ops.Mixture.tokenBudget(df, srcCol, idCol,
-        expr(s"size(${graft.QueriesCommon.toksSqlFor(textCol)})"), lit(budget))
-      stages ::= s"budget($budget tokens/source)"
+      b.toLongOption.filter(_ > 0) match {
+        case None =>
+          System.err.println("mixture: --budget must be a positive integer")
+          return 2
+        case Some(budget) =>
+          df = graft.ops.Mixture.tokenBudget(df, srcCol, idCol,
+            expr(s"size(${graft.QueriesCommon.toksSqlFor(textCol)})"), lit(budget))
+          stages ::= s"budget($budget tokens/source)"
+      }
     }
     if (epochs.nonEmpty) {
       val eCol = epochs.foldLeft(lit(256L)) { case (acc, (src, e)) =>

@@ -40,9 +40,12 @@ object Mixture {
     * limiting source (min nₛ/wₛ) is kept whole: keep rate
     * wₛ·T/nₛ with T = min nₛ/wₛ. The keep decision
     * `bucket·w_m·nₛ < 256·wₛ·n_m` is pure BIGINT arithmetic — no
-    * float rate anywhere. Weights must be positive integers dividing
-    * LCM 2520 (1..10 all qualify); rows whose weight expression is
-    * 0/null are dropped.
+    * float rate anywhere. Weights are per-SOURCE: positive integers
+    * dividing LCM 2520 (1..10 all qualify), intended constant within
+    * a source — if the expression varies, the source's weight is its
+    * MAX (the keep rule reads the per-source aggregate, never the
+    * per-row value); rows whose weight expression is 0/null are
+    * dropped.
     *
     * Returns the KEPT rows with the input schema. Shape at 100 TB:
     * per-source counts are one tiny map-side-partial aggregate,
@@ -59,13 +62,19 @@ object Mixture {
     val lim = counts.agg(min(struct(expr("__n * (2520 div __wS)").as("key"),
         col(sourceCol), col("__n").as("n_m"), col("__wS").as("w_m"))).as("m"))
       .select(col("m.n_m").as("__n_m"), col("m.w_m").as("__w_m"))
-    val kept = d.join(broadcast(counts.drop("__wS")), Seq(sourceCol))
+    // the keep rule uses the SOURCE's weight from the counts table
+    // (max over the source's rows), not the per-row expression, so the
+    // semantics stay coherent — "source weight = max(weightCol)" —
+    // even if a caller passes a weight column that varies within a
+    // source; for the documented per-source-constant weights the two
+    // are identical
+    val kept = d.drop("__w").join(broadcast(counts), Seq(sourceCol))
       .crossJoin(broadcast(lim))
       .filter(bucket(idCol) * col("__w_m") * col("__n") <
-        lit(256) * col("__w") * col("__n_m"))
+        lit(256) * col("__wS") * col("__n_m"))
     val outCols =
       if (keepDiagnostics)
-        inCols.map(col) :+ col("__w").as("weight") :+ col("__n").as("n_total")
+        inCols.map(col) :+ col("__wS").as("weight") :+ col("__n").as("n_total")
       else inCols.map(col)
     kept.select(outCols: _*)
   }
@@ -77,10 +86,15 @@ object Mixture {
     * shard-shuffling writer consumes. Map-side only: no exchange. */
   def epochs(docs: DataFrame, idCol: String, e256Col: Column): DataFrame = {
     val d = docs.withColumn("__e256", e256Col.cast("long"))
-    d.withColumn("rep", explode(sequence(lit(1L),
+      .withColumn("__reps",
         expr("__e256 div 256") +
-          when(bucket(idCol) < col("__e256") % 256, 1L).otherwise(0L))))
-      .drop("__e256")
+          when(bucket(idCol) < col("__e256") % 256, 1L).otherwise(0L))
+    // reps can be 0 (e < 1.0 downsamples): sequence(1, 0) would yield
+    // Spark's DESCENDING [1, 0] — two phantom rows — so empty-guard it;
+    // explode drops empty arrays, which is the correct "zero repeats"
+    d.withColumn("rep", explode(when(col("__reps") >= 1,
+        sequence(lit(1L), col("__reps"))).otherwise(array())))
+      .drop("__e256", "__reps")
   }
 
   /** Materialize the deterministic global training order — the

@@ -238,11 +238,15 @@ class CliSpec extends SparkSpec {
     assert(e.filter(col("source") =!= "src0")
       .groupBy("doc_id").count().filter(col("count") =!= 1).count() == 0)
 
-    // guard: overlapping out, bad weights, bad pairs → usage errors
+    // guard: overlapping out, bad weights, bad pairs, bad budget → usage errors
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", in)) == 2)
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/x",
       "--weights", "src0=11")) == 2)
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/y",
       "--epochs", "src0")) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/z",
+      "--budget", "10k")) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/z2",
+      "--budget", "-5")) == 2)
   }
 }

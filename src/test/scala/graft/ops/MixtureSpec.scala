@@ -43,6 +43,18 @@ class MixtureSpec extends SparkSpec {
       .filter(col("count") =!= 2).count() == 0)
   }
 
+  test("epochs below 1.0 DOWNSAMPLES: reps=0 emits zero rows, never phantom [1,0]") {
+    // e256=128 → 0.5 epochs: docs with bucket >= 128 get reps=0 and
+    // must vanish (a bare sequence(1, 0) would emit Spark's DESCENDING
+    // two-row [1, 0] — the bug this guards)
+    val e = Mixture.epochs(docs, "doc_id", lit(128L))
+    val perDoc = e.groupBy("doc_id").count().collect().map(_.getLong(1)).toSet
+    assert(perDoc == Set(1L), s"per-doc rep counts: $perDoc")
+    assert(e.agg(min("rep")).head.getLong(0) == 1L, "rep=0 leaked out")
+    val total = e.count().toDouble / docs.count()
+    assert(total > 0.3 && total < 0.7, s"0.5-epoch rate off: $total")
+  }
+
   test("resample law: realized per-source rate equals the integer rule exactly, any weights") {
     import spark.implicits._
     // deterministic seed sweep over random weight assignments 1..10
