@@ -163,7 +163,7 @@ object Cli {
     case "mixture" =>
       """usage: graft mixture --in PARQUET_DIR --out PARQUET_DIR
         |                     [--weights SRC=W,...] [--default_weight 1]
-        |                     [--epochs SRC=E,...] [--budget N]
+        |                     [--epochs SRC=E,...] [--budget N] [--shuffle S]
         |                     [--source_column source] [--id_column doc_id]
         |                     [--text_column text]
         |
@@ -183,6 +183,9 @@ object Cli {
         |  --default_weight W   weight for unlisted sources (default: 1)
         |  --epochs SRC=E,...   fractional epochs per source (default 1.0)
         |  --budget N           per-source token cap (default: none)
+        |  --shuffle S          write S range-sharded files in deterministic
+        |                       global training order (md5 of the id); reading
+        |                       the files in name order replays the exact order
         |  --source_column C    source column (default: source)
         |  --id_column C        id column (default: doc_id)
         |  --text_column C      text column for --budget (default: text)""".stripMargin
@@ -201,7 +204,7 @@ object Cli {
         |  search      --in PARQUET_DIR (--query_id N | --vector F,F,...)
         |              [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2] [--filter EXPR]
         |  mixture     --in PARQUET_DIR --out PARQUET_DIR [--weights SRC=W,...]
-        |              [--epochs SRC=E,...] [--budget N] [--default_weight 1]
+        |              [--epochs SRC=E,...] [--budget N] [--shuffle S] [--default_weight 1]
         |
         |graft help <command> prints per-command help.""".stripMargin
   }
@@ -589,7 +592,25 @@ object Cli {
       df = graft.ops.Mixture.epochs(df, idCol, eCol)
       stages ::= s"epochs(${epochs.size} listed)"
     }
-    df.write.mode("overwrite").parquet(a.flags("out"))
+    a.flags.get("shuffle") match {
+      case Some(s0) =>
+        s0.toIntOption.filter(_ > 0) match {
+          case None =>
+            System.err.println("mixture: --shuffle must be a positive shard count")
+            return 2
+          case Some(shards) =>
+            // deterministic global training order, range-sharded: a
+            // trainer streaming the part files in name order replays
+            // the exact md5 order; epoch repeats of one doc order by
+            // their rep index so reruns are byte-identical
+            val tie = if (df.columns.contains("rep")) Seq("rep") else Nil
+            graft.ops.Mixture.writeShuffledShards(df, idCol,
+              a.flags("out"), shards, tie)
+            stages ::= s"shuffle($shards shards)"
+        }
+      case None =>
+        df.write.mode("overwrite").parquet(a.flags("out"))
+    }
     val (n0, n1) = (spark.read.parquet(a.flags("in")).count(),
       spark.read.parquet(a.flags("out")).count())
     println(s"mixture(${stages.reverse.mkString(" -> ")}): " +

@@ -108,10 +108,11 @@ object Mixture {
     * in name order replays the exact global order, and any subset of
     * shards is an unbiased sample of the corpus. */
   def writeShuffledShards(docs: DataFrame, idCol: String, outDir: String,
-      numShards: Int): Unit =
+      numShards: Int, tieBreak: Seq[String] = Nil): Unit =
     docs.withColumn("__h", orderKey(idCol))
       .repartitionByRange(numShards, col("__h"), col(idCol))
-      .sortWithinPartitions(col("__h"), col(idCol))
+      .sortWithinPartitions(
+        (Seq(col("__h"), col(idCol)) ++ tieBreak.map(col)): _*)
       .drop("__h")
       .write.mode("overwrite").parquet(outDir)
 

@@ -238,6 +238,19 @@ class CliSpec extends SparkSpec {
     assert(e.filter(col("source") =!= "src0")
       .groupBy("doc_id").count().filter(col("count") =!= 1).count() == 0)
 
+    // shuffle: sharded files in name order replay the exact global md5 order
+    val outS = tmp() + "/s"
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", outS,
+      "--shuffle", "3")) == 0)
+    val files = new java.io.File(outS).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getAbsolutePath).sorted
+    assert(files.length == 3)
+    val replayed = files.flatMap(f =>
+      spark.read.parquet(f).select("doc_id").collect().map(_.getLong(0))).toSeq
+    val want = docs.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(replayed == want)
+
     // guard: overlapping out, bad weights, bad pairs, bad budget → usage errors
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", in)) == 2)
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/x",
