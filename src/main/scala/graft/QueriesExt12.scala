@@ -289,7 +289,15 @@ object QueriesExt12 {
     * spills first under executor memory pressure). Only the
     * ~|labels| aggregated rows posexplode for the long-format output
     * (plan-asserted). Output (rounded 6dp, both sides) matches the
-    * explode path's oracle. */
+    * explode path's oracle.
+    *
+    * Oracle-divergence note (intentional): `st.n` is the per-LABEL
+    * vector count replicated to every pos, while the DuckDB oracle's
+    * count is per-(label,pos). Equal for this corpus's fixed-width
+    * embeddings; on RAGGED arrays ElementwiseStats fails fast (its
+    * `require` on width) where the oracle would return differing
+    * per-pos counts — so a future ragged-embedding dataset must not
+    * be gated against this oracle as-is. */
   private def qCentroidsAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .filter(col("embedding").isNotNull)

@@ -181,11 +181,16 @@ object Cli {
         |  --out PARQUET_DIR    resampled output (fresh directory)
         |  --weights SRC=W,...  integer mixture weights per source (1..10)
         |  --default_weight W   weight for unlisted sources (default: 1)
-        |  --epochs SRC=E,...   fractional epochs per source (default 1.0)
+        |  --epochs SRC=E,...   fractional epochs per source, in [1/256, 16]
+        |                       (default 1.0; carried in 1/256ths)
         |  --budget N           per-source token cap (default: none)
-        |  --shuffle S          write S range-sharded files in deterministic
-        |                       global training order (md5 of the id); reading
-        |                       the files in name order replays the exact order
+        |  --shuffle S          write up to S range-sharded files in
+        |                       deterministic global training order (md5 of the
+        |                       id); reading the files in name order replays the
+        |                       exact order. S is an upper bound: tiny corpora
+        |                       may produce fewer part files
+        |  --stats              also count the input corpus for the summary
+        |                       line (an extra full input scan at scale)
         |  --source_column C    source column (default: source)
         |  --id_column C        id column (default: doc_id)
         |  --text_column C      text column for --budget (default: text)""".stripMargin
@@ -559,9 +564,13 @@ object Cli {
         "(0 drops the source; the keep rule needs weights dividing 2520)")
       return 2
     }
+    // lower bound matches the 1/256 quantization floor: an epoch value
+    // whose math.round(e*256) is 0 would silently drop the whole source
     if (epochs.values.exists(v =>
-        v.toDoubleOption.isEmpty || v.toDouble <= 0 || v.toDouble > 16)) {
-      System.err.println("mixture: epochs must be in (0, 16]")
+        v.toDoubleOption.isEmpty || v.toDouble <= 0 || v.toDouble > 16 ||
+        math.round(v.toDouble * 256) == 0)) {
+      System.err.println(
+        "mixture: epochs must be in [1/256, 16] (carried in 1/256ths)")
       return 2
     }
     var df = spark.read.parquet(a.flags("in"))
@@ -611,10 +620,15 @@ object Cli {
       case None =>
         df.write.mode("overwrite").parquet(a.flags("out"))
     }
-    val (n0, n1) = (spark.read.parquet(a.flags("in")).count(),
-      spark.read.parquet(a.flags("out")).count())
+    // the input-side count is a second full corpus scan — at scale
+    // that's real money for a log line, so it's opt-in via --stats
+    val n1 = spark.read.parquet(a.flags("out")).count()
+    val inPart =
+      if (a.flags.contains("stats"))
+        s"${spark.read.parquet(a.flags("in")).count()} rows -> "
+      else ""
     println(s"mixture(${stages.reverse.mkString(" -> ")}): " +
-      s"$n0 rows -> $n1 rows -> ${a.flags("out")}")
+      s"$inPart$n1 rows -> ${a.flags("out")}")
     0
   }
 

@@ -45,7 +45,9 @@ object Mixture {
     * a source — if the expression varies, the source's weight is its
     * MAX (the keep rule reads the per-source aggregate, never the
     * per-row value); rows whose weight expression is 0/null are
-    * dropped.
+    * dropped. A null SOURCE is a legitimate group: the counts join is
+    * null-safe, so null-source rows resample like any other source
+    * rather than silently vanishing on the equi-join.
     *
     * Returns the KEPT rows with the input schema. Shape at 100 TB:
     * per-source counts are one tiny map-side-partial aggregate,
@@ -68,7 +70,12 @@ object Mixture {
     // even if a caller passes a weight column that varies within a
     // source; for the documented per-source-constant weights the two
     // are identical
-    val kept = d.drop("__w").join(broadcast(counts), Seq(sourceCol))
+    // null-safe join: groupBy puts null-source rows in their own
+    // group, and <=> matches them back — an equi-join would drop them
+    val cts = counts.withColumnRenamed(sourceCol, "__src")
+    val kept = d.drop("__w")
+      .join(broadcast(cts), col(sourceCol) <=> col("__src"))
+      .drop("__src")
       .crossJoin(broadcast(lim))
       .filter(bucket(idCol) * col("__w_m") * col("__n") <
         lit(256) * col("__wS") * col("__n_m"))
@@ -106,7 +113,14 @@ object Mixture {
     * single-partition sort. Shard k's part-file holds a contiguous
     * hash range below shard k+1's, so a trainer streaming the files
     * in name order replays the exact global order, and any subset of
-    * shards is an unbiased sample of the corpus. */
+    * shards is an unbiased sample of the corpus.
+    *
+    * `numShards` is an UPPER bound on the part-file count:
+    * RangePartitioner collapses partitions when its sample sees few
+    * distinct keys, and empty partitions write no file — so a tiny
+    * corpus may emit fewer than `numShards` files. Consumers must
+    * list the directory rather than assume exactly S files; at the
+    * corpus sizes the shard count is meant for, the bound is met. */
   def writeShuffledShards(docs: DataFrame, idCol: String, outDir: String,
       numShards: Int, tieBreak: Seq[String] = Nil): Unit =
     docs.withColumn("__h", orderKey(idCol))

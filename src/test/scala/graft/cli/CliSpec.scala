@@ -261,5 +261,12 @@ class CliSpec extends SparkSpec {
       "--budget", "10k")) == 2)
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/z2",
       "--budget", "-5")) == 2)
+    // epochs below the 1/256 quantization floor would round to e256=0
+    // and silently drop the source — must be rejected, not accepted
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/z3",
+      "--epochs", "src0=0.001")) == 2)
+    // the floor itself (1/256 = 0.00390625) is valid
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/z4",
+      "--epochs", "src0=0.0039063")) == 0)
   }
 }

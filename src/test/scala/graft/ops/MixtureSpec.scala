@@ -32,6 +32,26 @@ class MixtureSpec extends SparkSpec {
     assert(zero.count() > 0)
   }
 
+  test("resample treats a NULL source as a real group (null-safe counts join)") {
+    import spark.implicits._
+    val d = (0L until 200L)
+      .map(i => (i, if (i % 2 == 0) null else "srcA", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    // equal weights: both groups have 100 rows, so every row survives —
+    // if the counts join were a plain equi-join, all null-source rows
+    // would silently vanish instead
+    val out = Mixture.resample(d, "source", "doc_id", lit(1))
+    assert(out.filter(col("source").isNull).count() == 100L)
+    assert(out.count() == 200L)
+    // and the keep RULE applies to the null group like any other:
+    // weight 1 vs 2 halves it (rate w_m*n_s/(w_s*n_m) in expectation)
+    val skew = Mixture.resample(d, "source", "doc_id",
+      when(col("source").isNull, 1).otherwise(2))
+    val nullKept = skew.filter(col("source").isNull).count()
+    assert(nullKept > 0 && nullKept < 100,
+      s"null group should downsample, kept $nullKept/100")
+  }
+
   test("epochs appends a 1-based rep column and keeps every doc at least once") {
     val e = Mixture.epochs(docs, "doc_id",
       when(col("source") === "src0", 512L).otherwise(256L))
