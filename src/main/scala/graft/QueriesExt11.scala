@@ -78,14 +78,17 @@ object QueriesExt11 {
     *
     * Shape: the query token set is broadcast (|Q|·8 vectors); the
     * candidate token scan stays partition-parallel and the token-pair
-    * dot products collapse map-side via PARTIAL max on (q_doc, q_tok,
-    * doc) — an |d_toks|-fold reduction before the only data-scale
-    * exchange. The outer sum re-clusters on (q_doc, doc), but by then
-    * a row per (query, token, candidate) remains — |Q|·8·|docs|, index
-    * scale, not corpus scale. At 100 TB the candidate stream is what
-    * an ANN/IVF pass emitted (the documented prune), so the
-    * per-candidate cost is |q_toks|·|d_toks| dots — the
-    * late-interaction contract. */
+    * dot products collapse map-side into ONE exchange on
+    * (q_doc, doc): the per-query-token max is a SLOT PIVOT — the 8
+    * fixed token slots (q_tok mod 8) become 8 conditional max
+    * aggregates, and score = their sum — so the inner max and the
+    * outer sum fold into a single partial-aggregated hash agg (the r6
+    * form re-shuffled on (q_doc, q_tok, doc) and again on
+    * (q_doc, doc)). By the exchange a row per (query, candidate)
+    * remains — |Q|·|docs|, index scale, not corpus scale. At 100 TB
+    * the candidate stream is what an ANN/IVF pass emitted (the
+    * documented prune), so the per-candidate cost is
+    * |q_toks|·|d_toks| dots — the late-interaction contract. */
   private def qMaxsim(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "embeddings")
       .select(expr("vec_id DIV 8").as("doc"), col("vec_id"),
@@ -93,11 +96,12 @@ object QueriesExt11 {
     val qtok = tok.filter(col("doc") < 2)
       .select(col("doc").as("q_doc"), col("vec_id").as("q_tok"),
         col("embedding").as("q_vec"))
+    val slotMax = (0 until 8).map(k =>
+      max(when(pmod(col("q_tok"), lit(8)) === k, col("d"))))
     tok.join(broadcast(qtok), col("doc") =!= col("q_doc"))
       .withColumn("d",
         graft.functions.VectorFunctions.dotProduct(col("q_vec"), col("embedding")))
-      .groupBy("q_doc", "q_tok", "doc").agg(max(col("d")).as("m"))
-      .groupBy("q_doc", "doc").agg(sum(col("m")).as("score"))
+      .groupBy("q_doc", "doc").agg(slotMax.reduce(_ + _).as("score"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_doc")
           .orderBy(round(col("score"), 6).desc, col("doc"))))

@@ -24,12 +24,24 @@ object QueriesExt4 {
     * A bare inequality join would plan as BroadcastNestedLoop (O(n·m)
     * at corpus scale); `RangeJoin.intervalJoin` re-expresses it as a
     * bucket equi-join — hash-partitioned and skew-splittable — with
-    * exact containment as a post-filter. */
+    * exact containment as a post-filter.
+    *
+    * Aggregation is PUSHED BELOW the join: the query consumes only
+    * day-level facts (counts, day extents), so the corpus collapses to
+    * the ~|days| `daily` table first and the interval join runs on
+    * THAT — n_events becomes sum(n) over the window's days. `daily`
+    * is materialized once (eager localCheckpoint of a ~|days|-row
+    * table) so its two consumers — the top-20 window derivation and
+    * the points side — share ONE corpus scan; exchange reuse can't do
+    * it here because the points side's pushed isnotnull(day) makes
+    * the canonical subtrees differ. (The r6 form scanned events twice
+    * and bucket-joined 20 windows against every EVENT row instead of
+    * every day row.) */
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
-    val ev = raw.select(col("event_id"),
-      QueriesCommon.eventDay(raw).as("day"))
+    val ev = raw.select(QueriesCommon.eventDay(raw).as("day"))
     val daily = ev.groupBy("day").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     // busy is ≤20 rows by construction, but an explicit broadcast hint
     // was MEASURED SLOWER here below the size gate: the broadcast build
     // serializes into its own job (agg + collect barrier) where the
@@ -38,9 +50,9 @@ object QueriesExt4 {
     val busy = daily.orderBy(col("n").desc, col("day")).limit(20)
       .select(col("day").as("window_day"),
         (col("day") - 3).as("lo"), (col("day") + 3).as("hi"))
-    RangeJoin.intervalJoin(ev, "day", busy, "lo", "hi", bucketWidth = 7L)
+    RangeJoin.intervalJoin(daily, "day", busy, "lo", "hi", bucketWidth = 7L)
       .groupBy("window_day")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum(col("n")).as("n_events"),
         min(col("day")).as("min_day"), max(col("day")).as("max_day"))
       .orderBy("window_day")
   }

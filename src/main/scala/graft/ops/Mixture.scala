@@ -61,22 +61,32 @@ object Mixture {
       .filter(col("__w").isNotNull && col("__w") > 0)
     val counts = d.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"),
       max(col("__w")).as("__wS"))
-    val lim = counts.agg(min(struct(expr("__n * (2520 div __wS)").as("key"),
-        col(sourceCol), col("__n").as("n_m"), col("__wS").as("w_m"))).as("m"))
-      .select(col("m.n_m").as("__n_m"), col("m.w_m").as("__w_m"))
     // the keep rule uses the SOURCE's weight from the counts table
     // (max over the source's rows), not the per-row expression, so the
     // semantics stay coherent — "source weight = max(weightCol)" —
     // even if a caller passes a weight column that varies within a
     // source; for the documented per-source-constant weights the two
     // are identical
+    //
+    // the limiting source (argmin n_s/w_s, source-name tie-break) is
+    // folded INTO the counts table as an all-rows window min over the
+    // ~|sources| rows — one broadcast build instead of two (the r6
+    // form ran a second aggregate job over a recomputed counts subtree
+    // and crossJoined its 1-row result)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
     // null-safe join: groupBy puts null-source rows in their own
     // group, and <=> matches them back — an equi-join would drop them
     val cts = counts.withColumnRenamed(sourceCol, "__src")
+      .withColumn("__m",
+        min(struct(expr("__n * (2520 div __wS)").as("key"), col("__src"),
+          col("__n").as("n_m"), col("__wS").as("w_m"))).over(wAll))
+      .select(col("__src"), col("__n"), col("__wS"),
+        col("__m.n_m").as("__n_m"), col("__m.w_m").as("__w_m"))
     val kept = d.drop("__w")
       .join(broadcast(cts), col(sourceCol) <=> col("__src"))
       .drop("__src")
-      .crossJoin(broadcast(lim))
       .filter(bucket(idCol) * col("__w_m") * col("__n") <
         lit(256) * col("__wS") * col("__n_m"))
     val outCols =
