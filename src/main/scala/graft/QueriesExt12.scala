@@ -122,11 +122,31 @@ object QueriesExt12 {
     *
     * Shape at 100 TB: token counts are per-row map-side; the only
     * corpus-scale exchange is the per-source window (hash-partitioned
-    * on source — skewed sources salt the same way q_salted_agg does,
-    * or swap the exact prefix for a per-partition quota); the summary
-    * agg rides the same partitioning, exchange-free. */
+    * on source). A source too big for one window partition switches
+    * to `Mixture.tokenBudgetSalted` — output-identical
+    * (property-tested + oracle-gated via q_token_budget_salted),
+    * whole buckets kept/dropped map-side and only the ~1/256 boundary
+    * slice sorted; the summary agg rides the same partitioning,
+    * exchange-free. */
   private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
     graft.ops.Mixture.tokenBudget(
+        t(s, dir, "documents")
+          .withColumn("budget",
+            expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
+          .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})")),
+        "source", "doc_id", col("toks"), col("budget"))
+      .groupBy("source")
+      .agg(max(col("budget")).as("budget"), count(lit(1)).as("n_kept"),
+        sum(col("toks")).as("tokens_kept"))
+      .orderBy("source")
+
+  /** The skew path behind the SAME oracle: `Mixture.tokenBudgetSalted`
+    * keeps/drops whole top-byte buckets map-side and window-sorts only
+    * the one boundary bucket per source (~1/256 of the rows) — gated
+    * against q_token_budget's exact-prefix SQL verbatim, because the
+    * two kernels are output-identical by construction. */
+  private def qTokenBudgetSalted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.tokenBudgetSalted(
         t(s, dir, "documents")
           .withColumn("budget",
             expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
@@ -318,6 +338,7 @@ object QueriesExt12 {
     "q_mixture_epochs" -> (qMixtureEpochs(_, _)),
     "q_interleave" -> (qInterleave(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
+    "q_token_budget_salted" -> (qTokenBudgetSalted(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)))
 
   private val duckBucket =
@@ -443,6 +464,25 @@ object QueriesExt12 {
         |  FROM documents)
         |WHERE rn <= 40 ORDER BY rn""".stripMargin,
     "q_token_budget" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 1000 AS budget,
+        |    len(CASE WHEN len(trim(lower(text))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS toks
+        |  FROM documents),
+        |c AS (SELECT source, budget, toks,
+        |    sum(toks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT source, max(budget) AS budget, count(*) AS n_kept,
+        |  CAST(max(cum) AS BIGINT) AS tokens_kept
+        |FROM c WHERE cum <= budget
+        |GROUP BY source ORDER BY source""".stripMargin,
+    // the salted kernel is output-identical to the exact prefix, so it
+    // gates against the SAME SQL — the oracle is the spec, the kernel
+    // only changes which rows pay a sort
+    "q_token_budget_salted" ->
       """WITH b AS (
         |  SELECT source, doc_id,
         |    (CAST(substr(source, 4) AS INT) % 3 + 1) * 1000 AS budget,

@@ -39,6 +39,20 @@ object Md5BucketUtil {
     d.update(s.getBytes)
     d.digest()
   }
+
+  /** FIRST byte of md5(utf8(s)) as 0..255 — the top 8 bits of the
+    * [[Md5Bucket]]-family ORDER key, so bucket b's rows form a
+    * contiguous range of the `digest` sort order strictly below
+    * bucket b+1's. The range-decomposition coin for the salted
+    * token-budget prefix (Md5Bucket's LAST byte is independent of the
+    * order and deliberately so — it must not correlate with the
+    * training-order sort). */
+  def bucketHi(s: UTF8String): Int = {
+    val d = md.get()
+    d.reset()
+    d.update(s.getBytes)
+    d.digest()(0) & 0xff
+  }
 }
 
 /** The engine-neutral sampling coin as ONE codegen'd expression:
@@ -96,5 +110,33 @@ case class Md5Binary(child: Expression) extends UnaryExpression
       c => s"graft.expressions.Md5BucketUtil.digest($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5Binary =
+    copy(child = newChild)
+}
+
+/** The top 8 bits of the [[Md5Binary]] order key as 0..255: bucket b
+  * is a contiguous slice of the deterministic training order, so a
+  * per-source prefix (token budget) decomposes into whole buckets
+  * plus ONE boundary bucket — the salted skew path sorts only the
+  * boundary slice (~1/256 of the source) instead of the whole
+  * source. */
+case class Md5BucketHi(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def prettyName: String = "graft_md5_bucket_hi"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    Md5BucketUtil.bucketHi(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.Md5BucketUtil.bucketHi($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5BucketHi =
     copy(child = newChild)
 }

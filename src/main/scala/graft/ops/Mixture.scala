@@ -144,8 +144,10 @@ object Mixture {
     * md5-priority order while the running token total stays within
     * budget — an unbiased deterministic subset (the order is a
     * uniform permutation of the source). One per-source window
-    * exchange; heavily skewed sources salt like q_salted_agg or swap
-    * the exact prefix for per-partition quotas. */
+    * exchange; a source skewed enough that its single window
+    * partition won't sort in one task switches to
+    * [[tokenBudgetSalted]] — identical output, boundary-slice sort
+    * only. */
   def tokenBudget(docs: DataFrame, sourceCol: String, idCol: String,
       tokensCol: Column, budgetCol: Column): DataFrame = {
     val inCols = docs.columns.toSeq
@@ -159,5 +161,67 @@ object Mixture {
       .withColumn("__cum", sum(col("__toks")).over(w))
       .filter(col("__cum") <= col("__budget"))
       .select(inCols.map(col): _*)
+  }
+
+  /** Top 8 bits of [[orderKey]] as 0..255 — bucket b's rows are a
+    * contiguous slice of the priority order below bucket b+1's
+    * (codegen'd [[graft.expressions.Md5BucketHi]]). */
+  def bucketHi(idCol: String): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.Md5BucketHi(
+      Bridge.expression(col(idCol).cast("string"))))
+  }
+
+  /** The SKEW-SAFE token budget: output-identical to [[tokenBudget]]
+    * (property-tested), but no per-source global sort. The md5
+    * priority order decomposes by its top byte into 256 contiguous
+    * buckets, so the greedy prefix is: every bucket whose cumulative
+    * token total fits wholly, NOTHING from buckets past the budget,
+    * and the exact in-order prefix of the ONE boundary bucket per
+    * source. Phase 1 is a map-side-partial aggregate to a
+    * ≤|sources|·256-row table (bucket sums + running `before` totals);
+    * phase 2 broadcasts it back and keeps/drops whole buckets with a
+    * MAP-SIDE filter; only the boundary slice — ~1/256 of each source,
+    * uniformly sampled by construction — pays the window sort. A 1B-row
+    * source costs a ~4M-row sort instead of 1B.
+    *
+    * Budgets are per-SOURCE (the per-source MAX if the expression
+    * varies — same convention as [[resample]]'s weights); null-token
+    * rows count 0, exactly as the exact kernel's window sum ignores
+    * them. */
+  def tokenBudgetSalted(docs: DataFrame, sourceCol: String, idCol: String,
+      tokensCol: Column, budgetCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inCols = docs.columns.toSeq
+    val d = docs
+      .withColumn("__toks", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__budget", budgetCol.cast("long"))
+      .withColumn("__hb", bucketHi(idCol))
+    val per = d.groupBy(col(sourceCol).as("__gsrc"), col("__hb").as("__ghb"))
+      .agg(sum(col("__toks")).as("__bsum"), max(col("__budget")).as("__bud"))
+    val wSrc = Window.partitionBy("__gsrc")
+    val cum = per
+      .withColumn("__before", coalesce(sum(col("__bsum")).over(
+        wSrc.orderBy("__ghb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__budS", max(col("__bud")).over(wSrc))
+      .select(col("__gsrc"), col("__ghb"), col("__bsum"), col("__before"),
+        col("__budS"))
+    val j = d.drop("__budget")
+      .join(broadcast(cum),
+        col(sourceCol) <=> col("__gsrc") && col("__hb") === col("__ghb"))
+    // whole-bucket keep/drop is map-side; at most ONE bucket per source
+    // can straddle the budget (before is nondecreasing in __hb)
+    val whole = j.filter(col("__before") + col("__bsum") <= col("__budS"))
+    val edge = j.filter(col("__before") <= col("__budS") &&
+      col("__before") + col("__bsum") > col("__budS"))
+    val wEdge = Window.partitionBy(col(sourceCol))
+      .orderBy(orderKey(idCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val edgeKept = edge
+      .withColumn("__cum", sum(col("__toks")).over(wEdge))
+      .filter(col("__before") + col("__cum") <= col("__budS"))
+    whole.select(inCols.map(col): _*)
+      .unionAll(edgeKept.select(inCols.map(col): _*))
   }
 }

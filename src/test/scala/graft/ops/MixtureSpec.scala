@@ -52,6 +52,42 @@ class MixtureSpec extends SparkSpec {
       s"null group should downsample, kept $nullKept/100")
   }
 
+  test("tokenBudgetSalted is row-identical to the exact greedy prefix") {
+    import spark.implicits._
+    // several seeds × shapes: uniform sources, a heavily skewed source,
+    // a null source, zero-token and null-token rows, and budgets that
+    // land exactly on a cumulative boundary
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 4000).map { i =>
+        val src =
+          if (i % 97 == 0) null
+          else if (rnd.nextInt(10) < 7) "big" // ~70% skew into one source
+          else s"s${rnd.nextInt(4)}"
+        val toks: java.lang.Long =
+          if (rnd.nextInt(50) == 0) null
+          else if (rnd.nextInt(20) == 0) 0L
+          else rnd.nextInt(40).toLong
+        (s"doc-$seed-$i", src, toks)
+      }
+      val d = rows.toDF("doc_id", "source", "toks")
+        // per-source budget incl. one tuned to sit near real cum values
+        .withColumn("budget",
+          when(col("source") === "big", 2000L)
+            .when(col("source").isNull, 150L).otherwise(300L))
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getString(0)).toSet
+      val exact = ids(Mixture.tokenBudget(
+        d, "source", "doc_id", col("toks"), col("budget")))
+      val salted = ids(Mixture.tokenBudgetSalted(
+        d, "source", "doc_id", col("toks"), col("budget")))
+      assert(salted == exact,
+        s"seed $seed: salted minus exact = ${(salted -- exact).take(5)}, " +
+          s"exact minus salted = ${(exact -- salted).take(5)}")
+      assert(exact.nonEmpty)
+    }
+  }
+
   test("epochs appends a 1-based rep column and keeps every doc at least once") {
     val e = Mixture.epochs(docs, "doc_id",
       when(col("source") === "src0", 512L).otherwise(256L))
