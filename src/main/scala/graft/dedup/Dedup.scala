@@ -34,8 +34,26 @@ object Dedup {
     * no CacheManager entry to leak and no extra blocking
     * materialization job per call (which double-paid a full job at
     * local scale — the round-3 q_minhash_lsh/q_ngram_jaccard
-    * regression). */
-  private def materialized(df: DataFrame): DataFrame = df.localCheckpoint(false)
+    * regression).
+    *
+    * RELIABILITY trade-off: localCheckpoint blocks are NON-replicated
+    * executor storage — on a 1000-executor cluster one lost executor
+    * recomputes the whole kernel. Setting
+    * `graft.dedup.checkpointDir` (session conf) switches to a
+    * RELIABLE checkpoint into that fault-tolerant directory (HDFS/
+    * object store at cluster scale): same lazy semantics, blocks
+    * survive executor death, at the cost of writing through the
+    * filesystem. Unset (the local[32] default) keeps the
+    * executor-memory path. */
+  private def materialized(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.dedup.checkpointDir")
+      .map(_.trim).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(false)
+      case None => df.localCheckpoint(false)
+    }
 
   /** Exact dedup: group by content fingerprint; keep the smallest id
     * (deterministic winner), count members. */

@@ -260,4 +260,27 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(viol == 0, s"$viol kept pairs still within threshold in-bucket")
   }
+
+  test("graft.dedup.checkpointDir switches materialization to a reliable checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // baseline result on the default (localCheckpoint) path
+    val base = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleK = 3, sigLen = 32, bands = 8, estThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.dedup.checkpointDir", dir)
+    try {
+      val rel = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleK = 3, sigLen = 32, bands = 8, estThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rel == base, "reliable-checkpoint path changed the result")
+      // the reliable checkpoint must actually have written RDD state
+      // into the configured fault-tolerant directory
+      def files(p: java.io.File): Seq[java.io.File] = {
+        val kids = Option(p.listFiles()).map(_.toSeq).getOrElse(Nil)
+        kids ++ kids.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(dir)).exists(_.isFile),
+        s"no checkpoint files under $dir")
+    } finally spark.conf.unset("graft.dedup.checkpointDir")
+  }
 }
