@@ -1,0 +1,198 @@
+package graft.connectors.wire
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** One point on the wire: the shape all three REST dialects share
+  * (Qdrant `{id, vector, payload}`, Pinecone `{id, values, metadata}`,
+  * Chroma columnar `{ids[i], embeddings[i], metadatas[i]}`). */
+final case class WirePoint(id: String, vector: Seq[Double],
+    payload: Map[String, String])
+
+/** Non-2xx response — carries the status code so retry policy can
+  * distinguish retryable (429/500/413) from fatal. */
+final case class WireHttpError(code: Int, body: String)
+    extends RuntimeException(s"HTTP $code: $body")
+
+private[wire] object WireHttp {
+  // one shared client per JVM — executors reuse the connection pool
+  lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  def post(url: String, body: String): Map[String, Any] =
+    send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)))
+
+  def put(url: String, body: String): Map[String, Any] =
+    send(HttpRequest.newBuilder(URI.create(url))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)))
+
+  def get(url: String): String = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (r.statusCode() / 100 != 2) throw WireHttpError(r.statusCode(), r.body())
+    r.body()
+  }
+
+  private def send(b: HttpRequest.Builder): Map[String, Any] = {
+    val r = client.send(b.header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (r.statusCode() / 100 != 2) throw WireHttpError(r.statusCode(), r.body())
+    if (r.body().trim.startsWith("{")) WireJson.parse(r.body()) else Map.empty
+  }
+}
+
+/** A REST dialect: the four calls the DSv2 wire connector needs. All
+  * implementations are tiny case classes (base URL only) so they
+  * serialize into Spark tasks; the HttpClient itself is the shared
+  * per-JVM pool. `upsertOnce` is ONE wire call — batching, shrink, and
+  * retry live in the writer (`UpsertPolicy.batchedWithShrink`), not
+  * here, exactly like the reference keeps its shrink loops in the
+  * import classes and its client thin. */
+sealed trait WireDialect extends Serializable {
+  def create(collection: String, dims: Int): Unit
+  def count(collection: String): Long
+  /** One page; `wantVector`/`wantPayload` must reach the wire as the
+    * dialect's pruning flags (scroll's with_vector / get's include). */
+  def fetchPage(collection: String, offset: Long, limit: Int,
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint]
+  def upsertOnce(collection: String, points: Seq[WirePoint]): Unit
+}
+
+private[wire] object Decode {
+  def vec(v: Any): Seq[Double] = v match {
+    case null => Seq.empty
+    case s: Seq[_] => s.map(_.asInstanceOf[Number].doubleValue())
+  }
+  def pay(v: Any): Map[String, String] = v match {
+    case null => Map.empty
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      .map { case (k, x) => k -> String.valueOf(x) }
+  }
+}
+
+/** Qdrant REST: scroll + points upsert
+  * (`export_vdf/qdrant_export.py:119-137`,
+  * `import_vdf/qdrant_import.py:311-343`). The stub's
+  * `next_page_offset` is an integer, which this client treats as
+  * opaque — pages are requested BY offset so a cluster can shard the
+  * scan; real deployments shard by `shard_key_selector` / id ranges
+  * (the `PaginatedScan.byIdShards` path) when the token is truly
+  * opaque. */
+final case class QdrantWire(base: String) extends WireDialect {
+  override def create(c: String, dims: Int): Unit =
+    WireHttp.put(s"$base/collections/$c", WireJson.write(Map(
+      "vectors" -> Map("size" -> dims, "distance" -> "Cosine"))))
+
+  override def count(c: String): Long =
+    WireJson.parse(WireHttp.get(s"$base/collections/$c"))("result")
+      .asInstanceOf[Map[String, Any]]("points_count")
+      .asInstanceOf[Number].longValue()
+
+  override def fetchPage(c: String, offset: Long, limit: Int,
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    val rsp = WireHttp.post(s"$base/collections/$c/points/scroll",
+      WireJson.write(Map("limit" -> limit, "offset" -> offset,
+        "with_vector" -> wantVector, "with_payload" -> wantPayload)))
+    rsp("result").asInstanceOf[Map[String, Any]]("points")
+      .asInstanceOf[Seq[Any]].map { p0 =>
+        val p = p0.asInstanceOf[Map[String, Any]]
+        WirePoint(p("id").toString, Decode.vec(p.getOrElse("vector", null)),
+          Decode.pay(p.getOrElse("payload", null)))
+      }
+  }
+
+  override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =
+    WireHttp.put(s"$base/collections/$c/points", WireJson.write(Map(
+      "points" -> points.map(p => Map("id" -> p.id, "vector" -> p.vector,
+        "payload" -> p.payload)))))
+}
+
+/** Pinecone REST: list → fetch for reads (the real API composition —
+  * fetch has no paging of its own), upsert for writes
+  * (`export_vdf/pinecone_export.py:501-599`,
+  * `import_vdf/pinecone_import.py:163-164,267-276`). */
+final case class PineconeWire(base: String) extends WireDialect {
+  override def create(c: String, dims: Int): Unit = () // index auto-created
+
+  override def count(c: String): Long =
+    WireHttp.post(s"$base/describe_index_stats",
+        WireJson.write(Map("index" -> c)))("namespaces")
+      .asInstanceOf[Map[String, Any]]("")
+      .asInstanceOf[Map[String, Any]]("vectorCount")
+      .asInstanceOf[Number].longValue()
+
+  override def fetchPage(c: String, offset: Long, limit: Int,
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    val ids = WireHttp.post(s"$base/vectors/list", WireJson.write(Map(
+        "index" -> c, "limit" -> limit,
+        "paginationToken" -> offset.toString)))("vectors")
+      .asInstanceOf[Seq[Any]]
+      .map(_.asInstanceOf[Map[String, Any]]("id").toString)
+    if (ids.isEmpty) return Seq.empty
+    // id-only scans never call /vectors/fetch at all — the pruning
+    // dividend of the list→fetch composition
+    if (!wantVector && !wantPayload)
+      return ids.map(WirePoint(_, Seq.empty, Map.empty))
+    val fetched = WireHttp.post(s"$base/vectors/fetch", WireJson.write(Map(
+        "index" -> c, "ids" -> ids)))("vectors")
+      .asInstanceOf[Map[String, Any]]
+    ids.flatMap(id => fetched.get(id).map { v0 =>
+      val v = v0.asInstanceOf[Map[String, Any]]
+      WirePoint(id, Decode.vec(v.getOrElse("values", null)),
+        Decode.pay(v.getOrElse("metadata", null)))
+    })
+  }
+
+  override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =
+    WireHttp.post(s"$base/vectors/upsert", WireJson.write(Map(
+      "index" -> c,
+      "vectors" -> points.map(p => Map("id" -> p.id, "values" -> p.vector,
+        "metadata" -> p.payload)))))
+}
+
+/** Chroma REST: columnar add/get with limit+offset paging
+  * (`export_vdf/chroma_export.py:125-141`). The `include` list is the
+  * pruning surface — embeddings are omitted from the response when
+  * the scan doesn't need them. */
+final case class ChromaWire(base: String) extends WireDialect {
+  override def create(c: String, dims: Int): Unit =
+    WireHttp.post(s"$base/api/v1/collections/$c/create", "{}")
+
+  override def count(c: String): Long =
+    WireHttp.get(s"$base/api/v1/collections/$c/count").trim.toLong
+
+  override def fetchPage(c: String, offset: Long, limit: Int,
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    val include = (if (wantVector) Seq("embeddings") else Nil) ++
+      (if (wantPayload) Seq("metadatas") else Nil)
+    val rsp = WireHttp.post(s"$base/api/v1/collections/$c/get",
+      WireJson.write(Map("limit" -> limit, "offset" -> offset,
+        "include" -> include)))
+    val ids = rsp("ids").asInstanceOf[Seq[Any]].map(_.toString)
+    val embs = Option(rsp.getOrElse("embeddings", null))
+      .map(_.asInstanceOf[Seq[Any]].map(Decode.vec))
+      .getOrElse(ids.map(_ => Seq.empty[Double]))
+    val metas = Option(rsp.getOrElse("metadatas", null))
+      .map(_.asInstanceOf[Seq[Any]].map(Decode.pay))
+      .getOrElse(ids.map(_ => Map.empty[String, String]))
+    ids.lazyZip(embs).lazyZip(metas).map(WirePoint(_, _, _))
+  }
+
+  override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =
+    WireHttp.post(s"$base/api/v1/collections/$c/add", WireJson.write(Map(
+      "ids" -> points.map(_.id),
+      "embeddings" -> points.map(_.vector),
+      "metadatas" -> points.map(_.payload))))
+}
+
+object WireDialect {
+  def apply(name: String, base: String): WireDialect = name match {
+    case "qdrant" => QdrantWire(base)
+    case "pinecone" => PineconeWire(base)
+    case "chroma" => ChromaWire(base)
+    case other => throw new IllegalArgumentException(
+      s"unknown wire dialect '$other' (qdrant|pinecone|chroma)")
+  }
+}

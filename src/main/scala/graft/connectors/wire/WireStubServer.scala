@@ -1,0 +1,307 @@
+package graft.connectors.wire
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** In-process HTTP stub speaking the reference connectors' REST
+  * dialects — the wire half the zero-egress sandbox otherwise can't
+  * exercise. One store, three façades:
+  *
+  *  - Qdrant: `PUT /collections/{c}`, `PUT /collections/{c}/points`,
+  *    `POST /collections/{c}/points/scroll` with
+  *    `{limit, offset, with_payload, with_vector}` returning
+  *    `{result: {points, next_page_offset}}`
+  *    (`export_vdf/qdrant_export.py:119-137` scroll contract,
+  *    `import_vdf/qdrant_import.py:311-343` upsert batches);
+  *  - Pinecone: `POST /describe_index_stats`, `POST /vectors/list`
+  *    (paginationToken), `POST /vectors/fetch` (`{vectors: {id →
+  *    {id, values, metadata}}}`), `POST /vectors/upsert`
+  *    (`export_vdf/pinecone_export.py:501-599`,
+  *    `import_vdf/pinecone_import.py:163-164,267-276`);
+  *  - Chroma: `POST /api/v1/collections/{c}/add`,
+  *    `POST /api/v1/collections/{c}/get` with `{limit, offset,
+  *    include}` returning columnar `{ids, embeddings, metadatas,
+  *    documents}` (`export_vdf/chroma_export.py:134-141`).
+  *
+  * Fault injection drives the clients' adaptive-shrink retry exactly
+  * where the reference shrinks: `failNextWrites(n, code)` rejects the
+  * next n upserts (429/500), `failNextReads(n, code)` the next n
+  * scrolls/gets/fetches, and `maxUpsertBatch` rejects oversized
+  * batches with 413 — the payload-too-large class of failure that
+  * only a SMALLER retry cures. Every request is appended to
+  * `requestLog` (method, path, salient params) so specs assert the
+  * bytes-on-the-wire behavior: shrinking batch sizes, pruned-column
+  * flags (`with_vector=false`, `include` without embeddings), paging
+  * parameters.
+  */
+final class WireStubServer {
+  import WireJson._
+
+  // collection → (dims, insertion-ordered id → (vector, payload));
+  // last-wins upsert keeps the original position so offset paging is
+  // stable across overwrites, like a segment-ordered store
+  private val store = new java.util.LinkedHashMap[String,
+    (Int, java.util.LinkedHashMap[String, (Seq[Double], Map[String, String])])]()
+
+  val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val writeFails = new AtomicInteger(0)
+  @volatile private var writeFailCode = 500
+  private val readFails = new AtomicInteger(0)
+  @volatile private var readFailCode = 500
+  @volatile var maxUpsertBatch: Int = Int.MaxValue
+
+  def failNextWrites(n: Int, code: Int): Unit = {
+    writeFailCode = code; writeFails.set(n)
+  }
+  def failNextReads(n: Int, code: Int): Unit = {
+    readFailCode = code; readFails.set(n)
+  }
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  /** Base URL clients dial — an ephemeral localhost port. */
+  val url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  def stop(): Unit = server.stop(0)
+
+  def collectionSize(c: String): Int = synchronized {
+    Option(store.get(c)).map(_._2.size).getOrElse(0)
+  }
+
+  // ------------------------------------------------------------------
+
+  private def ensure(c: String, dims: Int): Unit = synchronized {
+    if (!store.containsKey(c))
+      store.put(c, (dims, new java.util.LinkedHashMap()))
+  }
+
+  private def upsert(c: String,
+      pts: Seq[(String, Seq[Double], Map[String, String])]): Unit =
+    synchronized {
+      val col = store.get(c)
+      require(col != null, s"no such collection $c")
+      pts.foreach { case (id, v, p) => col._2.put(id, (v, p)) }
+    }
+
+  private def page(c: String, offset: Int, limit: Int)
+      : Seq[(String, Seq[Double], Map[String, String])] = synchronized {
+    val col = store.get(c)
+    require(col != null, s"no such collection $c")
+    import scala.jdk.CollectionConverters._
+    col._2.entrySet().asScala.toSeq.slice(offset, offset + limit)
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+  }
+
+  private def byIds(c: String, ids: Seq[String])
+      : Seq[(String, Seq[Double], Map[String, String])] = synchronized {
+    val col = store.get(c)
+    require(col != null, s"no such collection $c")
+    ids.flatMap(id => Option(col._2.get(id)).map(v => (id, v._1, v._2)))
+  }
+
+  // ------------------------------------------------------------------
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+    ex.close()
+  }
+
+  private def injectRead(ex: HttpExchange): Boolean =
+    if (readFails.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, readFailCode, s"""{"status":"injected"}"""); true
+    } else false
+
+  private def injectWrite(ex: HttpExchange): Boolean =
+    if (writeFails.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+      respond(ex, writeFailCode, s"""{"status":"injected"}"""); true
+    } else false
+
+  private def asPoints(v: Any): Seq[Map[String, Any]] =
+    v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+
+  private def vec(v: Any): Seq[Double] =
+    v.asInstanceOf[Seq[Any]].map(x => x.asInstanceOf[Number].doubleValue())
+
+  private def pay(v: Any): Map[String, String] =
+    if (v == null) Map.empty
+    else v.asInstanceOf[Map[String, Any]].map { case (k, x) =>
+      k -> (if (x == null) null else x.toString)
+    }
+
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val json: Map[String, Any] =
+      if (body.isEmpty) Map.empty else parse(body)
+
+    (method, path.split("/").filter(_.nonEmpty).toList) match {
+      // -------------------------------------------------- Qdrant
+      case ("PUT", "collections" :: c :: Nil) =>
+        val dims = json.get("vectors")
+          .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+          .flatMap(_.get("size")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+        requestLog.add(s"PUT /collections/$c dims=$dims")
+        ensure(c, dims)
+        respond(ex, 200, s"""{"result":true,"status":"ok"}""")
+
+      case ("GET", "collections" :: c :: Nil) =>
+        requestLog.add(s"GET /collections/$c")
+        respond(ex, 200, write(Map("result" ->
+          Map("points_count" -> collectionSize(c)), "status" -> "ok")))
+
+      case ("PUT", "collections" :: c :: "points" :: Nil) =>
+        val pts = asPoints(json("points"))
+        requestLog.add(s"PUT /collections/$c/points n=${pts.size}")
+        if (injectWrite(ex)) return
+        if (pts.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"status":"payload too large"}"""); return
+        }
+        upsert(c, pts.map(p => (p("id").toString, vec(p("vector")),
+          pay(p.getOrElse("payload", null)))))
+        respond(ex, 200, s"""{"result":{"status":"completed"},"status":"ok"}""")
+
+      case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>
+        val limit = json("limit").asInstanceOf[Number].intValue()
+        val offset = json.get("offset").filter(_ != null)
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+        val withVec = json.get("with_vector").forall(_ == true)
+        val withPay = json.get("with_payload").forall(_ == true)
+        requestLog.add(s"POST /collections/$c/points/scroll limit=$limit " +
+          s"offset=$offset with_vector=$withVec with_payload=$withPay")
+        if (injectRead(ex)) return
+        val pts = page(c, offset, limit)
+        val next: Any =
+          if (offset + pts.size >= collectionSize(c)) null
+          else offset + pts.size
+        respond(ex, 200, write(Map("result" -> Map(
+          "points" -> pts.map { case (id, v, p) =>
+            Map("id" -> id) ++
+              (if (withVec) Map("vector" -> v) else Map.empty) ++
+              (if (withPay) Map("payload" -> p) else Map.empty)
+          },
+          "next_page_offset" -> next), "status" -> "ok")))
+
+      // ------------------------------------------------ Pinecone
+      case ("POST", "describe_index_stats" :: Nil) =>
+        val c = json.getOrElse("index", "default").toString
+        requestLog.add(s"POST /describe_index_stats index=$c")
+        respond(ex, 200, write(Map(
+          "namespaces" -> Map("" -> Map("vectorCount" -> collectionSize(c))),
+          "dimension" -> synchronized {
+            Option(store.get(c)).map(_._1).getOrElse(0)
+          })))
+
+      case ("POST", "vectors" :: "list" :: Nil) =>
+        val c = json.getOrElse("index", "default").toString
+        val limit = json("limit").asInstanceOf[Number].intValue()
+        val off = json.get("paginationToken").filter(_ != null)
+          .map(_.toString.toInt).getOrElse(0)
+        requestLog.add(s"POST /vectors/list index=$c limit=$limit token=$off")
+        if (injectRead(ex)) return
+        val pts = page(c, off, limit)
+        val next: Any =
+          if (off + pts.size >= collectionSize(c)) null
+          else (off + pts.size).toString
+        respond(ex, 200, write(Map(
+          "vectors" -> pts.map { case (id, _, _) => Map("id" -> id) },
+          "pagination" -> Map("next" -> next))))
+
+      case ("POST", "vectors" :: "fetch" :: Nil) =>
+        val c = json.getOrElse("index", "default").toString
+        val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
+        requestLog.add(s"POST /vectors/fetch index=$c n=${ids.size}")
+        if (injectRead(ex)) return
+        respond(ex, 200, write(Map("vectors" ->
+          byIds(c, ids).map { case (id, v, p) =>
+            id -> Map("id" -> id, "values" -> v, "metadata" -> p)
+          }.toMap)))
+
+      case ("POST", "vectors" :: "upsert" :: Nil) =>
+        val c = json.getOrElse("index", "default").toString
+        val pts = asPoints(json("vectors"))
+        requestLog.add(s"POST /vectors/upsert index=$c n=${pts.size}")
+        if (injectWrite(ex)) return
+        if (pts.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"status":"payload too large"}"""); return
+        }
+        ensure(c, pts.headOption.map(p => vec(p("values")).size).getOrElse(0))
+        upsert(c, pts.map(p => (p("id").toString, vec(p("values")),
+          pay(p.getOrElse("metadata", null)))))
+        respond(ex, 200, write(Map("upsertedCount" -> pts.size)))
+
+      // -------------------------------------------------- Chroma
+      case ("POST", "api" :: "v1" :: "collections" :: c :: "create" :: Nil) =>
+        requestLog.add(s"POST /api/v1/collections/$c/create")
+        ensure(c, 0)
+        respond(ex, 200, "true")
+
+      case ("GET", "api" :: "v1" :: "collections" :: c :: "count" :: Nil) =>
+        requestLog.add(s"GET /api/v1/collections/$c/count")
+        respond(ex, 200, collectionSize(c).toString)
+
+      case ("POST", "api" :: "v1" :: "collections" :: c :: "add" :: Nil) =>
+        val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
+        requestLog.add(s"POST /api/v1/collections/$c/add n=${ids.size}")
+        if (injectWrite(ex)) return
+        if (ids.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"status":"payload too large"}"""); return
+        }
+        val embs = json("embeddings").asInstanceOf[Seq[Any]].map(vec)
+        val metas = json.get("metadatas").filter(_ != null)
+          .map(_.asInstanceOf[Seq[Any]].map(pay))
+          .getOrElse(ids.map(_ => Map.empty[String, String]))
+        ensure(c, embs.headOption.map(_.size).getOrElse(0))
+        upsert(c, ids.lazyZip(embs).lazyZip(metas).map((i, e, m) => (i, e, m)))
+        respond(ex, 200, "true")
+
+      case ("POST", "api" :: "v1" :: "collections" :: c :: "get" :: Nil) =>
+        val limit = json("limit").asInstanceOf[Number].intValue()
+        val offset = json.get("offset").map(_.asInstanceOf[Number].intValue())
+          .getOrElse(0)
+        val include = json.get("include")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString))
+          .getOrElse(Seq("embeddings", "metadatas"))
+        requestLog.add(s"POST /api/v1/collections/$c/get limit=$limit " +
+          s"offset=$offset include=${include.mkString(",")}")
+        if (injectRead(ex)) return
+        val pts = page(c, offset, limit)
+        respond(ex, 200, write(Map(
+          "ids" -> pts.map(_._1),
+          "embeddings" ->
+            (if (include.contains("embeddings")) pts.map(_._2) else null),
+          "metadatas" ->
+            (if (include.contains("metadatas")) pts.map(_._3) else null),
+          "documents" -> null)))
+
+      case _ =>
+        requestLog.add(s"$method $path (404)")
+        respond(ex, 404, s"""{"error":"no route $method $path"}""")
+    }
+  } catch {
+    case e: Exception =>
+      respond(ex, 500, write(Map("error" -> String.valueOf(e.getMessage))))
+  }
+}
+
+/** Jackson helpers shared by the stub server and the wire clients —
+  * the same mapper stack `core/VdfMeta` uses. */
+object WireJson {
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+  def parse(s: String): Map[String, Any] =
+    mapper.readValue(s, classOf[Map[String, Any]])
+  def write(v: Any): String = mapper.writeValueAsString(v)
+}

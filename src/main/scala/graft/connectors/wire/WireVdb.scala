@@ -1,0 +1,248 @@
+package graft.connectors.wire
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+import graft.connectors.UpsertPolicy
+
+/** The DSv2 connector OVER THE WIRE: the same scan/write planning as
+  * `dsv2.InMemoryVdb`, but every fetch and upsert is a real HTTP
+  * request/response through a [[WireDialect]] (Qdrant scroll, Pinecone
+  * list+fetch, Chroma get — the REST shapes the reference's
+  * export/import classes speak). This is the "swap the server object
+  * for an HTTP client" step the in-memory connector's scaladoc
+  * promises, done:
+  *
+  *  - one `InputPartition` per page range → executors issue the page
+  *    requests concurrently, nothing flows through the driver;
+  *  - column pruning reaches the WIRE, not just the plan: a scan that
+  *    doesn't need vectors sends `with_vector=false` / an `include`
+  *    list without `embeddings`, so the service never serializes the
+  *    heaviest field (the difference between shipping 4 KB and 40 B
+  *    per point at 100 TB);
+  *  - `SupportsPushDownLimit` caps the pages planned;
+  *  - the writer buffers per task and flushes through
+  *    `UpsertPolicy.batchedWithShrink` — a 429/500/413 shrinks the
+  *    batch ×2/3 and re-splits the FAILED rows at the new size
+  *    (`pinecone_import.py:267-276`), so an injected fault storm
+  *    degrades throughput instead of failing the job.
+  *
+  * Wire row shape: `id string, vector array<double>,
+  * payload map<string,string>` — the least common denominator all
+  * three dialects share on the wire.
+  */
+object WireVdb {
+  val Format = "graft.connectors.wire.WireVdbProvider"
+
+  val Schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("vector", ArrayType(DoubleType), nullable = true),
+    StructField("payload", MapType(StringType, StringType), nullable = true)))
+
+  def read(spark: SparkSession, dialect: String, url: String,
+      collection: String, batchSize: Int = 1000): DataFrame =
+    spark.read.format(Format)
+      .option("dialect", dialect).option("url", url)
+      .option("collection", collection)
+      .option("batchSize", batchSize.toString).load()
+
+  def write(df: DataFrame, dialect: String, url: String,
+      collection: String, batchSize: Int = 1000): Unit =
+    df.write.format(Format)
+      .option("dialect", dialect).option("url", url)
+      .option("collection", collection)
+      .option("batchSize", batchSize.toString)
+      .mode("append").save()
+}
+
+class WireVdbProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WireVdb.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WireTable(
+      WireDialect(properties.get("dialect"), properties.get("url")),
+      properties.get("collection"))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+final class WireTable(dialect: WireDialect, collection: String)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"wirevdb:$collection"
+  override def schema(): StructType = WireVdb.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WireScanBuilder(dialect, collection,
+      options.getInt("batchSize", 1000))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(
+      info.schema().fields.map(f => (f.name, f.dataType.catalogString)).toSeq ==
+        WireVdb.Schema.fields.map(f => (f.name, f.dataType.catalogString)).toSeq,
+      s"wire upsert needs schema ${WireVdb.Schema.simpleString}, " +
+        s"got ${info.schema().simpleString}")
+    val batchSize = info.options().getInt("batchSize", 1000)
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              i: PhysicalWriteInfo): DataWriterFactory =
+            new WireWriterFactory(dialect, collection, batchSize)
+          override def commit(m: Array[WriterCommitMessage]): Unit = ()
+          override def abort(m: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+final class WireWriterFactory(dialect: WireDialect, collection: String,
+    batchSize: Int) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val toScala =
+        CatalystTypeConverters.createToScalaConverter(WireVdb.Schema)
+      private val buf = scala.collection.mutable.ArrayBuffer[WirePoint]()
+      private def flush(): Unit = if (buf.nonEmpty) {
+        // the reference's shrink loop at the wire: a 429/500/413 shrinks
+        // ×2/3 and re-splits the failed rows before the retry
+        UpsertPolicy.batchedWithShrink(buf.iterator, batchSize) { batch =>
+          dialect.upsertOnce(collection, batch)
+        }
+        buf.clear()
+      }
+      override def write(record: InternalRow): Unit = {
+        val r = toScala(record.copy()).asInstanceOf[Row]
+        buf += WirePoint(r.getString(0),
+          Option(r.getSeq[Double](1)).getOrElse(Seq.empty),
+          Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+        if (buf.size >= batchSize) flush()
+      }
+      override def commit(): WriterCommitMessage = {
+        flush(); new WriterCommitMessage {}
+      }
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
+
+final class WireScanBuilder(dialect: WireDialect, collection: String,
+    batchSize: Int) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+  private var required: StructType = WireVdb.Schema
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = false
+  override def build(): Scan =
+    new WireScan(dialect, collection, required, batchSize, limit)
+}
+
+final case class WirePartition(offset: Long, limit: Int) extends InputPartition
+
+object WireScan {
+  /** Read the page range with the reference's ADAPTIVE-FETCH retry
+    * (`qdrant_export.py:119-137` try_scroll shrinks ×2/3 on error;
+    * `pinecone_export.py:543-552` shrinks ×3/4): a retryable failure
+    * (429/5xx) shrinks the per-request fetch size and re-requests the
+    * SAME offset — rows are neither lost nor duplicated because the
+    * offsets are absolute. Local task retry can't be assumed
+    * (local[n] runs with maxFailures=1), and at cluster scale a
+    * client-side shrink beats failing a whole task over one throttled
+    * page. Gives up after 3 consecutive failures at fetch size 1. */
+  def fetchRange(d: WireDialect, c: String, offset: Long, limit: Int,
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    val out = scala.collection.mutable.ArrayBuffer[WirePoint]()
+    val end = offset + limit
+    var off = offset
+    var fetch = limit
+    var failures = 0
+    while (off < end) {
+      val want = math.min(fetch.toLong, end - off).toInt
+      try {
+        val pts = d.fetchPage(c, off, want, wantVector, wantPayload)
+        out ++= pts
+        off += pts.size
+        failures = 0
+        if (pts.size < want) return out.toSeq // collection exhausted
+      } catch {
+        case WireHttpError(code, _) if code == 429 || code >= 500 =>
+          if (fetch > 1) fetch = math.max(1, fetch * 2 / 3)
+          else {
+            failures += 1
+            if (failures >= 3)
+              throw WireHttpError(code,
+                s"page at offset $off failed 3 times at fetch size 1")
+          }
+      }
+    }
+    out.toSeq
+  }
+}
+
+final class WireScan(dialect: WireDialect, collection: String,
+    required: StructType, batchSize: Int, limit: Option[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WireVdbScan($collection via $dialect, " +
+      s"columns=${required.fieldNames.mkString(",")}, " +
+      s"limit=${limit.getOrElse(-1)})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = limit.map(l => math.min(l.toLong, dialect.count(collection)))
+      .getOrElse(dialect.count(collection))
+    if (total == 0) return Array.empty
+    (0L until total by batchSize.toLong).map { off =>
+      WirePartition(off, math.min(batchSize.toLong, total - off).toInt)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val schema = required
+    val wantVector = schema.fieldNames.contains("vector")
+    val wantPayload = schema.fieldNames.contains("payload")
+    val d = dialect
+    val c = collection
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[WirePartition]
+      new PartitionReader[InternalRow] {
+        private val converter =
+          CatalystTypeConverters.createToCatalystConverter(schema)
+        // the HTTP page requests happen ON the executor, pruned flags
+        // on the wire, with the reference's shrink-on-error read retry
+        private val it = WireScan.fetchRange(
+          d, c, p.offset, p.limit, wantVector, wantPayload).iterator
+        private var current: InternalRow = _
+        override def next(): Boolean = {
+          if (!it.hasNext) return false
+          val pt = it.next()
+          current = converter(Row.fromSeq(schema.fieldNames.toSeq.map {
+            case "id" => pt.id
+            case "vector" => pt.vector
+            case "payload" => pt.payload
+          })).asInstanceOf[InternalRow]
+          true
+        }
+        override def get(): InternalRow = current
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
