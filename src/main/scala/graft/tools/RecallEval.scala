@@ -82,6 +82,36 @@ object RecallEval {
       val r = recall(topSet(run()))
       println(f"$label%-28s recall@$k = $r%.3f")
     }
+
+    // ---- filtered ANN (Ivf.searchWhere): recall vs the FILTERED
+    // exact top-k. A selective predicate thins every probed list, so
+    // at fixed nprobe the candidate pool shrinks and recall drops —
+    // the dial a filtered vector query tunes by raising nprobe.
+    // Ground truth is brute force over the qualifying vectors only
+    // (pre-filter semantics, same as searchWhere's contract).
+    def recallVs(exactF: Map[Long, Set[Long]],
+        approx: Map[Long, Set[Long]]): Double =
+      exactF.map { case (qid, ex) =>
+        if (ex.isEmpty) 1.0
+        else approx.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
+      }.sum / exactF.size
+
+    val ivfIx = Ivf.build(e, "vec_id", "embedding", nlist = 8)
+    val preds = Seq(
+      ("sel~10%", graft.ops.Mixture.bucket("vec_id") < 26),
+      ("sel~1%", graft.ops.Mixture.bucket("vec_id") < 3))
+    for ((plabel, pred) <- preds) {
+      val qualifying = cands.filter(pred)
+      val nQual = qualifying.count()
+      val exactF = topSet(Knn.bruteForceTopK(q, qualifying, k))
+      for (nprobe <- Seq(2, 4, 8)) {
+        val r = recallVs(exactF,
+          topSet(Ivf.searchWhere(ivfIx, q, k, nprobe, pred)
+            .select(col("q_id"), col("vec_id"))))
+        println(f"ivf filtered $plabel nlist=8 nprobe=$nprobe%-2d " +
+          f"(n=$nQual) recall@$k = $r%.3f")
+      }
+    }
     spark.stop()
   }
 }
