@@ -214,8 +214,63 @@ object Cli {
         |graft help <command> prints per-command help.""".stripMargin
   }
 
-  def run(spark: SparkSession, argv: Seq[String]): Int = {
-    val args = parseArgs(argv)
+  /** Per-command required-argument prompts — the reference threads
+    * `set_arg_from_input` through every connector's arg handling
+    * (`util.py:83-138`); here the declarations live in ONE table and
+    * fire only in an interactive session (TTY attached or
+    * GRAFT_INTERACTIVE=1), so batch runs keep fail-fast behavior. */
+  private val requiredPrompts: Map[String, Seq[Prompts.Ask]] = {
+    import Prompts.Ask
+    Map(
+      "export" -> Seq(
+        Ask("db", "Enter the DB connector", default = Some("mock"),
+          choices = Some(Seq("mock"))),
+        Ask("db_root", "Enter the connector root directory: ",
+          envVar = Some("GRAFT_DB_ROOT")),
+        Ask("out", "Enter the output VDF directory: ")),
+      "import" -> Seq(
+        Ask("db", "Enter the DB connector", default = Some("mock"),
+          choices = Some(Seq("mock"))),
+        Ask("db_root", "Enter the connector root directory: ",
+          envVar = Some("GRAFT_DB_ROOT")),
+        Ask("dir", "Enter the VDF dataset directory: ")),
+      "reembed" -> Seq(
+        Ask("dir", "Enter the VDF dataset directory: "),
+        Ask("index", "Enter the index name: "),
+        Ask("model", "Enter the embedding model name: "),
+        Ask("text_column", "Enter the text column(s): ")),
+      "consolidate" -> Seq(
+        Ask("dir", "Enter the VDF dataset directory: "),
+        Ask("index", "Enter the index name: ")),
+      "count" -> Seq(Ask("dir", "Enter the VDF dataset directory: ")),
+      "id-list" -> Seq(
+        Ask("dir", "Enter the VDF dataset directory: "),
+        Ask("out", "Enter the output id-list file: ")),
+      "dedup" -> Seq(
+        Ask("in", "Enter the input parquet directory: "),
+        Ask("out", "Enter the output parquet directory: ")),
+      "search" -> Seq(
+        Ask("in", "Enter the input parquet directory: ")),
+      "mixture" -> Seq(
+        Ask("in", "Enter the input parquet directory: "),
+        Ask("out", "Enter the output parquet directory: ")))
+  }
+
+  def run(spark: SparkSession, argv: Seq[String]): Int =
+    run(spark, argv, if (Prompts.interactive) Some(Prompts.ConsoleIO) else None)
+
+  /** `io`: Some(terminal) enables interactive completion of missing
+    * required args before dispatch; None is the batch path. */
+  def run(spark: SparkSession, argv: Seq[String],
+      io: Option[Prompts.IO]): Int = {
+    val parsed = parseArgs(argv)
+    val args = (parsed.positional, io) match {
+      case (cmd :: Nil, Some(term))
+          if !parsed.flags.contains("help") && requiredPrompts.contains(cmd) =>
+        parsed.copy(flags =
+          Prompts.fill(parsed.flags, requiredPrompts(cmd), term))
+      case _ => parsed
+    }
     args.positional match {
       case "help" :: rest =>
         println(helpText(rest.headOption.getOrElse("")))
