@@ -51,7 +51,7 @@ object Cli {
 
   val commands: Seq[String] =
     Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup",
-      "search", "mixture")
+      "search", "mixture", "bump-version", "version-check")
 
   /** Frozen per-command help transcripts, mirroring the reference's
     * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
@@ -194,6 +194,23 @@ object Cli {
         |  --source_column C    source column (default: source)
         |  --id_column C        id column (default: doc_id)
         |  --text_column C      text column for --budget (default: text)""".stripMargin
+    case "bump-version" =>
+      """usage: graft bump-version [--file build.sbt] [--part patch]
+        |
+        |Bump the version assignment (version := "x.y.z") in a build
+        |file, with the standard reset rules: a major bump zeroes minor
+        |and patch, a minor bump zeroes patch.
+        |
+        |  --file FILE   build file to rewrite (default: build.sbt)
+        |  --part P      major | minor | patch (default: patch)""".stripMargin
+    case "version-check" =>
+      """usage: graft version-check [--current X.Y.Z] [--latest X.Y.Z]
+        |
+        |Print an upgrade hint when the current version's MAJOR.MINOR
+        |trails the latest release's; patch releases never nag. With no
+        |--current, the version is read from build.sbt. The latest
+        |version comes from --latest or $GRAFT_LATEST_VERSION (this
+        |build has no network); with neither, the check is silent.""".stripMargin
     case _ =>
       s"""usage: graft <${commands.mkString("|")}> [--flags]
         |  export      --db mock --db_root DIR --out VDF_DIR [--max_file_rows N]
@@ -210,6 +227,8 @@ object Cli {
         |              [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2] [--filter EXPR]
         |  mixture     --in PARQUET_DIR --out PARQUET_DIR [--weights SRC=W,...]
         |              [--epochs SRC=E,...] [--budget N] [--shuffle S] [--default_weight 1]
+        |  bump-version  [--file build.sbt] [--part major|minor|patch]
+        |  version-check [--current X.Y.Z] [--latest X.Y.Z]
         |
         |graft help <command> prints per-command help.""".stripMargin
   }
@@ -287,6 +306,8 @@ object Cli {
       case "dedup" :: Nil => cmdDedup(spark, args)
       case "search" :: Nil => cmdSearch(spark, args)
       case "mixture" :: Nil => cmdMixture(spark, args)
+      case "bump-version" :: Nil => cmdBumpVersion(args)
+      case "version-check" :: Nil => cmdVersionCheck(args)
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println(helpText(""))
@@ -685,6 +706,51 @@ object Cli {
     println(s"mixture(${stages.reverse.mkString(" -> ")}): " +
       s"$inPart$n1 rows -> ${a.flags("out")}")
     0
+  }
+
+  /** `bump_version.py` for the sbt layout: rewrite the version
+    * assignment in place with the reference's reset rules. */
+  private def cmdBumpVersion(a: Args): Int = {
+    val file = a.flags.getOrElse("file", "build.sbt")
+    val part = a.flags.getOrElse("part", "patch")
+    val p = java.nio.file.Paths.get(file)
+    if (!java.nio.file.Files.isRegularFile(p)) {
+      System.err.println(s"bump-version: no such file $file")
+      return 2
+    }
+    Versioning.bump(java.nio.file.Files.readString(p), part) match {
+      case Left(err) =>
+        System.err.println(s"bump-version: $err"); 2
+      case Right((content, old, next)) =>
+        java.nio.file.Files.writeString(p, content)
+        println(s"Updated version: $old -> $next ($file)")
+        0
+    }
+  }
+
+  /** `check_for_updates.py` without the network: latest arrives via
+    * --latest / $GRAFT_LATEST_VERSION; silent when absent, exactly
+    * like the reference when its PyPI request fails. */
+  private def cmdVersionCheck(a: Args): Int = {
+    val current = a.flags.get("current").orElse {
+      val p = java.nio.file.Paths.get("build.sbt")
+      if (java.nio.file.Files.isRegularFile(p))
+        Versioning.bump(java.nio.file.Files.readString(p), "patch")
+          .toOption.map(_._2)
+      else None
+    }
+    val latest = a.flags.get("latest")
+      .orElse(sys.env.get("GRAFT_LATEST_VERSION"))
+    (current, latest) match {
+      case (Some(c), Some(l)) =>
+        Versioning.updateMessage(c, l).foreach(println)
+        0
+      case (None, _) =>
+        System.err.println(
+          "version-check: no --current and no build.sbt version found")
+        2
+      case _ => 0 // no latest source: silent, like a failed fetch
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
