@@ -150,22 +150,22 @@ object QueriesExt6 {
 
   /** Robust outlier detection per event type: median/MAD z-score
     * (|value − median| > 3 × 1.4826 × MAD), reported as per-group
-    * counts. Two percentile aggregations (median, then median absolute
-    * deviation) — exact here; at extreme scale both swap for
-    * approx_percentile (mergeable sketch) without changing the shape. */
+    * counts. The median and the median-absolute-deviation are
+    * inherently sequential (MAD needs the median), but they don't need
+    * JOINS: both run as whole-partition window aggregates over the
+    * SAME `event_type` partitioning, so the corpus is exchanged ONCE
+    * and the final per-group summary rides that partitioning
+    * exchange-free (the r6 form re-joined the corpus against each tiny
+    * aggregate — two corpus-scale joins and three exchanges). Exact
+    * percentile here; at extreme scale both swap for approx_percentile
+    * (mergeable sketch) without changing the shape — and a skewed
+    * event_type salts like q_salted_agg. */
   private def qOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events").select(col("event_type"), col("value"))
-    // med/mad are one row per event_type; explicit broadcast hints were
-    // MEASURED SLOWER below the size gate (each build is its own
-    // sequential job where the un-hinted form is one pipelined DAG),
-    // and at scale AQE converts the tiny aggregates at runtime
-    val med = ev.groupBy("event_type")
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    val dev = ev.join(med, "event_type")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    t(s, dir, "events").select(col("event_type"), col("value"))
+      .withColumn("med", expr("percentile(value, 0.5)").over(w))
       .withColumn("dev", abs(col("value") - col("med")))
-    val mad = dev.groupBy("event_type")
-      .agg(expr("percentile(dev, 0.5)").as("mad"))
-    dev.join(mad, "event_type")
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(w))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(when(col("dev") > col("mad") * 3 * 1.4826, 1L).otherwise(0L))
