@@ -187,6 +187,53 @@ final case class ChromaWire(base: String) extends WireDialect {
       "metadatas" -> points.map(_.payload))))
 }
 
+/** Vespa's Document API over the wire — NOT a [[WireDialect]]: its
+  * pagination is an OPAQUE continuation token (no offset seek), so the
+  * scan side plugs into the engine's continuation-chain machinery
+  * (`Adapters.Vespa.scan` → `PaginatedScan.byContinuation`, one Spark
+  * partition walking one schema's chain on an executor) instead of the
+  * offset-partitioned DSv2 scan. URL synthesis is the adapter's
+  * (`Adapters.Vespa.visitUrl`/`feedUrl` — `marqo_vespa_util.py:66-95`),
+  * so the exact strings the struct-level specs froze are what goes on
+  * the wire. Visits retry up to 3× on 429/5xx with the SAME token
+  * (tokens are idempotent reads). */
+final case class VespaWire(base: String) extends Serializable {
+  import graft.connectors.Adapters
+
+  def feed(schema: String, docs: Seq[(String, Map[String, String])]): Unit =
+    docs.foreach { case (id, fields) =>
+      WireHttp.put(Adapters.Vespa.feedUrl(base, schema, id),
+        WireJson.write(Map("fields" -> fields)))
+    }
+
+  def visit(schema: String, continuation: Option[String],
+      wanted: Int = 100): Adapters.VespaVisitPage = {
+    val url = Adapters.Vespa.visitUrl(base, schema, stream = false,
+      continuation) + s"&wantedDocumentCount=$wanted"
+    var attempt = 0
+    while (true) {
+      try {
+        val rsp = WireJson.parse(WireHttp.get(url))
+        return Adapters.VespaVisitPage(
+          rsp("pathId").toString,
+          rsp("documents").asInstanceOf[Seq[Any]].map { d0 =>
+            val d = d0.asInstanceOf[Map[String, Any]]
+            Adapters.VespaDoc(d("id").toString,
+              d.get("fields").map(_.asInstanceOf[Map[String, Any]])
+                .getOrElse(Map.empty))
+          },
+          rsp("documentCount").asInstanceOf[Number].longValue(),
+          rsp.get("continuation").map(_.toString))
+      } catch {
+        case WireHttpError(code, _) if (code == 429 || code >= 500) &&
+            attempt < 3 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 object WireDialect {
   def apply(name: String, base: String): WireDialect = name match {
     case "qdrant" => QdrantWire(base)

@@ -283,6 +283,44 @@ final class WireStubServer {
             (if (include.contains("metadatas")) pts.map(_._3) else null),
           "documents" -> null)))
 
+      // --------------------------------------------------- Vespa
+      // Document API (`marqo_vespa_util.py:66-95` visit contract;
+      // public /document/v1 shape): the path doubles the schema name,
+      // pagination is an OPAQUE continuation token, and feed is one
+      // id-addressed PUT per document.
+      case ("PUT", "document" :: "v1" :: sch :: _ :: "docid" :: id :: Nil) =>
+        requestLog.add(s"PUT /document/v1/$sch/$sch/docid/$id")
+        if (injectWrite(ex)) return
+        val fields = json.get("fields")
+          .map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+        ensure(sch, 0)
+        upsert(sch, Seq((id, Seq.empty, pay(fields))))
+        respond(ex, 200, write(Map(
+          "id" -> s"id:$sch:$sch::$id",
+          "pathId" -> s"/document/v1/$sch/$sch/docid/$id")))
+
+      case ("GET", "document" :: "v1" :: sch :: _ :: "docid" :: Nil) =>
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+        val wanted = params.get("wantedDocumentCount")
+          .flatMap(_.toIntOption).getOrElse(100)
+        val off = params.get("continuation")
+          .map(_.stripPrefix("c")).flatMap(_.toIntOption).getOrElse(0)
+        requestLog.add(s"GET /document/v1/$sch/$sch/docid " +
+          s"wanted=$wanted continuation=${params.getOrElse("continuation", "-")}")
+        if (injectRead(ex)) return
+        val pts = page(sch, off, wanted)
+        val more = off + pts.size < collectionSize(sch)
+        respond(ex, 200, write(Map(
+          "pathId" -> s"/document/v1/$sch/$sch/docid",
+          "documents" -> pts.map { case (id, _, p) =>
+            Map("id" -> s"id:$sch:$sch::$id", "fields" -> p)
+          },
+          "documentCount" -> pts.size) ++
+          (if (more) Map("continuation" -> s"c${off + pts.size}")
+           else Map.empty)))
+
       case _ =>
         requestLog.add(s"$method $path (404)")
         respond(ex, 404, s"""{"error":"no route $method $path"}""")

@@ -158,6 +158,51 @@ class AdapterWireSpec extends SparkSpec {
       s"${scrolls.size} pages requested for a 120-row limit")
   }
 
+  test("vespa visit/feed: continuation-token chain over real HTTP, executor-side") {
+    val sch = "vespa_docs"
+    val wire = VespaWire(server.url)
+    // feed 250 docs — one id-addressed PUT each, the adapter's feedUrl
+    wire.feed(sch, (0 until 250).map(i =>
+      (s"d$i", Map("title" -> s"doc $i", "rank" -> i.toString))))
+    assert(server.collectionSize(sch) == 250)
+    resetLog()
+    // visit chain through the SAME machinery the struct-level adapter
+    // uses (PaginatedScan.byContinuation): pages of 60 → 5 pages,
+    // tokens passed back verbatim, chain walked on an executor
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("title",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.StringType)))
+    // capture only the URL string: the server object itself must not
+    // ride into the task closure
+    val base = server.url
+    val df = Adapters.Vespa.scan(spark, schema, Seq(sch))(
+      (s, tok) => VespaWire(base).visit(s, tok, wanted = 60))
+    val rows = df.collect()
+    assert(rows.length == 250)
+    assert(rows.map(_.getString(0)).toSet.size == 250)
+    assert(rows.forall(r => r.getString(1).startsWith("doc ")))
+    val visits = log.filter(_.contains(s"/document/v1/$sch/$sch/docid "))
+    assert(visits.size == 5, visits.mkString("\n"))
+    // the chain: first request has no token, later ones echo c60/c120...
+    assert(visits.head.contains("continuation=-"))
+    assert(visits.tail.zipWithIndex.forall { case (v, i) =>
+      v.contains(s"continuation=c${(i + 1) * 60}") }, visits.mkString("\n"))
+
+    // injected 500 mid-chain: the SAME token is retried (idempotent
+    // read), no rows lost or duplicated
+    resetLog()
+    server.failNextReads(2, 500)
+    val again = Adapters.Vespa.scan(spark, schema, Seq(sch))(
+      (s, tok) => VespaWire(base).visit(s, tok, wanted = 60))
+      .collect()
+    assert(again.length == 250)
+    assert(again.map(_.getString(0)).toSet.size == 250)
+  }
+
   test("the wire path round-trips a frame shaped by the per-DB adapters") {
     // end-to-end with the Adapters layer: shape a vectors+metadata
     // frame the way the Pinecone importer does, then push it over HTTP
