@@ -57,6 +57,11 @@ sealed trait WireDialect extends Serializable {
     * dialect's pruning flags (scroll's with_vector / get's include). */
   def fetchPage(collection: String, offset: Long, limit: Int,
       wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint]
+  /** Targeted retrieve — the wire form an id-equality/IN pushdown
+    * lands on (Qdrant points-retrieve, Pinecone fetch, Chroma get
+    * with ids). Ids absent from the collection simply don't return. */
+  def fetchByIds(collection: String, ids: Seq[String],
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint]
   def upsertOnce(collection: String, points: Seq[WirePoint]): Unit
 }
 
@@ -103,6 +108,19 @@ final case class QdrantWire(base: String) extends WireDialect {
       }
   }
 
+  override def fetchByIds(c: String, ids: Seq[String],
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    // qdrant's points-retrieve: POST /collections/{c}/points with ids
+    val rsp = WireHttp.post(s"$base/collections/$c/points/retrieve",
+      WireJson.write(Map("ids" -> ids,
+        "with_vector" -> wantVector, "with_payload" -> wantPayload)))
+    rsp("result").asInstanceOf[Seq[Any]].map { p0 =>
+      val p = p0.asInstanceOf[Map[String, Any]]
+      WirePoint(p("id").toString, Decode.vec(p.getOrElse("vector", null)),
+        Decode.pay(p.getOrElse("payload", null)))
+    }
+  }
+
   override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =
     WireHttp.put(s"$base/collections/$c/points", WireJson.write(Map(
       "points" -> points.map(p => Map("id" -> p.id, "vector" -> p.vector,
@@ -135,6 +153,19 @@ final case class PineconeWire(base: String) extends WireDialect {
     // dividend of the list→fetch composition
     if (!wantVector && !wantPayload)
       return ids.map(WirePoint(_, Seq.empty, Map.empty))
+    val fetched = WireHttp.post(s"$base/vectors/fetch", WireJson.write(Map(
+        "index" -> c, "ids" -> ids)))("vectors")
+      .asInstanceOf[Map[String, Any]]
+    ids.flatMap(id => fetched.get(id).map { v0 =>
+      val v = v0.asInstanceOf[Map[String, Any]]
+      WirePoint(id, Decode.vec(v.getOrElse("values", null)),
+        Decode.pay(v.getOrElse("metadata", null)))
+    })
+  }
+
+  override def fetchByIds(c: String, ids: Seq[String],
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    if (ids.isEmpty) return Seq.empty
     val fetched = WireHttp.post(s"$base/vectors/fetch", WireJson.write(Map(
         "index" -> c, "ids" -> ids)))("vectors")
       .asInstanceOf[Map[String, Any]]
@@ -178,6 +209,22 @@ final case class ChromaWire(base: String) extends WireDialect {
       .map(_.asInstanceOf[Seq[Any]].map(Decode.pay))
       .getOrElse(ids.map(_ => Map.empty[String, String]))
     ids.lazyZip(embs).lazyZip(metas).map(WirePoint(_, _, _))
+  }
+
+  override def fetchByIds(c: String, ids: Seq[String],
+      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+    val include = (if (wantVector) Seq("embeddings") else Nil) ++
+      (if (wantPayload) Seq("metadatas") else Nil)
+    val rsp = WireHttp.post(s"$base/api/v1/collections/$c/get",
+      WireJson.write(Map("ids" -> ids, "include" -> include)))
+    val got = rsp("ids").asInstanceOf[Seq[Any]].map(_.toString)
+    val embs = Option(rsp.getOrElse("embeddings", null))
+      .map(_.asInstanceOf[Seq[Any]].map(Decode.vec))
+      .getOrElse(got.map(_ => Seq.empty[Double]))
+    val metas = Option(rsp.getOrElse("metadatas", null))
+      .map(_.asInstanceOf[Seq[Any]].map(Decode.pay))
+      .getOrElse(got.map(_ => Map.empty[String, String]))
+    got.lazyZip(embs).lazyZip(metas).map(WirePoint(_, _, _))
   }
 
   override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =

@@ -170,6 +170,20 @@ final class WireStubServer {
           pay(p.getOrElse("payload", null)))))
         respond(ex, 200, s"""{"result":{"status":"completed"},"status":"ok"}""")
 
+      case ("POST", "collections" :: c :: "points" :: "retrieve" :: Nil) =>
+        val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
+        val withVec = json.get("with_vector").forall(_ == true)
+        val withPay = json.get("with_payload").forall(_ == true)
+        requestLog.add(s"POST /collections/$c/points/retrieve n=${ids.size} " +
+          s"with_vector=$withVec with_payload=$withPay")
+        if (injectRead(ex)) return
+        respond(ex, 200, write(Map("result" ->
+          byIds(c, ids).map { case (id, v, p) =>
+            Map("id" -> id) ++
+              (if (withVec) Map("vector" -> v) else Map.empty) ++
+              (if (withPay) Map("payload" -> p) else Map.empty)
+          }, "status" -> "ok")))
+
       case ("POST", "collections" :: c :: "points" :: "scroll" :: Nil) =>
         val limit = json("limit").asInstanceOf[Number].intValue()
         val offset = json.get("offset").filter(_ != null)
@@ -265,16 +279,28 @@ final class WireStubServer {
         respond(ex, 200, "true")
 
       case ("POST", "api" :: "v1" :: "collections" :: c :: "get" :: Nil) =>
-        val limit = json("limit").asInstanceOf[Number].intValue()
-        val offset = json.get("offset").map(_.asInstanceOf[Number].intValue())
-          .getOrElse(0)
         val include = json.get("include")
           .map(_.asInstanceOf[Seq[Any]].map(_.toString))
           .getOrElse(Seq("embeddings", "metadatas"))
-        requestLog.add(s"POST /api/v1/collections/$c/get limit=$limit " +
-          s"offset=$offset include=${include.mkString(",")}")
-        if (injectRead(ex)) return
-        val pts = page(c, offset, limit)
+        // real Chroma: an `ids` param switches get from paging to a
+        // targeted retrieve
+        val idsParam = json.get("ids").filter(_ != null)
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString))
+        val pts = idsParam match {
+          case Some(ids) =>
+            requestLog.add(s"POST /api/v1/collections/$c/get " +
+              s"ids=${ids.size} include=${include.mkString(",")}")
+            if (injectRead(ex)) return
+            byIds(c, ids)
+          case None =>
+            val limit = json("limit").asInstanceOf[Number].intValue()
+            val offset = json.get("offset")
+              .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+            requestLog.add(s"POST /api/v1/collections/$c/get limit=$limit " +
+              s"offset=$offset include=${include.mkString(",")}")
+            if (injectRead(ex)) return
+            page(c, offset, limit)
+        }
         respond(ex, 200, write(Map(
           "ids" -> pts.map(_._1),
           "embeddings" ->

@@ -141,16 +141,48 @@ final class WireWriterFactory(dialect: WireDialect, collection: String,
 
 final class WireScanBuilder(dialect: WireDialect, collection: String,
     batchSize: Int) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
   private var required: StructType = WireVdb.Schema
   private var limit: Option[Int] = None
+  private var idSet: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = false
+
+  /** Push id-equality/IN down to the DIALECT's targeted retrieve
+    * (Qdrant points-retrieve / Pinecone fetch / Chroma get-with-ids):
+    * `filter(col("id").isin(...))` becomes a handful of id-batched
+    * wire calls instead of paging the whole collection — the
+    * reference's id-subset import path (`--id_list`,
+    * `vdf_import_cls.py` id filters) done at the source. Everything
+    * else stays a residual for Spark to apply post-scan. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (pushable, residual) = filters.partition {
+      case EqualTo("id", _: String) => true
+      case In("id", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    if (pushable.nonEmpty) {
+      // intersect multiple id constraints (rare but well-defined)
+      val sets = pushable.map {
+        case EqualTo("id", v: String) => Seq(v)
+        case In("id", vs) => vs.toSeq.map(_.asInstanceOf[String])
+      }
+      idSet = Some(sets.reduce(_ intersect _))
+    }
+    residual
+  }
+  override def pushedFilters(): Array[Filter] =
+    idSet.map(ids => Array[Filter](In("id", ids.toArray[Any])))
+      .getOrElse(Array.empty)
+
   override def build(): Scan =
-    new WireScan(dialect, collection, required, batchSize, limit)
+    new WireScan(dialect, collection, required, batchSize, limit, idSet)
 }
 
 final case class WirePartition(offset: Long, limit: Int) extends InputPartition
@@ -195,23 +227,32 @@ object WireScan {
   }
 }
 
+final case class WireIdPartition(ids: Seq[String]) extends InputPartition
+
 final class WireScan(dialect: WireDialect, collection: String,
-    required: StructType, batchSize: Int, limit: Option[Int])
+    required: StructType, batchSize: Int, limit: Option[Int],
+    idSet: Option[Seq[String]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"WireVdbScan($collection via $dialect, " +
       s"columns=${required.fieldNames.mkString(",")}, " +
-      s"limit=${limit.getOrElse(-1)})"
+      s"limit=${limit.getOrElse(-1)}, " +
+      s"pushedIds=${idSet.map(_.size).getOrElse(-1)})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val total = limit.map(l => math.min(l.toLong, dialect.count(collection)))
-      .getOrElse(dialect.count(collection))
-    if (total == 0) return Array.empty
-    (0L until total by batchSize.toLong).map { off =>
-      WirePartition(off, math.min(batchSize.toLong, total - off).toInt)
-    }.toArray
+  override def planInputPartitions(): Array[InputPartition] = idSet match {
+    case Some(ids) =>
+      // targeted retrieve: batched id shards, no paging at all
+      // (empty id set = contradictory filters → zero partitions)
+      ids.distinct.grouped(batchSize).map(WireIdPartition(_)).toArray
+    case None =>
+      val total = limit.map(l => math.min(l.toLong, dialect.count(collection)))
+        .getOrElse(dialect.count(collection))
+      if (total == 0) return Array.empty
+      (0L until total by batchSize.toLong).map { off =>
+        WirePartition(off, math.min(batchSize.toLong, total - off).toInt)
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -221,14 +262,19 @@ final class WireScan(dialect: WireDialect, collection: String,
     val d = dialect
     val c = collection
     (partition: InputPartition) => {
-      val p = partition.asInstanceOf[WirePartition]
       new PartitionReader[InternalRow] {
         private val converter =
           CatalystTypeConverters.createToCatalystConverter(schema)
-        // the HTTP page requests happen ON the executor, pruned flags
-        // on the wire, with the reference's shrink-on-error read retry
-        private val it = WireScan.fetchRange(
-          d, c, p.offset, p.limit, wantVector, wantPayload).iterator
+        // the HTTP requests happen ON the executor, pruned flags on
+        // the wire; pushed id sets use the targeted retrieve, pages
+        // use the shrink-on-error range fetch
+        private val it = (partition match {
+          case WireIdPartition(ids) =>
+            d.fetchByIds(c, ids, wantVector, wantPayload)
+          case p: WirePartition =>
+            WireScan.fetchRange(d, c, p.offset, p.limit,
+              wantVector, wantPayload)
+        }).iterator
         private var current: InternalRow = _
         override def next(): Boolean = {
           if (!it.hasNext) return false

@@ -158,6 +158,36 @@ class AdapterWireSpec extends SparkSpec {
       s"${scrolls.size} pages requested for a 120-row limit")
   }
 
+  test("id IN (...) pushes down to a targeted retrieve — no paging on the wire") {
+    for ((d, c) <- Seq(("qdrant", "idpush_q"), ("pinecone", "idpush_p"),
+        ("chroma", "idpush_c"))) {
+      WireDialect(d, server.url).create(c, 3)
+      WireVdb.write(points(500, c), d, server.url, c, batchSize = 250)
+      resetLog()
+      val wanted = Seq(s"$c-3", s"$c-250", s"$c-499", s"$c-absent")
+      val got = WireVdb.read(spark, d, server.url, c, batchSize = 100)
+        .filter(col("id").isin(wanted: _*))
+        .collect()
+      // absent ids just don't return; present ones carry full rows
+      assert(got.map(_.getString(0)).toSet ==
+        Set(s"$c-3", s"$c-250", s"$c-499"), s"$d: ${got.mkString(",")}")
+      assert(got.forall(_.getSeq[Double](1).nonEmpty), s"$d lost vectors")
+      // the wire saw ONE targeted retrieve and ZERO page scans
+      val pages = log.filter(l => l.contains("scroll") ||
+        l.contains("/vectors/list") || l.contains("limit="))
+      assert(pages.isEmpty, s"$d paged despite id pushdown:\n" +
+        log.mkString("\n"))
+      val targeted = log.filter(l => l.contains("retrieve") ||
+        l.contains("/vectors/fetch") || l.contains("ids="))
+      assert(targeted.size == 1, s"$d targeted calls: $targeted")
+    }
+    // plan surface: the pushed filter is visible in the scan description
+    val desc = WireVdb.read(spark, "qdrant", server.url, "idpush_q", 100)
+      .filter(col("id") === "idpush_q-3")
+      .queryExecution.executedPlan.toString
+    assert(desc.contains("pushedIds=1"), desc)
+  }
+
   test("vespa visit/feed: continuation-token chain over real HTTP, executor-side") {
     val sch = "vespa_docs"
     val wire = VespaWire(server.url)
