@@ -91,16 +91,33 @@ object DupClusters {
     * 4M edges ≈ ~64 MB of driver arrays, far under any real driver's
     * headroom; pass 0 to force the distributed path.
     */
+  /** Per-round materialization: eager localCheckpoint by default (the
+    * round's edge set is read twice by the next round's two star
+    * joins), switched to a RELIABLE checkpoint by the same
+    * `graft.dedup.checkpointDir` session conf `Dedup.materialized`
+    * honors — on a real cluster a lost executor otherwise recomputes
+    * the whole round chain, and the chain is iterative so the
+    * recomputation compounds. */
+  private def roundCheckpoint(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("graft.dedup.checkpointDir")
+      .map(_.trim).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50, localEdgeThreshold: Long = 4L << 20): DataFrame = {
-    var e = canon(edges.select(col(aCol).as("a"), col(bCol).as("b")))
-      .localCheckpoint(true)
+    var e = roundCheckpoint(
+      canon(edges.select(col(aCol).as("a"), col(bCol).as("b"))))
     var prev = checksum(e)
     if (prev._1 <= localEdgeThreshold) return localUnionFind(e)
     var stable = false
     var i = 0
     while (!stable && i < maxIter) {
-      e = canon(smallStar(largeStar(e))).localCheckpoint(true)
+      e = roundCheckpoint(canon(smallStar(largeStar(e))))
       val cs = checksum(e)
       stable = cs == prev
       prev = cs

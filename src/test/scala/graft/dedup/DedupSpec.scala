@@ -281,6 +281,19 @@ class DedupSpec extends SparkSpec {
       }
       assert(files(new java.io.File(dir)).exists(_.isFile),
         s"no checkpoint files under $dir")
+      // the star rounds honor the same flag: force the distributed
+      // path so connectedComponents' per-round checkpoint runs
+      val edges = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, dfCap = 10, threshold = 0.3)
+      val comp = DupClusters.connectedComponents(edges, "doc_a", "doc_b",
+        localEdgeThreshold = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.unset("graft.dedup.checkpointDir")
+      val compBase = DupClusters.connectedComponents(edges, "doc_a", "doc_b",
+        localEdgeThreshold = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(comp == compBase,
+        "reliable-checkpoint star rounds changed the components")
     } finally spark.conf.unset("graft.dedup.checkpointDir")
   }
 }
