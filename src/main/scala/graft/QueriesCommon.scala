@@ -99,6 +99,19 @@ object QueriesCommon {
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
     }
+    // Shuffled-hash over sort-merge in the at-scale branch (round 7,
+    // tools/ShjProbe at 15.7 GiB): the q_join_agg spine's SMJ sorts
+    // spill in one JVM (75.9 s min-of-2) where the hash build streams
+    // the fact side unsorted (26.9 s — 2.8×; alternating same-window
+    // passes). preferSortMergeJoin=false only changes picks where a
+    // build side fits per partition (planner stats / AQE runtime
+    // sizes); joins SHJ can't serve (unbuildable sides) keep SMJ
+    // automatically. Trade-off carried in BASELINE §e: SMJ degrades
+    // by spilling, a mis-sized SHJ build degrades by failing — which
+    // is why this rides the SAME ≥1 GiB gate as AQE (whose runtime
+    // statistics and skew handling bound the build sizes) instead of
+    // being a blanket default.
+    s.conf.set("spark.sql.join.preferSortMergeJoin", (!atScale).toString)
     // The broadcast ceiling stays at Spark's 10 MB default in BOTH
     // regimes. A same-window A/B at 1.4 GiB tried raising it for the
     // at-scale branch: 64 MB converted q_semi_idlist's ~38 MB probe

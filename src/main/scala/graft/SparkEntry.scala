@@ -134,10 +134,16 @@ object SparkEntry {
 
   /** J4/J5/O2 id-set difference as a distributed anti-join
     * (`scripts/get_id_list.py:39-46` missing-id detection): orders that
-    * have no lineitem rows. */
+    * have no lineitem rows. The join is HINTED merge: a left-anti can
+    * only build its RIGHT side, and here that side is the fact table —
+    * the at-scale branch's shuffled-hash preference would hash-build
+    * 504M keys per the 15.7 GiB probe (15.8 → 69.7 s regression,
+    * BASELINE §e) where the sort-merge streams both sides. The hint
+    * encodes the structural fact; everywhere the build side is the
+    * small one, the branch-level SHJ preference stands. */
   private def qAntiMissing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(t(s, dir, "lineitem").select("l_orderkey"),
+      .join(t(s, dir, "lineitem").select("l_orderkey").hint("merge"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
