@@ -96,8 +96,14 @@ object QueriesExt11 {
     val qtok = tok.filter(col("doc") < 2)
       .select(col("doc").as("q_doc"), col("vec_id").as("q_tok"),
         col("embedding").as("q_vec"))
+    // coalesce(max, 0): a query doc missing a mod-8 slot contributes 0
+    // to the sum-of-maxes instead of nulling the whole score. The slot
+    // pivot additionally REQUIRES one token per slot (duplicates would
+    // collapse into one max) — guaranteed here because q_toks are the 8
+    // consecutive vec_ids of each query doc, so q_tok mod 8 is a
+    // bijection onto 0..7 per doc.
     val slotMax = (0 until 8).map(k =>
-      max(when(pmod(col("q_tok"), lit(8)) === k, col("d"))))
+      coalesce(max(when(pmod(col("q_tok"), lit(8)) === k, col("d"))), lit(0d)))
     tok.join(broadcast(qtok), col("doc") =!= col("q_doc"))
       .withColumn("d",
         graft.functions.VectorFunctions.dotProduct(col("q_vec"), col("embedding")))

@@ -10,6 +10,16 @@ import java.time.Duration
 final case class WirePoint(id: String, vector: Seq[Double],
     payload: Map[String, String])
 
+/** One page of a range scan. `listed` is how many ids the service's
+  * ENUMERATION step returned for this page — the only signal that can
+  * distinguish "collection exhausted" (listed < asked) from "the
+  * hydration step omitted some listed ids" (points.size < listed,
+  * e.g. Pinecone's /vectors/fetch transiently missing an id). Range
+  * readers must advance their offset by `listed`, never by
+  * `points.size`, or an omission silently truncates the rest of the
+  * partition's range. */
+final case class WirePage(points: Seq[WirePoint], listed: Int)
+
 /** Non-2xx response — carries the status code so retry policy can
   * distinguish retryable (429/500/413) from fatal. */
 final case class WireHttpError(code: Int, body: String)
@@ -54,9 +64,11 @@ sealed trait WireDialect extends Serializable {
   def create(collection: String, dims: Int): Unit
   def count(collection: String): Long
   /** One page; `wantVector`/`wantPayload` must reach the wire as the
-    * dialect's pruning flags (scroll's with_vector / get's include). */
+    * dialect's pruning flags (scroll's with_vector / get's include).
+    * `WirePage.listed` carries the enumeration count so callers key
+    * exhaustion off the listing, not the hydrated row count. */
   def fetchPage(collection: String, offset: Long, limit: Int,
-      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint]
+      wantVector: Boolean, wantPayload: Boolean): WirePage
   /** Targeted retrieve — the wire form an id-equality/IN pushdown
     * lands on (Qdrant points-retrieve, Pinecone fetch, Chroma get
     * with ids). Ids absent from the collection simply don't return. */
@@ -96,16 +108,17 @@ final case class QdrantWire(base: String) extends WireDialect {
       .asInstanceOf[Number].longValue()
 
   override def fetchPage(c: String, offset: Long, limit: Int,
-      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+      wantVector: Boolean, wantPayload: Boolean): WirePage = {
     val rsp = WireHttp.post(s"$base/collections/$c/points/scroll",
       WireJson.write(Map("limit" -> limit, "offset" -> offset,
         "with_vector" -> wantVector, "with_payload" -> wantPayload)))
-    rsp("result").asInstanceOf[Map[String, Any]]("points")
+    val pts = rsp("result").asInstanceOf[Map[String, Any]]("points")
       .asInstanceOf[Seq[Any]].map { p0 =>
         val p = p0.asInstanceOf[Map[String, Any]]
         WirePoint(p("id").toString, Decode.vec(p.getOrElse("vector", null)),
           Decode.pay(p.getOrElse("payload", null)))
       }
+    WirePage(pts, pts.size) // scroll lists and hydrates in one call
   }
 
   override def fetchByIds(c: String, ids: Seq[String],
@@ -142,25 +155,28 @@ final case class PineconeWire(base: String) extends WireDialect {
       .asInstanceOf[Number].longValue()
 
   override def fetchPage(c: String, offset: Long, limit: Int,
-      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+      wantVector: Boolean, wantPayload: Boolean): WirePage = {
     val ids = WireHttp.post(s"$base/vectors/list", WireJson.write(Map(
         "index" -> c, "limit" -> limit,
         "paginationToken" -> offset.toString)))("vectors")
       .asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]]("id").toString)
-    if (ids.isEmpty) return Seq.empty
+    if (ids.isEmpty) return WirePage(Seq.empty, 0)
     // id-only scans never call /vectors/fetch at all — the pruning
     // dividend of the list→fetch composition
     if (!wantVector && !wantPayload)
-      return ids.map(WirePoint(_, Seq.empty, Map.empty))
+      return WirePage(ids.map(WirePoint(_, Seq.empty, Map.empty)), ids.size)
     val fetched = WireHttp.post(s"$base/vectors/fetch", WireJson.write(Map(
         "index" -> c, "ids" -> ids)))("vectors")
       .asInstanceOf[Map[String, Any]]
-    ids.flatMap(id => fetched.get(id).map { v0 =>
+    // listed = ids.size even when fetch omits some of them: the range
+    // reader advances by the LISTING so a transient fetch omission
+    // loses only that id, not the rest of the partition's range
+    WirePage(ids.flatMap(id => fetched.get(id).map { v0 =>
       val v = v0.asInstanceOf[Map[String, Any]]
       WirePoint(id, Decode.vec(v.getOrElse("values", null)),
         Decode.pay(v.getOrElse("metadata", null)))
-    })
+    }), ids.size)
   }
 
   override def fetchByIds(c: String, ids: Seq[String],
@@ -195,7 +211,7 @@ final case class ChromaWire(base: String) extends WireDialect {
     WireHttp.get(s"$base/api/v1/collections/$c/count").trim.toLong
 
   override def fetchPage(c: String, offset: Long, limit: Int,
-      wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
+      wantVector: Boolean, wantPayload: Boolean): WirePage = {
     val include = (if (wantVector) Seq("embeddings") else Nil) ++
       (if (wantPayload) Seq("metadatas") else Nil)
     val rsp = WireHttp.post(s"$base/api/v1/collections/$c/get",
@@ -208,7 +224,8 @@ final case class ChromaWire(base: String) extends WireDialect {
     val metas = Option(rsp.getOrElse("metadatas", null))
       .map(_.asInstanceOf[Seq[Any]].map(Decode.pay))
       .getOrElse(ids.map(_ => Map.empty[String, String]))
-    ids.lazyZip(embs).lazyZip(metas).map(WirePoint(_, _, _))
+    WirePage(ids.lazyZip(embs).lazyZip(metas).map(WirePoint(_, _, _)),
+      ids.size)
   }
 
   override def fetchByIds(c: String, ids: Seq[String],

@@ -53,6 +53,13 @@ final class WireStubServer {
   @volatile private var readFailCode = 500
   @volatile var maxUpsertBatch: Int = Int.MaxValue
 
+  /** Ids the Pinecone /vectors/fetch route silently OMITS from its
+    * response (while /vectors/list still lists them) — the live-service
+    * failure mode where hydration lags enumeration; lets specs prove
+    * the range reader advances by the listing and loses only the
+    * omitted id, not the rest of the partition. */
+  @volatile var omitFromFetch: Set[String] = Set.empty
+
   def failNextWrites(n: Int, code: Int): Unit = {
     writeFailCode = code; writeFails.set(n)
   }
@@ -236,7 +243,7 @@ final class WireStubServer {
         requestLog.add(s"POST /vectors/fetch index=$c n=${ids.size}")
         if (injectRead(ex)) return
         respond(ex, 200, write(Map("vectors" ->
-          byIds(c, ids).map { case (id, v, p) =>
+          byIds(c, ids.filterNot(omitFromFetch)).map { case (id, v, p) =>
             id -> Map("id" -> id, "values" -> v, "metadata" -> p)
           }.toMap)))
 

@@ -151,7 +151,13 @@ final class WireScanBuilder(dialect: WireDialect, collection: String,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  /** Refuse the limit when an id set is already pushed: the targeted
+    * id-retrieve path can't cap rows across its shards (and capping the
+    * id list would under-return when some ids are absent), so Spark
+    * must keep its Limit operator. Filters are pushed before limits in
+    * V2ScanRelationPushDown, so `idSet` is final by the time this runs. */
+  override def pushLimit(n: Int): Boolean =
+    if (idSet.isDefined) false else { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = false
 
   /** Push id-equality/IN down to the DIALECT's targeted retrieve
@@ -207,11 +213,15 @@ object WireScan {
     while (off < end) {
       val want = math.min(fetch.toLong, end - off).toInt
       try {
-        val pts = d.fetchPage(c, off, want, wantVector, wantPayload)
-        out ++= pts
-        off += pts.size
+        val page = d.fetchPage(c, off, want, wantVector, wantPayload)
+        out ++= page.points
+        // advance by what the service LISTED, not what it hydrated:
+        // a fetch-side omission (page.points < page.listed) loses only
+        // the omitted ids, never the rest of the range; exhaustion is
+        // the listing coming up short
+        off += page.listed
         failures = 0
-        if (pts.size < want) return out.toSeq // collection exhausted
+        if (page.listed < want) return out.toSeq // collection exhausted
       } catch {
         case WireHttpError(code, _) if code == 429 || code >= 500 =>
           if (fetch > 1) fetch = math.max(1, fetch * 2 / 3)

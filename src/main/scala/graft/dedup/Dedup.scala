@@ -45,13 +45,35 @@ object Dedup {
     * survive executor death, at the cost of writing through the
     * filesystem. Unset (the local[32] default) keeps the
     * executor-memory path. */
+  // last `graft.dedup.checkpointDir` value actually applied, so a
+  // mid-session conf change re-points the SparkContext instead of
+  // being silently ignored (setCheckpointDir appends a UUID subdir,
+  // so the raw conf value can't be recovered from getCheckpointDir)
+  private[this] var appliedCheckpointDir: Option[String] = None
+
   private def materialized(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption("graft.dedup.checkpointDir")
       .map(_.trim).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        df.checkpoint(false)
+        synchronized {
+          if (sc.getCheckpointDir.isEmpty || !appliedCheckpointDir.contains(dir)) {
+            sc.setCheckpointDir(dir)
+            appliedCheckpointDir = Some(dir)
+          }
+        }
+        // Persist BEFORE the reliable checkpoint: the checkpoint write
+        // is a second job over the RDD, and without a cache that job
+        // re-runs the whole kernel lineage (the classic double-compute).
+        // Eager here so the cache can be dropped as soon as the
+        // checkpoint files exist — the reliable path is the opt-in
+        // cluster branch, where one extra cache-read job is noise next
+        // to surviving executor loss.
+        val cached = df.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cp = cached.checkpoint(true)
+        cached.unpersist(blocking = false)
+        cp
       case None => df.localCheckpoint(false)
     }
 

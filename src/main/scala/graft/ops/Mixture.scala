@@ -209,7 +209,7 @@ object Mixture {
         col("__budS"))
     val j = d.drop("__budget")
       .join(broadcast(cum),
-        col(sourceCol) <=> col("__gsrc") && col("__hb") === col("__ghb"))
+        col(sourceCol) <=> col("__gsrc") && col("__hb") <=> col("__ghb"))
     // whole-bucket keep/drop is map-side; at most ONE bucket per source
     // can straddle the budget (before is nondecreasing in __hb)
     val whole = j.filter(col("__before") + col("__bsum") <= col("__budS"))

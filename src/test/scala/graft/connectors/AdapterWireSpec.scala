@@ -258,4 +258,48 @@ class AdapterWireSpec extends SparkSpec {
     // importers strip null fields
     assert(p3.getMap[String, String](2).toMap == Map("rank" -> "9"))
   }
+
+  test("id pushdown + limit: Spark keeps the Limit, result is capped") {
+    // pushLimit must refuse when an id set is pushed — the targeted
+    // retrieve can't cap across shards, so a pushed-and-deleted Limit
+    // would over-return. ADVICE r7 (medium).
+    val c = "idlimit_q"
+    WireDialect("qdrant", server.url).create(c, 3)
+    WireVdb.write(points(50, c), "qdrant", server.url, c, batchSize = 50)
+    val wanted = (0 until 10).map(i => s"$c-$i")
+    val df = WireVdb.read(spark, "qdrant", server.url, c, batchSize = 4)
+      .filter(col("id").isin(wanted: _*)).limit(3)
+    assert(df.count() == 3)
+    assert(df.collect().length == 3)
+    // and the plan retains a limit above the scan (not pushed+deleted)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("GlobalLimit") || plan.contains("Limit"),
+      s"Limit operator missing from plan:\n$plan")
+  }
+
+  test("pinecone fetch omitting a listed id loses only that id, not the range") {
+    // /vectors/list enumerates the page, /vectors/fetch hydrates it; a
+    // live service can transiently omit a listed id from fetch. The
+    // range reader must advance by the LISTING — keying exhaustion off
+    // hydrated row count silently truncates the partition. ADVICE r7.
+    val c = "omit_p"
+    WireVdb.write(points(12, c).coalesce(1), "pinecone", server.url, c,
+      batchSize = 12)
+    server.omitFromFetch = Set(s"$c-2")
+    try {
+      // force multiple pages within one range: one injected 500 shrinks
+      // fetch 12 -> 8, so the range [0,12) takes pages of 8 then 4
+      server.failNextReads(1, 500)
+      resetLog()
+      val got = WireScan.fetchRange(PineconeWire(server.url), c,
+        offset = 0, limit = 12, wantVector = true, wantPayload = true)
+      val lists = log.filter(_.contains("/vectors/list"))
+      assert(lists.size >= 2, s"expected shrink into >=2 pages, saw $lists")
+      // 11 of 12 rows: only the omitted id is missing — the rows AFTER
+      // the short first page (the old truncation) are all present
+      assert(got.size == 11, s"got ${got.size} rows: ${got.map(_.id)}")
+      assert(!got.exists(_.id == s"$c-2"))
+      assert(got.exists(_.id == s"$c-11"))
+    } finally server.omitFromFetch = Set.empty
+  }
 }

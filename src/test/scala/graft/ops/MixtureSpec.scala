@@ -68,7 +68,11 @@ class MixtureSpec extends SparkSpec {
           if (rnd.nextInt(50) == 0) null
           else if (rnd.nextInt(20) == 0) 0L
           else rnd.nextInt(40).toLong
-        (s"doc-$seed-$i", src, toks)
+        // a few NULL ids: their md5 key and bucket are null, the exact
+        // kernel sorts them first — the salted bucket join must be
+        // null-safe (<=>) or these rows silently vanish (ADVICE r7)
+        val docId = if (i % 499 == 7) null else s"doc-$seed-$i"
+        (docId, src, toks)
       }
       val d = rows.toDF("doc_id", "source", "toks")
         // per-source budget incl. one tuned to sit near real cum values
