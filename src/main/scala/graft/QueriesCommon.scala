@@ -68,11 +68,68 @@ object QueriesCommon {
   private val sessionShufflePartitions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
+  // One forked session per (caller session, branch settings): the
+  // branch confs live on the CLONE's SQLConf, never on the caller's —
+  // two concurrent queries over a small and a big input each plan
+  // under their own settings instead of racing on the shared session
+  // (the round-7 audit finding). Clones share SparkContext,
+  // sharedState, cache manager, and the caller's conf values at fork
+  // time; the key includes the computed shuffle fan-out so each
+  // distinct input size class gets its own (bounded: a handful of
+  // values per process).
+  private val branchSessions = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, Boolean, Long), SparkSession]()
+
+  private def branchSession(root: SparkSession, atScale: Boolean,
+      shufflePartitions: Long): SparkSession = {
+    val s = branchSessions.computeIfAbsent(
+      (root, atScale, shufflePartitions),
+      _ => org.apache.spark.sql.graftbridge.Bridge.forkSession(root))
+    // re-applied per call (idempotent — the values are a function of
+    // the cache key) so `graft.branch.*` override properties take
+    // effect even on an already-forked branch; the clone's SQLConf is
+    // library-owned, so this mutates nothing of the caller's
+    configureBranch(s, atScale, shufflePartitions)
+    s
+  }
+
+  /** Planner-conf overrides for the branch sessions, applied LAST by
+    * `configureBranch`: `-Dgraft.branch.<sparkConfKey>=<value>`. The
+    * A/B probe tools flip single settings through these — a probe
+    * mutating its own session conf would be shadowed by the fork.
+    * Serial use only (probes are standalone mains); concurrent queries
+    * sharing a branch key race on an override flip by design. */
+  private def branchOverrides: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    System.getProperties.stringPropertyNames().asScala.toSeq
+      .filter(_.startsWith("graft.branch."))
+      .map(k => k.stripPrefix("graft.branch.") -> System.getProperty(k))
+  }
+
   /** Shared table loader: cached schema + size-gated AQE and
-    * size-gated shuffle fan-out. */
+    * size-gated shuffle fan-out, scoped to a per-branch forked session
+    * so the caller's own SQLConf is never touched. The returned
+    * DataFrame is bound to the branch session — downstream operators
+    * built on it plan (and execute) under the branch settings. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val bytes = totalBytes(dir)
     val atScale = bytes >= adaptiveMinInputBytes
+    val defaultP = sessionShufflePartitions
+      .computeIfAbsent(s, _.conf.get("spark.sql.shuffle.partitions"))
+    val p =
+      if (atScale) defaultP.toLong
+      else math.min(defaultP.toLong, math.max(4L, bytes >> 22))
+    val branch = branchSession(s, atScale, p)
+    val path = s"$dir/$name.parquet"
+    tableCache.computeIfAbsent((branch, path), _ => {
+      val schema = schemaCache.computeIfAbsent(path,
+        q => branch.read.parquet(q).schema)
+      branch.read.schema(schema).parquet(path)
+    })
+  }
+
+  private def configureBranch(s: SparkSession, atScale: Boolean,
+      shufflePartitions: Long): Unit = {
     s.conf.set("spark.sql.adaptive.enabled", atScale.toString)
     // Runtime bloom-filter injection (InjectRuntimeFilter) in the
     // at-scale branch: Spark's defaults require the application side
@@ -121,18 +178,8 @@ object QueriesCommon {
     // neither. Any value between those sides is tuned to this one
     // dataset; AQE's measured sizes plus the default ceiling is the
     // setting that generalizes.
-    val defaultP = sessionShufflePartitions
-      .computeIfAbsent(s, _.conf.get("spark.sql.shuffle.partitions"))
-    val p =
-      if (bytes >= adaptiveMinInputBytes) defaultP.toLong
-      else math.min(defaultP.toLong, math.max(4L, bytes >> 22))
-    s.conf.set("spark.sql.shuffle.partitions", p.toString)
-    val path = s"$dir/$name.parquet"
-    tableCache.computeIfAbsent((s, path), _ => {
-      val schema = schemaCache.computeIfAbsent(path,
-        p => s.read.parquet(p).schema)
-      s.read.schema(schema).parquet(path)
-    })
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    branchOverrides.foreach { case (k, v) => s.conf.set(k, v) }
   }
   /** Like `table`, but fans the scan out to the session's cores when
     * the input sits below the adaptive threshold. The test parquet

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.expressions.GraftExtensions
@@ -15,9 +15,17 @@ import graft.expressions.GraftExtensions
   * `list_id` (`.write.partitionBy`), a probe reads only the lists it
   * needs (partition pruning), and each candidate costs m table lookups.
   *
-  * This composition encodes raw vectors (not per-list residuals — the
-  * classic recall refinement trades a per-row gather per subspace for
-  * recall; the plumbing is identical, documented simplification).
+  * RESIDUAL encoding (FAISS IVFADC, Jégou et al. 2011 §IV): what gets
+  * PQ-encoded is `r = v − c_list(v)`, the vector's offset from its
+  * coarse centroid, not `v` itself. The coarse step already explains
+  * the between-list variance, so the residual distribution each
+  * codebook has to cover is tighter than the raw corpus — the same
+  * m×ksub budget buys materially finer cells (recall_r8_sf01.txt:
+  * recall@10 0.163 → see artifact at nlist=8/nprobe=4/m=8). The cost
+  * is one ADC table per (query, probed list) instead of per query —
+  * still |Q|·nprobe tiny arrays, broadcast like before. `build`
+  * defaults to residual; `residual = false` keeps the raw-vector
+  * variant (the r7 behavior) for comparison.
   */
 object IvfPq {
 
@@ -28,21 +36,88 @@ object IvfPq {
       /** input columns + list_id + codes */
       encoded: DataFrame,
       idCol: String,
-      vecCol: String)
+      vecCol: String,
+      /** codes encode `v − c_list` (IVFADC) rather than `v` */
+      residual: Boolean = false)
+
+  /** `v − c_{list}` in DOUBLE: both sides promote exactly from float32,
+    * and the subtraction is one IEEE double op — so an external engine
+    * (the DuckDB oracle) reproduces the residual bit-for-bit. The
+    * zip_with evaluates interpreted, but once per row into its own
+    * projection (CollapseProject keeps non-cheap aliases separate), and
+    * the m×ksub argmin that CONSUMES it stays codegen'd. */
+  private[similarity] def residualExpr(vec: Column, listId: Column,
+      centroids: Seq[(Int, Array[Float])]): Column = {
+    val matrix = centroids.sortBy(_._1).map(_._2.map(_.toDouble).toSeq)
+    zip_with(vec.cast("array<double>"),
+      element_at(typedLit(matrix), listId.cast("int") + 1),
+      (a, b) => a - b)
+  }
 
   /** Coarse-quantize into `nlist` lists (driver-trained k-means,
     * distributed codegen'd assignment — `Ivf.build`) and PQ-encode
-    * every vector (`Pq.build`). One pass over the corpus, no shuffle. */
+    * every vector's residual (`Pq.build` over `v − c_list`). One pass
+    * over the corpus, no shuffle. */
   def build(vecs: DataFrame, idCol: String, vecCol: String, dim: Int,
       nlist: Int, m: Int, ksub: Int, seed: Long = 42L,
       sampleFraction: Double = 1.0, maxIter: Int = 10,
-      trainCap: Int = 16384): IvfPqIndex = {
+      trainCap: Int = 16384, residual: Boolean = true): IvfPqIndex = {
     val ivf = Ivf.build(vecs, idCol, vecCol, nlist, seed, sampleFraction,
       maxIter, trainCap)
-    val pq = Pq.build(ivf.assigned, idCol, vecCol, dim, m, ksub, seed,
-      maxIter, trainCap)
-    IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub, pq.encoded,
-      idCol, vecCol)
+    if (!residual) {
+      val pq = Pq.build(ivf.assigned, idCol, vecCol, dim, m, ksub, seed,
+        maxIter, trainCap)
+      IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub, pq.encoded,
+        idCol, vecCol, residual = false)
+    } else {
+      val withRes = ivf.assigned.withColumn("__resid",
+        residualExpr(col(vecCol), col("list_id"), ivf.centroids))
+      val pq = Pq.build(withRes, idCol, "__resid", dim, m, ksub, seed,
+        maxIter, trainCap)
+      IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub,
+        pq.encoded.drop("__resid"), idCol, vecCol, residual = true)
+    }
+  }
+
+  /** Engine-neutral deterministic RESIDUAL build for oracle gating —
+    * the IVFADC sibling of `Ivf.buildMd5Seeded`/`Pq.buildMd5Seeded`:
+    * coarse centroids are the first `nlist` md5-ranked corpus vectors,
+    * the PQ codebook of every subspace is the sub-slice of the first
+    * `ksub` md5-ranked vectors' RESIDUALS (float-rounded exactly as
+    * the trained path stores them), and every non-training stage —
+    * `Ivf.assign`, `residualExpr`, `Pq.encodeExpr`, the per-(q,list)
+    * distance tables, `Pq.adcExpr`, `Pq.topK` — is the identical code
+    * path `build`+`search` run. Gated by q_ann_ivfpq_res_oracle. */
+  def buildResidualMd5Seeded(vecs: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nlist: Int, m: Int, ksub: Int): IvfPqIndex = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val ivf = Ivf.buildMd5Seeded(vecs, idCol, vecCol, nlist)
+    val seedRows = ivf.assigned
+      .select(col(idCol), col(vecCol).cast("array<float>").as("__v"),
+        col("list_id"))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(ksub)
+      .collect()
+    require(seedRows.length >= ksub, s"need at least $ksub seed vectors")
+    val centMap = ivf.centroids.toMap
+    val seedRes: Array[Array[Float]] = seedRows.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val c = centMap(r.getInt(2))
+      // double-exact residual, float-rounded for storage — the same
+      // representation the trained build's codebooks live in
+      Array.tabulate(dim)(j => (v(j).toDouble - c(j).toDouble).toFloat)
+    }
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      seedRes.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+    }
+    val encoded = ivf.assigned
+      .withColumn("__resid",
+        residualExpr(col(vecCol), col("list_id"), ivf.centroids))
+      .withColumn("codes", Pq.encodeExpr(col("__resid"), codebooks, dsub))
+      .drop("__resid")
+    IvfPqIndex(ivf.centroids, codebooks, dsub, encoded, idCol, vecCol,
+      residual = true)
   }
 
   /** Materialize at rest: the PQ-encoded table partitioned by coarse
@@ -60,14 +135,16 @@ object IvfPq {
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Array[Float])],
       codebooks: Array[Array[Array[Float]]], dsub: Int, idCol: String,
-      vecCol: String): IvfPqIndex =
+      vecCol: String, residual: Boolean = true): IvfPqIndex =
     IvfPqIndex(centroids, codebooks, dsub, spark.read.parquet(path),
-      idCol, vecCol)
+      idCol, vecCol, residual)
 
   /** Top-k per query: rank centroids (broadcast), keep `nprobe` lists,
     * ADC-score only candidates in those lists. Returns
     * (q_id, idCol, adc) — smaller adc = closer (squared L2 to the
-    * query, as approximated by the codebooks). */
+    * query — in residual mode to the query's residual against each
+    * probed list, the IVFADC distance — as approximated by the
+    * codebooks). */
   def search(index: IvfPqIndex, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -80,13 +157,26 @@ object IvfPq {
       .withColumn("cdist", GraftExtensions.l2Sq(col("q_vec"), col("centroid")))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("list_id"))
-    // ADC table computed ONCE per query — it is the build side of a
-    // broadcast join onto the (q_id, list_id) probe pairs, so the
-    // m×ksub array is evaluated per query row, not per probed list
-    val dt = broadcast(queries.select(col("q_id"),
-      Pq.dtableExpr(index.codebooks, index.dsub, col("q_vec")).as("__dt")))
-    val probes = probePairs.join(dt, Seq("q_id"))
+      .select(col("q_id"), col("q_vec"), col("list_id"))
+    val probes =
+      if (index.residual) {
+        // IVFADC: one distance table per (query, probed list) — the
+        // table is against the QUERY'S RESIDUAL to that list's
+        // centroid, so candidates in list l are scored in l's residual
+        // frame. Still |Q|·nprobe rows of m×ksub doubles, broadcast.
+        probePairs
+          .withColumn("__qres",
+            residualExpr(col("q_vec"), col("list_id"), index.centroids))
+          .select(col("q_id"), col("list_id"),
+            Pq.dtableExpr(index.codebooks, index.dsub, col("__qres"))
+              .as("__dt"))
+      } else {
+        // raw encoding: ADC table computed ONCE per query, joined onto
+        // the (q_id, list_id) probe pairs
+        val dt = broadcast(queries.select(col("q_id"),
+          Pq.dtableExpr(index.codebooks, index.dsub, col("q_vec")).as("__dt")))
+        probePairs.select(col("q_id"), col("list_id")).join(dt, Seq("q_id"))
+      }
     val scored = index.encoded
       .select(col(index.idCol), col("list_id"), col("codes"))
       .join(broadcast(probes), Seq("list_id"))

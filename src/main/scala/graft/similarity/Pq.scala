@@ -96,7 +96,7 @@ object Pq {
   /** codes[s] = argmin_c ‖v_sub(s) − codebook(s)(c)‖² as a pure column
     * expression: per subspace an array of codegen'd l2Sq distances and
     * an array_position argmin (ties → lowest code, deterministic). */
-  private def encodeExpr(vec: Column, codebooks: Array[Array[Array[Float]]],
+  private[similarity] def encodeExpr(vec: Column, codebooks: Array[Array[Array[Float]]],
       dsub: Int): Column = {
     val subCodes = codebooks.indices.map { s =>
       val sub = slice(vec, s * dsub + 1, dsub)

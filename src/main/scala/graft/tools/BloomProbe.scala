@@ -32,14 +32,13 @@ object BloomProbe {
       }.min
 
     for (mode <- Seq("default", "bloom")) {
-      if (mode == "bloom") {
-        spark.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-          "256MB")
-        spark.conf.set(
-          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-          "64MB")
-      }
+      // branch-session overrides (round 8 fork scoping): the at-scale
+      // branch now widens the bloom gates ITSELF, so the "default" arm
+      // must pin Spark's defaults explicitly to stay a true A/B
+      val (app, create) =
+        if (mode == "bloom") ("256MB", "64MB") else ("10GB", "10MB")
+      System.setProperty("graft.branch.spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", app)
+      System.setProperty("graft.branch.spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", create)
       for (name <- names) {
         val fn = graft.SparkEntry.queries(name)
         fn(spark, dir).count() // warm (compiles the mode's plan)

@@ -28,7 +28,9 @@ object FloorProbe {
         jobs.incrementAndGet()
     })
     for (aqe <- Seq(true, false); name <- names) {
-      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      // branch-session override: the fork scoping (round 8) means the
+      // probe's own session conf never reaches a query's plan
+      System.setProperty("graft.branch.spark.sql.adaptive.enabled", aqe.toString)
       val fn = graft.SparkEntry.queries(name)
       fn(spark, dir).count() // warm
       val times = (1 to 3).map { _ =>

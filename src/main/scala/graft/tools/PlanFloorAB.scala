@@ -24,7 +24,8 @@ object PlanFloorAB {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (mode <- Seq("cp_on", "cp_off", "cp_on2", "cp_off2")) {
-      spark.conf.set("spark.sql.constraintPropagation.enabled",
+      // branch-session override (round 8 fork scoping)
+      System.setProperty("graft.branch.spark.sql.constraintPropagation.enabled",
         (!mode.startsWith("cp_off")).toString)
       var planTot = 0.0
       var runTot = 0.0

@@ -30,7 +30,9 @@ object ShjProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     def run(preferSmj: Boolean): Double = {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", preferSmj.toString)
+      // branch-session override (round 8 fork scoping)
+      System.setProperty(
+        "graft.branch.spark.sql.join.preferSortMergeJoin", preferSmj.toString)
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(qname)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

@@ -24,4 +24,14 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Fork a session sharing the SparkContext/sharedState but with its
+    * OWN SQLConf (a copy of the parent's at fork time) — `cloneSession`
+    * is `private[sql]` in Spark 4. This is how a library scopes
+    * planner settings to ONE query without mutating the caller's
+    * session: plan against the clone, and concurrent queries with
+    * different settings can't race. */
+  def forkSession(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

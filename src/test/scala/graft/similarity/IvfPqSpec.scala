@@ -16,27 +16,72 @@ class IvfPqSpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  // default build = residual (IVFADC); raw kept for the PQ-equivalence
+  // and A/B assertions below
   private lazy val index = IvfPq.build(vecs, "vec_id", "embedding",
     dim = 16, nlist = 4, m = 4, ksub = 8)
+  private lazy val rawIndex = IvfPq.build(vecs, "vec_id", "embedding",
+    dim = 16, nlist = 4, m = 4, ksub = 8, residual = false)
 
   test("build assigns a list and codes to every vector") {
+    assert(index.residual)
     assert(index.encoded.count() == 120)
     val row = index.encoded.select("list_id", "codes").head()
     assert(row.getInt(0) >= 0 && row.getInt(0) < 4)
     assert(row.getSeq[Int](1).length == 4)
+    // the residual column is internal — not leaked into the index
+    assert(!index.encoded.columns.contains("__resid"))
   }
 
-  test("search with nprobe=nlist matches full-PQ search") {
+  test("raw (non-residual) search with nprobe=nlist matches full-PQ search") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") < 4)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val ivfpq = IvfPq.search(index, q, k = 5, nprobe = 4).collect()
+    val ivfpq = IvfPq.search(rawIndex, q, k = 5, nprobe = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pqIndex = Pq.PqIndex(index.codebooks, index.dsub,
-      index.encoded, "vec_id", "embedding")
+    val pqIndex = Pq.PqIndex(rawIndex.codebooks, rawIndex.dsub,
+      rawIndex.encoded, "vec_id", "embedding")
     val full = Pq.search(pqIndex, q, k = 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfpq == full)
+  }
+
+  test("residual ADC approximates true squared L2 better than raw ADC") {
+    import spark.implicits._
+    val q = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // true squared L2 distances for every (query, candidate) pair
+    val truth = q.crossJoin(vecs.filter(col("vec_id") >= 8))
+      .select(col("q_id"), col("vec_id"),
+        graft.expressions.GraftExtensions.l2Sq(col("q_vec"), col("embedding"))
+          .as("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def meanAdcErr(ix: IvfPq.IvfPqIndex): Double = {
+      val rows = IvfPq.search(ix, q, k = 112, nprobe = 4).collect()
+        .filter(r => truth.contains((r.getLong(0), r.getLong(1))))
+      rows.map(r => math.abs(r.getDouble(2) -
+        truth((r.getLong(0), r.getLong(1))))).sum / rows.length
+    }
+    val errRes = meanAdcErr(index)
+    val errRaw = meanAdcErr(rawIndex)
+    // same m/ksub budget: encoding residuals (IVFADC) must cut the
+    // quantization error materially on clustered data
+    assert(errRes < errRaw * 0.5,
+      f"residual err $errRes%.4f not < half of raw err $errRaw%.4f")
+  }
+
+  test("buildResidualMd5Seeded: deterministic, residual-flagged, k results per query") {
+    import spark.implicits._
+    val ix = IvfPq.buildResidualMd5Seeded(vecs, "vec_id", "embedding",
+      dim = 16, nlist = 4, m = 4, ksub = 8)
+    assert(ix.residual)
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def run() = IvfPq.search(ix, q, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
   }
 
   test("writeIndex → readIndex → search: codes-only layout, partition-pruned, same results") {
