@@ -62,13 +62,25 @@ object RecallEval {
         val ix = Pq.build(e, "vec_id", "embedding", dim = 64, m = 16, ksub = 64)
         Pq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)), q, k)
       })),
-      ("ivfpq nlist=8 nprobe=4 m=8" -> (() => {
+      ("ivfpq RAW nlist=8 nprobe=4 m=8" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16, residual = false)
+        IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 4)
+      })),
+      ("ivfpq RESIDUAL nlist=8 nprobe=4 m=8" -> (() => {
         val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
           nlist = 8, m = 8, ksub = 16)
         IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
           q, k, nprobe = 4)
       })),
-      ("ivfpq nlist=8 nprobe=8 m=16 ksub=64" -> (() => {
+      ("ivfpq RAW nlist=8 nprobe=8 m=16 ksub=64" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 16, ksub = 64, residual = false)
+        IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 8)
+      })),
+      ("ivfpq RESIDUAL nlist=8 nprobe=8 m=16 ksub=64" -> (() => {
         val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
           nlist = 8, m = 16, ksub = 64)
         IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
@@ -95,6 +107,41 @@ object RecallEval {
         if (ex.isEmpty) 1.0
         else approx.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
       }.sum / exactF.size
+
+    // ---- residual (IVFADC) vs raw PQ on a CLUSTERED corpus: the
+    // driver embeddings are near-uniform (no structure for the coarse
+    // quantizer to strip), so the residual dividend is bounded there;
+    // real embedding corpora cluster, and there the residual encoding
+    // is the difference between the codebook covering the whole space
+    // and covering one list's spread. Deterministic synthetic corpus:
+    // 8 well-separated centers in 64-d, sin-jitter offsets.
+    {
+      import spark.implicits._
+      val clustered = (0L until 2000L).map { i =>
+        val c = (i % 8).toInt
+        (i, Array.tabulate(64) { j =>
+          (if (j / 8 == c) 5f else 0f) +
+            (math.sin(i * 64 + j) * 0.8).toFloat
+        })
+      }.toDF("vec_id", "embedding")
+      val cq = clustered.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cCands = clustered.select("vec_id", "embedding")
+      val cExact = topSet(Knn.bruteForceTopK(cq, cCands, k))
+      def crecall(approx: Map[Long, Set[Long]]): Double =
+        cExact.map { case (qid, ex) =>
+          approx.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
+        }.sum / cExact.size
+      for (res <- Seq(false, true)) {
+        val ix = IvfPq.build(clustered, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16, residual = res)
+        val r = crecall(topSet(IvfPq.search(
+          ix.copy(encoded = ix.encoded.localCheckpoint(true)), cq, k,
+          nprobe = 4)))
+        val label = if (res) "RESIDUAL" else "RAW"
+        println(f"ivfpq $label%-8s clustered-64d nlist=8 nprobe=4 m=8 recall@$k = $r%.3f")
+      }
+    }
 
     val ivfIx = Ivf.build(e, "vec_id", "embedding", nlist = 8)
     val preds = Seq(
