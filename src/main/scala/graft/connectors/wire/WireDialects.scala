@@ -60,7 +60,7 @@ private[wire] object WireHttp {
   * retry live in the writer (`UpsertPolicy.batchedWithShrink`), not
   * here, exactly like the reference keeps its shrink loops in the
   * import classes and its client thin. */
-sealed trait WireDialect extends Serializable {
+trait WireDialect extends Serializable {
   def create(collection: String, dims: Int): Unit
   def count(collection: String): Long
   /** One page; `wantVector`/`wantPayload` must reach the wire as the
@@ -303,7 +303,9 @@ object WireDialect {
     case "qdrant" => QdrantWire(base)
     case "pinecone" => PineconeWire(base)
     case "chroma" => ChromaWire(base)
+    // framed binary (gRPC-shaped) transport: base is host:port
+    case "grpc" => GrpcWire(base)
     case other => throw new IllegalArgumentException(
-      s"unknown wire dialect '$other' (qdrant|pinecone|chroma)")
+      s"unknown wire dialect '$other' (qdrant|pinecone|chroma|grpc)")
   }
 }

@@ -112,6 +112,22 @@ final class WireStubServer {
     ids.flatMap(id => Option(col._2.get(id)).map(v => (id, v._1, v._2)))
   }
 
+  // Weaviate-style after-cursor: rows strictly AFTER the given id in
+  // insertion order (None = from the start)
+  private def pageAfter(c: String, after: Option[String], limit: Int)
+      : Seq[(String, Seq[Double], Map[String, String])] = synchronized {
+    val col = store.get(c)
+    require(col != null, s"no such collection $c")
+    import scala.jdk.CollectionConverters._
+    val all = col._2.entrySet().asScala.toSeq
+    val from = after match {
+      case None => 0
+      case Some(id) => all.indexWhere(_.getKey == id) + 1
+    }
+    all.slice(from, from + limit)
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+  }
+
   // ------------------------------------------------------------------
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -315,6 +331,153 @@ final class WireStubServer {
           "metadatas" ->
             (if (include.contains("metadatas")) pts.map(_._3) else null),
           "documents" -> null)))
+
+      // -------------------------------------------------- AstraDB
+      // JSON Data API: one command per POST to
+      // /api/json/v1/{keyspace}/{collection} — find (pageState paging,
+      // $vector projection), insertMany, estimatedDocumentCount
+      // (`export_vdf/astradb_export.py:271-303`,
+      // `import_vdf/astradb_import.py:225-241`).
+      case ("POST", "api" :: "json" :: "v1" :: _ :: c :: Nil) =>
+        if (json.contains("estimatedDocumentCount")) {
+          requestLog.add(s"POST astra/$c estimatedDocumentCount")
+          respond(ex, 200, write(Map("status" ->
+            Map("count" -> collectionSize(c)))))
+        } else if (json.contains("insertMany")) {
+          val docs = json("insertMany").asInstanceOf[Map[String, Any]](
+            "documents").asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Map[String, Any]])
+          requestLog.add(s"POST astra/$c insertMany n=${docs.size}")
+          if (injectWrite(ex)) return
+          if (docs.size > maxUpsertBatch) {
+            respond(ex, 413, s"""{"errors":[{"message":"payload too large"}]}""")
+            return
+          }
+          ensure(c, docs.headOption
+            .map(d => vec(d.getOrElse("$vector", Seq.empty)).size).getOrElse(0))
+          upsert(c, docs.map { d =>
+            (d("_id").toString, vec(d.getOrElse("$vector", Seq.empty)),
+              pay(d - "_id" - "$vector"))
+          })
+          respond(ex, 200, write(Map("status" ->
+            Map("insertedIds" -> docs.map(_("_id").toString)))))
+        } else if (json.contains("find")) {
+          val find = json("find").asInstanceOf[Map[String, Any]]
+          val options = find.get("options")
+            .map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+          val limit = options.get("limit")
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(20)
+          val state = options.get("pageState").filter(_ != null).map(_.toString)
+          // projection {"$vector": 0} excludes the vector (Data API style)
+          val wantVec = !find.get("projection")
+            .map(_.asInstanceOf[Map[String, Any]])
+            .exists(p => p.get("$vector").exists(v =>
+              v == 0 || v == false || v == java.lang.Boolean.FALSE))
+          requestLog.add(s"POST astra/$c find limit=$limit " +
+            s"pageState=${state.getOrElse("-")} vector=$wantVec")
+          if (injectRead(ex)) return
+          val off = state.map(_.stripPrefix("p").toInt).getOrElse(0)
+          val pts = page(c, off, limit)
+          val next: Any =
+            if (off + pts.size >= collectionSize(c)) null
+            else s"p${off + pts.size}"
+          respond(ex, 200, write(Map("data" -> Map(
+            "documents" -> pts.map { case (id, v, p) =>
+              Map("_id" -> id) ++
+                (if (wantVec) Map("$vector" -> v) else Map.empty) ++ p
+            },
+            "nextPageState" -> next))))
+        } else {
+          requestLog.add(s"POST astra/$c unknown-command")
+          respond(ex, 400, s"""{"errors":[{"message":"unknown command"}]}""")
+        }
+
+      // ----------------------------------------------- Turbopuffer
+      // COLUMNAR upsert + cursor-chained export
+      // (`turbopuffer_import.py:148-158`, `turbopuffer_export.py:64-110`).
+      case ("POST", "v1" :: "vectors" :: ns :: Nil) =>
+        val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
+        requestLog.add(s"POST /v1/vectors/$ns n=${ids.size}")
+        if (injectWrite(ex)) return
+        if (ids.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"status":"payload too large"}"""); return
+        }
+        val vecs = json("vectors").asInstanceOf[Seq[Any]].map(vec)
+        val attrs = json.get("attributes").filter(_ != null)
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, vs) =>
+            k -> vs.asInstanceOf[Seq[Any]]
+          }).getOrElse(Map.empty)
+        ensure(ns, vecs.headOption.map(_.size).getOrElse(0))
+        upsert(ns, ids.zipWithIndex.map { case (id, i) =>
+          (id, vecs(i), attrs.flatMap { case (k, vs) =>
+            Option(vs(i)).map(v => k -> v.toString)
+          })
+        })
+        respond(ex, 200, s"""{"status":"OK"}""")
+
+      case ("GET", "v1" :: "vectors" :: ns :: Nil) =>
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+        val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(100)
+        val includeVecs = params.get("include_vectors").forall(_ == "true")
+        val off = params.get("cursor")
+          .map(_.stripPrefix("c")).flatMap(_.toIntOption).getOrElse(0)
+        requestLog.add(s"GET /v1/vectors/$ns limit=$limit " +
+          s"cursor=${params.getOrElse("cursor", "-")} " +
+          s"include_vectors=$includeVecs")
+        if (injectRead(ex)) return
+        val pts = page(ns, off, limit)
+        val keys = pts.flatMap(_._3.keys).distinct
+        val next: Any =
+          if (off + pts.size >= collectionSize(ns)) null
+          else s"c${off + pts.size}"
+        respond(ex, 200, write(Map(
+          "ids" -> pts.map(_._1),
+          "vectors" -> (if (includeVecs) pts.map(_._2) else null),
+          "attributes" -> keys.map(k =>
+            k -> pts.map(_._3.get(k).orNull)).toMap,
+          "next_cursor" -> next)))
+
+      // -------------------------------------------------- Weaviate
+      // batch writes + the exhaustive after-cursor object listing
+      // (public /v1/batch/objects and /v1/objects?class=&after= APIs;
+      // the reference's weaviate_export.py:78-89 stops at a count).
+      case ("POST", "v1" :: "batch" :: "objects" :: Nil) =>
+        val objs = json("objects").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]])
+        val cls = objs.headOption.map(_("class").toString).getOrElse("?")
+        requestLog.add(s"POST /v1/batch/objects class=$cls n=${objs.size}")
+        if (injectWrite(ex)) return
+        if (objs.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"error":[{"message":"payload too large"}]}""")
+          return
+        }
+        ensure(cls, objs.headOption
+          .map(o => vec(o.getOrElse("vector", Seq.empty)).size).getOrElse(0))
+        upsert(cls, objs.map { o =>
+          (o("id").toString, vec(o.getOrElse("vector", Seq.empty)),
+            pay(o.getOrElse("properties", null)))
+        })
+        respond(ex, 200, write(objs.map(o => Map("id" -> o("id").toString,
+          "result" -> Map("status" -> "SUCCESS")))))
+
+      case ("GET", "v1" :: "objects" :: Nil) =>
+        val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+        val params = q.split("&").filter(_.contains("="))
+          .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }.toMap
+        val cls = params.getOrElse("class", "?")
+        val limit = params.get("limit").flatMap(_.toIntOption).getOrElse(25)
+        val after = params.get("after")
+        val includeVec = params.get("include").exists(_.contains("vector"))
+        requestLog.add(s"GET /v1/objects class=$cls limit=$limit " +
+          s"after=${after.getOrElse("-")} include=${params.getOrElse("include", "-")}")
+        if (injectRead(ex)) return
+        val pts = pageAfter(cls, after, limit)
+        respond(ex, 200, write(Map("objects" -> pts.map { case (id, v, p) =>
+          Map("id" -> id, "class" -> cls, "properties" -> p) ++
+            (if (includeVec) Map("vector" -> v) else Map.empty)
+        })))
 
       // --------------------------------------------------- Vespa
       // Document API (`marqo_vespa_util.py:66-95` visit contract;

@@ -259,6 +259,205 @@ class AdapterWireSpec extends SparkSpec {
     assert(p3.getMap[String, String](2).toMap == Map("rank" -> "9"))
   }
 
+  // ---------------------------------------------------------------
+  // Wire dialects 5–7 (round 8): AstraDB JSON API, Turbopuffer,
+  // Weaviate — opaque-token paging through byContinuation, batched
+  // shrink-on-fault writes, pruning flags on the wire.
+
+  private def asPoints(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0),
+      Option(r.getSeq[Double](1)).getOrElse(Seq.empty),
+      Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty)))
+      .toSet
+
+  test("astra: insertMany/find round-trip, pageState chain on the wire") {
+    val c = "astra_rt"
+    val wire = AstraWire(server.url)
+    wire.write(points(700, c).coalesce(2), c, batchSize = 250)
+    resetLog()
+    val back = wire.scan(spark, c, fetchSize = 200, wantVector = true)
+    assert(asPoints(back) == asPoints(points(700, c)))
+    val finds = log.filter(_.contains(s"astra/$c find"))
+    assert(finds.size == 4, finds.mkString("\n")) // 200+200+200+100
+    // the chain carried the server's nextPageState forward
+    assert(finds.exists(_.contains("pageState=-")))
+    assert(finds.exists(_.contains("pageState=p200")))
+    assert(finds.exists(_.contains("pageState=p400")))
+    assert(wire.count(c) == 700)
+  }
+
+  test("astra: scan errors shrink the fetch by 10% retrying the SAME pageState") {
+    val c = "astra_shrink"
+    val wire = AstraWire(server.url)
+    wire.write(points(300, c).coalesce(1), c, batchSize = 300)
+    resetLog()
+    server.failNextReads(2, 500)
+    val back = wire.scan(spark, c, fetchSize = 100, wantVector = true)
+    assert(back.count() == 300) // no row lost to the faults
+    val finds = log.filter(_.contains(s"astra/$c find"))
+    // first page requested 3 times: 100 (fail), 90 (fail), 81 (ok) —
+    // the reference's fetch_size * 0.9 loop, same state each time
+    val first = finds.filter(_.contains("pageState=-"))
+    assert(first.map(f => f.split("limit=")(1).split(" ")(0)).toList ==
+      List("100", "90", "81"), first.mkString("\n"))
+  }
+
+  test("astra: projection excludes $vector on the wire when unwanted") {
+    val c = "astra_prune"
+    val wire = AstraWire(server.url)
+    wire.write(points(50, c).coalesce(1), c, batchSize = 50)
+    resetLog()
+    val slim = wire.scan(spark, c, fetchSize = 50, wantVector = false)
+    assert(slim.count() == 50)
+    assert(slim.collect().forall(_.getSeq[Double](1).isEmpty))
+    assert(log.filter(_.contains(s"astra/$c find"))
+      .forall(_.contains("vector=false")))
+  }
+
+  test("astra: a 413 on insertMany shrinks the batch until it lands") {
+    val c = "astra_413"
+    val wire = AstraWire(server.url)
+    server.maxUpsertBatch = 100
+    try {
+      wire.write(points(600, c).coalesce(1), c, batchSize = 300)
+      assert(server.collectionSize(c) == 600)
+      val sizes = log.filter(_.contains(s"astra/$c insertMany"))
+        .map(_.split("n=")(1).toInt)
+      assert(sizes.exists(_ > 100) && sizes.forall(s => s <= 300))
+      assert(sizes.filter(_ <= 100).sum == 600,
+        s"landed batches must cover all rows: $sizes")
+    } finally server.maxUpsertBatch = Int.MaxValue
+  }
+
+  test("turbopuffer: columnar round-trip, cursor chain, include_vectors pruning") {
+    val c = "tpuf_rt"
+    val wire = TurbopufferWire(server.url)
+    wire.write(points(500, c).coalesce(2), c, batchSize = 200)
+    resetLog()
+    val back = wire.scan(spark, c, limit = 150, includeVectors = true)
+    assert(asPoints(back) == asPoints(points(500, c)))
+    val pages = log.filter(_.contains(s"GET /v1/vectors/$c"))
+    assert(pages.size == 4, pages.mkString("\n")) // 150×3 + 50
+    assert(pages.exists(_.contains("cursor=-")))
+    assert(pages.exists(_.contains("cursor=c150")))
+    // pruning: vectors stay off the wire entirely
+    resetLog()
+    val slim = wire.scan(spark, c, limit = 500, includeVectors = false)
+    assert(slim.collect().forall(_.getSeq[Double](1).isEmpty))
+    assert(log.filter(_.contains(s"GET /v1/vectors/$c"))
+      .forall(_.contains("include_vectors=false")))
+  }
+
+  test("turbopuffer: injected 429s shrink the columnar upsert x2/3") {
+    val c = "tpuf_429"
+    val wire = TurbopufferWire(server.url)
+    server.failNextWrites(2, 429)
+    wire.write(points(600, c).coalesce(1), c, batchSize = 600)
+    assert(server.collectionSize(c) == 600)
+    val sizes = log.filter(_.contains(s"POST /v1/vectors/$c"))
+      .map(_.split("n=")(1).toInt)
+    // 600 (429) → 400 (429) → 266 … shrink then resplit of the rest
+    assert(sizes.take(3) == List(600, 400, 266), sizes.mkString(","))
+  }
+
+  test("weaviate: batch write + after-cursor listing round-trip, vector include") {
+    val c = "Weav_rt"
+    val wire = WeaviateWire(server.url)
+    wire.write(points(260, c).coalesce(2), c, batchSize = 100)
+    resetLog()
+    val back = wire.scan(spark, c, limit = 100, includeVector = true)
+    assert(asPoints(back) == asPoints(points(260, c)))
+    val lists = log.filter(_.contains(s"GET /v1/objects class=$c"))
+    assert(lists.size >= 3, lists.mkString("\n"))
+    assert(lists.head.contains("after=-"))
+    assert(lists.drop(1).forall(_.contains(s"after=$c-")),
+      "subsequent pages must carry the after-id cursor")
+    assert(lists.forall(_.contains("include=vector")))
+    // without include=vector the wire stays slim
+    resetLog()
+    val slim = wire.scan(spark, c, limit = 300, includeVector = false)
+    assert(slim.collect().forall(_.getSeq[Double](1).isEmpty))
+    assert(log.filter(_.contains("GET /v1/objects"))
+      .forall(_.contains("include=-")))
+  }
+
+  test("weaviate: a 413 on batch/objects shrinks until it lands") {
+    val c = "Weav_413"
+    val wire = WeaviateWire(server.url)
+    server.maxUpsertBatch = 40
+    try {
+      wire.write(points(200, c).coalesce(1), c, batchSize = 120)
+      assert(server.collectionSize(c) == 200)
+      val sizes = log.filter(_.contains("POST /v1/batch/objects class=" + c))
+        .map(_.split("n=")(1).toInt)
+      assert(sizes.head == 120 && sizes.filter(_ <= 40).sum == 200,
+        sizes.mkString(","))
+    } finally server.maxUpsertBatch = Int.MaxValue
+  }
+
+  // ---------------------------------------------------------------
+  // The gRPC-shaped FRAMED BINARY dialect (round 8): same WireDialect
+  // trait, same DSv2 stack, length-prefixed protobuf-style frames on a
+  // raw socket instead of JSON-over-HTTP — the transport the reference
+  // prefers for Pinecone/Qdrant (`pinecone_export.py:9`,
+  // `qdrant_export.py:34-39`).
+
+  test("grpc: the framed binary dialect drives the full DSv2 stack") {
+    val g = new GrpcStubServer
+    try {
+      val c = "grpc_rt"
+      GrpcWire(g.hostPort).create(c, 3)
+      val df = points(800, c)
+      WireVdb.write(df, "grpc", g.hostPort, c, batchSize = 300)
+      val back = WireVdb.read(spark, "grpc", g.hostPort, c, batchSize = 250)
+      assert(asPoints(back) == asPoints(df))
+      val pages = g.requestLog.asScala.toSeq
+        .filter(_.startsWith(s"grpc page $c"))
+      assert(pages.size == 4, pages.mkString("\n")) // 250×3 + 50
+      assert(pages.forall(_.contains("want_vector=true")))
+      // column pruning reaches the binary frames: an id-only scan
+      // sends want_vector=false/want_payload=false
+      g.requestLog.clear()
+      val idsOnly = WireVdb.read(spark, "grpc", g.hostPort, c, 800)
+        .select("id").collect()
+      assert(idsOnly.length == 800)
+      val slimPages = g.requestLog.asScala.toSeq.filter(_.contains("grpc page"))
+      assert(slimPages.nonEmpty && slimPages.forall(p =>
+        p.contains("want_vector=false") && p.contains("want_payload=false")))
+      // and the id-IN pushdown becomes a framed targeted retrieve
+      g.requestLog.clear()
+      val got = WireVdb.read(spark, "grpc", g.hostPort, c, 800)
+        .filter(col("id").isin(s"$c-1", s"$c-99", s"$c-absent"))
+        .collect()
+      assert(got.map(_.getString(0)).toSet == Set(s"$c-1", s"$c-99"))
+      val lg = g.requestLog.asScala.toSeq
+      assert(lg.exists(_.startsWith(s"grpc retrieve $c n=3")), lg.mkString("\n"))
+      assert(!lg.exists(_.contains("grpc page")), "id pushdown must not page")
+    } finally g.stop()
+  }
+
+  test("grpc: RESOURCE_EXHAUSTED shrinks writes, UNAVAILABLE shrinks the read fetch") {
+    val g = new GrpcStubServer
+    try {
+      val c = "grpc_faults"
+      g.failNextWrites(2, 8) // gRPC 8 → the 429 class
+      WireVdb.write(points(600, c).coalesce(1), "grpc", g.hostPort, c,
+        batchSize = 600)
+      assert(g.collectionSize(c) == 600)
+      val sizes = g.requestLog.asScala.toSeq
+        .filter(_.startsWith(s"grpc upsert $c")).map(_.split("n=")(1).toInt)
+      assert(sizes.take(3) == List(600, 400, 266), sizes.mkString(","))
+      g.requestLog.clear()
+      g.failNextReads(1, 14) // gRPC 14 → the 503 class
+      assert(WireVdb.read(spark, "grpc", g.hostPort, c,
+        batchSize = 600).count() == 600)
+      val limits = g.requestLog.asScala.toSeq
+        .filter(_.startsWith(s"grpc page $c"))
+        .map(_.split("limit=")(1).split(" ")(0).toInt)
+      assert(limits == List(600, 400, 200), limits.mkString(","))
+    } finally g.stop()
+  }
+
   test("id pushdown + limit: Spark keeps the Limit, result is capped") {
     // pushLimit must refuse when an id set is pushed — the targeted
     // retrieve can't cap across shards, so a pushed-and-deleted Limit
