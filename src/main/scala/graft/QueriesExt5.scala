@@ -46,10 +46,37 @@ object QueriesExt5 {
     * q_dedup_survivors. The bucket count (planes) is the scale knob:
     * at 100 TB more planes shrink buckets so the within-bucket
     * quadratic term stays bounded, exactly like the paper's k. */
-  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
-    semDedupSurvivors(
-      ft(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      planes = 6)
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = ft(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    semDedupSurvivors(emb, semDedupPlanes(emb.count()))
+  }
+
+  /** AUTO-SCALED plane count (round 8): planes grows with log₂ of the
+    * corpus so the EXPECTED bucket size — and with it the within-bucket
+    * quadratic — stays bounded as the corpus grows, without the manual
+    * knob the 15.7 GiB run flagged (20× pair-work growth on 3× rows at
+    * fixed planes). The formula is INTEGER-EXACT so any SQL engine
+    * reproduces it bit-for-bit (no float log whose ulp could flip a
+    * ceil at power-of-two boundaries):
+    *
+    *   planes(n) = 6 + min(18, ceil(log₂(⌈n / 4096⌉)))
+    *
+    * computed as m = (n + 4095) / 4096; extra = bitlength(m − 1)
+    * (0 when m ≤ 1) — `6 + least(18, length(bin(m - 1)))` in DuckDB.
+    * n ≤ 4096 keeps the r7 behavior (planes = 6, every committed
+    * oracle value unchanged at sf0.01); each corpus doubling past that
+    * adds one plane, halving expected bucket occupancy; the +18 cap
+    * (16M nominal buckets) bounds the plane-projection cost per row.
+    * What auto-scaling CANNOT shrink is true near-dup groups: an ×84
+    * replica profile keeps 84 copies per bucket by construction —
+    * those pairs are the answer, not overhead (SemDedupPlanesProbe
+    * separates the two terms). */
+  private[graft] def semDedupPlanes(n: Long): Int = {
+    val m = (n + 4095) / 4096
+    val extra =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    6 + math.min(18, extra)
+  }
 
   /** The SemDeDup kernel behind q_semdedup, with the plane count — the
     * paper's cluster-count scale knob — as a parameter so the decade
@@ -210,11 +237,14 @@ object QueriesExt5 {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
         |             list_transform(embedding::DOUBLE[], x -> floor(x * 1000)) AS qv
         |           FROM embeddings),
+        |pcnt AS (SELECT 6 + least(18,
+        |           CASE WHEN m <= 1 THEN 0 ELSE length(bin(m - 1)) END) AS planes
+        |         FROM (SELECT (count(*) + 4095) // 4096 AS m FROM embeddings)),
         |pl AS (SELECT p, list_transform(
         |         range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
         |         j -> CAST(strpos('0123456789abcdef',
         |                substr(md5(p || ':' || j), 1, 1)) - 9 AS DOUBLE)) AS c
-        |       FROM range(0, 6) t(p)),
+        |       FROM range(0, 24) t(p) CROSS JOIN pcnt WHERE p < pcnt.planes),
         |pb AS (SELECT vec_id, any_value(v) AS v,
         |         CAST(sum(CASE WHEN list_dot_product(qv, c) >= 0
         |                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
