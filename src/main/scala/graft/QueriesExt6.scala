@@ -420,7 +420,7 @@ object QueriesExt6 {
         |FROM b ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id LIMIT 10""".stripMargin,
     "q_bloom_semi" ->
       """SELECT l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
