@@ -29,6 +29,17 @@ object Cli {
   def importers(root: String): Map[String, VdbImporter] =
     Map("mock" -> new MockVdb(root))
 
+  /** Wire-transport connectors (r8): `--db qdrant|pinecone|chroma`
+    * speaks the service's REST dialect and `--db grpc` the framed
+    * binary transport, with `--db_root` the base URL / host:port —
+    * every fetch/upsert is real wire traffic through the DSv2 stack.
+    * Export needs `--collections a,b` (the common dialect surface has
+    * no listing call — same selection flags as the reference's
+    * `--namespaces`/`--classes`). */
+  private def wireConnector(db: String, a: Args): graft.connectors.wire.WireCliConnector =
+    new graft.connectors.wire.WireCliConnector(db, a.flags("db_root"),
+      a.flags.get("collections").map(_.split(",").toSeq).getOrElse(Seq.empty))
+
   final case class Args(positional: List[String], flags: Map[String, String])
 
   def parseArgs(argv: Seq[String]): Args = {
@@ -65,8 +76,13 @@ object Cli {
         |Scan every index of the source vector DB into a VDF dataset
         |directory (chunked parquet + VDF_META.json).
         |
-        |  --db DB             connector name (default: mock)
-        |  --db_root DIR       connector root / connection target
+        |  --db DB             connector: mock, or a wire transport —
+        |                      qdrant|pinecone|chroma (REST) / grpc (framed
+        |                      binary); wire fetches run through the DSv2
+        |                      scan (pruning + paging on the wire)
+        |  --db_root DIR       connector root / base URL / host:port
+        |  --collections A,B   collection names (wire dialects only — no
+        |                      common enumeration call)
         |  --out VDF_DIR       output VDF directory
         |  --max_file_rows N   rows per parquet chunk file (default: engine)""".stripMargin
     case "import" =>
@@ -76,8 +92,11 @@ object Cli {
         |Read a VDF dataset and upsert it into the target vector DB,
         |with the reference's subset filters.
         |
-        |  --db DB             connector name (default: mock)
-        |  --db_root DIR       connector root / connection target
+        |  --db DB             connector: mock, or a wire transport —
+        |                      qdrant|pinecone|chroma (REST) / grpc (framed
+        |                      binary); wire upserts batch with the
+        |                      shrink-on-fault policy
+        |  --db_root DIR       connector root / base URL / host:port
         |  --dir VDF_DIR       input VDF directory
         |  --index I           import only this index
         |  --id_range LO:HI    keep ids in [LO, HI] (inclusive)
@@ -318,7 +337,12 @@ object Cli {
   /** export_vdf: scan every index of the source DB → VDF dir (§3.1). */
   private def cmdExport(spark: SparkSession, a: Args): Int = {
     val db = a.flags.getOrElse("db", "mock")
-    val exp = exporters(a.flags("db_root"))(db)
+    val exp: VdbExporter =
+      if (graft.connectors.wire.WireCliConnector.DialectNames(db)) {
+        require(a.flags.get("collections").exists(_.nonEmpty),
+          s"--db $db needs --collections a,b (wire dialects don't enumerate)")
+        wireConnector(db, a)
+      } else exporters(a.flags("db_root"))(db)
     val out = a.flags("out")
     val frames = exp.indexNames.map(ix => (ix, "") -> exp.scan(spark, ix)).toMap
     // record each index's distance metric so import doesn't silently
@@ -335,7 +359,10 @@ object Cli {
     * id-list P4, id-range P5, max rows L1, create_new A4). */
   private def cmdImport(spark: SparkSession, a: Args): Int = {
     val db = a.flags.getOrElse("db", "mock")
-    val imp = importers(a.flags("db_root"))(db)
+    val imp: VdbImporter =
+      if (graft.connectors.wire.WireCliConnector.DialectNames(db))
+        wireConnector(db, a)
+      else importers(a.flags("db_root"))(db)
     val dir = a.flags("dir")
     val meta = VdfIO.readMeta(dir)
     val idCol = meta.idColumnOrDefault
