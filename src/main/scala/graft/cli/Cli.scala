@@ -77,9 +77,11 @@ object Cli {
         |directory (chunked parquet + VDF_META.json).
         |
         |  --db DB             connector: mock, or a wire transport —
-        |                      qdrant|pinecone|chroma (REST) / grpc (framed
-        |                      binary); wire fetches run through the DSv2
-        |                      scan (pruning + paging on the wire)
+        |                      qdrant|pinecone|chroma (REST, DSv2 offset
+        |                      scan), astra|turbopuffer|weaviate (REST,
+        |                      cursor-token chains), grpc (framed binary);
+        |                      fetches are real wire traffic with pruning
+        |                      + paging on the wire
         |  --db_root DIR       connector root / base URL / host:port
         |  --collections A,B   collection names (wire dialects only — no
         |                      common enumeration call)
@@ -93,9 +95,9 @@ object Cli {
         |with the reference's subset filters.
         |
         |  --db DB             connector: mock, or a wire transport —
-        |                      qdrant|pinecone|chroma (REST) / grpc (framed
-        |                      binary); wire upserts batch with the
-        |                      shrink-on-fault policy
+        |                      qdrant|pinecone|chroma|astra|turbopuffer|
+        |                      weaviate (REST) / grpc (framed binary); wire
+        |                      upserts batch with the shrink-on-fault policy
         |  --db_root DIR       connector root / base URL / host:port
         |  --dir VDF_DIR       input VDF directory
         |  --index I           import only this index

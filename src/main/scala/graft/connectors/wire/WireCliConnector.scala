@@ -25,7 +25,13 @@ import graft.core.{Constants, Metric}
 final class WireCliConnector(dialectName: String, url: String,
     collections: Seq[String]) extends VdbExporter with VdbImporter {
 
-  private val dialect = WireDialect(dialectName, url)
+  import WireCliConnector.CursorNames
+
+  // offset-partitioned dialects go through the DSv2 connector; the
+  // cursor-token services (Astra pageState, Turbopuffer cursor,
+  // Weaviate after-id) through their continuation-chain clients
+  private val dialect: Option[WireDialect] =
+    if (CursorNames(dialectName)) None else Some(WireDialect(dialectName, url))
 
   override def indexNames: Seq[String] = collections
 
@@ -35,15 +41,37 @@ final class WireCliConnector(dialectName: String, url: String,
   override def metric(index: String): Metric = Metric.Cosine
 
   override def scan(spark: SparkSession, index: String): DataFrame =
-    WireVdb.read(spark, dialectName, url, index)
+    dialectName match {
+      case "astra" =>
+        AstraWire(url).scan(spark, index, fetchSize = 500, wantVector = true)
+      case "turbopuffer" =>
+        TurbopufferWire(url).scan(spark, index, limit = 500,
+          includeVectors = true)
+      case "weaviate" =>
+        WeaviateWire(url).scan(spark, index, limit = 500,
+          includeVector = true)
+      case d => WireVdb.read(spark, d, url, index)
+    }
+
+  /** Does a collection hold data? The common surface has no true
+    * exists call — count > 0 where a count exists, else a 1-row page
+    * probe; good enough for create_new suffixing. */
+  private def occupied(c: String): Boolean =
+    try {
+      dialectName match {
+        case "astra" => AstraWire(url).count(c) > 0
+        case "turbopuffer" =>
+          TurbopufferWire(url).page(c, None, 1, includeVectors = false)
+            ._1.nonEmpty
+        case "weaviate" =>
+          WeaviateWire(url).listAfter(c, None, 1, includeVector = false)
+            ._1.nonEmpty
+        case _ => dialect.get.count(c) > 0
+      }
+    } catch { case _: Exception => false }
 
   override def ensureIndex(name: String, dimensions: Int, metric: Metric,
       createNew: Boolean): String = {
-    // exists ≈ count > 0: the common dialect surface has no true
-    // exists call (count of a missing collection is 0 or an error
-    // depending on the service); good enough for create_new suffixing
-    def occupied(c: String): Boolean =
-      try dialect.count(c) > 0 catch { case _: Exception => false }
     val target =
       if (!createNew) name
       else {
@@ -52,7 +80,10 @@ final class WireCliConnector(dialectName: String, url: String,
         while (occupied(cand)) { cand = s"$name-$i"; i += 1 }
         cand
       }
-    dialect.create(target, dimensions)
+    // cursor services create collections on first write (the Data
+    // API / namespace-on-upsert model); the offset dialects create
+    // explicitly
+    dialect.foreach(_.create(target, dimensions))
     target
   }
 
@@ -60,14 +91,24 @@ final class WireCliConnector(dialectName: String, url: String,
       idColumn: String = Constants.IdColumn): Long = {
     val shaped = WireCliConnector.toWireShape(df, idColumn)
     val n = shaped.count()
-    WireVdb.write(shaped, dialectName, url, index)
+    dialectName match {
+      case "astra" => AstraWire(url).write(shaped, index, batchSize = 500)
+      case "turbopuffer" =>
+        TurbopufferWire(url).write(shaped, index, batchSize = 500)
+      case "weaviate" =>
+        WeaviateWire(url).write(shaped, index, batchSize = 500)
+      case d => WireVdb.write(shaped, d, url, index)
+    }
     n
   }
 }
 
 object WireCliConnector {
+  /** Cursor-token transports (continuation-chain scans). */
+  val CursorNames: Set[String] = Set("astra", "turbopuffer", "weaviate")
   /** CLI dialect names routed to the wire connector. */
-  val DialectNames: Set[String] = Set("qdrant", "pinecone", "chroma", "grpc")
+  val DialectNames: Set[String] =
+    Set("qdrant", "pinecone", "chroma", "grpc") ++ CursorNames
 
   /** Shape an arbitrary VDF frame into the wire row
     * (id string, vector array<double>, payload map<string,string>):

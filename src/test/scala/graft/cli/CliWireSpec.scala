@@ -66,6 +66,25 @@ class CliWireSpec extends SparkSpec {
     assert(grpc.collectionSize(c) == 450)
     assert(grpc.requestLog.asScala.exists(_.startsWith(s"grpc upsert $c")))
 
+    // the cursor-token transports import the same VDF dir; a second
+    // export round-trips back out of each cursor scan. The stub's
+    // store is shared per server, so route each through collections
+    // carved out by create_new-free direct imports against distinct
+    // names via --index filtering on the single index in the manifest.
+    for (db <- Seq("astra", "turbopuffer", "weaviate")) {
+      http.requestLog.clear()
+      assert(Cli.run(spark, Seq("import", "--db", db,
+        "--db_root", http.url, "--dir", vdf)) == 0)
+      val vdf2 = java.nio.file.Files.createTempDirectory(s"wire_vdf_$db").toString
+      assert(Cli.run(spark, Seq("export", "--db", db,
+        "--db_root", http.url, "--collections", c, "--out", vdf2)) == 0)
+      val back2 = spark.read
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(vdf2).count()
+      assert(back2 == 450, s"$db round-trip lost rows: $back2")
+    }
+
     // data fidelity: read the grpc side back through the DSv2 scan and
     // compare id/vector/payload against the seed
     val back = WireVdb.read(spark, "grpc", grpc.hostPort, c).collect()
