@@ -74,6 +74,13 @@ object RecallEval {
         IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
           q, k, nprobe = 4)
       })),
+      ("ivfpq RESIDUAL nlist=8 nprobe=4 m=8 ksub=256" -> (() => {
+        // the FAISS-default codebook size (8 bits/subquantizer)
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 256)
+        IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 4)
+      })),
       ("ivfpq RAW nlist=8 nprobe=8 m=16 ksub=64" -> (() => {
         val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
           nlist = 8, m = 16, ksub = 64, residual = false)
