@@ -111,4 +111,31 @@ class CliWireSpec extends SparkSpec {
       "--create_new")) == 0)
     assert(grpc.collectionSize(s"$c-1") == 40)
   }
+  test("toWireShape: id by name, vector discovery, payload stringification") {
+    import spark.implicits._
+    import graft.connectors.wire.WireCliConnector.toWireShape
+    // arbitrary VDF frame: odd id column name, embedding col, extras
+    val df = Seq(
+      (7L, Seq(0.5f, 0.25f), "en", 3, null.asInstanceOf[String]),
+      (8L, null.asInstanceOf[Seq[Float]], "de", 4, "x"))
+      .toDF("doc_id", "embedding", "lang", "rank", "maybe")
+    val shaped = toWireShape(df, "doc_id").collect()
+      .map(r => (r.getString(0),
+        Option(r.getSeq[Double](1)).getOrElse(null),
+        r.getMap[String, String](2).toMap)).sortBy(_._1)
+    assert(shaped(0) == ("7", Seq(0.5, 0.25),
+      Map("lang" -> "en", "rank" -> "3"))) // null field dropped
+    assert(shaped(1)._1 == "8" && shaped(1)._2 == null &&
+      shaped(1)._3 == Map("lang" -> "de", "rank" -> "4", "maybe" -> "x"))
+    // already wire-shaped frames pass through
+    val wire = Seq(("a", Seq(1.0), Map("k" -> "v")))
+      .toDF("id", "vector", "payload")
+    assert(toWireShape(wire, "id").columns.toSeq ==
+      Seq("id", "vector", "payload"))
+    // no vector column at all -> null vectors, everything else payload
+    val noVec = Seq((1L, "t")).toDF("doc_id", "text")
+    val r = toWireShape(noVec, "doc_id").head()
+    assert(r.getString(0) == "1" && r.isNullAt(1) &&
+      r.getMap[String, String](2).toMap == Map("text" -> "t"))
+  }
 }
