@@ -80,6 +80,19 @@ object QueriesCommon {
   private val branchSessions = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, Boolean, Long), SparkSession]()
 
+  /** Sub-threshold shuffle fan-out: ~one partition per 4 MiB of
+    * input, floored at 4, ROUNDED UP TO A POWER OF TWO, capped at the
+    * session default. The power-of-two bucketing bounds the branch-
+    * session key space (≤ log2(defaultP) values + the at-scale
+    * default) — a long-lived process touching many differently sized
+    * datasets must not accumulate one forked session (with its own
+    * SessionState and listeners) per distinct directory size. */
+  private[graft] def branchFanout(bytes: Long, defaultP: Long): Long = {
+    val raw = math.min(defaultP, math.max(4L, bytes >> 22))
+    val pow = java.lang.Long.highestOneBit(raw)
+    math.min(defaultP, if (pow == raw) pow else pow << 1)
+  }
+
   private def branchSession(root: SparkSession, atScale: Boolean,
       shufflePartitions: Long): SparkSession = {
     val s = branchSessions.computeIfAbsent(
@@ -118,7 +131,7 @@ object QueriesCommon {
       .computeIfAbsent(s, _.conf.get("spark.sql.shuffle.partitions"))
     val p =
       if (atScale) defaultP.toLong
-      else math.min(defaultP.toLong, math.max(4L, bytes >> 22))
+      else branchFanout(bytes, defaultP.toLong)
     val branch = branchSession(s, atScale, p)
     val path = s"$dir/$name.parquet"
     tableCache.computeIfAbsent((branch, path), _ => {

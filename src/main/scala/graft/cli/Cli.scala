@@ -29,16 +29,21 @@ object Cli {
   def importers(root: String): Map[String, VdbImporter] =
     Map("mock" -> new MockVdb(root))
 
-  /** Wire-transport connectors (r8): `--db qdrant|pinecone|chroma`
-    * speaks the service's REST dialect and `--db grpc` the framed
-    * binary transport, with `--db_root` the base URL / host:port —
+  /** Wire-transport connectors (r8; milvus r9): `--db
+    * qdrant|pinecone|chroma` speaks the service's REST dialect and
+    * `--db grpc|milvus` the framed binary transport, with `--db_root`
+    * the base URL / host:port —
     * every fetch/upsert is real wire traffic through the DSv2 stack.
     * Export needs `--collections a,b` (the common dialect surface has
     * no listing call — same selection flags as the reference's
     * `--namespaces`/`--classes`). */
   private def wireConnector(db: String, a: Args): graft.connectors.wire.WireCliConnector =
     new graft.connectors.wire.WireCliConnector(db, a.flags("db_root"),
-      a.flags.get("collections").map(_.split(",").toSeq).getOrElse(Seq.empty))
+      a.flags.get("collections").map(_.split(",").toSeq).getOrElse(Seq.empty),
+      // --api_key overrides; else the dialect's env var
+      // (PINECONE_API_KEY, QDRANT_API_KEY, ... — the same fallbacks as
+      // the reference's set_arg_from_password prompts)
+      apiKey = a.flags.get("api_key"))
 
   final case class Args(positional: List[String], flags: Map[String, String])
 
@@ -79,9 +84,11 @@ object Cli {
         |  --db DB             connector: mock, or a wire transport —
         |                      qdrant|pinecone|chroma (REST, DSv2 offset
         |                      scan), astra|turbopuffer|weaviate (REST,
-        |                      cursor-token chains), grpc (framed binary);
-        |                      fetches are real wire traffic with pruning
-        |                      + paging on the wire
+        |                      cursor-token chains), grpc|milvus (framed
+        |                      binary); fetches are real wire traffic with
+        |                      pruning + paging on the wire; API keys from
+        |                      each service's env var (PINECONE_API_KEY,
+        |                      QDRANT_API_KEY, ...)
         |  --db_root DIR       connector root / base URL / host:port
         |  --collections A,B   collection names (wire dialects only — no
         |                      common enumeration call)
@@ -96,8 +103,9 @@ object Cli {
         |
         |  --db DB             connector: mock, or a wire transport —
         |                      qdrant|pinecone|chroma|astra|turbopuffer|
-        |                      weaviate (REST) / grpc (framed binary); wire
-        |                      upserts batch with the shrink-on-fault policy
+        |                      weaviate (REST) / grpc|milvus (framed binary);
+        |                      wire upserts batch with the shrink-on-fault
+        |                      policy; API keys from env vars
         |  --db_root DIR       connector root / base URL / host:port
         |  --dir VDF_DIR       input VDF directory
         |  --index I           import only this index

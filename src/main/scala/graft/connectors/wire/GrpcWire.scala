@@ -159,7 +159,8 @@ object GrpcFraming {
   * REST. One short-lived connection per call (method id rides field 15
   * of the request; a production client would multiplex HTTP/2 streams,
   * which changes nothing above this class). */
-final case class GrpcWire(hostPort: String) extends WireDialect {
+final case class GrpcWire(hostPort: String,
+    token: Option[String] = None) extends WireDialect {
   import GrpcFraming._
 
   private def call(build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
@@ -167,9 +168,18 @@ final case class GrpcWire(hostPort: String) extends WireDialect {
     val sock = new Socket()
     try {
       sock.connect(new InetSocketAddress(h, p.toInt), 10000)
+      // read timeout too: a server that accepts then stalls mid-frame
+      // must fail the call (readFrame/readFully would otherwise block
+      // the Spark task forever)
+      sock.setSoTimeout(30000)
       val out = new DataOutputStream(sock.getOutputStream)
       val in = new DataInputStream(sock.getInputStream)
-      writeFrame(out, message(build))
+      // auth rides field 14 of every request — the framed stand-in for
+      // gRPC's `authorization` metadata
+      writeFrame(out, message { o =>
+        token.foreach(writeStringField(o, 14, _))
+        build(o)
+      })
       val rsp = readMessage(readFrame(in))
       val status = rsp.get(1).flatMap(_.headOption)
         .map(_.asInstanceOf[Long].toInt).getOrElse(0)
@@ -179,11 +189,13 @@ final case class GrpcWire(hostPort: String) extends WireDialect {
     } finally sock.close()
   }
 
-  override def create(c: String, dims: Int): Unit = {
+  override def create(c: String, dims: Int,
+      metric: graft.core.Metric): Unit = {
     call { o =>
       writeVarintField(o, 15, 1)
       writeStringField(o, 2, c)
       writeVarintField(o, 9, dims)
+      writeStringField(o, 10, metric.name)
     }
     ()
   }
@@ -242,6 +254,10 @@ final class GrpcStubServer {
   private val store = new java.util.LinkedHashMap[String,
     (Int, java.util.LinkedHashMap[String, (Seq[Double], Map[String, String])])]()
   val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** `m<method> <collection> token=<field-14 value | ->` per request —
+    * the framed stand-in for gRPC authorization metadata, so specs
+    * assert the token rides every frame. */
+  val authLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val writeFails = new java.util.concurrent.atomic.AtomicInteger(0)
   @volatile private var writeFailStatus = 14
   private val readFails = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -321,6 +337,10 @@ final class GrpcStubServer {
     val req = readMessage(readFrame(in))
     val method = num(req, 15)
     val c = str(req, 2)
+    authLog.add(s"m$method $c token=" +
+      req.get(14).flatMap(_.headOption)
+        .map(b => new String(b.asInstanceOf[Array[Byte]],
+          StandardCharsets.UTF_8)).getOrElse("-"))
     method match {
       case 1 => // create
         requestLog.add(s"grpc create $c dims=${num(req, 9)}")

@@ -1,6 +1,6 @@
 package graft.connectors.wire
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
@@ -9,13 +9,17 @@ import graft.core.{Constants, Metric}
 
 /** The CLI half of the wire connectors: one class implementing BOTH
   * the exporter and importer contracts over any [[WireDialect]]
-  * (qdrant / pinecone / chroma REST, or the gRPC-shaped framed
-  * transport), so `graft export --db qdrant --db_root http://…` and
-  * `graft import --db pinecone …` run the reference's flagship
-  * use case — migrate a collection between vector DBs through a VDF
-  * directory — with every fetch and upsert as real wire traffic
-  * through the DSv2 scan/write planning (offset partitions, pruning
-  * flags on the wire, shrink-on-fault batches).
+  * (qdrant / pinecone / chroma REST, the gRPC-shaped framed
+  * transport, or milvus), so `graft export --db qdrant --db_root
+  * http://…` and `graft import --db pinecone …` run the reference's
+  * flagship use case — migrate a collection between vector DBs
+  * through a VDF directory — with every fetch and upsert as real wire
+  * traffic through the DSv2 scan/write planning (offset partitions,
+  * pruning flags on the wire, shrink-on-fault batches).
+  *
+  * API keys are env-sourced per dialect ([[WireAuth]]; the
+  * reference's `set_arg_from_password` fallback env vars) unless the
+  * caller passes one explicitly, and ride every request.
   *
   * Wire dialects don't enumerate collections on the common surface
   * (each service has its own listing call), so the CLI names them
@@ -23,34 +27,51 @@ import graft.core.{Constants, Metric}
   * `--classes` selection flags (`turbopuffer_export.py:60-62`,
   * `weaviate_export.py:67-76`). */
 final class WireCliConnector(dialectName: String, url: String,
-    collections: Seq[String]) extends VdbExporter with VdbImporter {
+    collections: Seq[String], apiKey: Option[String] = None)
+    extends VdbExporter with VdbImporter {
 
   import WireCliConnector.CursorNames
+
+  private val key: Option[String] =
+    apiKey.orElse(WireAuth.fromEnv(dialectName))
 
   // offset-partitioned dialects go through the DSv2 connector; the
   // cursor-token services (Astra pageState, Turbopuffer cursor,
   // Weaviate after-id) through their continuation-chain clients
   private val dialect: Option[WireDialect] =
-    if (CursorNames(dialectName)) None else Some(WireDialect(dialectName, url))
+    if (CursorNames(dialectName)) None
+    else Some(WireDialect(dialectName, url, key))
 
   override def indexNames: Seq[String] = collections
 
-  /** The generic dialect surface carries no metric-read call; the
-    * create path pins Cosine (QdrantWire.create), so report that. A
-    * per-service client would read the collection config instead. */
-  override def metric(index: String): Metric = Metric.Cosine
+  /** Read the collection's metric where the service exposes one
+    * (Qdrant collection info, Milvus describe); fall back to Cosine —
+    * logged, because a wrong metric in VDF_META makes a later import
+    * recreate the index under the wrong distance — only where the
+    * dialect truly has no metric-read call. */
+  override def metric(index: String): Metric =
+    dialect.flatMap { d =>
+      try d.metricOf(index)
+      catch { case _: Exception => None }
+    }.getOrElse {
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"$dialectName exposes no metric read for '$index'; " +
+          "assuming Cosine in VDF_META")
+      Metric.Cosine
+    }
 
   override def scan(spark: SparkSession, index: String): DataFrame =
     dialectName match {
       case "astra" =>
-        AstraWire(url).scan(spark, index, fetchSize = 500, wantVector = true)
+        AstraWire(url, apiKey = key)
+          .scan(spark, index, fetchSize = 500, wantVector = true)
       case "turbopuffer" =>
-        TurbopufferWire(url).scan(spark, index, limit = 500,
+        TurbopufferWire(url, key).scan(spark, index, limit = 500,
           includeVectors = true)
       case "weaviate" =>
-        WeaviateWire(url).scan(spark, index, limit = 500,
+        WeaviateWire(url, key).scan(spark, index, limit = 500,
           includeVector = true)
-      case d => WireVdb.read(spark, d, url, index)
+      case d => WireVdb.read(spark, d, url, index, apiKey = key)
     }
 
   /** Does a collection hold data? The common surface has no true
@@ -59,12 +80,12 @@ final class WireCliConnector(dialectName: String, url: String,
   private def occupied(c: String): Boolean =
     try {
       dialectName match {
-        case "astra" => AstraWire(url).count(c) > 0
+        case "astra" => AstraWire(url, apiKey = key).count(c) > 0
         case "turbopuffer" =>
-          TurbopufferWire(url).page(c, None, 1, includeVectors = false)
+          TurbopufferWire(url, key).page(c, None, 1, includeVectors = false)
             ._1.nonEmpty
         case "weaviate" =>
-          WeaviateWire(url).listAfter(c, None, 1, includeVector = false)
+          WeaviateWire(url, key).listAfter(c, None, 1, includeVector = false)
             ._1.nonEmpty
         case _ => dialect.get.count(c) > 0
       }
@@ -82,24 +103,30 @@ final class WireCliConnector(dialectName: String, url: String,
       }
     // cursor services create collections on first write (the Data
     // API / namespace-on-upsert model); the offset dialects create
-    // explicitly
-    dialect.foreach(_.create(target, dimensions))
+    // explicitly, carrying the manifest's metric to the service
+    dialect.foreach(_.create(target, dimensions, metric))
     target
   }
 
   override def upsert(index: String, df: DataFrame,
       idColumn: String = Constants.IdColumn): Long = {
+    // count the rows IN the write pass (Observation piggybacks on the
+    // write action) — no second computation of the frame, and the
+    // count is exactly what went over the wire even for a
+    // non-deterministic source
+    val obs = Observation()
     val shaped = WireCliConnector.toWireShape(df, idColumn)
-    val n = shaped.count()
+      .observe(obs, count(lit(1)).as("rows"))
     dialectName match {
-      case "astra" => AstraWire(url).write(shaped, index, batchSize = 500)
+      case "astra" =>
+        AstraWire(url, apiKey = key).write(shaped, index, batchSize = 500)
       case "turbopuffer" =>
-        TurbopufferWire(url).write(shaped, index, batchSize = 500)
+        TurbopufferWire(url, key).write(shaped, index, batchSize = 500)
       case "weaviate" =>
-        WeaviateWire(url).write(shaped, index, batchSize = 500)
-      case d => WireVdb.write(shaped, d, url, index)
+        WeaviateWire(url, key).write(shaped, index, batchSize = 500)
+      case d => WireVdb.write(shaped, d, url, index, apiKey = key)
     }
-    n
+    obs.get("rows").asInstanceOf[Long]
   }
 }
 
@@ -108,7 +135,7 @@ object WireCliConnector {
   val CursorNames: Set[String] = Set("astra", "turbopuffer", "weaviate")
   /** CLI dialect names routed to the wire connector. */
   val DialectNames: Set[String] =
-    Set("qdrant", "pinecone", "chroma", "grpc") ++ CursorNames
+    Set("qdrant", "pinecone", "chroma", "grpc", "milvus") ++ CursorNames
 
   /** Shape an arbitrary VDF frame into the wire row
     * (id string, vector array<double>, payload map<string,string>):

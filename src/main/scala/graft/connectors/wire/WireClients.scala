@@ -43,13 +43,16 @@ object WireClients {
   * `estimatedDocumentCount`) — the public Data API the reference's
   * astrapy client wraps. */
 final case class AstraWire(base: String,
-    keyspace: String = "default_keyspace") extends Serializable {
+    keyspace: String = "default_keyspace",
+    apiKey: Option[String] = None) extends Serializable {
 
   private def url(c: String) = s"$base/api/json/v1/$keyspace/$c"
+  private def hdrs = apiKey.toSeq.map(WireAuth.header("astra", _))
 
   def count(c: String): Long =
     WireHttp.post(url(c),
-        WireJson.write(Map("estimatedDocumentCount" -> Map.empty[String, Any])))(
+        WireJson.write(Map("estimatedDocumentCount" -> Map.empty[String, Any])),
+        hdrs)(
         "status").asInstanceOf[Map[String, Any]]("count")
       .asInstanceOf[Number].longValue()
 
@@ -69,7 +72,8 @@ final case class AstraWire(base: String,
         val find: Map[String, Any] = Map("options" -> options) ++
           (if (wantVector) Map.empty
            else Map("projection" -> Map("$vector" -> 0)))
-        val data = WireHttp.post(url(c), WireJson.write(Map("find" -> find)))(
+        val data = WireHttp.post(url(c), WireJson.write(Map("find" -> find)),
+          hdrs)(
           "data").asInstanceOf[Map[String, Any]]
         val docs = data("documents").asInstanceOf[Seq[Any]].map { d0 =>
           val d = d0.asInstanceOf[Map[String, Any]]
@@ -97,7 +101,7 @@ final case class AstraWire(base: String,
   def insertOnce(c: String, points: Seq[WirePoint]): Unit =
     WireHttp.post(url(c), WireJson.write(Map("insertMany" -> Map(
       "documents" -> points.map(p =>
-        Map("_id" -> p.id, "$vector" -> p.vector) ++ p.payload)))))
+        Map("_id" -> p.id, "$vector" -> p.vector) ++ p.payload)))), hdrs)
 
   /** Distributed scan: one partition walks the pageState chain. */
   def scan(spark: SparkSession, c: String, fetchSize: Int,
@@ -123,7 +127,9 @@ final case class AstraWire(base: String,
 /** Turbopuffer REST: COLUMNAR upsert bodies and a cursor-chained
   * export — `{ids, vectors, attributes: {name: [...]}}` on the wire,
   * the shape `turbopuffer_import.py:148-158` posts per batch. */
-final case class TurbopufferWire(base: String) extends Serializable {
+final case class TurbopufferWire(base: String,
+    apiKey: Option[String] = None) extends Serializable {
+  private def hdrs = apiKey.toSeq.map(WireAuth.header("turbopuffer", _))
 
   def upsertOnce(ns: String, points: Seq[WirePoint]): Unit = {
     // columnar pivot: every attribute key becomes one aligned array
@@ -132,31 +138,52 @@ final case class TurbopufferWire(base: String) extends Serializable {
       "ids" -> points.map(_.id),
       "vectors" -> points.map(_.vector),
       "attributes" -> keys.map(k =>
-        k -> points.map(_.payload.get(k).orNull)).toMap)))
+        k -> points.map(_.payload.get(k).orNull)).toMap)), hdrs)
   }
 
   /** One cursor page; `include_vectors=false` keeps the heaviest
-    * column off the wire entirely. */
+    * column off the wire entirely. A 429/5xx shrinks the page limit
+    * ×2/3 and re-requests the SAME cursor (cursors are idempotent
+    * reads, so rows are neither lost nor duplicated) — resilience
+    * parity with the sibling dialects' scan paths; gives up after
+    * `maxRetries` consecutive failures at limit 1. */
   def page(ns: String, cursor: Option[String], limit: Int,
-      includeVectors: Boolean): (Seq[WirePoint], Option[String]) = {
-    val q = s"?limit=$limit&include_vectors=$includeVectors" +
-      cursor.map(c => s"&cursor=$c").getOrElse("")
-    val rsp = WireJson.parse(WireHttp.get(s"$base/v1/vectors/$ns$q"))
-    val ids = rsp("ids").asInstanceOf[Seq[Any]].map(_.toString)
-    val vecs = Option(rsp.getOrElse("vectors", null))
-      .map(_.asInstanceOf[Seq[Any]].map(Decode.vec))
-      .getOrElse(ids.map(_ => Seq.empty[Double]))
-    val attrs = Option(rsp.getOrElse("attributes", null))
-      .map(_.asInstanceOf[Map[String, Any]].map { case (k, vs) =>
-        k -> vs.asInstanceOf[Seq[Any]]
-      }).getOrElse(Map.empty)
-    val pts = ids.zipWithIndex.map { case (id, i) =>
-      WirePoint(id, vecs(i),
-        attrs.flatMap { case (k, vs) =>
-          Option(vs(i)).map(v => k -> v.toString)
-        })
+      includeVectors: Boolean, maxRetries: Int = 3)
+      : (Seq[WirePoint], Option[String]) = {
+    var lim = limit
+    var failures = 0
+    while (true) {
+      try {
+        val q = s"?limit=$lim&include_vectors=$includeVectors" +
+          cursor.map(c => s"&cursor=$c").getOrElse("")
+        val rsp = WireJson.parse(WireHttp.get(s"$base/v1/vectors/$ns$q", hdrs))
+        val ids = rsp("ids").asInstanceOf[Seq[Any]].map(_.toString)
+        val vecs = Option(rsp.getOrElse("vectors", null))
+          .map(_.asInstanceOf[Seq[Any]].map(Decode.vec))
+          .getOrElse(ids.map(_ => Seq.empty[Double]))
+        val attrs = Option(rsp.getOrElse("attributes", null))
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, vs) =>
+            k -> vs.asInstanceOf[Seq[Any]]
+          }).getOrElse(Map.empty)
+        val pts = ids.zipWithIndex.map { case (id, i) =>
+          WirePoint(id, vecs(i),
+            attrs.flatMap { case (k, vs) =>
+              Option(vs(i)).map(v => k -> v.toString)
+            })
+        }
+        return (pts, rsp.get("next_cursor").filter(_ != null).map(_.toString))
+      } catch {
+        case WireHttpError(code, _) if code == 429 || code >= 500 =>
+          if (lim > 1) lim = math.max(1, lim * 2 / 3)
+          else {
+            failures += 1
+            if (failures >= maxRetries)
+              throw WireHttpError(code,
+                s"page at cursor $cursor failed $maxRetries times at limit 1")
+          }
+      }
     }
-    (pts, rsp.get("next_cursor").filter(_ != null).map(_.toString))
+    throw new IllegalStateException("unreachable")
   }
 
   def scan(spark: SparkSession, ns: String, limit: Int,
@@ -182,29 +209,35 @@ final case class TurbopufferWire(base: String) extends Serializable {
   * after-cursor listing `GET /v1/objects?class=…&limit=…&after=…` —
   * the public cursor API for full exports (vector included only when
   * `include=vector`). */
-final case class WeaviateWire(base: String) extends Serializable {
+final case class WeaviateWire(base: String,
+    apiKey: Option[String] = None) extends Serializable {
+  private def hdrs = apiKey.toSeq.map(WireAuth.header("weaviate", _))
 
   def batchObjectsOnce(cls: String, points: Seq[WirePoint]): Unit =
     WireHttp.post(s"$base/v1/batch/objects", WireJson.write(Map(
       "objects" -> points.map(p => Map(
         "class" -> cls, "id" -> p.id,
-        "properties" -> p.payload, "vector" -> p.vector)))))
+        "properties" -> p.payload, "vector" -> p.vector)))), hdrs)
 
   def listAfter(cls: String, after: Option[String], limit: Int,
       includeVector: Boolean): (Seq[WirePoint], Option[String]) = {
     val q = s"?class=$cls&limit=$limit" +
       (if (includeVector) "&include=vector" else "") +
       after.map(a => s"&after=$a").getOrElse("")
-    val rsp = WireJson.parse(WireHttp.get(s"$base/v1/objects$q"))
+    val rsp = WireJson.parse(WireHttp.get(s"$base/v1/objects$q", hdrs))
     val objs = rsp("objects").asInstanceOf[Seq[Any]].map { o0 =>
       val o = o0.asInstanceOf[Map[String, Any]]
       WirePoint(o("id").toString,
         Decode.vec(o.getOrElse("vector", null)),
         Decode.pay(o.getOrElse("properties", null)))
     }
-    // cursor semantics: a FULL page may have more — continue after its
-    // last id; a short page ends the chain
-    val next = if (objs.size < limit) None else Some(objs.last.id)
+    // cursor semantics: only an EMPTY page ends the chain (the
+    // documented exhaustive-listing idiom). Keying exhaustion off
+    // `objs.size < limit` truncates against a live server whose
+    // effective page cap (Weaviate's QUERY_MAXIMUM_RESULTS) is lower
+    // than the requested limit: a full-but-capped page reads as
+    // "short". One extra empty-page request per chain is the price.
+    val next = if (objs.isEmpty) None else Some(objs.last.id)
     (objs, next)
   }
 

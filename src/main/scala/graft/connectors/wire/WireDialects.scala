@@ -17,8 +17,12 @@ final case class WirePoint(id: String, vector: Seq[Double],
   * e.g. Pinecone's /vectors/fetch transiently missing an id). Range
   * readers must advance their offset by `listed`, never by
   * `points.size`, or an omission silently truncates the rest of the
-  * partition's range. */
-final case class WirePage(points: Seq[WirePoint], listed: Int)
+  * partition's range. `omitted` carries exactly WHICH listed ids the
+  * hydration step failed to return, so the reader can retry them via
+  * the dialect's targeted retrieve instead of silently accepting the
+  * loss. */
+final case class WirePage(points: Seq[WirePoint], listed: Int,
+    omitted: Seq[String] = Seq.empty)
 
 /** Non-2xx response — carries the status code so retry policy can
   * distinguish retryable (429/500/413) from fatal. */
@@ -30,20 +34,28 @@ private[wire] object WireHttp {
   lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
-  def post(url: String, body: String): Map[String, Any] =
-    send(HttpRequest.newBuilder(URI.create(url))
-      .POST(HttpRequest.BodyPublishers.ofString(body)))
+  def post(url: String, body: String,
+      headers: Seq[(String, String)] = Nil): Map[String, Any] =
+    send(withHeaders(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)), headers))
 
-  def put(url: String, body: String): Map[String, Any] =
-    send(HttpRequest.newBuilder(URI.create(url))
-      .PUT(HttpRequest.BodyPublishers.ofString(body)))
+  def put(url: String, body: String,
+      headers: Seq[(String, String)] = Nil): Map[String, Any] =
+    send(withHeaders(HttpRequest.newBuilder(URI.create(url))
+      .PUT(HttpRequest.BodyPublishers.ofString(body)), headers))
 
-  def get(url: String): String = {
-    val r = client.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+  def get(url: String, headers: Seq[(String, String)] = Nil): String = {
+    val r = client.send(
+      withHeaders(HttpRequest.newBuilder(URI.create(url)).GET(), headers)
+        .build(),
       HttpResponse.BodyHandlers.ofString())
     if (r.statusCode() / 100 != 2) throw WireHttpError(r.statusCode(), r.body())
     r.body()
   }
+
+  private def withHeaders(b: HttpRequest.Builder,
+      headers: Seq[(String, String)]): HttpRequest.Builder =
+    headers.foldLeft(b) { case (bb, (k, v)) => bb.header(k, v) }
 
   private def send(b: HttpRequest.Builder): Map[String, Any] = {
     val r = client.send(b.header("Content-Type", "application/json").build(),
@@ -51,6 +63,52 @@ private[wire] object WireHttp {
     if (r.statusCode() / 100 != 2) throw WireHttpError(r.statusCode(), r.body())
     if (r.body().trim.startsWith("{")) WireJson.parse(r.body()) else Map.empty
   }
+}
+
+/** The reference's auth surface, Spark-side: every wire client sends
+  * its service's API-key header on EVERY request, with the key sourced
+  * from the same environment variables the reference's
+  * `set_arg_from_password` prompts fall back to
+  * (`pinecone_export.py:118-123` → PINECONE_API_KEY,
+  * `qdrant_export.py:60-62` → QDRANT_API_KEY,
+  * `astradb_export.py:78-83` → ASTRA_DB_APPLICATION_TOKEN,
+  * `turbopuffer_export.py:33-38` → TURBOPUFFER_API_KEY,
+  * `weaviate_export.py:38-43` → WEAVIATE_API_KEY,
+  * `milvus_export.py:60-65` → ZILLIZ_CLOUD_TOKEN). Header names are
+  * each service's public API shape: Pinecone `Api-Key`, Qdrant
+  * `api-key`, Astra `Token`, bearer tokens for the rest; the framed
+  * binary transports carry the token as a request metadata field (the
+  * gRPC `authorization` metadata). No secret ever lives in code —
+  * absent env var = unauthenticated client, exactly like the
+  * reference's skip-on-empty prompt. */
+object WireAuth {
+  /** dialect → env var the key is sourced from. */
+  val EnvVar: Map[String, String] = Map(
+    "pinecone" -> "PINECONE_API_KEY",
+    "qdrant" -> "QDRANT_API_KEY",
+    "chroma" -> "CHROMA_API_KEY",
+    "astra" -> "ASTRA_DB_APPLICATION_TOKEN",
+    "turbopuffer" -> "TURBOPUFFER_API_KEY",
+    "weaviate" -> "WEAVIATE_API_KEY",
+    "milvus" -> "ZILLIZ_CLOUD_TOKEN",
+    "grpc" -> "GRAFT_GRPC_TOKEN")
+
+  /** Source a dialect's key from the environment (injectable for
+    * tests — the JVM can't set real env vars). Empty values count as
+    * absent, like the reference's hit-return-to-skip prompts. */
+  def fromEnv(dialect: String,
+      env: Map[String, String] = sys.env): Option[String] =
+    EnvVar.get(dialect).flatMap(env.get).filter(_.nonEmpty)
+
+  /** The header a key rides on, per service's public API. */
+  def header(dialect: String, key: String): (String, String) =
+    dialect match {
+      case "pinecone" => "Api-Key" -> key
+      case "qdrant" => "api-key" -> key
+      case "astra" => "Token" -> key
+      // Chroma / Turbopuffer / Weaviate: bearer tokens
+      case _ => "Authorization" -> s"Bearer $key"
+    }
 }
 
 /** A REST dialect: the four calls the DSv2 wire connector needs. All
@@ -61,7 +119,18 @@ private[wire] object WireHttp {
   * here, exactly like the reference keeps its shrink loops in the
   * import classes and its client thin. */
 trait WireDialect extends Serializable {
-  def create(collection: String, dims: Int): Unit
+  def create(collection: String, dims: Int,
+      metric: graft.core.Metric): Unit
+  /** Cosine-default convenience — most callers don't care. */
+  final def create(collection: String, dims: Int): Unit =
+    create(collection, dims, graft.core.Metric.Cosine)
+  /** Read the collection's distance metric where the service exposes
+    * it (Qdrant collection info, Milvus describe); None where the
+    * dialect has no metric-read call — callers fall back to Cosine
+    * and should log the assumption, because recording a wrong metric
+    * in VDF_META makes a later import recreate the index under the
+    * wrong distance. */
+  def metricOf(collection: String): Option[graft.core.Metric] = None
   def count(collection: String): Long
   /** One page; `wantVector`/`wantPayload` must reach the wire as the
     * dialect's pruning flags (scroll's with_vector / get's include).
@@ -97,13 +166,34 @@ private[wire] object Decode {
   * scan; real deployments shard by `shard_key_selector` / id ranges
   * (the `PaginatedScan.byIdShards` path) when the token is truly
   * opaque. */
-final case class QdrantWire(base: String) extends WireDialect {
-  override def create(c: String, dims: Int): Unit =
+final case class QdrantWire(base: String,
+    apiKey: Option[String] = None) extends WireDialect {
+  private def hdrs = apiKey.toSeq.map(WireAuth.header("qdrant", _))
+
+  override def create(c: String, dims: Int,
+      metric: graft.core.Metric): Unit =
     WireHttp.put(s"$base/collections/$c", WireJson.write(Map(
-      "vectors" -> Map("size" -> dims, "distance" -> "Cosine"))))
+      "vectors" -> Map("size" -> dims, "distance" ->
+        graft.core.Metric.toDbName("qdrant", metric).getOrElse("Cosine")))),
+      hdrs)
+
+  /** Qdrant exposes the metric in the collection info:
+    * `result.config.params.vectors.distance`. */
+  override def metricOf(c: String): Option[graft.core.Metric] =
+    WireJson.parse(WireHttp.get(s"$base/collections/$c", hdrs))
+      .get("result").collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("config")).collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("params")).collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("vectors")).collect { case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("distance")).map(d =>
+        graft.core.Metric.standardize("qdrant", d.toString))
 
   override def count(c: String): Long =
-    WireJson.parse(WireHttp.get(s"$base/collections/$c"))("result")
+    WireJson.parse(WireHttp.get(s"$base/collections/$c", hdrs))("result")
       .asInstanceOf[Map[String, Any]]("points_count")
       .asInstanceOf[Number].longValue()
 
@@ -111,7 +201,7 @@ final case class QdrantWire(base: String) extends WireDialect {
       wantVector: Boolean, wantPayload: Boolean): WirePage = {
     val rsp = WireHttp.post(s"$base/collections/$c/points/scroll",
       WireJson.write(Map("limit" -> limit, "offset" -> offset,
-        "with_vector" -> wantVector, "with_payload" -> wantPayload)))
+        "with_vector" -> wantVector, "with_payload" -> wantPayload)), hdrs)
     val pts = rsp("result").asInstanceOf[Map[String, Any]]("points")
       .asInstanceOf[Seq[Any]].map { p0 =>
         val p = p0.asInstanceOf[Map[String, Any]]
@@ -126,7 +216,7 @@ final case class QdrantWire(base: String) extends WireDialect {
     // qdrant's points-retrieve: POST /collections/{c}/points with ids
     val rsp = WireHttp.post(s"$base/collections/$c/points/retrieve",
       WireJson.write(Map("ids" -> ids,
-        "with_vector" -> wantVector, "with_payload" -> wantPayload)))
+        "with_vector" -> wantVector, "with_payload" -> wantPayload)), hdrs)
     rsp("result").asInstanceOf[Seq[Any]].map { p0 =>
       val p = p0.asInstanceOf[Map[String, Any]]
       WirePoint(p("id").toString, Decode.vec(p.getOrElse("vector", null)),
@@ -137,19 +227,23 @@ final case class QdrantWire(base: String) extends WireDialect {
   override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =
     WireHttp.put(s"$base/collections/$c/points", WireJson.write(Map(
       "points" -> points.map(p => Map("id" -> p.id, "vector" -> p.vector,
-        "payload" -> p.payload)))))
+        "payload" -> p.payload)))), hdrs)
 }
 
 /** Pinecone REST: list → fetch for reads (the real API composition —
   * fetch has no paging of its own), upsert for writes
   * (`export_vdf/pinecone_export.py:501-599`,
   * `import_vdf/pinecone_import.py:163-164,267-276`). */
-final case class PineconeWire(base: String) extends WireDialect {
-  override def create(c: String, dims: Int): Unit = () // index auto-created
+final case class PineconeWire(base: String,
+    apiKey: Option[String] = None) extends WireDialect {
+  private def hdrs = apiKey.toSeq.map(WireAuth.header("pinecone", _))
+
+  override def create(c: String, dims: Int,
+      metric: graft.core.Metric): Unit = () // index auto-created
 
   override def count(c: String): Long =
     WireHttp.post(s"$base/describe_index_stats",
-        WireJson.write(Map("index" -> c)))("namespaces")
+        WireJson.write(Map("index" -> c)), hdrs)("namespaces")
       .asInstanceOf[Map[String, Any]]("")
       .asInstanceOf[Map[String, Any]]("vectorCount")
       .asInstanceOf[Number].longValue()
@@ -158,7 +252,7 @@ final case class PineconeWire(base: String) extends WireDialect {
       wantVector: Boolean, wantPayload: Boolean): WirePage = {
     val ids = WireHttp.post(s"$base/vectors/list", WireJson.write(Map(
         "index" -> c, "limit" -> limit,
-        "paginationToken" -> offset.toString)))("vectors")
+        "paginationToken" -> offset.toString)), hdrs)("vectors")
       .asInstanceOf[Seq[Any]]
       .map(_.asInstanceOf[Map[String, Any]]("id").toString)
     if (ids.isEmpty) return WirePage(Seq.empty, 0)
@@ -167,23 +261,24 @@ final case class PineconeWire(base: String) extends WireDialect {
     if (!wantVector && !wantPayload)
       return WirePage(ids.map(WirePoint(_, Seq.empty, Map.empty)), ids.size)
     val fetched = WireHttp.post(s"$base/vectors/fetch", WireJson.write(Map(
-        "index" -> c, "ids" -> ids)))("vectors")
+        "index" -> c, "ids" -> ids)), hdrs)("vectors")
       .asInstanceOf[Map[String, Any]]
     // listed = ids.size even when fetch omits some of them: the range
     // reader advances by the LISTING so a transient fetch omission
-    // loses only that id, not the rest of the partition's range
+    // loses only that id, not the rest of the partition's range; the
+    // omitted ids ride along so the reader can retry them targeted
     WirePage(ids.flatMap(id => fetched.get(id).map { v0 =>
       val v = v0.asInstanceOf[Map[String, Any]]
       WirePoint(id, Decode.vec(v.getOrElse("values", null)),
         Decode.pay(v.getOrElse("metadata", null)))
-    }), ids.size)
+    }), ids.size, omitted = ids.filterNot(fetched.contains))
   }
 
   override def fetchByIds(c: String, ids: Seq[String],
       wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] = {
     if (ids.isEmpty) return Seq.empty
     val fetched = WireHttp.post(s"$base/vectors/fetch", WireJson.write(Map(
-        "index" -> c, "ids" -> ids)))("vectors")
+        "index" -> c, "ids" -> ids)), hdrs)("vectors")
       .asInstanceOf[Map[String, Any]]
     ids.flatMap(id => fetched.get(id).map { v0 =>
       val v = v0.asInstanceOf[Map[String, Any]]
@@ -196,19 +291,23 @@ final case class PineconeWire(base: String) extends WireDialect {
     WireHttp.post(s"$base/vectors/upsert", WireJson.write(Map(
       "index" -> c,
       "vectors" -> points.map(p => Map("id" -> p.id, "values" -> p.vector,
-        "metadata" -> p.payload)))))
+        "metadata" -> p.payload)))), hdrs)
 }
 
 /** Chroma REST: columnar add/get with limit+offset paging
   * (`export_vdf/chroma_export.py:125-141`). The `include` list is the
   * pruning surface — embeddings are omitted from the response when
   * the scan doesn't need them. */
-final case class ChromaWire(base: String) extends WireDialect {
-  override def create(c: String, dims: Int): Unit =
-    WireHttp.post(s"$base/api/v1/collections/$c/create", "{}")
+final case class ChromaWire(base: String,
+    apiKey: Option[String] = None) extends WireDialect {
+  private def hdrs = apiKey.toSeq.map(WireAuth.header("chroma", _))
+
+  override def create(c: String, dims: Int,
+      metric: graft.core.Metric): Unit =
+    WireHttp.post(s"$base/api/v1/collections/$c/create", "{}", hdrs)
 
   override def count(c: String): Long =
-    WireHttp.get(s"$base/api/v1/collections/$c/count").trim.toLong
+    WireHttp.get(s"$base/api/v1/collections/$c/count", hdrs).trim.toLong
 
   override def fetchPage(c: String, offset: Long, limit: Int,
       wantVector: Boolean, wantPayload: Boolean): WirePage = {
@@ -216,7 +315,7 @@ final case class ChromaWire(base: String) extends WireDialect {
       (if (wantPayload) Seq("metadatas") else Nil)
     val rsp = WireHttp.post(s"$base/api/v1/collections/$c/get",
       WireJson.write(Map("limit" -> limit, "offset" -> offset,
-        "include" -> include)))
+        "include" -> include)), hdrs)
     val ids = rsp("ids").asInstanceOf[Seq[Any]].map(_.toString)
     val embs = Option(rsp.getOrElse("embeddings", null))
       .map(_.asInstanceOf[Seq[Any]].map(Decode.vec))
@@ -233,7 +332,7 @@ final case class ChromaWire(base: String) extends WireDialect {
     val include = (if (wantVector) Seq("embeddings") else Nil) ++
       (if (wantPayload) Seq("metadatas") else Nil)
     val rsp = WireHttp.post(s"$base/api/v1/collections/$c/get",
-      WireJson.write(Map("ids" -> ids, "include" -> include)))
+      WireJson.write(Map("ids" -> ids, "include" -> include)), hdrs)
     val got = rsp("ids").asInstanceOf[Seq[Any]].map(_.toString)
     val embs = Option(rsp.getOrElse("embeddings", null))
       .map(_.asInstanceOf[Seq[Any]].map(Decode.vec))
@@ -248,7 +347,7 @@ final case class ChromaWire(base: String) extends WireDialect {
     WireHttp.post(s"$base/api/v1/collections/$c/add", WireJson.write(Map(
       "ids" -> points.map(_.id),
       "embeddings" -> points.map(_.vector),
-      "metadatas" -> points.map(_.payload))))
+      "metadatas" -> points.map(_.payload))), hdrs)
 }
 
 /** Vespa's Document API over the wire — NOT a [[WireDialect]]: its
@@ -299,13 +398,20 @@ final case class VespaWire(base: String) extends Serializable {
 }
 
 object WireDialect {
-  def apply(name: String, base: String): WireDialect = name match {
-    case "qdrant" => QdrantWire(base)
-    case "pinecone" => PineconeWire(base)
-    case "chroma" => ChromaWire(base)
-    // framed binary (gRPC-shaped) transport: base is host:port
-    case "grpc" => GrpcWire(base)
+  /** Key sourced from the dialect's env var (PINECONE_API_KEY etc.)
+    * unless the caller supplies one explicitly. */
+  def apply(name: String, base: String): WireDialect =
+    apply(name, base, WireAuth.fromEnv(name))
+
+  def apply(name: String, base: String,
+      apiKey: Option[String]): WireDialect = name match {
+    case "qdrant" => QdrantWire(base, apiKey)
+    case "pinecone" => PineconeWire(base, apiKey)
+    case "chroma" => ChromaWire(base, apiKey)
+    // framed binary (gRPC-shaped) transports: base is host:port
+    case "grpc" => GrpcWire(base, apiKey)
+    case "milvus" => MilvusWire(base, apiKey)
     case other => throw new IllegalArgumentException(
-      s"unknown wire dialect '$other' (qdrant|pinecone|chroma|grpc)")
+      s"unknown wire dialect '$other' (qdrant|pinecone|chroma|grpc|milvus)")
   }
 }

@@ -46,7 +46,17 @@ final class WireStubServer {
   private val store = new java.util.LinkedHashMap[String,
     (Int, java.util.LinkedHashMap[String, (Seq[Double], Map[String, String])])]()
 
+  // collection → qdrant distance name ("Cosine"/"Euclid"/...), set at
+  // create time and served back in the collection info
+  private val distances =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  /** One entry per request: `METHOD /path <header>=<value>` for the
+    * recognized auth headers (Api-Key / api-key / Token /
+    * Authorization), or `METHOD /path -` when the request carried
+    * none — so specs can assert the key rides EVERY request. */
+  val authLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val writeFails = new AtomicInteger(0)
   @volatile private var writeFailCode = 500
   private val readFails = new AtomicInteger(0)
@@ -57,8 +67,18 @@ final class WireStubServer {
     * response (while /vectors/list still lists them) — the live-service
     * failure mode where hydration lags enumeration; lets specs prove
     * the range reader advances by the listing and loses only the
-    * omitted id, not the rest of the partition. */
+    * omitted id, not the rest of the partition. With
+    * `omitFromFetchOnce`, the omission clears itself after the first
+    * fetch it affects — the TRANSIENT form, provable recoverable by
+    * the reader's targeted retry. */
   @volatile var omitFromFetch: Set[String] = Set.empty
+  @volatile var omitFromFetchOnce: Boolean = false
+
+  /** Weaviate's effective page cap (QUERY_MAXIMUM_RESULTS): the
+    * /v1/objects listing silently truncates each page to this many
+    * rows regardless of the requested limit — the live behavior that
+    * makes "short page = exhausted" a truncation bug. */
+  @volatile var weaviatePageCap: Int = Int.MaxValue
 
   def failNextWrites(n: Int, code: Int): Unit = {
     writeFailCode = code; writeFails.set(n)
@@ -163,6 +183,11 @@ final class WireStubServer {
   private def handle(ex: HttpExchange): Unit = try {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
+    authLog.add(s"$method $path " +
+      Seq("Api-Key", "api-key", "Token", "Authorization")
+        .flatMap(h => Option(ex.getRequestHeaders.getFirst(h))
+          .map(v => s"$h=$v"))
+        .headOption.getOrElse("-"))
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val json: Map[String, Any] =
       if (body.isEmpty) Map.empty else parse(body)
@@ -170,17 +195,24 @@ final class WireStubServer {
     (method, path.split("/").filter(_.nonEmpty).toList) match {
       // -------------------------------------------------- Qdrant
       case ("PUT", "collections" :: c :: Nil) =>
-        val dims = json.get("vectors")
+        val vectors = json.get("vectors")
           .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-          .flatMap(_.get("size")).map(_.asInstanceOf[Number].intValue()).getOrElse(0)
-        requestLog.add(s"PUT /collections/$c dims=$dims")
+        val dims = vectors.flatMap(_.get("size"))
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+        val distance = vectors.flatMap(_.get("distance"))
+          .map(_.toString).getOrElse("Cosine")
+        requestLog.add(s"PUT /collections/$c dims=$dims distance=$distance")
         ensure(c, dims)
+        distances.put(c, distance)
         respond(ex, 200, s"""{"result":true,"status":"ok"}""")
 
       case ("GET", "collections" :: c :: Nil) =>
         requestLog.add(s"GET /collections/$c")
-        respond(ex, 200, write(Map("result" ->
-          Map("points_count" -> collectionSize(c)), "status" -> "ok")))
+        respond(ex, 200, write(Map("result" -> Map(
+          "points_count" -> collectionSize(c),
+          "config" -> Map("params" -> Map("vectors" -> Map(
+            "distance" -> distances.getOrDefault(c, "Cosine"))))),
+          "status" -> "ok")))
 
       case ("PUT", "collections" :: c :: "points" :: Nil) =>
         val pts = asPoints(json("points"))
@@ -258,8 +290,12 @@ final class WireStubServer {
         val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
         requestLog.add(s"POST /vectors/fetch index=$c n=${ids.size}")
         if (injectRead(ex)) return
+        val omitted = omitFromFetch
+        if (omitFromFetchOnce && ids.exists(omitted)) {
+          omitFromFetch = Set.empty; omitFromFetchOnce = false
+        }
         respond(ex, 200, write(Map("vectors" ->
-          byIds(c, ids.filterNot(omitFromFetch)).map { case (id, v, p) =>
+          byIds(c, ids.filterNot(omitted)).map { case (id, v, p) =>
             id -> Map("id" -> id, "values" -> v, "metadata" -> p)
           }.toMap)))
 
@@ -473,7 +509,7 @@ final class WireStubServer {
         requestLog.add(s"GET /v1/objects class=$cls limit=$limit " +
           s"after=${after.getOrElse("-")} include=${params.getOrElse("include", "-")}")
         if (injectRead(ex)) return
-        val pts = pageAfter(cls, after, limit)
+        val pts = pageAfter(cls, after, math.min(limit, weaviatePageCap))
         respond(ex, 200, write(Map("objects" -> pts.map { case (id, v, p) =>
           Map("id" -> id, "class" -> cls, "properties" -> p) ++
             (if (includeVec) Map("vector" -> v) else Map.empty)

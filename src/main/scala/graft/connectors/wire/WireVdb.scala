@@ -50,19 +50,26 @@ object WireVdb {
     StructField("payload", MapType(StringType, StringType), nullable = true)))
 
   def read(spark: SparkSession, dialect: String, url: String,
-      collection: String, batchSize: Int = 1000): DataFrame =
-    spark.read.format(Format)
-      .option("dialect", dialect).option("url", url)
-      .option("collection", collection)
-      .option("batchSize", batchSize.toString).load()
-
-  def write(df: DataFrame, dialect: String, url: String,
-      collection: String, batchSize: Int = 1000): Unit =
-    df.write.format(Format)
+      collection: String, batchSize: Int = 1000,
+      apiKey: Option[String] = None): DataFrame = {
+    val r = spark.read.format(Format)
       .option("dialect", dialect).option("url", url)
       .option("collection", collection)
       .option("batchSize", batchSize.toString)
-      .mode("append").save()
+    apiKey.foreach(r.option("apiKey", _))
+    r.load()
+  }
+
+  def write(df: DataFrame, dialect: String, url: String,
+      collection: String, batchSize: Int = 1000,
+      apiKey: Option[String] = None): Unit = {
+    val w = df.write.format(Format)
+      .option("dialect", dialect).option("url", url)
+      .option("collection", collection)
+      .option("batchSize", batchSize.toString)
+    apiKey.foreach(w.option("apiKey", _))
+    w.mode("append").save()
+  }
 }
 
 class WireVdbProvider extends TableProvider {
@@ -71,7 +78,13 @@ class WireVdbProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new WireTable(
-      WireDialect(properties.get("dialect"), properties.get("url")),
+      // explicit apiKey option wins; else the dialect's env var
+      Option(properties.get("apiKey")).filter(_.nonEmpty) match {
+        case some @ Some(_) =>
+          WireDialect(properties.get("dialect"), properties.get("url"), some)
+        case None =>
+          WireDialect(properties.get("dialect"), properties.get("url"))
+      },
       properties.get("collection"))
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -219,6 +232,20 @@ object WireScan {
         // a fetch-side omission (page.points < page.listed) loses only
         // the omitted ids, never the rest of the range; exhaustion is
         // the listing coming up short
+        if (page.omitted.nonEmpty) {
+          // the reader knows exactly which listed ids hydration
+          // skipped — retry just those via the targeted retrieve
+          // before accepting any loss, and log what stays missing
+          val recovered =
+            try d.fetchByIds(c, page.omitted, wantVector, wantPayload)
+            catch { case _: WireHttpError => Seq.empty }
+          out ++= recovered
+          val still = page.omitted.size - recovered.size
+          if (still > 0)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"$c: $still listed id(s) not hydrated after targeted " +
+                s"retry at offset $off (of ${page.omitted.size} omitted)")
+        }
         off += page.listed
         failures = 0
         if (page.listed < want) return out.toSeq // collection exhausted

@@ -132,4 +132,21 @@ class QueriesCommonSpec extends SparkSpec {
     assert(pool.awaitTermination(120, TimeUnit.SECONDS))
     assert(errs.isEmpty, s"concurrent branch queries failed: ${errs.peek()}")
   }
+
+  test("branchFanout buckets to powers of two — the key space is provably bounded") {
+    // r8 ADVICE: one forked session per distinct (bytes >> 22) meant a
+    // long-lived process touching many differently sized datasets
+    // accumulated unbounded clones. Power-of-two bucketing caps the
+    // key space at log2(defaultP) values.
+    val defaultP = 32L
+    val sweep = (0L to 4000L).map(mb =>
+      QueriesCommon.branchFanout(mb << 20, defaultP)).distinct.sorted
+    assert(sweep == Seq(4L, 8L, 16L, 32L), s"fanout values: $sweep")
+    // floor and cap hold
+    assert(QueriesCommon.branchFanout(0L, defaultP) == 4L)
+    assert(QueriesCommon.branchFanout(1L << 40, defaultP) == defaultP)
+    // round-up, not round-down: 5 raw partitions -> 8, never 4
+    assert(QueriesCommon.branchFanout(5L << 22, defaultP) == 8L)
+    assert(QueriesCommon.branchFanout(4L << 22, defaultP) == 4L)
+  }
 }

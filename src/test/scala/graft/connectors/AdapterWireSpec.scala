@@ -499,6 +499,68 @@ class AdapterWireSpec extends SparkSpec {
       assert(got.size == 11, s"got ${got.size} rows: ${got.map(_.id)}")
       assert(!got.exists(_.id == s"$c-2"))
       assert(got.exists(_.id == s"$c-11"))
+      // the reader RETRIED the omitted id via a targeted fetch before
+      // accepting the loss (ADVICE r8) — the n=1 fetch in the log
+      assert(log.exists(_.contains("/vectors/fetch index=" + c + " n=1")),
+        log.mkString("\n"))
     } finally server.omitFromFetch = Set.empty
+  }
+
+  test("a TRANSIENTLY omitted id is recovered by the targeted retry — zero loss") {
+    val c = "omit_once_p"
+    WireVdb.write(points(12, c).coalesce(1), "pinecone", server.url, c,
+      batchSize = 12)
+    server.omitFromFetch = Set(s"$c-5")
+    server.omitFromFetchOnce = true // hydration lag clears by retry time
+    try {
+      resetLog()
+      val got = WireScan.fetchRange(PineconeWire(server.url), c,
+        offset = 0, limit = 12, wantVector = true, wantPayload = true)
+      // all 12 rows present: the reader saw points < listed, re-fetched
+      // exactly the omitted id, and the second (targeted) fetch landed
+      assert(got.size == 12, s"got ${got.size} rows: ${got.map(_.id)}")
+      assert(got.exists(_.id == s"$c-5"))
+      val fetches = log.filter(_.contains("/vectors/fetch"))
+      assert(fetches.size == 2 && fetches.last.contains("n=1"),
+        fetches.mkString("\n"))
+    } finally { server.omitFromFetch = Set.empty
+      server.omitFromFetchOnce = false }
+  }
+
+  test("weaviate: a server page cap below the requested limit must not truncate") {
+    // live Weaviate truncates each page to QUERY_MAXIMUM_RESULTS; a
+    // full-but-capped page is NOT exhaustion — only an empty page is.
+    // The r8 listing keyed exhaustion off objs.size < limit and would
+    // stop after the first capped page (30 of 75 rows).
+    val c = "Weav_capped"
+    val wire = WeaviateWire(server.url)
+    wire.write(points(75, c).coalesce(1), c, batchSize = 75)
+    server.weaviatePageCap = 30
+    try {
+      resetLog()
+      val back = wire.scan(spark, c, limit = 100, includeVector = true)
+      assert(asPoints(back) == asPoints(points(75, c)),
+        "rows lost to the page cap")
+      // chain: 30, 30, 15, then the terminating EMPTY page
+      val lists = log.filter(_.contains(s"GET /v1/objects class=$c"))
+      assert(lists.size == 4, lists.mkString("\n"))
+    } finally server.weaviatePageCap = Int.MaxValue
+  }
+
+  test("turbopuffer: a 5xx mid-chain shrinks the page x2/3 on the SAME cursor") {
+    val c = "tpuf_5xx"
+    val wire = TurbopufferWire(server.url)
+    wire.write(points(500, c).coalesce(1), c, batchSize = 500)
+    resetLog()
+    server.failNextReads(2, 503)
+    val back = wire.scan(spark, c, limit = 150, includeVectors = true)
+    // zero row loss, zero duplication across the injected faults
+    assert(asPoints(back) == asPoints(points(500, c)))
+    val first = log.filter(l => l.contains(s"GET /v1/vectors/$c") &&
+      l.contains("cursor=- "))
+    // first page requested at 150 (503), 100 (503), 66 (ok) — the x2/3
+    // shrink retrying the same (absent) cursor
+    assert(first.map(_.split("limit=")(1).split(" ")(0)).toList ==
+      List("150", "100", "66"), first.mkString("\n"))
   }
 }
