@@ -160,6 +160,26 @@ object QueriesExt11 {
       .orderBy("q_id", "vec_id")
   }
 
+  /** The REFINED route (FAISS `refine`, round-9 ask): IVFADC at
+    * k·rerank, then exact-distance re-ranking of that candidate pool
+    * against the raw vectors — `IvfPq.searchRerank` under the same
+    * md5-seeded residual build as q_ann_ivfpq_res_oracle, so the
+    * composed ADC→refine route (coarse assignment, residual encode,
+    * per-(q,list) dtables, ADC top-20, exact l2 re-rank to top-5) is
+    * hash-matched end to end. Production recall impact is measured in
+    * RecallEval (recall_r9_sf01.txt). */
+  private def qAnnIvfPqRerankOracle(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = IvfPq.buildResidualMd5Seeded(e, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 8, ksub = 16)
+    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    IvfPq.searchRerank(mat, q, k = 5, nprobe = 2, rerank = 4)
+      .withColumn("exact", round(col("exact"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
   /** Metadata-filtered ANN (`Ivf.searchWhere`): cosine top-5 among
     * even-labeled vectors only, over the md5-seeded IVF so the whole
     * filtered route — seeds, assignment, probe ranking, PRE-filtered
@@ -222,9 +242,72 @@ object QueriesExt11 {
     "q_maxsim" -> (qMaxsim(_, _)),
     "q_ann_ivfpq_oracle" -> (qAnnIvfPqOracle(_, _)),
     "q_ann_ivfpq_res_oracle" -> (qAnnIvfPqResOracle(_, _)),
+    "q_ann_ivfpq_rerank_oracle" -> (qAnnIvfPqRerankOracle(_, _)),
     "q_ann_filtered" -> (qAnnFiltered(_, _)),
     "q_audio_features" -> (qAudioFeatures(_, _)),
     "q_image_features" -> (qImageFeatures(_, _)))
+
+  /** Shared CTE chain of the md5-seeded RESIDUAL (IVFADC) route,
+    * ending in `adc(q_id, vec_id, adc)` — used by
+    * q_ann_ivfpq_res_oracle (ADC top-5) and q_ann_ivfpq_rerank_oracle
+    * (ADC top-20 → exact-l2 refine to top-5) so both gates pin ONE
+    * construction. */
+  private val ivfPqResCtes: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |isd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+        |          v AS c FROM e),
+        |iseeds AS (SELECT list_id, c FROM isd WHERE list_id < 8),
+        |asg AS (SELECT vec_id, v, list_id, c FROM (
+        |    SELECT e.vec_id, e.v, s.list_id, s.c,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) / 2) DESC,
+        |                 s.list_id) AS rn
+        |    FROM e CROSS JOIN iseeds s)
+        |  WHERE rn = 1),
+        |rsd AS (SELECT vec_id, list_id,
+        |    list_transform(range(1, 65), j -> v[j] - c[j]) AS rv
+        |  FROM asg),
+        |sd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
+        |         list_transform(rv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
+        |       FROM rsd),
+        |cb AS (SELECT code, c FROM sd WHERE code < 16),
+        |sp AS (SELECT unnest(range(8)) AS s),
+        |dpre AS (SELECT r.vec_id, sp.s, cb.code,
+        |    list_transform(range(1, 9), j -> r.rv[sp.s * 8 + j] - cb.c[sp.s * 8 + j]) AS d
+        |  FROM rsd r CROSS JOIN sp CROSS JOIN cb),
+        |dist AS (SELECT vec_id, s, code, list_dot_product(d, d) AS dd FROM dpre),
+        |codes AS (SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, code ASC) AS rn
+        |    FROM dist)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        |ppre AS (SELECT q.q_id, s.list_id,
+        |    list_transform(range(1, 65), j -> q.qv[j] - s.c[j]) AS d
+        |  FROM q CROSS JOIN iseeds s),
+        |pr AS (SELECT q_id, list_id, d AS qres FROM (
+        |    SELECT q_id, list_id, d,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY list_dot_product(d, d) ASC, list_id) AS rn
+        |    FROM ppre)
+        |  WHERE rn <= 2),
+        |qpre AS (SELECT pr.q_id, pr.list_id, sp.s, cb.code,
+        |    list_transform(range(1, 9), j -> pr.qres[sp.s * 8 + j] - cb.c[sp.s * 8 + j]) AS d
+        |  FROM pr CROSS JOIN sp CROSS JOIN cb),
+        |qt AS (SELECT q_id, list_id, s, code, list_dot_product(d, d) AS dd FROM qpre),
+        |parts AS (SELECT pr.q_id, c2.vec_id, qt.s, qt.dd
+        |  FROM codes c2
+        |  JOIN rsd a ON a.vec_id = c2.vec_id
+        |  JOIN pr ON pr.list_id = a.list_id
+        |  JOIN qt ON qt.q_id = pr.q_id AND qt.list_id = pr.list_id
+        |         AND qt.s = c2.s AND qt.code = c2.code
+        |  WHERE c2.vec_id <> pr.q_id),
+        |adc AS (SELECT q_id, vec_id,
+        |    min(CASE WHEN s = 0 THEN dd END) + min(CASE WHEN s = 1 THEN dd END)
+        |  + min(CASE WHEN s = 2 THEN dd END) + min(CASE WHEN s = 3 THEN dd END)
+        |  + min(CASE WHEN s = 4 THEN dd END) + min(CASE WHEN s = 5 THEN dd END)
+        |  + min(CASE WHEN s = 6 THEN dd END) + min(CASE WHEN s = 7 THEN dd END) AS adc
+        |  FROM parts GROUP BY q_id, vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // The lexical CTEs are q_bm25's oracle verbatim (same rounding and
@@ -450,63 +533,27 @@ object QueriesExt11 {
     // are per (query, PROBED LIST) against qres = q − c_list — the
     // IVFADC asymmetric distance.
     "q_ann_ivfpq_res_oracle" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |isd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
-        |          v AS c FROM e),
-        |iseeds AS (SELECT list_id, c FROM isd WHERE list_id < 8),
-        |asg AS (SELECT vec_id, v, list_id, c FROM (
-        |    SELECT e.vec_id, e.v, s.list_id, s.c,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY (list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) / 2) DESC,
-        |                 s.list_id) AS rn
-        |    FROM e CROSS JOIN iseeds s)
-        |  WHERE rn = 1),
-        |rsd AS (SELECT vec_id, list_id,
-        |    list_transform(range(1, 65), j -> v[j] - c[j]) AS rv
-        |  FROM asg),
-        |sd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code,
-        |         list_transform(rv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c
-        |       FROM rsd),
-        |cb AS (SELECT code, c FROM sd WHERE code < 16),
-        |sp AS (SELECT unnest(range(8)) AS s),
-        |dpre AS (SELECT r.vec_id, sp.s, cb.code,
-        |    list_transform(range(1, 9), j -> r.rv[sp.s * 8 + j] - cb.c[sp.s * 8 + j]) AS d
-        |  FROM rsd r CROSS JOIN sp CROSS JOIN cb),
-        |dist AS (SELECT vec_id, s, code, list_dot_product(d, d) AS dd FROM dpre),
-        |codes AS (SELECT vec_id, s, code FROM (
-        |    SELECT vec_id, s, code,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd ASC, code ASC) AS rn
-        |    FROM dist)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
-        |ppre AS (SELECT q.q_id, s.list_id,
-        |    list_transform(range(1, 65), j -> q.qv[j] - s.c[j]) AS d
-        |  FROM q CROSS JOIN iseeds s),
-        |pr AS (SELECT q_id, list_id, d AS qres FROM (
-        |    SELECT q_id, list_id, d,
-        |      ROW_NUMBER() OVER (PARTITION BY q_id
-        |        ORDER BY list_dot_product(d, d) ASC, list_id) AS rn
-        |    FROM ppre)
-        |  WHERE rn <= 2),
-        |qpre AS (SELECT pr.q_id, pr.list_id, sp.s, cb.code,
-        |    list_transform(range(1, 9), j -> pr.qres[sp.s * 8 + j] - cb.c[sp.s * 8 + j]) AS d
-        |  FROM pr CROSS JOIN sp CROSS JOIN cb),
-        |qt AS (SELECT q_id, list_id, s, code, list_dot_product(d, d) AS dd FROM qpre),
-        |parts AS (SELECT pr.q_id, c2.vec_id, qt.s, qt.dd
-        |  FROM codes c2
-        |  JOIN rsd a ON a.vec_id = c2.vec_id
-        |  JOIN pr ON pr.list_id = a.list_id
-        |  JOIN qt ON qt.q_id = pr.q_id AND qt.list_id = pr.list_id
-        |         AND qt.s = c2.s AND qt.code = c2.code
-        |  WHERE c2.vec_id <> pr.q_id),
-        |adc AS (SELECT q_id, vec_id,
-        |    min(CASE WHEN s = 0 THEN dd END) + min(CASE WHEN s = 1 THEN dd END)
-        |  + min(CASE WHEN s = 2 THEN dd END) + min(CASE WHEN s = 3 THEN dd END)
-        |  + min(CASE WHEN s = 4 THEN dd END) + min(CASE WHEN s = 5 THEN dd END)
-        |  + min(CASE WHEN s = 6 THEN dd END) + min(CASE WHEN s = 7 THEN dd END) AS adc
-        |  FROM parts GROUP BY q_id, vec_id),
+      (ivfPqResCtes + """,
         |r AS (SELECT q_id, vec_id, adc,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn FROM adc)
         |SELECT q_id, vec_id, round(adc, 6) AS adc FROM r WHERE rn <= 5
-        |ORDER BY q_id, vec_id""".stripMargin)
+        |ORDER BY q_id, vec_id""".stripMargin),
+    // The refine tail on the same chain: ADC top-20 per query (k=5,
+    // rerank=4), then EXACT squared L2 in double against the raw
+    // vectors re-ranks to top-5 — mirrors IvfPq.searchRerank's
+    // candidate window and l2Sq fold order.
+    "q_ann_ivfpq_rerank_oracle" ->
+      (ivfPqResCtes + """,
+        |cand AS (SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 20),
+        |exd AS (SELECT c3.q_id, c3.vec_id,
+        |    list_transform(range(1, 65), j -> q.qv[j] - e2.v[j]) AS d
+        |  FROM cand c3 JOIN q ON q.q_id = c3.q_id JOIN e e2 ON e2.vec_id = c3.vec_id),
+        |ex AS (SELECT q_id, vec_id, list_dot_product(d, d) AS exact FROM exd),
+        |rr AS (SELECT q_id, vec_id, exact,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY exact ASC, vec_id) AS rn FROM ex)
+        |SELECT q_id, vec_id, round(exact, 6) AS exact FROM rr WHERE rn <= 5
+        |ORDER BY q_id, vec_id""".stripMargin))
 }

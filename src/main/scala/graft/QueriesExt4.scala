@@ -238,8 +238,29 @@ object QueriesExt4 {
       .orderBy("q_id", "vec_id")
   }
 
+  /** Production refine route (FAISS `refine`): the k-means IVFADC
+    * index at k·4 candidates, exact-l2 re-ranked to top-5 — the
+    * recall fix for PQ's lossy codes (recall dial in
+    * recall_r9_sf01.txt). no_oracle by design (k-means training);
+    * the composed route is hash-gated by its md5-seeded sibling
+    * q_ann_ivfpq_rerank_oracle. */
+  private def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val index = graft.similarity.IvfPq.build(e, "vec_id", "embedding",
+      dim = 64, nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
+      sampleFraction = 0.5, trainCap = 4096)
+    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    graft.similarity.IvfPq.searchRerank(mat, q, k = 5, nprobe = 2,
+        rerank = 4)
+      .withColumn("exact", round(col("exact"), 6))
+      .orderBy("q_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_ivfpq" -> (qAnnIvfPq(_, _)),
+    "q_ann_ivfpq_rerank" -> (qAnnIvfPqRerank(_, _)),
     "q_range_join" -> (qRangeJoin(_, _)),
     "q_cube" -> (qCube(_, _)),
     "q_pivot" -> (qPivot(_, _)),

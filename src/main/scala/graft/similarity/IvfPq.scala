@@ -184,4 +184,43 @@ object IvfPq {
       .withColumn("adc", Pq.adcExpr(col("codes"), col("__dt"), index.codebooks.length))
     Pq.topK(scored, index.idCol, k)
   }
+
+  /** FAISS `refine` on the IVFADC route: exact-distance re-ranking of
+    * the top-`rerank`·k ADC candidates. ADC is a lossy m-byte
+    * approximation — its top-k misses true neighbors whose codes
+    * collide; re-scoring a SMALL candidate pool (R = rerank·k per
+    * query) with the true squared L2 against the raw vectors recovers
+    * most of them at a cost independent of corpus size:
+    *
+    *  - the ADC stage is unchanged (`search` at k·rerank) — the scan
+    *    still reads only probed lists, codes only;
+    *  - the candidate set (|Q|·R rows of (q_id, id)) is BROADCAST onto
+    *    the corpus, so hydrating raw vectors is one map-side semi-join
+    *    scan of the id+vector columns — no shuffle of the corpus, and
+    *    at rest the corpus read prunes to those columns;
+    *  - the exact distance is the codegen'd double fold
+    *    (`GraftExtensions.l2Sq`, float→double promotion exact), so an
+    *    external engine reproduces it bit-for-bit — the composed route
+    *    is oracle-gated end to end (q_ann_ivfpq_rerank_oracle).
+    *
+    * Returns (q_id, idCol, exact) — true squared L2, ascending. */
+  def searchRerank(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int, rerank: Int = 4): DataFrame = {
+    val cand = search(index, queries, k * rerank, nprobe)
+      .select(col("q_id"), col(index.idCol))
+    // hydrate raw vectors for the candidate pool only: broadcast the
+    // small (q_id, id) set against the corpus's id+vector columns
+    val raw = index.encoded.select(col(index.idCol),
+      col(index.vecCol).as("__cand_vec"))
+    val qv = queries.select(col("q_id"), col("q_vec"))
+    val exact = raw.join(broadcast(cand), Seq(index.idCol))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("exact",
+        GraftExtensions.l2Sq(col("q_vec"), col("__cand_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("exact").asc, col(index.idCol))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(index.idCol), col("exact"))
+  }
 }

@@ -92,14 +92,83 @@ object RecallEval {
           nlist = 8, m = 16, ksub = 64)
         IvfPq.search(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
           q, k, nprobe = 8)
+      })),
+      // ---- the refine dial (round 9, FAISS `refine`): exact-l2
+      // re-ranking of the top-R ADC candidates. Two independent caps
+      // bound it: the PROBE stage (only candidates in probed lists can
+      // be recovered — nprobe=4 of 8 caps at the "ivf nprobe=4" row)
+      // and R itself (a true neighbor outside the ADC top-R is lost).
+      ("ivfpq RES+refine R=4k nlist=8 nprobe=4 m=8" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 4, rerank = 4)
+      })),
+      ("ivfpq RES+refine R=8k nlist=8 nprobe=4 m=8" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 4, rerank = 8)
+      })),
+      ("ivfpq RES+refine R=8k nlist=8 nprobe=8 m=8" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 8, rerank = 8)
+      })),
+      ("ivfpq RES+refine R=16k nlist=8 nprobe=8 m=8" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 8, rerank = 16)
+      })),
+      // m=8 at the FAISS-default ksub=256 + refine: the 8-bit codebook
+      // tightens ADC containment, the refine converts containment into
+      // top-k — the pair is how FAISS ships IVFADC in practice
+      // (`IVFx,PQ8` + RefineFlat)
+      ("ivfpq RES+refine R=4k nlist=8 nprobe=4 m=8 ksub=256" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 256)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 4, rerank = 4)
+      })),
+      ("ivfpq RES+refine R=8k nlist=8 nprobe=8 m=8 ksub=256" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 256)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 8, rerank = 8)
+      })),
+      ("ivfpq RES+refine R=16k nlist=8 nprobe=8 m=8 ksub=256" -> (() => {
+        val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 256)
+        IvfPq.searchRerank(ix.copy(encoded = ix.encoded.localCheckpoint(true)),
+          q, k, nprobe = 8, rerank = 16)
       })))
+    // the refine re-ranks by EXACT SQUARED L2 (the IVFADC metric);
+    // ground truth here is cosine — on a near-uniform corpus the two
+    // rankings genuinely differ (all distances nearly equal, so metric
+    // noise decides top-k). This row is the METRIC CEILING: brute-force
+    // exact-L2 top-k scored against the cosine ground truth — no
+    // L2-based route, however exact, can exceed it.
+    val l2W = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("l2").asc, col("vec_id"))
+    val l2Ceiling = recall(topSet(q.crossJoin(cands)
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("l2",
+        graft.expressions.GraftExtensions.l2Sq(col("q_vec"), col("embedding")))
+      .withColumn("rn", row_number().over(l2W)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"))))
+
     println(s"# recall@$k vs exact cosine, ${exact.size} queries, $dir")
+    println(f"# exact-L2 brute force vs cosine truth (metric ceiling) = $l2Ceiling%.3f")
     println("# note: driver embeddings are near-uniform random -- the")
     println("# adversarial case for ANN (no cluster structure to exploit);")
     println("# the point is the monotone recall/cost dial, not absolute values")
     routes.foreach { case (label, run) =>
+      val t0 = System.nanoTime()
       val r = recall(topSet(run()))
-      println(f"$label%-28s recall@$k = $r%.3f")
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$label%-44s recall@$k = $r%.3f  (${secs}%.2f s)")
     }
 
     // ---- filtered ANN (Ivf.searchWhere): recall vs the FILTERED
@@ -147,6 +216,20 @@ object RecallEval {
           nprobe = 4)))
         val label = if (res) "RESIDUAL" else "RAW"
         println(f"ivfpq $label%-8s clustered-64d nlist=8 nprobe=4 m=8 recall@$k = $r%.3f")
+      }
+      // the refine on the realistic (clustered) shape: the ADC loss is
+      // what the exact re-rank recovers; the probe cap barely binds
+      // because clustered queries' true neighbors share their list
+      for (rr <- Seq(4, 8)) {
+        val ix = IvfPq.build(clustered, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 16)
+        val t0 = System.nanoTime()
+        val r = crecall(topSet(IvfPq.searchRerank(
+          ix.copy(encoded = ix.encoded.localCheckpoint(true)), cq, k,
+          nprobe = 4, rerank = rr)))
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"ivfpq RES+refine R=${rr}k clustered-64d nlist=8 nprobe=4 m=8 " +
+          f"recall@$k = $r%.3f  (${secs}%.2f s)")
       }
     }
 

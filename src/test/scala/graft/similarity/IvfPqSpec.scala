@@ -106,6 +106,50 @@ class IvfPqSpec extends SparkSpec {
     assert(key(onDisk) == key(IvfPq.search(index, q, k = 5, nprobe = 1)))
   }
 
+  test("searchRerank: exact re-ranking of the ADC pool — true-L2 ordered, never worse") {
+    import spark.implicits._
+    val q = vecs.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val refined = IvfPq.searchRerank(index, q, k = 5, nprobe = 4, rerank = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // k results per query, self excluded
+    val byQ = refined.groupBy(_._1)
+    assert(byQ.size == 8 && byQ.values.forall(_.length == 5))
+    assert(refined.forall { case (qid, vid, _) => qid != vid })
+    // the reported score IS the true squared L2 (not ADC): recompute
+    // driver-side from the raw vectors
+    val raw = vecs.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    refined.foreach { case (qid, vid, ex) =>
+      val (a, b) = (raw(qid), raw(vid))
+      val want = a.indices.map { j =>
+        val d = a(j).toDouble - b(j).toDouble; d * d }.sum
+      assert(math.abs(ex - want) < 1e-9, s"($qid,$vid): $ex vs $want")
+    }
+    // recall vs the exact L2 top-5 (within probed lists = all lists at
+    // nprobe=4): refine must do at least as well as the plain ADC top-5
+    def topSet(rows: Array[(Long, Long)]): Map[Long, Set[Long]] =
+      rows.groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    val exact = topSet(q.crossJoin(vecs.select(col("vec_id"), col("embedding")))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("l2", graft.expressions.GraftExtensions.l2Sq(
+        col("q_vec"), col("embedding")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("l2").asc, col("vec_id"))))
+      .filter(col("rn") <= 5).select("q_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val adcSet = topSet(IvfPq.search(index, q, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))))
+    val refSet = topSet(refined.map(t => (t._1, t._2)))
+    def hits(m: Map[Long, Set[Long]]): Int =
+      exact.map { case (k2, ex) => m.getOrElse(k2, Set.empty).count(ex) }.sum
+    assert(hits(refSet) >= hits(adcSet),
+      s"refine degraded recall: ${hits(refSet)} < ${hits(adcSet)}")
+    // on this clustered fixture the refined top-5 IS the exact top-5
+    assert(refSet == exact)
+  }
+
   test("search with nprobe=1 stays inside the query's cluster") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") === 1) // cluster 1
