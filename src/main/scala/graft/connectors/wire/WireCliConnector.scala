@@ -37,10 +37,14 @@ final class WireCliConnector(dialectName: String, url: String,
 
   // offset-partitioned dialects go through the DSv2 connector; the
   // cursor-token services (Astra pageState, Turbopuffer cursor,
-  // Weaviate after-id) through their continuation-chain clients
+  // Weaviate after-id) through their continuation-chain clients;
+  // Vertex AI through its list→hydrate client (no listing call on the
+  // service — one driver-side findNeighbors, sharded hydration)
   private val dialect: Option[WireDialect] =
-    if (CursorNames(dialectName)) None
+    if (CursorNames(dialectName) || dialectName == "vertex") None
     else Some(WireDialect(dialectName, url, key))
+
+  private def vertex = VertexWire(url, endpointId = "default", key)
 
   override def indexNames: Seq[String] = collections
 
@@ -53,6 +57,10 @@ final class WireCliConnector(dialectName: String, url: String,
     dialect.flatMap { d =>
       try d.metricOf(index)
       catch { case _: Exception => None }
+    }.orElse {
+      if (dialectName == "vertex")
+        try vertex.metricOf(index) catch { case _: Exception => None }
+      else None
     }.getOrElse {
       org.slf4j.LoggerFactory.getLogger(getClass).info(
         s"$dialectName exposes no metric read for '$index'; " +
@@ -71,6 +79,10 @@ final class WireCliConnector(dialectName: String, url: String,
       case "weaviate" =>
         WeaviateWire(url, key).scan(spark, index, limit = 500,
           includeVector = true)
+      case "vertex" =>
+        // collection names the index AND the deployed index — the CLI
+        // surface's 1:1 simplification of the endpoint indirection
+        vertex.scan(spark, index, deployedIndexId = index)
       case d => WireVdb.read(spark, d, url, index, apiKey = key)
     }
 
@@ -87,6 +99,7 @@ final class WireCliConnector(dialectName: String, url: String,
         case "weaviate" =>
           WeaviateWire(url, key).listAfter(c, None, 1, includeVector = false)
             ._1.nonEmpty
+        case "vertex" => vertex.indexStats(c)._1 > 0
         case _ => dialect.get.count(c) > 0
       }
     } catch { case _: Exception => false }
@@ -124,6 +137,9 @@ final class WireCliConnector(dialectName: String, url: String,
         TurbopufferWire(url, key).write(shaped, index, batchSize = 500)
       case "weaviate" =>
         WeaviateWire(url, key).write(shaped, index, batchSize = 500)
+      case "vertex" =>
+        VertexWire(url, endpointId = "default", key)
+          .write(shaped, index, batchSize = 500)
       case d => WireVdb.write(shaped, d, url, index, apiKey = key)
     }
     obs.get("rows").asInstanceOf[Long]
@@ -135,7 +151,8 @@ object WireCliConnector {
   val CursorNames: Set[String] = Set("astra", "turbopuffer", "weaviate")
   /** CLI dialect names routed to the wire connector. */
   val DialectNames: Set[String] =
-    Set("qdrant", "pinecone", "chroma", "grpc", "milvus") ++ CursorNames
+    Set("qdrant", "pinecone", "chroma", "lancedb", "kdbai", "vertex",
+      "grpc", "milvus") ++ CursorNames
 
   /** Shape an arbitrary VDF frame into the wire row
     * (id string, vector array<double>, payload map<string,string>):

@@ -91,6 +91,8 @@ object WireAuth {
     "turbopuffer" -> "TURBOPUFFER_API_KEY",
     "weaviate" -> "WEAVIATE_API_KEY",
     "milvus" -> "ZILLIZ_CLOUD_TOKEN",
+    "lancedb" -> "LANCEDB_API_KEY",
+    "kdbai" -> "KDBAI_API_KEY",
     "grpc" -> "GRAFT_GRPC_TOKEN")
 
   /** Source a dialect's key from the environment (injectable for
@@ -106,6 +108,10 @@ object WireAuth {
       case "pinecone" => "Api-Key" -> key
       case "qdrant" => "api-key" -> key
       case "astra" => "Token" -> key
+      // LanceDB Cloud and KDB.AI key headers (HTTP header names are
+      // case-insensitive; these are the documented spellings)
+      case "lancedb" => "x-api-key" -> key
+      case "kdbai" => "X-Api-Key" -> key
       // Chroma / Turbopuffer / Weaviate: bearer tokens
       case _ => "Authorization" -> s"Bearer $key"
     }
@@ -408,10 +414,13 @@ object WireDialect {
     case "qdrant" => QdrantWire(base, apiKey)
     case "pinecone" => PineconeWire(base, apiKey)
     case "chroma" => ChromaWire(base, apiKey)
+    case "lancedb" => LanceDbWire(base, apiKey)
+    case "kdbai" => KdbaiWire(base, apiKey)
     // framed binary (gRPC-shaped) transports: base is host:port
     case "grpc" => GrpcWire(base, apiKey)
     case "milvus" => MilvusWire(base, apiKey)
     case other => throw new IllegalArgumentException(
-      s"unknown wire dialect '$other' (qdrant|pinecone|chroma|grpc|milvus)")
+      s"unknown wire dialect '$other' " +
+        "(qdrant|pinecone|chroma|lancedb|kdbai|grpc|milvus)")
   }
 }

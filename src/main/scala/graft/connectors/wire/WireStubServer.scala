@@ -184,7 +184,7 @@ final class WireStubServer {
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
     authLog.add(s"$method $path " +
-      Seq("Api-Key", "api-key", "Token", "Authorization")
+      Seq("Api-Key", "api-key", "Token", "x-api-key", "Authorization")
         .flatMap(h => Option(ex.getRequestHeaders.getFirst(h))
           .map(v => s"$h=$v"))
         .headOption.getOrElse("-"))
@@ -552,6 +552,250 @@ final class WireStubServer {
           "documentCount" -> pts.size) ++
           (if (more) Map("continuation" -> s"c${off + pts.size}")
            else Map.empty)))
+
+      // -------------------------------------------------- LanceDB
+      // Cloud REST: table-scoped ops with trailing slashes —
+      // describe / count_rows / query (offset+limit+columns allowlist
+      // +filter) / merge_insert?on=id / create / create_index / index
+      // (`export_vdf/lancedb_export.py:68-141`,
+      // `import_vdf/lancedb_import.py:64-160`).
+      case ("POST", "v1" :: "table" :: t :: op :: Nil) => op match {
+        case "create" =>
+          val dims = json.get("dims")
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+          requestLog.add(s"POST /v1/table/$t/create dims=$dims")
+          ensure(t, dims)
+          respond(ex, 200, "{}")
+
+        case "create_index" =>
+          val metric = json.getOrElse("metric", "Cosine").toString
+          requestLog.add(s"POST /v1/table/$t/create_index metric=$metric")
+          distances.put(t, metric)
+          respond(ex, 200, "{}")
+
+        case "index" =>
+          requestLog.add(s"POST /v1/table/$t/index")
+          respond(ex, 200, write(Map("indexes" -> Seq(Map(
+            "column" -> "vector",
+            "metric" -> distances.getOrDefault(t, "Cosine"))))))
+
+        case "describe" =>
+          requestLog.add(s"POST /v1/table/$t/describe")
+          val payloadKeys = synchronized {
+            import scala.jdk.CollectionConverters._
+            Option(store.get(t)).toSeq
+              .flatMap(_._2.values().asScala.flatMap(_._2.keys)).distinct
+          }
+          respond(ex, 200, write(Map("schema" -> Map("columns" ->
+            (Seq("id", "vector") ++ payloadKeys).map(n =>
+              Map("name" -> n))))))
+
+        case "count_rows" =>
+          requestLog.add(s"POST /v1/table/$t/count_rows")
+          respond(ex, 200, write(Map("count" -> collectionSize(t))))
+
+        case "query" =>
+          val limit = json.get("limit")
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(10)
+          val offset = json.get("offset")
+            .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+          val cols = json.get("columns").filter(_ != null)
+            .map(_.asInstanceOf[Seq[Any]].map(_.toString))
+          val filter = json.get("filter").filter(_ != null).map(_.toString)
+          requestLog.add(s"POST /v1/table/$t/query limit=$limit " +
+            s"offset=$offset columns=${cols.map(_.mkString(",")).getOrElse("*")} " +
+            s"filter=${filter.getOrElse("-")}")
+          if (injectRead(ex)) return
+          // only the id-IN filter the client emits is modeled
+          val pts = filter match {
+            case Some(f) if f.startsWith("id IN (") =>
+              val ids = f.stripPrefix("id IN (").stripSuffix(")")
+                .split(",").map(_.trim.stripPrefix("'").stripSuffix("'")
+                  .replace("''", "'")).toSeq
+              byIds(t, ids)
+            case _ => page(t, offset, limit)
+          }
+          def keep(name: String) = cols.forall(_.contains(name))
+          respond(ex, 200, write(Map("rows" -> pts.map { case (id, v, p) =>
+            Map("id" -> id) ++
+              (if (keep("vector")) Map("vector" -> v) else Map.empty) ++
+              p.filter { case (k, _) => keep(k) }
+          })))
+
+        case "merge_insert" =>
+          val rows = json("rows").asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Map[String, Any]])
+          val on = Option(ex.getRequestURI.getQuery).getOrElse("")
+          requestLog.add(s"POST /v1/table/$t/merge_insert?$on n=${rows.size}")
+          if (injectWrite(ex)) return
+          if (rows.size > maxUpsertBatch) {
+            respond(ex, 413, s"""{"error":"payload too large"}"""); return
+          }
+          ensure(t, rows.headOption
+            .map(r => vec(r.getOrElse("vector", Seq.empty)).size).getOrElse(0))
+          upsert(t, rows.map { r =>
+            (r("id").toString, vec(r.getOrElse("vector", Seq.empty)),
+              pay(r - "id" - "vector"))
+          })
+          respond(ex, 200, "{}")
+
+        case other =>
+          requestLog.add(s"POST /v1/table/$t/$other (404)")
+          respond(ex, 404, s"""{"error":"no table op $other"}""")
+      }
+
+      // --------------------------------------------------- KDB.AI
+      // REST query API: /api/v1/config/table/{t} create+describe,
+      // /api/v1/data queries (aggs count, q-style in-filter,
+      // limit/offset paging — NO projection, like table.query()),
+      // /api/v1/insert row batches (`export_vdf/kdbai_export.py:107-120`,
+      // `import_vdf/kdbai_import.py:150-182`).
+      case ("POST", "api" :: "v1" :: "config" :: "table" :: t :: Nil) =>
+        val colsJson = json.get("schema")
+          .map(_.asInstanceOf[Map[String, Any]])
+          .flatMap(_.get("columns")).map(_.asInstanceOf[Seq[Any]]
+            .map(_.asInstanceOf[Map[String, Any]])).getOrElse(Seq.empty)
+        val vi = colsJson.flatMap(_.get("vectorIndex"))
+          .headOption.map(_.asInstanceOf[Map[String, Any]])
+        requestLog.add(s"POST /api/v1/config/table/$t cols=${colsJson.size}")
+        ensure(t, vi.flatMap(_.get("dims"))
+          .map(_.asInstanceOf[Number].intValue()).getOrElse(0))
+        vi.flatMap(_.get("metric")).foreach(m =>
+          distances.put(t, m.toString))
+        respond(ex, 200, "{}")
+
+      case ("GET", "api" :: "v1" :: "config" :: "table" :: t :: Nil) =>
+        requestLog.add(s"GET /api/v1/config/table/$t")
+        respond(ex, 200, write(Map("schema" -> Map("columns" -> Seq(
+          Map("name" -> "vectors", "vectorIndex" -> Map(
+            "dims" -> synchronized {
+              Option(store.get(t)).map(_._1).getOrElse(0)
+            },
+            "metric" -> distances.getOrDefault(t, "CS"),
+            "type" -> "flat")),
+          Map("name" -> "id", "pytype" -> "str"))))))
+
+      case ("POST", "api" :: "v1" :: "data" :: Nil) =>
+        val t = json("table").toString
+        val aggs = json.get("aggs").filter(_ != null)
+        val filter = json.get("filter").filter(_ != null)
+          .map(_.asInstanceOf[Seq[Any]])
+        if (aggs.nonEmpty) {
+          requestLog.add(s"POST /api/v1/data table=$t aggs=count")
+          respond(ex, 200, write(Map("result" ->
+            Seq(Map("cnt" -> collectionSize(t))))))
+        } else {
+          val pts = filter match {
+            case Some(f) =>
+              // [["in","id",[ids…]]]
+              val triple = f.head.asInstanceOf[Seq[Any]]
+              val ids = triple(2).asInstanceOf[Seq[Any]].map(_.toString)
+              requestLog.add(s"POST /api/v1/data table=$t filter=in n=${ids.size}")
+              if (injectRead(ex)) return
+              byIds(t, ids)
+            case None =>
+              val limit = json.get("limit")
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(10)
+              val offset = json.get("offset")
+                .map(_.asInstanceOf[Number].intValue()).getOrElse(0)
+              requestLog.add(s"POST /api/v1/data table=$t limit=$limit offset=$offset")
+              if (injectRead(ex)) return
+              page(t, offset, limit)
+          }
+          respond(ex, 200, write(Map("result" -> pts.map {
+            case (id, v, p) => Map("id" -> id, "vectors" -> v) ++ p
+          })))
+        }
+
+      case ("POST", "api" :: "v1" :: "insert" :: Nil) =>
+        val t = json("table").toString
+        val rows = json("rows").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]])
+        requestLog.add(s"POST /api/v1/insert table=$t n=${rows.size}")
+        if (injectWrite(ex)) return
+        if (rows.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"error":"payload too large"}"""); return
+        }
+        ensure(t, rows.headOption
+          .map(r => vec(r.getOrElse("vectors", Seq.empty)).size).getOrElse(0))
+        upsert(t, rows.map { r =>
+          (r("id").toString, vec(r.getOrElse("vectors", Seq.empty)),
+            pay(r - "id" - "vectors"))
+        })
+        respond(ex, 200, "{}")
+
+      // -------------------------------------------- Vertex AI VS
+      // GET /v1/indexes/{i} stats; POST
+      // /v1/indexEndpoints/{e}:findNeighbors (id listing via the
+      // zero-vector proxy) and :readIndexDatapoints; POST
+      // /v1/indexes/{i}:upsertDatapoints
+      // (`vertexai_vector_search_export.py:209-258`).
+      case ("GET", "v1" :: "indexes" :: i :: Nil) =>
+        requestLog.add(s"GET /v1/indexes/$i")
+        respond(ex, 200, write(Map(
+          "indexStats" -> Map("vectorsCount" -> collectionSize(i).toString),
+          "metadata" -> Map("config" -> Map(
+            "dimensions" -> synchronized {
+              Option(store.get(i)).map(_._1).getOrElse(0)
+            },
+            "distanceMeasureType" ->
+              distances.getOrDefault(i, "DOT_PRODUCT_DISTANCE"))))))
+
+      case ("POST", "v1" :: "indexEndpoints" :: last :: Nil)
+          if last.contains(":") =>
+        val verb = last.split(":", 2)(1)
+        verb match {
+          case "findNeighbors" =>
+            val q = json("queries").asInstanceOf[Seq[Any]].head
+              .asInstanceOf[Map[String, Any]]
+            val n = q("neighborCount").asInstanceOf[Number].intValue()
+            val c = json("deployedIndexId").toString
+            requestLog.add(s"POST :findNeighbors deployed=$c n=$n")
+            if (injectRead(ex)) return
+            respond(ex, 200, write(Map("nearestNeighbors" -> Seq(Map(
+              "neighbors" -> page(c, 0, n).map { case (id, _, _) =>
+                Map("datapoint" -> Map("datapointId" -> id))
+              })))))
+          case "readIndexDatapoints" =>
+            val c = json("deployedIndexId").toString
+            val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
+            requestLog.add(s"POST :readIndexDatapoints deployed=$c n=${ids.size}")
+            if (injectRead(ex)) return
+            respond(ex, 200, write(Map("datapoints" ->
+              byIds(c, ids).map { case (id, v, p) =>
+                Map("datapointId" -> id, "featureVector" -> v,
+                  "restricts" -> p.toSeq.map { case (k, vv) =>
+                    Map("namespace" -> k, "allowList" -> Seq(vv))
+                  })
+              })))
+          case other =>
+            respond(ex, 404, s"""{"error":"no endpoint verb $other"}""")
+        }
+
+      case ("POST", "v1" :: "indexes" :: last :: Nil)
+          if last.endsWith(":upsertDatapoints") =>
+        val i = last.stripSuffix(":upsertDatapoints")
+        val dps = json("datapoints").asInstanceOf[Seq[Any]]
+          .map(_.asInstanceOf[Map[String, Any]])
+        requestLog.add(s"POST /v1/indexes/$i:upsertDatapoints n=${dps.size}")
+        if (injectWrite(ex)) return
+        if (dps.size > maxUpsertBatch) {
+          respond(ex, 413, s"""{"error":"payload too large"}"""); return
+        }
+        ensure(i, dps.headOption
+          .map(d => vec(d.getOrElse("featureVector", Seq.empty)).size)
+          .getOrElse(0))
+        upsert(i, dps.map { d =>
+          val payload = d.get("restricts").map(_.asInstanceOf[Seq[Any]])
+            .getOrElse(Seq.empty).flatMap { r0 =>
+              val r = r0.asInstanceOf[Map[String, Any]]
+              r("allowList").asInstanceOf[Seq[Any]].headOption.map(v =>
+                r("namespace").toString -> v.toString)
+            }.toMap
+          (d("datapointId").toString,
+            vec(d.getOrElse("featureVector", Seq.empty)), payload)
+        })
+        respond(ex, 200, "{}")
 
       case _ =>
         requestLog.add(s"$method $path (404)")
