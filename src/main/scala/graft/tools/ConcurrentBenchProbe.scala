@@ -77,6 +77,48 @@ object ConcurrentBenchProbe {
     println(f"# ${Mixed.size} mixed queries on ONE session, $dir, min of $passes:")
     println(f"# serial sum ${bestSerial}%.2f s vs concurrent wall ${bestConc}%.2f s " +
       f"= ${bestSerial / bestConc}%.2fx aggregate speed-up")
+
+    // Optional second dir: cross-REGIME concurrency — at-scale queries
+    // (AQE on, SHJ preference) racing sub-threshold ones (AQE off) on
+    // the same root session. The r8 QueriesCommonSpec isolation
+    // assertion, re-run at real scale: each frame must hold its own
+    // branch's confs for the entire concurrent window.
+    args.lift(2).foreach { dir2 =>
+      val big = graft.QueriesCommon.table(spark, dir, "lineitem")
+      val small = graft.QueriesCommon.table(spark, dir2, "lineitem")
+      val wantBig = big.sparkSession.conf.get("spark.sql.adaptive.enabled")
+      val wantSmall = small.sparkSession.conf.get("spark.sql.adaptive.enabled")
+      require(big.sparkSession ne small.sparkSession,
+        "regimes must fork distinct branch sessions")
+      println(s"# cross-regime: $dir AQE=$wantBig | $dir2 AQE=$wantSmall")
+      val pool = Executors.newFixedThreadPool(8)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val half = Mixed.size / 2
+      (Mixed.take(half).map(_ -> dir) ++
+        Mixed.drop(half).map(_ -> dir2)).foreach { case (n, d) =>
+        val task: Runnable = () =>
+          try {
+            start.await()
+            val df = graft.SparkEntry.queries(n)(spark, d)
+            df.count()
+            val want = if (d == dir) wantBig else wantSmall
+            val got = df.sparkSession.conf.get("spark.sql.adaptive.enabled")
+            require(got == want,
+              s"$n@$d saw adaptive=$got, branch promised $want")
+            ()
+          } catch { case e: Throwable => errs.add(e) }
+        pool.submit(task)
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      pool.shutdown()
+      require(pool.awaitTermination(900, TimeUnit.SECONDS), "pool timeout")
+      require(errs.isEmpty, s"cross-regime query failed: ${errs.peek()}")
+      println(f"# cross-regime concurrent wall " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s — per-branch confs held " +
+        f"for all ${Mixed.size} queries")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time one named SparkEntry query: one warm pass (plan compile +
+  * buffer cache, the same treatment tools/duck_bench.py gives DuckDB),
+  * then one timed pass, printed as a single machine-greppable line.
+  * Exists for INTERLEAVED cross-engine windows: a driver script
+  * alternates this with the DuckDB oracle run so host-contention
+  * bursts (documented 3.5x CPU swings on this box) hit both engines
+  * in the same window instead of whichever engine ran second.
+  *
+  * Usage: tools/run_main.sh graft.tools.QueryOnce <dir> <name> [timedPasses]
+  */
+object QueryOnce {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val passes = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, dir).count() // warm
+    for (p <- 1 to passes) {
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      println(f"GRAFT $name pass$p ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
