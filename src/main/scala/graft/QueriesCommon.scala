@@ -78,7 +78,23 @@ object QueriesCommon {
   // distinct input size class gets its own (bounded: a handful of
   // values per process).
   private val branchSessions = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Boolean, Long), SparkSession]()
+    (SparkSession, Boolean, Long, Int), SparkSession]()
+
+  /** At-scale SIZE CLASS: log2 of the input size in GiB (1–2 GiB → 0,
+    * 2–4 → 1, …, 8–16 → 3), 0 below the gate. Round 9: the bloom
+    * fallback sizing must follow the input-bytes statistic — one fixed
+    * `expectedNumItems` either starves the 15.7 GiB filter (fpp→1) or
+    * hands the 1.4 GiB point a 16 MB bloom whose build+probe overhead
+    * measured a consistent 2.4× regression (alternating A/B,
+    * docs/artifacts/bloom15_r9.txt). The class is part of the branch
+    * key, so the bytes-dependent conf stays a pure function of the key
+    * (concurrent queries over different sizes can't race), and the key
+    * space stays provably bounded: ≤ ~34 classes ∪ the sub-threshold
+    * fan-out buckets. */
+  private[graft] def sizeClass(bytes: Long, atScale: Boolean): Int =
+    if (!atScale) 0
+    else 63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, bytes >> 30))
 
   /** Sub-threshold shuffle fan-out: ~one partition per 4 MiB of
     * input, floored at 4, ROUNDED UP TO A POWER OF TWO, capped at the
@@ -94,15 +110,15 @@ object QueriesCommon {
   }
 
   private def branchSession(root: SparkSession, atScale: Boolean,
-      shufflePartitions: Long): SparkSession = {
+      shufflePartitions: Long, sizeCls: Int): SparkSession = {
     val s = branchSessions.computeIfAbsent(
-      (root, atScale, shufflePartitions),
+      (root, atScale, shufflePartitions, sizeCls),
       _ => org.apache.spark.sql.graftbridge.Bridge.forkSession(root))
     // re-applied per call (idempotent — the values are a function of
     // the cache key) so `graft.branch.*` override properties take
     // effect even on an already-forked branch; the clone's SQLConf is
     // library-owned, so this mutates nothing of the caller's
-    configureBranch(s, atScale, shufflePartitions)
+    configureBranch(s, atScale, shufflePartitions, sizeCls)
     s
   }
 
@@ -132,7 +148,7 @@ object QueriesCommon {
     val p =
       if (atScale) defaultP.toLong
       else branchFanout(bytes, defaultP.toLong)
-    val branch = branchSession(s, atScale, p)
+    val branch = branchSession(s, atScale, p, sizeClass(bytes, atScale))
     val path = s"$dir/$name.parquet"
     tableCache.computeIfAbsent((branch, path), _ => {
       val schema = schemaCache.computeIfAbsent(path,
@@ -142,7 +158,7 @@ object QueriesCommon {
   }
 
   private def configureBranch(s: SparkSession, atScale: Boolean,
-      shufflePartitions: Long): Unit = {
+      shufflePartitions: Long, sizeCls: Int): Unit = {
     s.conf.set("spark.sql.adaptive.enabled", atScale.toString)
     // Runtime bloom-filter injection (InjectRuntimeFilter) in the
     // at-scale branch: Spark's defaults require the application side
@@ -175,16 +191,34 @@ object QueriesCommon {
     // same window. maxNumItems rises with the gate so Spark sizes
     // from the real row estimate, then hits the bits cap. On a
     // cluster the same cap bounds the per-task broadcast instead.
+    // The expected*/numBits FALLBACK pair sizes the filter when the
+    // creation side carries no CBO row count (the common case here):
+    // one fixed value cannot serve every at-scale size — 64M items
+    // at 1.4 GiB builds a 16 MB bloom whose build+probe overhead
+    // measured a consistent 2.4× REGRESSION in an alternating A/B,
+    // while the 1M-item default at 15.7 GiB yields fpp≈1 (probes with
+    // no prune). So the expectation follows the branch's SIZE CLASS —
+    // ~4M keys per GiB-doubling starting at 4M (class 0 = 1–2 GiB),
+    // bits at ~8 per expected key (fpp≈2%), both capped (64M items /
+    // 16 MB, the L3-residency bound the 15.7 GiB A/B established:
+    // an exactly-sized 80 MB bloom was SLOWER than none). Beyond the
+    // caps fpp degrades gracefully and the filter stays resident.
+    val expItems = math.min(64000000L, 4000000L << math.min(sizeCls, 4))
+    val fbBits = math.min(134217728L, expItems * 8)
     if (atScale) {
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "256MB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "64000000")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "134217728")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", expItems.toString)
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.numBits", fbBits.toString)
     } else {
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "1000000")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.numBits", "8388608")
     }
     // Shuffled-hash over sort-merge in the at-scale branch (round 7,
     // tools/ShjProbe at 15.7 GiB): the q_join_agg spine's SMJ sorts

@@ -82,9 +82,10 @@ object Cli {
         |directory (chunked parquet + VDF_META.json).
         |
         |  --db DB             connector: mock, or a wire transport —
-        |                      qdrant|pinecone|chroma (REST, DSv2 offset
-        |                      scan), astra|turbopuffer|weaviate (REST,
-        |                      cursor-token chains), grpc|milvus (framed
+        |                      qdrant|pinecone|chroma|lancedb|kdbai (REST,
+        |                      DSv2 offset scan), astra|turbopuffer|weaviate
+        |                      (REST, cursor-token chains), vertex (REST,
+        |                      list-then-hydrate), grpc|milvus (framed
         |                      binary); fetches are real wire traffic with
         |                      pruning + paging on the wire; API keys from
         |                      each service's env var (PINECONE_API_KEY,
@@ -102,10 +103,11 @@ object Cli {
         |with the reference's subset filters.
         |
         |  --db DB             connector: mock, or a wire transport —
-        |                      qdrant|pinecone|chroma|astra|turbopuffer|
-        |                      weaviate (REST) / grpc|milvus (framed binary);
-        |                      wire upserts batch with the shrink-on-fault
-        |                      policy; API keys from env vars
+        |                      qdrant|pinecone|chroma|lancedb|kdbai|astra|
+        |                      turbopuffer|weaviate|vertex (REST) /
+        |                      grpc|milvus (framed binary); wire upserts
+        |                      batch with the shrink-on-fault policy; API
+        |                      keys from env vars
         |  --db_root DIR       connector root / base URL / host:port
         |  --dir VDF_DIR       input VDF directory
         |  --index I           import only this index

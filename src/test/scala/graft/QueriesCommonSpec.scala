@@ -60,10 +60,17 @@ class QueriesCommonSpec extends SparkSpec {
       // AQE owns shuffle sizing; the session default must come back
       assert(branch.conf.get("spark.sql.shuffle.partitions") == "4")
       // at-scale branch widens the runtime bloom-filter gates so a
-      // probe side that grows with the fact table still injects
-      // (BloomProbe A/B, BASELINE.md §e)
+      // probe side that grows with the fact table still injects, and
+      // sizes the fallback filter from the branch's size class
+      // (BloomProbe A/B, BASELINE.md §e, docs/artifacts/bloom15_r9.txt)
       assert(branch.conf.get(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold") == "64MB")
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold") == "1GB")
+      // the tiny test dir sits in size class 0: 4M expected keys,
+      // 32M-bit (4 MB) fallback filter
+      assert(branch.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems") == "4000000")
+      assert(branch.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.numBits") == "32000000")
       assert(branch.conf.get("spark.sql.join.preferSortMergeJoin") == "false")
       // no round-robin exchange on the at-scale branch: the fanned
       // loader degrades to the bare scan (its single row-group task)

@@ -47,6 +47,8 @@ class WireAuthSpec extends SparkSpec {
       "turbopuffer" -> "TURBOPUFFER_API_KEY",
       "weaviate" -> "WEAVIATE_API_KEY",
       "milvus" -> "ZILLIZ_CLOUD_TOKEN",
+      "lancedb" -> "LANCEDB_API_KEY",
+      "kdbai" -> "KDBAI_API_KEY",
       "grpc" -> "GRAFT_GRPC_TOKEN"))
     assert(WireAuth.fromEnv("qdrant", Map("QDRANT_API_KEY" -> "k")) ==
       Some("k"))
