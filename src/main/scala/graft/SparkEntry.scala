@@ -140,10 +140,19 @@ object SparkEntry {
     * 504M keys per the 15.7 GiB probe (15.8 → 69.7 s regression,
     * BASELINE §e) where the sort-merge streams both sides. The hint
     * encodes the structural fact; everywhere the build side is the
-    * small one, the branch-level SHJ preference stands. */
+    * small one, the branch-level SHJ preference stands.
+    *
+    * The fact side is DISTINCT'd before the join: an anti join only
+    * consults key existence, and lineitem carries ~4 rows per order
+    * (clustered on disk), so the distinct's map-side partial aggregate
+    * collapses the fact shuffle ~4× before the exchange. The join then
+    * REUSES the distinct's hash partitioning on l_orderkey — one
+    * exchange of unique keys instead of one exchange of every fact
+    * row, the same reduction a 1000-executor cluster wants. */
   private def qAntiMissing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(t(s, dir, "lineitem").select("l_orderkey").hint("merge"),
+      .join(t(s, dir, "lineitem").select("l_orderkey").distinct()
+          .hint("merge"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
