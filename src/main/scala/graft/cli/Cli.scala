@@ -43,7 +43,11 @@ object Cli {
       // --api_key overrides; else the dialect's env var
       // (PINECONE_API_KEY, QDRANT_API_KEY, ... — the same fallbacks as
       // the reference's set_arg_from_password prompts)
-      apiKey = a.flags.get("api_key"))
+      apiKey = a.flags.get("api_key"),
+      // Vertex AI names three distinct resources (index, endpoint,
+      // deployed index); default stays the stub's 1:1 collapse
+      vertexEndpointId = a.flags.getOrElse("endpoint_id", "default"),
+      vertexDeployedIndexId = a.flags.get("deployed_index_id"))
 
   final case class Args(positional: List[String], flags: Map[String, String])
 
@@ -93,6 +97,10 @@ object Cli {
         |  --db_root DIR       connector root / base URL / host:port
         |  --collections A,B   collection names (wire dialects only — no
         |                      common enumeration call)
+        |  --endpoint_id E     vertex only: index-endpoint id (default:
+        |                      "default")
+        |  --deployed_index_id D  vertex only: deployed-index id
+        |                      (default: the collection name)
         |  --out VDF_DIR       output VDF directory
         |  --max_file_rows N   rows per parquet chunk file (default: engine)""".stripMargin
     case "import" =>
@@ -114,6 +122,10 @@ object Cli {
         |  --id_range LO:HI    keep ids in [LO, HI] (inclusive)
         |  --id_list FILE      keep ids listed in FILE (one per line)
         |  --max_rows N        global row cap
+        |  --endpoint_id E     vertex only: index-endpoint id (default:
+        |                      "default")
+        |  --deployed_index_id D  vertex only: deployed-index id
+        |                      (default: the collection name)
         |  --create_new        always create a fresh index (name-N suffixing)""".stripMargin
     case "reembed" =>
       """usage: graft reembed --dir VDF_DIR --index I --model M --text_column C

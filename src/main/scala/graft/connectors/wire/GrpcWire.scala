@@ -146,10 +146,19 @@ object GrpcFraming {
       }.toMap)
   }
 
-  /** gRPC status → the HTTP fault taxonomy the retry policies speak. */
+  /** gRPC status → the HTTP fault taxonomy the retry policies speak.
+    * The fatal statuses map OUT of the retryable band
+    * ([[WireHttpError.retryable]]): INVALID_ARGUMENT and NOT_FOUND are
+    * caller errors a shrink-and-retry can never fix (a describe of a
+    * missing collection must fail fast, not spin the fetch loop), and
+    * UNIMPLEMENTED is permanent — 501 is explicitly carved out of the
+    * 5xx retry band. */
   def statusToHttp(code: Int): Int = code match {
-    case 8 => 429 // RESOURCE_EXHAUSTED
-    case 14 => 503 // UNAVAILABLE
+    case 3 => 400 // INVALID_ARGUMENT — fatal
+    case 5 => 404 // NOT_FOUND — fatal
+    case 8 => 429 // RESOURCE_EXHAUSTED — retryable
+    case 12 => 501 // UNIMPLEMENTED — fatal (excluded from the 5xx band)
+    case 14 => 503 // UNAVAILABLE — retryable
     case _ => 500
   }
 }
@@ -160,7 +169,8 @@ object GrpcFraming {
   * of the request; a production client would multiplex HTTP/2 streams,
   * which changes nothing above this class). */
 final case class GrpcWire(hostPort: String,
-    token: Option[String] = None) extends WireDialect {
+    token: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   import GrpcFraming._
 
   private def call(build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {

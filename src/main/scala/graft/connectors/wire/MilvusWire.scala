@@ -39,7 +39,8 @@ import graft.core.Metric
   * from ZILLIZ_CLOUD_TOKEN (`milvus_export.py:60-65`).
   */
 final case class MilvusWire(hostPort: String,
-    token: Option[String] = None) extends WireDialect {
+    token: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   import GrpcFraming._
   import MilvusWire._
 

@@ -27,7 +27,9 @@ import graft.core.{Constants, Metric}
   * `--classes` selection flags (`turbopuffer_export.py:60-62`,
   * `weaviate_export.py:67-76`). */
 final class WireCliConnector(dialectName: String, url: String,
-    collections: Seq[String], apiKey: Option[String] = None)
+    collections: Seq[String], apiKey: Option[String] = None,
+    vertexEndpointId: String = "default",
+    vertexDeployedIndexId: Option[String] = None)
     extends VdbExporter with VdbImporter {
 
   import WireCliConnector.CursorNames
@@ -44,7 +46,14 @@ final class WireCliConnector(dialectName: String, url: String,
     if (CursorNames(dialectName) || dialectName == "vertex") None
     else Some(WireDialect(dialectName, url, key))
 
-  private def vertex = VertexWire(url, endpointId = "default", key)
+  // Vertex AI's resource triplet (index, index endpoint, deployed
+  // index) collapses to 1:1 on the CLI by default — the collection
+  // names the index and the deployed index, endpoint "default" — but
+  // real deployments name all three distinctly, so `--endpoint_id` /
+  // `--deployed_index_id` override the simplification.
+  private def vertex = VertexWire(url, endpointId = vertexEndpointId, key)
+  private def deployedId(index: String): String =
+    vertexDeployedIndexId.getOrElse(index)
 
   override def indexNames: Seq[String] = collections
 
@@ -80,9 +89,7 @@ final class WireCliConnector(dialectName: String, url: String,
         WeaviateWire(url, key).scan(spark, index, limit = 500,
           includeVector = true)
       case "vertex" =>
-        // collection names the index AND the deployed index — the CLI
-        // surface's 1:1 simplification of the endpoint indirection
-        vertex.scan(spark, index, deployedIndexId = index)
+        vertex.scan(spark, index, deployedIndexId = deployedId(index))
       case d => WireVdb.read(spark, d, url, index, apiKey = key)
     }
 
@@ -138,8 +145,7 @@ final class WireCliConnector(dialectName: String, url: String,
       case "weaviate" =>
         WeaviateWire(url, key).write(shaped, index, batchSize = 500)
       case "vertex" =>
-        VertexWire(url, endpointId = "default", key)
-          .write(shaped, index, batchSize = 500)
+        vertex.write(shaped, index, batchSize = 500)
       case d => WireVdb.write(shaped, d, url, index, apiKey = key)
     }
     obs.get("rows").asInstanceOf[Long]

@@ -44,7 +44,8 @@ object WireClients {
   * astrapy client wraps. */
 final case class AstraWire(base: String,
     keyspace: String = "default_keyspace",
-    apiKey: Option[String] = None) extends Serializable {
+    apiKey: Option[String] = None) extends Serializable
+    with RedactsCredential {
 
   private def url(c: String) = s"$base/api/json/v1/$keyspace/$c"
   private def hdrs = apiKey.toSeq.map(WireAuth.header("astra", _))
@@ -83,7 +84,7 @@ final case class AstraWire(base: String,
         }
         return (docs, data.get("nextPageState").filter(_ != null).map(_.toString))
       } catch {
-        case WireHttpError(code, _) if code == 429 || code >= 500 =>
+        case WireHttpError(code, _) if WireHttpError.retryable(code) =>
           if (fetch > 1) fetch = math.max(1, fetch * 9 / 10)
           else {
             failures += 1
@@ -128,7 +129,8 @@ final case class AstraWire(base: String,
   * export — `{ids, vectors, attributes: {name: [...]}}` on the wire,
   * the shape `turbopuffer_import.py:148-158` posts per batch. */
 final case class TurbopufferWire(base: String,
-    apiKey: Option[String] = None) extends Serializable {
+    apiKey: Option[String] = None) extends Serializable
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("turbopuffer", _))
 
   def upsertOnce(ns: String, points: Seq[WirePoint]): Unit = {
@@ -173,7 +175,7 @@ final case class TurbopufferWire(base: String,
         }
         return (pts, rsp.get("next_cursor").filter(_ != null).map(_.toString))
       } catch {
-        case WireHttpError(code, _) if code == 429 || code >= 500 =>
+        case WireHttpError(code, _) if WireHttpError.retryable(code) =>
           if (lim > 1) lim = math.max(1, lim * 2 / 3)
           else {
             failures += 1
@@ -210,7 +212,8 @@ final case class TurbopufferWire(base: String,
   * the public cursor API for full exports (vector included only when
   * `include=vector`). */
 final case class WeaviateWire(base: String,
-    apiKey: Option[String] = None) extends Serializable {
+    apiKey: Option[String] = None) extends Serializable
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("weaviate", _))
 
   def batchObjectsOnce(cls: String, points: Seq[WirePoint]): Unit =

@@ -46,7 +46,8 @@ object WireClients2
 /** LanceDB Cloud REST: offset-paged queries with a `columns`
   * allowlist, schema via describe, merge-insert upserts. */
 final case class LanceDbWire(base: String,
-    apiKey: Option[String] = None) extends WireDialect {
+    apiKey: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("lancedb", _))
   private def url(t: String, op: String) = s"$base/v1/table/$t/$op/"
 
@@ -78,12 +79,19 @@ final case class LanceDbWire(base: String,
 
   /** Table schema (column names) — the pruning allowlist for scans
     * that skip the vector: LanceDB's `columns` param is an allowlist,
-    * so "everything but the vector" needs the column inventory. */
+    * so "everything but the vector" needs the column inventory.
+    * Memoized per table (transient — rebuilt per executor JVM after
+    * task serialization): the inventory is static per table, so a
+    * payload-only scan pays ONE describe round-trip per JVM instead of
+    * one per page. */
+  @transient private lazy val columnCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
   private def columnsOf(c: String): Seq[String] =
-    WireHttp.post(url(c, "describe"), "{}", hdrs)("schema")
-      .asInstanceOf[Map[String, Any]]("columns")
-      .asInstanceOf[Seq[Any]]
-      .map(_.asInstanceOf[Map[String, Any]]("name").toString)
+    columnCache.computeIfAbsent(c, _ =>
+      WireHttp.post(url(c, "describe"), "{}", hdrs)("schema")
+        .asInstanceOf[Map[String, Any]]("columns")
+        .asInstanceOf[Seq[Any]]
+        .map(_.asInstanceOf[Map[String, Any]]("name").toString))
 
   private def rowPoints(rsp: Map[String, Any]): Seq[WirePoint] =
     rsp("rows").asInstanceOf[Seq[Any]].map { r0 =>
@@ -137,7 +145,8 @@ final case class LanceDbWire(base: String,
   * `/api/v1/insert` row batches; schema (and the vector column's
   * metric) via `/api/v1/config/table/{t}`. */
 final case class KdbaiWire(base: String,
-    apiKey: Option[String] = None) extends WireDialect {
+    apiKey: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("kdbai", _))
 
   override def create(c: String, dims: Int,
@@ -218,7 +227,8 @@ final case class KdbaiWire(base: String,
   * `upsertDatapoints`. The listing is inherently driver-side (one
   * call); hydration and writes distribute. */
 final case class VertexWire(base: String, endpointId: String,
-    bearerToken: Option[String] = None) extends Serializable {
+    bearerToken: Option[String] = None) extends Serializable
+    with RedactsCredential {
   private def hdrs =
     bearerToken.toSeq.map(t => "Authorization" -> s"Bearer $t")
 

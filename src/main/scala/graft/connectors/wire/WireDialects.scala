@@ -29,6 +29,28 @@ final case class WirePage(points: Seq[WirePoint], listed: Int,
 final case class WireHttpError(code: Int, body: String)
     extends RuntimeException(s"HTTP $code: $body")
 
+object WireHttpError {
+  /** The one retryable/fatal split every wire retry loop consults:
+    * throttling (429) and server-side transients (5xx) retry; 501 Not
+    * Implemented is carved out because it is permanent — the framed
+    * transports map gRPC UNIMPLEMENTED onto it, and shrinking a batch
+    * can never make an unimplemented method appear. */
+  def retryable(code: Int): Boolean =
+    code == 429 || (code >= 500 && code != 501)
+}
+
+/** Mixed into every wire client that carries a credential in a
+  * constructor field: suppresses the synthetic case-class toString
+  * (which would render `Some(<secret>)`) so API keys never reach
+  * df.explain() output, the Spark UI SQL tab, or event logs —
+  * WireScan.description() embeds the dialect ("via $dialect"), and
+  * Spark publishes scan descriptions everywhere plans are displayed.
+  * Renders as `Name(<endpoint>)`: the endpoint is always the first
+  * constructor field; the credential never prints. */
+trait RedactsCredential extends Product {
+  override def toString: String = s"$productPrefix(${productElement(0)})"
+}
+
 private[wire] object WireHttp {
   // one shared client per JVM — executors reuse the connection pool
   lazy val client: HttpClient = HttpClient.newBuilder()
@@ -173,7 +195,8 @@ private[wire] object Decode {
   * (the `PaginatedScan.byIdShards` path) when the token is truly
   * opaque. */
 final case class QdrantWire(base: String,
-    apiKey: Option[String] = None) extends WireDialect {
+    apiKey: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("qdrant", _))
 
   override def create(c: String, dims: Int,
@@ -241,7 +264,8 @@ final case class QdrantWire(base: String,
   * (`export_vdf/pinecone_export.py:501-599`,
   * `import_vdf/pinecone_import.py:163-164,267-276`). */
 final case class PineconeWire(base: String,
-    apiKey: Option[String] = None) extends WireDialect {
+    apiKey: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("pinecone", _))
 
   override def create(c: String, dims: Int,
@@ -305,7 +329,8 @@ final case class PineconeWire(base: String,
   * pruning surface — embeddings are omitted from the response when
   * the scan doesn't need them. */
 final case class ChromaWire(base: String,
-    apiKey: Option[String] = None) extends WireDialect {
+    apiKey: Option[String] = None) extends WireDialect
+    with RedactsCredential {
   private def hdrs = apiKey.toSeq.map(WireAuth.header("chroma", _))
 
   override def create(c: String, dims: Int,
@@ -394,7 +419,7 @@ final case class VespaWire(base: String) extends Serializable {
           rsp("documentCount").asInstanceOf[Number].longValue(),
           rsp.get("continuation").map(_.toString))
       } catch {
-        case WireHttpError(code, _) if (code == 429 || code >= 500) &&
+        case WireHttpError(code, _) if WireHttpError.retryable(code) &&
             attempt < 3 =>
           attempt += 1
       }

@@ -743,14 +743,16 @@ final class WireStubServer {
 
       case ("POST", "v1" :: "indexEndpoints" :: last :: Nil)
           if last.contains(":") =>
-        val verb = last.split(":", 2)(1)
+        val Array(endpointId, verb) = last.split(":", 2)
         verb match {
           case "findNeighbors" =>
             val q = json("queries").asInstanceOf[Seq[Any]].head
               .asInstanceOf[Map[String, Any]]
             val n = q("neighborCount").asInstanceOf[Number].intValue()
             val c = json("deployedIndexId").toString
-            requestLog.add(s"POST :findNeighbors deployed=$c n=$n")
+            requestLog.add(
+              s"POST /v1/indexEndpoints/$endpointId:findNeighbors " +
+                s"deployed=$c n=$n")
             if (injectRead(ex)) return
             respond(ex, 200, write(Map("nearestNeighbors" -> Seq(Map(
               "neighbors" -> page(c, 0, n).map { case (id, _, _) =>
@@ -759,7 +761,9 @@ final class WireStubServer {
           case "readIndexDatapoints" =>
             val c = json("deployedIndexId").toString
             val ids = json("ids").asInstanceOf[Seq[Any]].map(_.toString)
-            requestLog.add(s"POST :readIndexDatapoints deployed=$c n=${ids.size}")
+            requestLog.add(
+              s"POST /v1/indexEndpoints/$endpointId:readIndexDatapoints " +
+                s"deployed=$c n=${ids.size}")
             if (injectRead(ex)) return
             respond(ex, 200, write(Map("datapoints" ->
               byIds(c, ids).map { case (id, v, p) =>

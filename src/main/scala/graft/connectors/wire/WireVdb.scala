@@ -250,7 +250,7 @@ object WireScan {
         failures = 0
         if (page.listed < want) return out.toSeq // collection exhausted
       } catch {
-        case WireHttpError(code, _) if code == 429 || code >= 500 =>
+        case WireHttpError(code, _) if WireHttpError.retryable(code) =>
           if (fetch > 1) fetch = math.max(1, fetch * 2 / 3)
           else {
             failures += 1

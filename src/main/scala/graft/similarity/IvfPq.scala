@@ -203,14 +203,31 @@ object IvfPq {
     *    external engine reproduces it bit-for-bit — the composed route
     *    is oracle-gated end to end (q_ann_ivfpq_rerank_oracle).
     *
-    * Returns (q_id, idCol, exact) — true squared L2, ascending. */
+    * Returns (q_id, idCol, exact) — true squared L2, ascending.
+    *
+    * Hydration source: a freshly built index still carries the raw
+    * vector column in `encoded`, but a MATERIALIZED index does not —
+    * `writeIndex` drops it by design (codes + id only; the corpus is
+    * the source of truth for raw vectors). Re-ranking an index opened
+    * through `readIndex` therefore needs the corpus passed explicitly
+    * (`corpus` = the idCol + vecCol frame the index was built from);
+    * omitting it on such an index fails fast with a clear message
+    * instead of an unresolved-column AnalysisException. */
   def searchRerank(index: IvfPqIndex, queries: DataFrame, k: Int,
-      nprobe: Int, rerank: Int = 4): DataFrame = {
+      nprobe: Int, rerank: Int = 4,
+      corpus: Option[DataFrame] = None): DataFrame = {
     val cand = search(index, queries, k * rerank, nprobe)
       .select(col("q_id"), col(index.idCol))
     // hydrate raw vectors for the candidate pool only: broadcast the
     // small (q_id, id) set against the corpus's id+vector columns
-    val raw = index.encoded.select(col(index.idCol),
+    val hydrateFrom = corpus.getOrElse {
+      require(index.encoded.columns.contains(index.vecCol),
+        s"index has no raw-vector column '${index.vecCol}' (opened via " +
+          "readIndex? writeIndex drops vectors at rest) — pass " +
+          "corpus = the id+vector frame the index was built from")
+      index.encoded
+    }
+    val raw = hydrateFrom.select(col(index.idCol),
       col(index.vecCol).as("__cand_vec"))
     val qv = queries.select(col("q_id"), col("q_vec"))
     val exact = raw.join(broadcast(cand), Seq(index.idCol))

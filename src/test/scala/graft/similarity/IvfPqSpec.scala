@@ -106,6 +106,31 @@ class IvfPqSpec extends SparkSpec {
     assert(key(onDisk) == key(IvfPq.search(index, q, k = 5, nprobe = 1)))
   }
 
+  test("searchRerank on a materialized index: explicit corpus hydrates; omitting it fails fast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rr").toString
+    IvfPq.writeIndex(index, dir)
+    val reopened = IvfPq.readIndex(spark, dir, index.centroids,
+      index.codebooks, index.dsub, "vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // the at-rest layout drops raw vectors by design — re-ranking a
+    // readIndex index must take the corpus explicitly, and the result
+    // must match the fresh-index route exactly
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val onDisk = IvfPq.searchRerank(reopened, q, k = 5, nprobe = 4,
+      rerank = 4, corpus = Some(vecs))
+    val fresh = IvfPq.searchRerank(index, q, k = 5, nprobe = 4, rerank = 4)
+    assert(key(onDisk) == key(fresh))
+    // without the corpus there is nothing to hydrate from: fail fast
+    // with the explanatory message, not an unresolved-column error
+    val e = intercept[IllegalArgumentException] {
+      IvfPq.searchRerank(reopened, q, k = 5, nprobe = 4, rerank = 4)
+    }
+    assert(e.getMessage.contains("readIndex"), e.getMessage)
+  }
+
   test("searchRerank: exact re-ranking of the ADC pool — true-L2 ordered, never worse") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") < 8)
