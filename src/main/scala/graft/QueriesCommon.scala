@@ -141,6 +141,18 @@ object QueriesCommon {
     * DataFrame is bound to the branch session — downstream operators
     * built on it plan (and execute) under the branch settings. */
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val branch = branchFor(s, dir)
+    val path = s"$dir/$name.parquet"
+    tableCache.computeIfAbsent((branch, path), _ => {
+      val schema = schemaCache.computeIfAbsent(path,
+        q => branch.read.parquet(q).schema)
+      branch.read.schema(schema).parquet(path)
+    })
+  }
+
+  /** The branch session `table(s, dir, _)` binds its frames to — the
+    * size-gated fork every frame over `dir` plans under. */
+  private def branchFor(s: SparkSession, dir: String): SparkSession = {
     val bytes = totalBytes(dir)
     val atScale = bytes >= adaptiveMinInputBytes
     val defaultP = sessionShufflePartitions
@@ -148,13 +160,28 @@ object QueriesCommon {
     val p =
       if (atScale) defaultP.toLong
       else branchFanout(bytes, defaultP.toLong)
-    val branch = branchSession(s, atScale, p, sizeClass(bytes, atScale))
-    val path = s"$dir/$name.parquet"
-    tableCache.computeIfAbsent((branch, path), _ => {
-      val schema = schemaCache.computeIfAbsent(path,
-        q => branch.read.parquet(q).schema)
-      branch.read.schema(schema).parquet(path)
-    })
+    branchSession(s, atScale, p, sizeClass(bytes, atScale))
+  }
+
+  /** The BUCKETED twin of `table`: the same frame read through a
+    * bucketed layout at `<dir>/_bucketed/<name>` when an ingest wrote
+    * one (`ops/Scale.writeBucketedDir` — `VdfIO.writeNamespace`'s
+    * `bucketBy` option, or `tools/BucketIngest`), None otherwise.
+    * Bound to the SAME branch session as `table`, so a query can mix
+    * bucketed and plain frames and still plan under one conf. This is
+    * the warehouse layout story for the join spines: a fact table
+    * bucketed by its join key at ingest joins/aggregates on that key
+    * with ZERO exchanges in every later session — the shuffle the
+    * single-JVM probes proved is the whole residual cost of
+    * q_join_agg/q_semi_idlist at 15.7 GiB simply never happens. The
+    * layout may carry a column SUBSET (ingest chooses what the spine
+    * needs); callers must verify their columns are present before
+    * routing onto it. */
+  def bucketedTable(s: SparkSession, dir: String,
+      name: String): Option[DataFrame] = {
+    val path = s"$dir/_bucketed/$name"
+    if (!new java.io.File(path, graft.ops.Scale.BucketSidecar).isFile) None
+    else graft.ops.Scale.readBucketedDir(branchFor(s, dir), path)
   }
 
   private def configureBranch(s: SparkSession, atScale: Boolean,
@@ -233,6 +260,20 @@ object QueriesCommon {
     // statistics and skew handling bound the build sizes) instead of
     // being a blanket default.
     s.conf.set("spark.sql.join.preferSortMergeJoin", (!atScale).toString)
+    // Bucketed-scan ORDER: our ingest layouts (`Scale.writeBucketedDir`)
+    // guarantee one sorted file per bucket, but Spark 3+ stopped
+    // reporting bucketed scans' sort order by default (multi-file
+    // buckets interleave and would lie about it; the legacy flag's
+    // code path still verifies one-file-per-bucket before claiming
+    // order, so this is safe for any layout). With the order visible,
+    // the spine joins over a bucketed layout plan as SORT-FREE merge
+    // zippers — no sort, no hash build, no exchange: 15.7 GiB A/B on
+    // q_join_agg measured SMJ-with-sorts 21.8 s → sort-elided 14.0 s
+    // (and the SHJ alternative builds a ~5M-entry hash per bucket
+    // task). Shuffled shapes are untouched — plain scans claim no
+    // order either way.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      atScale.toString)
     // The broadcast ceiling stays at Spark's 10 MB default in BOTH
     // regimes. A same-window A/B at 1.4 GiB tried raising it for the
     // at-scale branch: 64 MB converted q_semi_idlist's ~38 MB probe

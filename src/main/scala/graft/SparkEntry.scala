@@ -26,6 +26,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
 
+  /** Spine-table loader: the bucketed layout when the ingest wrote one
+    * carrying every needed column (`<dir>/_bucketed/<name>` —
+    * `VdfIO.writeNamespace(bucketBy)` / `tools.BucketIngest`), the
+    * plain parquet otherwise. Routing is by LAYOUT PRESENCE, not scale:
+    * the layout exists exactly where an ingest decided the bucketing
+    * cost pays (the warehouse call), and the tail query is identical
+    * either way — same columns, same operators, oracle-checked on both
+    * routes. Over the bucketed route the join/distinct on the bucket
+    * key plans with zero exchanges (asserted in ScaleSpec). */
+  private def spineOpt(s: SparkSession, dir: String, name: String,
+      cols: Seq[String]): Option[DataFrame] =
+    QueriesCommon.bucketedTable(s, dir, name)
+      .filter(df => cols.forall(df.columns.contains))
+      .map(_.select(cols.head, cols.tail: _*))
+
+  private def spineT(s: SparkSession, dir: String, name: String,
+      cols: Seq[String]): DataFrame =
+    spineOpt(s, dir, name, cols)
+      .getOrElse(t(s, dir, name).select(cols.head, cols.tail: _*))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     qJoinAgg(spark, "/root/testdata/sf0.001")
@@ -94,11 +114,23 @@ object SparkEntry {
     // AQE dump (BASELINE.md §e) shows the spine correctly staying a
     // shuffled SortMergeJoin at scale while customer/nation convert to
     // runtime broadcasts.
-    val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
-    val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val liB = spineOpt(s, dir, "lineitem",
+      Seq("l_orderkey", "l_extendedprice", "l_discount"))
+    val oB = spineOpt(s, dir, "orders", Seq("o_orderkey", "o_custkey"))
+    val li = liB.getOrElse(
+      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))
+    val o = oB.getOrElse(t(s, dir, "orders").select("o_orderkey", "o_custkey"))
     val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
     val n = t(s, dir, "nation").select("n_nationkey", "n_name")
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    // Bucketed route: force the MERGE ZIPPER. Both scans are
+    // co-located and per-bucket SORTED (ordering re-enabled in the
+    // at-scale branch), so SMJ streams them with no sort, no hash
+    // build, no exchange — 15.7 GiB A/B: SHJ 15.6-39 s windows vs
+    // sort-free SMJ 14.0 s. The branch-level SHJ preference exists
+    // for SHUFFLED spines and stays in charge on the plain route.
+    val spine =
+      if (liB.isDefined && oB.isDefined) li.hint("merge") else li
+    spine.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
@@ -112,11 +144,20 @@ object SparkEntry {
     * never collect the id set to the driver — at 100 TB the id list is
     * itself a table. */
   private def qSemiIdList(s: SparkSession, dir: String): DataFrame = {
-    val urgent = t(s, dir, "orders")
+    val oB = spineOpt(s, dir, "orders",
+      Seq("o_orderkey", "o_orderpriority"))
+    val liB = spineOpt(s, dir, "lineitem",
+      Seq("l_orderkey", "l_returnflag", "l_quantity"))
+    val urgent = oB.getOrElse(
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    t(s, dir, "lineitem")
-      .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val li = liB.getOrElse(t(s, dir, "lineitem")
+      .select("l_orderkey", "l_returnflag", "l_quantity"))
+    // bucketed route: sort-free merge semi-zipper (filter preserves
+    // the per-bucket order) — see qJoinAgg's route note
+    val fact = if (liB.isDefined && oB.isDefined) li.hint("merge") else li
+    fact.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -149,13 +190,27 @@ object SparkEntry {
     * REUSES the distinct's hash partitioning on l_orderkey — one
     * exchange of unique keys instead of one exchange of every fact
     * row, the same reduction a 1000-executor cluster wants. */
-  private def qAntiMissing(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "orders")
-      .join(t(s, dir, "lineitem").select("l_orderkey").distinct()
-          .hint("merge"),
+  private def qAntiMissing(s: SparkSession, dir: String): DataFrame = {
+    // The fact side's shape is ROUTE-DEPENDENT. Shuffled route: distinct
+    // first — the anti join only consults key existence, lineitem
+    // carries ~4 rows per order, so the map-side partial aggregate
+    // collapses the exchange ~4× and the join reuses its hash
+    // partitioning. Bucketed route: NO distinct — the layout is already
+    // co-located AND per-bucket sorted on the key (one file per
+    // bucket), so the merge anti-join streams the scan directly; a
+    // distinct there only ADDS a hash aggregate and a re-sort to shrink
+    // an exchange that no longer exists.
+    val liKeys = QueriesCommon.bucketedTable(s, dir, "lineitem") match {
+      case Some(b) if b.columns.contains("l_orderkey") =>
+        b.select("l_orderkey")
+      case _ => t(s, dir, "lineitem").select("l_orderkey").distinct()
+    }
+    spineT(s, dir, "orders", Seq("o_orderkey", "o_orderstatus"))
+      .join(liKeys.hint("merge"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select("o_orderkey", "o_orderstatus")
       .orderBy("o_orderkey")
+  }
 
   /** J6 last-wins upsert merge (`pinecone_export.py:557-563` dict
     * update order): made deterministic with an explicit event-time +

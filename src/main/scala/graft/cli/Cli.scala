@@ -102,7 +102,9 @@ object Cli {
         |  --deployed_index_id D  vertex only: deployed-index id
         |                      (default: the collection name)
         |  --out VDF_DIR       output VDF directory
-        |  --max_file_rows N   rows per parquet chunk file (default: engine)""".stripMargin
+        |  --max_file_rows N   rows per parquet chunk file (default: engine)
+        |  --bucket_by COL:N   write each namespace bucketed by COL into
+        |                      N buckets (co-located joins on COL)""".stripMargin
     case "import" =>
       """usage: graft import --db mock --db_root DIR --dir VDF_DIR [--index I]
         |                    [--id_range LO:HI] [--id_list FILE] [--max_rows N] [--create_new]
@@ -372,9 +374,18 @@ object Cli {
     // record each index's distance metric so import doesn't silently
     // fall back to Cosine (`util.py:221-248` metric normalization)
     val metrics = exp.indexNames.map(ix => ix -> exp.metric(ix).name).toMap
+    // --bucket_by id:32 → the namespaces land as a bucketed layout
+    // (co-located joins on the key in every later session); the files
+    // stay plain parquet to readers that ignore the sidecar
+    val bucketBy = a.flags.get("bucket_by").map { v =>
+      v.split(":", 2) match {
+        case Array(k, n) => (k, n.toInt)
+        case _ => sys.error(s"--bucket_by wants col:buckets, got '$v'")
+      }
+    }
     val meta = VdfIO.writeVdf(frames, out, exportedFrom = db,
       maxRecordsPerFile = a.flags.get("max_file_rows").map(_.toLong).getOrElse(0L),
-      metrics = metrics)
+      metrics = metrics, bucketBy = bucketBy)
     println(s"exported ${meta.indexes.size} index(es) to $out")
     0
   }

@@ -163,40 +163,102 @@ object GrpcFraming {
   }
 }
 
+/** Per-JVM keep-alive channel pool for the framed transports (round-10
+  * ask: connection reuse). The reference dials ONE channel per process
+  * (`milvus_export.py:85-87` `connections.connect`); rounds 8–9's
+  * clients instead opened a socket PER CALL — a million-page export
+  * paying a TCP connect + teardown per page per partition. One
+  * exchange = borrow an idle channel for the endpoint (dialing only
+  * when none is free), write one frame, read one frame, return the
+  * channel. Concurrency bounds itself: each task thread borrows its
+  * own channel, so an executor holds at most #task-threads sockets per
+  * endpoint, all reused across pages.
+  *
+  * Liveness: the existing connect (10 s) and read (30 s) timeouts
+  * guard every exchange. A pooled channel can go stale (server
+  * restart, idle teardown); it fails its next exchange, is closed, and
+  * the request retries ONCE on a fresh dial — a failure on the fresh
+  * channel propagates. The retry can re-send a request the server
+  * already applied before dying; every framed write here is an
+  * id-keyed upsert (last-wins), so the re-send is idempotent. */
+private[wire] object FramedChannelPool {
+  private final class Channel(hostPort: String) {
+    private val Array(h, p) = hostPort.split(":", 2)
+    val sock = new Socket()
+    sock.connect(new InetSocketAddress(h, p.toInt), 10000)
+    // read timeout too: a server that accepts then stalls mid-frame
+    // must fail the call (readFrame/readFully would otherwise block
+    // the Spark task forever)
+    sock.setSoTimeout(30000)
+    sock.setTcpNoDelay(true)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    def close(): Unit =
+      try sock.close() catch { case _: java.io.IOException => () }
+  }
+
+  private val idle = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[Channel]]()
+  private def queue(hostPort: String) =
+    idle.computeIfAbsent(hostPort,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[Channel]())
+
+  /** Fresh dials opened (not reuses) — the observable the reuse spec
+    * asserts stays ≪ the page count of a multi-page scan. */
+  val dials = new java.util.concurrent.atomic.AtomicLong()
+
+  private def exchangeOn(ch: Channel, payload: Array[Byte]): Array[Byte] = {
+    GrpcFraming.writeFrame(ch.out, payload)
+    GrpcFraming.readFrame(ch.in)
+  }
+
+  def exchange(hostPort: String, payload: Array[Byte]): Array[Byte] =
+    Option(queue(hostPort).poll()) match {
+      case Some(ch) =>
+        try {
+          val r = exchangeOn(ch, payload); queue(hostPort).offer(ch); r
+        } catch {
+          case _: java.io.IOException => // stale channel: one fresh retry
+            ch.close()
+            freshExchange(hostPort, payload)
+        }
+      case None => freshExchange(hostPort, payload)
+    }
+
+  private def freshExchange(hostPort: String,
+      payload: Array[Byte]): Array[Byte] = {
+    dials.incrementAndGet()
+    val ch = new Channel(hostPort)
+    try {
+      val r = exchangeOn(ch, payload); queue(hostPort).offer(ch); r
+    } catch { case e: Throwable => ch.close(); throw e }
+  }
+}
+
 /** The client half: a [[WireDialect]] over the framed protocol, so the
   * DSv2 scan/write planning drives binary frames exactly as it drives
-  * REST. One short-lived connection per call (method id rides field 15
-  * of the request; a production client would multiplex HTTP/2 streams,
-  * which changes nothing above this class). */
+  * REST. Calls ride per-JVM keep-alive channels
+  * ([[FramedChannelPool]] — method id rides field 15 of the request; a
+  * production client would multiplex HTTP/2 streams, which changes
+  * nothing above this class). */
 final case class GrpcWire(hostPort: String,
     token: Option[String] = None) extends WireDialect
     with RedactsCredential {
   import GrpcFraming._
 
   private def call(build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
-    val Array(h, p) = hostPort.split(":", 2)
-    val sock = new Socket()
-    try {
-      sock.connect(new InetSocketAddress(h, p.toInt), 10000)
-      // read timeout too: a server that accepts then stalls mid-frame
-      // must fail the call (readFrame/readFully would otherwise block
-      // the Spark task forever)
-      sock.setSoTimeout(30000)
-      val out = new DataOutputStream(sock.getOutputStream)
-      val in = new DataInputStream(sock.getInputStream)
-      // auth rides field 14 of every request — the framed stand-in for
-      // gRPC's `authorization` metadata
-      writeFrame(out, message { o =>
-        token.foreach(writeStringField(o, 14, _))
-        build(o)
-      })
-      val rsp = readMessage(readFrame(in))
-      val status = rsp.get(1).flatMap(_.headOption)
-        .map(_.asInstanceOf[Long].toInt).getOrElse(0)
-      if (status != 0)
-        throw WireHttpError(statusToHttp(status), s"grpc status $status")
-      rsp
-    } finally sock.close()
+    // auth rides field 14 of every request — the framed stand-in for
+    // gRPC's `authorization` metadata
+    val payload = message { o =>
+      token.foreach(writeStringField(o, 14, _))
+      build(o)
+    }
+    val rsp = readMessage(FramedChannelPool.exchange(hostPort, payload))
+    val status = rsp.get(1).flatMap(_.headOption)
+      .map(_.asInstanceOf[Long].toInt).getOrElse(0)
+    if (status != 0)
+      throw WireHttpError(statusToHttp(status), s"grpc status $status")
+    rsp
   }
 
   override def create(c: String, dims: Int,
@@ -287,7 +349,13 @@ final class GrpcStubServer {
   server.bind(new InetSocketAddress("127.0.0.1", 0))
   val hostPort: String = s"127.0.0.1:${server.getLocalPort}"
 
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  /** TCP connections ACCEPTED — with keep-alive clients this must stay
+    * ≪ the request count (the reuse assertion). */
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // cached pool: keep-alive connections occupy a thread while open, so
+  // a fixed-8 pool would starve new connections behind idle ones
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   @volatile private var running = true
   private val acceptor = new Thread(() => {
     while (running) {
@@ -342,9 +410,27 @@ final class GrpcStubServer {
     f.get(field).flatMap(_.headOption).map(_.asInstanceOf[Long]).getOrElse(dflt)
 
   private def handle(sock: Socket): Unit = try {
+    connections.incrementAndGet()
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
-    val req = readMessage(readFrame(in))
+    // keep-alive: serve frames on this connection until the client
+    // closes it (the channel-pool client reuses one socket per page
+    // range; one-shot clients still work — EOF after the first frame)
+    while (true) {
+      val req =
+        try readMessage(readFrame(in))
+        catch {
+          case _: java.io.EOFException | _: java.net.SocketException =>
+            return
+        }
+      serve(req, out)
+    }
+  } catch {
+    case _: Exception => // connection dropped mid-frame; nothing to answer
+  } finally sock.close()
+
+  private def serve(req: Map[Int, Seq[Any]],
+      out: DataOutputStream): Unit = {
     val method = num(req, 15)
     val c = str(req, 2)
     authLog.add(s"m$method $c token=" +
@@ -425,7 +511,5 @@ final class GrpcStubServer {
         requestLog.add(s"grpc unknown method $m")
         respondStatus(out, 12) // UNIMPLEMENTED
     }
-  } catch {
-    case _: Exception => // connection dropped mid-frame; nothing to answer
-  } finally sock.close()
+  }
 }

@@ -44,25 +44,20 @@ final case class MilvusWire(hostPort: String,
   import GrpcFraming._
   import MilvusWire._
 
+  // one keep-alive channel per (JVM, endpoint) — the reference's
+  // one-connection-per-process shape (`milvus_export.py:85-87`),
+  // borrowed/returned per exchange; see [[FramedChannelPool]]
   private def call(build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
-    val Array(h, p) = hostPort.split(":", 2)
-    val sock = new Socket()
-    try {
-      sock.connect(new InetSocketAddress(h, p.toInt), 10000)
-      sock.setSoTimeout(30000)
-      val out = new DataOutputStream(sock.getOutputStream)
-      val in = new DataInputStream(sock.getInputStream)
-      writeFrame(out, message { o =>
-        token.foreach(writeStringField(o, 14, _))
-        build(o)
-      })
-      val rsp = readMessage(readFrame(in))
-      val status = rsp.get(1).flatMap(_.headOption)
-        .map(_.asInstanceOf[Long].toInt).getOrElse(0)
-      if (status != 0)
-        throw WireHttpError(statusToHttp(status), s"milvus status $status")
-      rsp
-    } finally sock.close()
+    val payload = message { o =>
+      token.foreach(writeStringField(o, 14, _))
+      build(o)
+    }
+    val rsp = readMessage(FramedChannelPool.exchange(hostPort, payload))
+    val status = rsp.get(1).flatMap(_.headOption)
+      .map(_.asInstanceOf[Long].toInt).getOrElse(0)
+    if (status != 0)
+      throw WireHttpError(statusToHttp(status), s"milvus status $status")
+    rsp
   }
 
   private def utf8(b: Any): String =
@@ -242,7 +237,13 @@ final class MilvusStubServer {
   server.bind(new InetSocketAddress("127.0.0.1", 0))
   val hostPort: String = s"127.0.0.1:${server.getLocalPort}"
 
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+  /** TCP connections ACCEPTED — with keep-alive clients this must stay
+    * ≪ the request count (the reuse assertion in MilvusWireSpec). */
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // cached pool: keep-alive connections occupy a thread while open, so
+  // a fixed-8 pool would starve new connections behind idle ones
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   @volatile private var running = true
   private val acceptor = new Thread(() => {
     while (running) {
@@ -294,9 +295,25 @@ final class MilvusStubServer {
       withVector = wantVec, withPayload = wantPay, field = 3))
 
   private def handle(sock: Socket): Unit = try {
+    connections.incrementAndGet()
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
-    val req = readMessage(readFrame(in))
+    // keep-alive: serve frames until the client closes the connection
+    while (true) {
+      val req =
+        try readMessage(readFrame(in))
+        catch {
+          case _: java.io.EOFException | _: java.net.SocketException =>
+            return
+        }
+      serve(req, out)
+    }
+  } catch {
+    case _: Exception => // connection dropped mid-frame
+  } finally sock.close()
+
+  private def serve(req: Map[Int, Seq[Any]],
+      out: DataOutputStream): Unit = {
     val method = num(req, 15)
     val c = str(req, 2)
     authLog.add(s"milvus m$method $c token=" +
@@ -415,7 +432,5 @@ final class MilvusStubServer {
         requestLog.add(s"milvus unknown method $m")
         respondStatus(out, 12) // UNIMPLEMENTED
     }
-  } catch {
-    case _: Exception => // connection dropped mid-frame
-  } finally sock.close()
+  }
 }

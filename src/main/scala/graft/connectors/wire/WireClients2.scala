@@ -17,10 +17,9 @@ import graft.connectors.PaginatedScan
   *    discovery, `merge_insert?on=id` for last-wins upserts,
   *    `create_index` carrying the metric. Offset paging → a full
   *    [[WireDialect]], so the DSv2 range-partitioned scan applies.
-  *    (The managed service frames bodies as Arrow IPC; this client
-  *    carries the same fields as JSON — framing is out of scope the
-  *    same way TLS is, and the row/field shapes are what the specs
-  *    freeze.)
+  *    Round 10: the data plane speaks the service's real framing —
+  *    query responses and merge-insert bodies are Arrow IPC record
+  *    batches ([[WireArrow]]); control-plane calls stay JSON.
   *  - KDB.AI (`export_vdf/kdbai_export.py:107-120` full-table
   *    `table.query()`, `import_vdf/kdbai_import.py:150-182` schema
   *    synthesis): `POST /api/v1/data` queries with limit/offset, an
@@ -93,14 +92,6 @@ final case class LanceDbWire(base: String,
         .asInstanceOf[Seq[Any]]
         .map(_.asInstanceOf[Map[String, Any]]("name").toString))
 
-  private def rowPoints(rsp: Map[String, Any]): Seq[WirePoint] =
-    rsp("rows").asInstanceOf[Seq[Any]].map { r0 =>
-      val r = r0.asInstanceOf[Map[String, Any]]
-      WirePoint(r("id").toString,
-        Decode.vec(r.getOrElse("vector", null)),
-        Decode.pay(r - "id" - "vector"))
-    }
-
   private def queryCols(c: String, wantVector: Boolean,
       wantPayload: Boolean): Option[Seq[String]] =
     (wantVector, wantPayload) match {
@@ -110,6 +101,12 @@ final case class LanceDbWire(base: String,
       case (false, true) => Some(columnsOf(c).filterNot(_ == "vector"))
     }
 
+  /** Data-plane reads speak the service's REAL framing: the query
+    * REQUEST is JSON (params + columns allowlist), the RESPONSE is an
+    * Arrow IPC record-batch stream (`lancedb_export.py:82-111` reads
+    * `to_arrow().to_batches()`), negotiated by the Accept header so
+    * the stub's JSON form stays available to sidecar-ignorant
+    * clients. */
   override def fetchPage(c: String, offset: Long, limit: Int,
       wantVector: Boolean, wantPayload: Boolean): WirePage = {
     // empty `vector` = filter-only scan (no ANN), the documented way
@@ -117,8 +114,8 @@ final case class LanceDbWire(base: String,
     val body: Map[String, Any] = Map("vector" -> Seq.empty[Double],
       "limit" -> limit, "offset" -> offset) ++
       queryCols(c, wantVector, wantPayload).map("columns" -> _)
-    val pts = rowPoints(WireHttp.post(url(c, "query"),
-      WireJson.write(body), hdrs))
+    val pts = WireArrow.decodePoints(WireHttp.postAccepting(
+      url(c, "query"), WireJson.write(body), WireArrow.Mime, hdrs))
     WirePage(pts, pts.size)
   }
 
@@ -130,15 +127,17 @@ final case class LanceDbWire(base: String,
       "filter" -> s"id IN (${quoted.mkString(", ")})",
       "limit" -> ids.size) ++
       queryCols(c, wantVector, wantPayload).map("columns" -> _)
-    rowPoints(WireHttp.post(url(c, "query"), WireJson.write(body), hdrs))
+    WireArrow.decodePoints(WireHttp.postAccepting(
+      url(c, "query"), WireJson.write(body), WireArrow.Mime, hdrs))
   }
 
   /** merge_insert on the id column — the service's last-wins upsert
-    * (`when_matched_update_all + when_not_matched_insert_all`). */
+    * (`when_matched_update_all + when_not_matched_insert_all`). The
+    * row batch travels as an Arrow IPC stream body, the data-plane
+    * write framing the managed service takes. */
   override def upsertOnce(c: String, points: Seq[WirePoint]): Unit =
-    WireHttp.post(s"${url(c, "merge_insert")}?on=id", WireJson.write(Map(
-      "rows" -> points.map(p =>
-        Map("id" -> p.id, "vector" -> p.vector) ++ p.payload))), hdrs)
+    WireHttp.postBinary(s"${url(c, "merge_insert")}?on=id",
+      WireArrow.encodePoints(points), WireArrow.Mime, hdrs)
 }
 
 /** KDB.AI REST: `/api/v1/data` queries (limit/offset/filter/aggs) and

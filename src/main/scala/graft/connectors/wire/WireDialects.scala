@@ -52,9 +52,25 @@ trait RedactsCredential extends Product {
 }
 
 private[wire] object WireHttp {
-  // one shared client per JVM — executors reuse the connection pool
-  lazy val client: HttpClient = HttpClient.newBuilder()
-    .connectTimeout(Duration.ofSeconds(10)).build()
+  // One shared client per (JVM, trust configuration) — executors reuse
+  // the connection pool. The TRUST-STORE KNOB
+  // (-Dgraft.wire.truststore=<pkcs12> + -Dgraft.wire.truststorePass)
+  // points https:// requests at a custom CA bundle (private-CA
+  // deployments; the TLS specs' test-time self-signed cert); absent,
+  // the platform roots apply. Keyed by the property value so flipping
+  // the knob takes effect without JVM-global state.
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[String, HttpClient]()
+  def client: HttpClient = {
+    val ts = System.getProperty("graft.wire.truststore", "")
+    clients.computeIfAbsent(ts, t => {
+      val b = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10))
+      (if (t.isEmpty) b
+       else b.sslContext(WireTls.clientContext(
+         java.nio.file.Path.of(t),
+         System.getProperty("graft.wire.truststorePass", "")))).build()
+    })
+  }
 
   def post(url: String, body: String,
       headers: Seq[(String, String)] = Nil): Map[String, Any] =
@@ -65,6 +81,35 @@ private[wire] object WireHttp {
       headers: Seq[(String, String)] = Nil): Map[String, Any] =
     send(withHeaders(HttpRequest.newBuilder(URI.create(url))
       .PUT(HttpRequest.BodyPublishers.ofString(body)), headers))
+
+  /** POST a JSON body, ACCEPT a binary (Arrow IPC) response — the
+    * LanceDB data-plane read shape: query parameters as JSON, rows
+    * back as a record-batch stream. */
+  def postAccepting(url: String, body: String, accept: String,
+      headers: Seq[(String, String)] = Nil): Array[Byte] = {
+    val r = client.send(
+      withHeaders(HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.ofString(body)), headers)
+        .header("Content-Type", "application/json")
+        .header("Accept", accept).build(),
+      HttpResponse.BodyHandlers.ofByteArray())
+    if (r.statusCode() / 100 != 2)
+      throw WireHttpError(r.statusCode(), new String(r.body()))
+    r.body()
+  }
+
+  /** POST a binary (Arrow IPC) body — the LanceDB data-plane write
+    * shape (merge-insert rows as a record-batch stream). */
+  def postBinary(url: String, body: Array[Byte], contentType: String,
+      headers: Seq[(String, String)] = Nil): Unit = {
+    val r = client.send(
+      withHeaders(HttpRequest.newBuilder(URI.create(url))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(body)), headers)
+        .header("Content-Type", contentType).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (r.statusCode() / 100 != 2)
+      throw WireHttpError(r.statusCode(), r.body())
+  }
 
   def get(url: String, headers: Seq[(String, String)] = Nil): String = {
     val r = client.send(

@@ -37,7 +37,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   * flags (`with_vector=false`, `include` without embeddings), paging
   * parameters.
   */
-final class WireStubServer {
+final class WireStubServer(tls: Boolean = false) {
   import WireJson._
 
   // collection → (dims, insertion-ordered id → (vector, payload));
@@ -87,13 +87,26 @@ final class WireStubServer {
     readFailCode = code; readFails.set(n)
   }
 
-  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  // tls=true serves the same dialects over HTTPS (test-time
+  // self-signed cert, WireTls.testMaterial) — the transport the
+  // reference clients all default to; clients reach it through the
+  // graft.wire.truststore knob
+  private val server =
+    if (tls) {
+      val hs = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress("127.0.0.1", 0), 0)
+      val m = WireTls.testMaterial
+      hs.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(
+        WireTls.serverContext(m.keyStore, m.password)))
+      hs
+    } else HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
   server.createContext("/", (ex: HttpExchange) => handle(ex))
   server.start()
 
   /** Base URL clients dial — an ephemeral localhost port. */
-  val url: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  val url: String =
+    s"${if (tls) "https" else "http"}://127.0.0.1:${server.getAddress.getPort}"
 
   def stop(): Unit = server.stop(0)
 
@@ -158,6 +171,15 @@ final class WireStubServer {
     ex.close()
   }
 
+  private def respondBytes(ex: HttpExchange, code: Int, bytes: Array[Byte],
+      contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+    ex.close()
+  }
+
   private def injectRead(ex: HttpExchange): Boolean =
     if (readFails.getAndUpdate(n => math.max(0, n - 1)) > 0) {
       respond(ex, readFailCode, s"""{"status":"injected"}"""); true
@@ -188,7 +210,13 @@ final class WireStubServer {
         .flatMap(h => Option(ex.getRequestHeaders.getFirst(h))
           .map(v => s"$h=$v"))
         .headOption.getOrElse("-"))
-    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val rawBody = ex.getRequestBody.readAllBytes()
+    // Arrow-framed bodies (the LanceDB data plane) are binary — only
+    // non-Arrow bodies parse as JSON
+    val arrowBody = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.contains(WireArrow.Mime))
+    val body =
+      if (arrowBody) "" else new String(rawBody, StandardCharsets.UTF_8)
     val json: Map[String, Any] =
       if (body.isEmpty) Map.empty else parse(body)
 
@@ -616,17 +644,37 @@ final class WireStubServer {
             case _ => page(t, offset, limit)
           }
           def keep(name: String) = cols.forall(_.contains(name))
-          respond(ex, 200, write(Map("rows" -> pts.map { case (id, v, p) =>
-            Map("id" -> id) ++
-              (if (keep("vector")) Map("vector" -> v) else Map.empty) ++
-              p.filter { case (k, _) => keep(k) }
-          })))
+          // content negotiation: Arrow IPC when the client Accepts it
+          // (the managed service's real response framing), JSON
+          // otherwise — identical rows/fields either way
+          val wantsArrow = Option(ex.getRequestHeaders.getFirst("Accept"))
+            .exists(_.contains(WireArrow.Mime))
+          if (wantsArrow)
+            respondBytes(ex, 200, WireArrow.encodePoints(
+              pts.map { case (id, v, p) =>
+                WirePoint(id, if (keep("vector")) v else Seq.empty,
+                  p.filter { case (k, _) => keep(k) })
+              }, includeVector = keep("vector")), WireArrow.Mime)
+          else
+            respond(ex, 200, write(Map("rows" -> pts.map { case (id, v, p) =>
+              Map("id" -> id) ++
+                (if (keep("vector")) Map("vector" -> v) else Map.empty) ++
+                p.filter { case (k, _) => keep(k) }
+            })))
 
         case "merge_insert" =>
-          val rows = json("rows").asInstanceOf[Seq[Any]]
-            .map(_.asInstanceOf[Map[String, Any]])
+          // rows arrive as an Arrow IPC stream (the service's write
+          // framing) or as the JSON shape — same fields either way
+          val rows: Seq[Map[String, Any]] =
+            if (arrowBody)
+              WireArrow.decodePoints(rawBody).map(p =>
+                Map[String, Any]("id" -> p.id, "vector" -> p.vector) ++
+                  p.payload)
+            else json("rows").asInstanceOf[Seq[Any]]
+              .map(_.asInstanceOf[Map[String, Any]])
           val on = Option(ex.getRequestURI.getQuery).getOrElse("")
-          requestLog.add(s"POST /v1/table/$t/merge_insert?$on n=${rows.size}")
+          requestLog.add(s"POST /v1/table/$t/merge_insert?$on " +
+            s"framing=${if (arrowBody) "arrow" else "json"} n=${rows.size}")
           if (injectWrite(ex)) return
           if (rows.size > maxUpsertBatch) {
             respond(ex, 413, s"""{"error":"payload too large"}"""); return

@@ -116,13 +116,28 @@ object VdfIO {
       namespace: String = "", maxRecordsPerFile: Long = 0L,
       vectorColumns: Seq[String] = Seq("vector"),
       metric: Option[String] = None,
-      modelName: Option[String] = None): NamespaceMeta = {
+      modelName: Option[String] = None,
+      bucketBy: Option[(String, Int)] = None): NamespaceMeta = {
     val dataPath = if (namespace.isEmpty) indexName else s"$indexName/$namespace"
     val out = Paths.get(dir, dataPath).toString
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (maxRecordsPerFile > 0)
-       writer.option("maxRecordsPerFile", maxRecordsPerFile)
-     else writer).parquet(out)
+    bucketBy match {
+      case Some((key, buckets)) =>
+        // warehouse layout at ingest: the namespace's files are
+        // written bucketed by the id/join key (plus the sidecar
+        // `ops/Scale.readBucketedDir` re-registers from), so every
+        // later equi-join or group-by on that key — the K1
+        // vectors⋈metadata spine, dedup's keyed aggregations — plans
+        // with ZERO exchanges. The files stay plain parquet to any
+        // reader that ignores the sidecar; bucketing only adds
+        // information. maxRecordsPerFile doesn't compose with this
+        // layout (file count = bucket count by construction).
+        graft.ops.Scale.writeBucketedDir(df, out, key, buckets)
+      case None =>
+        val writer = df.write.mode(SaveMode.Overwrite)
+        (if (maxRecordsPerFile > 0)
+           writer.option("maxRecordsPerFile", maxRecordsPerFile)
+         else writer).parquet(out)
+    }
     val n = df.sparkSession.read.parquet(out).count()
     val dims = resolveDims(df, vectorColumns.headOption.getOrElse("vector"))
     NamespaceMeta(
@@ -144,10 +159,11 @@ object VdfIO {
   def writeVdf(frames: Map[(String, String), DataFrame], dir: String,
       author: String = "graft", exportedFrom: String = "mock",
       maxRecordsPerFile: Long = 0L, idColumn: String = Constants.IdColumn,
-      metrics: Map[String, String] = Map.empty): VdfMeta = {
+      metrics: Map[String, String] = Map.empty,
+      bucketBy: Option[(String, Int)] = None): VdfMeta = {
     val nss = frames.toSeq.map { case ((index, ns), df) =>
       index -> writeNamespace(df, dir, index, ns, maxRecordsPerFile,
-        metric = metrics.get(index))
+        metric = metrics.get(index), bucketBy = bucketBy)
     }
     val meta = VdfMeta(
       version = "1.0",

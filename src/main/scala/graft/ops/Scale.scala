@@ -68,6 +68,80 @@ object Scale {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 
+  /** Sidecar file that makes a directory a SELF-DESCRIBING bucketed
+    * layout: Spark's bucket metadata otherwise lives only in a catalog,
+    * which local sessions don't persist — a fresh JVM reading the same
+    * files would see plain parquet and shuffle anyway. The sidecar
+    * carries exactly what re-registration needs (key, bucket count,
+    * schema DDL), so `readBucketedDir` can rebuild the catalog entry
+    * anywhere — the file-level analogue of a Hive metastore row. */
+  val BucketSidecar = "_graft_bucket.json"
+
+  private def bucketTableName(path: String): String = {
+    val abs = new java.io.File(path).getAbsolutePath
+    // stable, identifier-safe, unique per location
+    val tail = abs.replaceAll("[^A-Za-z0-9]", "_").takeRight(32)
+    f"graft_bkt_${abs.hashCode & 0x7fffffff}%08x_$tail"
+  }
+
+  /** Write `df` as a bucketed-by-`key` parquet layout at an explicit
+    * PATH (external table + sidecar) — the persistent form of
+    * `writeBucketed`, and the ingest-side half of the co-located join
+    * story: bucket the 100 TB fact spine ONCE at write time, and every
+    * downstream equi-join/group-by on the key plans with zero
+    * exchanges (`readBucketedDir` re-registers the layout in any later
+    * session). The frame is repartitioned by the key first so each
+    * write task owns exactly one bucket (bucketBy and repartition
+    * share the hash) and emits one file — which is also what lets
+    * Spark trust the per-bucket sort at read time. The files remain
+    * readable as PLAIN parquet by engines that don't understand the
+    * sidecar (bucketing only adds information). */
+  def writeBucketedDir(df: DataFrame, path: String, key: String,
+      buckets: Int): Unit = {
+    val name = bucketTableName(path)
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.repartition(buckets, col(key))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", new java.io.File(path).getAbsolutePath)
+      .format("parquet")
+      .saveAsTable(name)
+    val sidecar = new java.io.File(path, BucketSidecar)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = new java.util.LinkedHashMap[String, Any]()
+    payload.put("key", key)
+    payload.put("buckets", Integer.valueOf(buckets))
+    payload.put("schema_ddl", df.schema.toDDL)
+    java.nio.file.Files.writeString(sidecar.toPath,
+      mapper.writeValueAsString(payload))
+  }
+
+  /** Open a layout written by `writeBucketedDir` WITH its bucket
+    * metadata: registers the external table from the sidecar (CREATE
+    * IF NOT EXISTS — idempotent, and clones sharing the session's
+    * sharedState see the same entry) and returns it. None when the
+    * directory carries no sidecar — callers fall back to the plain
+    * parquet read. */
+  def readBucketedDir(spark: SparkSession, path: String): Option[DataFrame] = {
+    val sidecar = new java.io.File(path, BucketSidecar)
+    if (!sidecar.isFile) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readValue(sidecar, classOf[java.util.Map[String, Any]])
+    val key = meta.get("key").toString
+    val buckets = meta.get("buckets").toString.toInt
+    val ddl = meta.get("schema_ddl").toString
+    val name = bucketTableName(path)
+    if (!spark.catalog.tableExists(name))
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name ($ddl)
+           |USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
+           |LOCATION '${new java.io.File(path).getAbsolutePath}'
+           |""".stripMargin)
+    Some(spark.table(name))
+  }
+
   /** Bloom-prefiltered semi-join — the runtime-filter pattern, made
     * explicit. A bloom filter over the (small) dim side's keys is
     * aggregated in one pass, broadcast, and applied to the fact side

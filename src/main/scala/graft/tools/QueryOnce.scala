@@ -25,6 +25,16 @@ object QueryOnce {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = graft.SparkEntry.queries(name)
     fn(spark, dir).count() // warm
+    // SPARK_GRAFT_PLAN=1: print the POST-EXECUTION plan (AQE final)
+    // after the warm pass, for at-scale plan assertions — e.g. that a
+    // bucketed-layout route really carries zero join-key exchanges
+    // under the very confs the bench runs with
+    if (sys.env.get("SPARK_GRAFT_PLAN").contains("1")) {
+      val df = fn(spark, dir)
+      df.count()
+      println(s"== executed plan: $name ==")
+      println(df.queryExecution.executedPlan.toString)
+    }
     for (p <- 1 to passes) {
       val t0 = System.nanoTime()
       fn(spark, dir).count()

@@ -147,6 +147,27 @@ class MilvusWireSpec extends SparkSpec {
       Map("ZILLIZ_CLOUD_TOKEN" -> "t1")).contains("t1"))
   }
 
+  test("connection reuse: a multi-page scan rides keep-alive channels, not a socket per page") {
+    val c = "mlv_reuse"
+    val w = MilvusWire(m.hostPort)
+    w.create(c, 3, graft.core.Metric.Cosine)
+    w.upsertOnce(c, (0 until 400).map(i =>
+      WirePoint(s"$c-$i", Seq(i.toDouble, 0, 0), Map("r" -> i.toString))))
+    val connBefore = m.connections.get()
+    val reqBefore = m.requestLog.size()
+    // 40 pages through the DSv2 scan (4 partitions x 10 pages each)
+    val back = WireVdb.read(spark, "milvus", m.hostPort, c, batchSize = 10)
+    assert(back.count() == 400)
+    val pages = m.requestLog.size() - reqBefore
+    val conns = m.connections.get() - connBefore
+    assert(pages >= 40, s"expected >=40 page requests, saw $pages")
+    // the channel pool bounds connections by CONCURRENCY (task
+    // threads), not by page count: the reference's one-channel-per-
+    // process shape, where the old client dialed once per page
+    assert(conns <= pages / 2,
+      s"$conns new connections for $pages requests — no reuse")
+  }
+
   test("CLI migration: qdrant --wire--> VDF --wire--> milvus, metric carried") {
     val http = new WireStubServer
     try {

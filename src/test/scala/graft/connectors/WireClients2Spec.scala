@@ -107,6 +107,40 @@ class WireClients2Spec extends SparkSpec {
     } finally server.maxUpsertBatch = Int.MaxValue
   }
 
+  test("lancedb: the data plane is Arrow IPC — query responses and merge-insert bodies") {
+    val c = "ldb_arrow"
+    val w = LanceDbWire(server.url)
+    w.create(c, 3, Metric.Cosine)
+    server.requestLog.clear()
+    w.upsertOnce(c, (0 until 25).map(i =>
+      WirePoint(s"$c-$i", Seq(i.toDouble, 0.5, -1.0),
+        Map("lang" -> s"l${i % 2}", "rank" -> i.toString))))
+    // the write body crossed the wire as an Arrow stream
+    val merges = server.requestLog.asScala.toSeq
+      .filter(_.contains(s"/v1/table/$c/merge_insert"))
+    assert(merges.nonEmpty && merges.forall(_.contains("framing=arrow")),
+      merges.mkString("\n"))
+    // the read path round-trips every field through record batches,
+    // including a pruned schema (no vector column at all)
+    val full = w.fetchPage(c, 0, 25, wantVector = true, wantPayload = true)
+    assert(full.points.size == 25)
+    assert(full.points.forall(p => p.vector.size == 3 &&
+      p.payload.keySet == Set("lang", "rank")))
+    val pruned = w.fetchPage(c, 0, 25, wantVector = false,
+      wantPayload = false)
+    assert(pruned.points.forall(p =>
+      p.vector.isEmpty && p.payload.isEmpty))
+    // codec symmetry on the exact wire schema, empty-batch included
+    val pts = Seq(
+      WirePoint("a", Seq(1.5, -2.25), Map("k" -> "v")),
+      WirePoint("b", Seq.empty, Map.empty))
+    assert(WireArrow.decodePoints(WireArrow.encodePoints(pts)) == pts)
+    assert(WireArrow.decodePoints(WireArrow.encodePoints(Seq.empty)).isEmpty)
+    val noVec = WireArrow.decodePoints(
+      WireArrow.encodePoints(pts, includeVector = false))
+    assert(noVec.forall(_.vector.isEmpty))
+  }
+
   // ----------------------------------------------------------- KDB.AI
 
   test("kdbai: round-trip, aggs count, q-style in-filter retrieve") {

@@ -41,6 +41,69 @@ class ScaleSpec extends SparkSpec {
     assert(top.getLong(1) == 750L)
   }
 
+  test("writeBucketedDir → readBucketedDir: sidecar re-registers; join is exchange-free; plain readers see the same rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bktdir").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (0 until 3000).map(i => (i.toLong, s"a$i")).toDF("id", "a")
+      val b = (0 until 3000).map(i => (i.toLong, s"b$i")).toDF("id", "b")
+      Scale.writeBucketedDir(a, s"$dir/a", "id", buckets = 4)
+      Scale.writeBucketedDir(b, s"$dir/b", "id", buckets = 4)
+      assert(new java.io.File(s"$dir/a", Scale.BucketSidecar).isFile)
+      val ra = Scale.readBucketedDir(spark, s"$dir/a").get
+      val rb = Scale.readBucketedDir(spark, s"$dir/b").get
+      val joined = ra.join(rb, Seq("id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"re-registered bucketed join still shuffles:\n$plan")
+      assert(joined.count() == 3000)
+      // a reader that ignores the sidecar gets the identical rows as
+      // plain parquet (bucketing only ADDS information)
+      val plain = spark.read.parquet(s"$dir/a")
+      assert(plain.collect().map(_.toString).sorted.toSeq ==
+        a.collect().map(_.toString).sorted.toSeq)
+      // a sidecar-less directory is not a bucketed layout
+      assert(Scale.readBucketedDir(spark, s"$dir/nope").isEmpty)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("shipped spine queries route over a bucketed layout: identical rows, zero join-key exchanges") {
+    // a miniature testdata dir: symlink the sf0.001 tables the three
+    // spine queries read, then write the ingest layout next to them
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("bktsf").toString
+    for (tbl <- Seq("lineitem", "orders", "customer", "nation"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
+        java.nio.file.Paths.get(s"$sf/$tbl.parquet"))
+    val spine = Seq("q_join_agg", "q_semi_idlist", "q_anti_missing")
+    def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+    // keep the spine joins real even at this tiny scale — the branch
+    // override property is how probe tools flip planner confs on the
+    // forked sessions (spark.conf.set would be shadowed)
+    System.setProperty(
+      "graft.branch.spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val before = spine.map(q => q -> run(q).collect().map(_.toString).toSeq)
+      graft.tools.BucketIngest.write(spark, dir, buckets = 4)
+      for ((q, plainRows) <- before) {
+        val routed = run(q)
+        val plan = routed.queryExecution.executedPlan.toString
+        // the layout carries the bucket metadata into the plan...
+        assert(plan.contains("SelectedBucketsCount") ||
+          plan.contains("Bucketed: true"), s"$q not reading buckets:\n$plan")
+        // ...and the join key never exchanges on the bucketed route
+        val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)"
+          .r.findAllIn(plan).size
+        assert(exchanges == 0, s"$q exchanges on the bucketed route:\n$plan")
+        assert(routed.collect().map(_.toString).toSeq == plainRows,
+          s"$q diverged between plain and bucketed routes")
+      }
+    } finally System.clearProperty(
+      "graft.branch.spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("bucketed join plans without a shuffle (co-located)") {
     import spark.implicits._
     val wh = java.nio.file.Files.createTempDirectory("wh").toString
