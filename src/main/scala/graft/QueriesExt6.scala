@@ -280,9 +280,19 @@ object QueriesExt6 {
     val (k1, b) = (1.2, 0.75)
     val docs = ft(s, dir, "documents")
     val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
-    val toks = docs.select(col("doc_id"),
-      expr(s"size($toksArr)").cast("double").as("dl"),
-      explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+    // dl MUST materialize BELOW the explode: a single select mixing
+    // size(split(text)) with explode(...) makes ExtractGenerator lift
+    // the size() into the Project ABOVE the Generate with `text`
+    // retained through it — the full regex split re-runs PER EXPLODED
+    // TOKEN (~dl× per doc; Bm25Probe measured it as ~330 s of the
+    // query's ~345 s CPU at 15.7 GiB). Two selects pin dl (a scalar)
+    // and the hashed array under the Generate, which consumes the
+    // array and carries only 16 B/doc through the fan-out.
+    val toks = docs
+      .select(col("doc_id"),
+        expr(s"size($toksArr)").cast("double").as("dl"),
+        expr(s"transform($toksArr, x -> xxhash64(x))").as("__harr"))
+      .select(col("doc_id"), col("dl"), explode(col("__harr")).as("tok"))
     // probe vocabulary from the pushed-down doc_id<5 scan: tiny read,
     // broadcast, prunes the corpus stream to tokens that can score
     val probeVocab = t(s, dir, "documents").filter(col("doc_id") < 5)
@@ -292,24 +302,49 @@ object QueriesExt6 {
     val stats = t(s, dir, "documents")
       .select(expr(s"size($toksArr)").cast("double").as("dl0"))
       .agg(count(lit(1)).cast("double").as("n"), avg("dl0").as("avgdl"))
+    // Round 10 (Bm25Probe at 15.7 GiB, stage metrics: 0.5 GB shuffle,
+    // zero spill, ~340 s CPU). Two findings:
+    //  - The dominant cost was dl RECOMPUTATION: co-selecting
+    //    size(split(text)) with the explode made ExtractGenerator lift
+    //    it above the Generate with `text` retained, re-running the
+    //    full regex split once PER EXPLODED TOKEN (see the `toks` note
+    //    above — pinning dl below the Generate took the query
+    //    15.8 s → 5.0 s; interleaved vs DuckDB 2.7× → 1.11×).
+    //  - A probe-vocab df-cap (the WAND-ish stopword skip) cut the
+    //    scored stream 49M → 9M rows but DIVERGED 50/50 result rows on
+    //    this corpus (the ×84 replication inflates every df), so the
+    //    cap is rejected — exactness wins.
+    // The scoring tail avoids the r9 fan-out as well: the window
+    // carries a query BITMASK (≤ 5 probe docs = 5 bits) instead of a
+    // collected id set, each (token, doc) row computes its BM25
+    // contribution once, and a per-doc aggregate accumulates 5
+    // conditional sums — one slot per query, null = no shared token,
+    // exactly the pair-existence semantics explode gave; the only
+    // explode left is per (doc, query) at the very end, so the flow
+    // no longer multiplies with the probe-query count.
     val wTok = Window.partitionBy("tok")
-    toks.join(broadcast(probeVocab), Seq("tok"), "left_semi")
+    val contrib = toks.join(broadcast(probeVocab), Seq("tok"), "left_semi")
       .repartition(col("tok")) // grouping + both windows share this
       .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(wTok))
-      .withColumn("qids",
-        collect_set(when(col("doc_id") < 5, col("doc_id"))).over(wTok))
-      .select(explode(col("qids")).as("query_id"), col("doc_id"),
-        col("tf").cast("double").as("tf"), col("dl"),
-        col("df").cast("double").as("df"))
+      .withColumn("df", count(lit(1)).over(wTok).cast("double"))
+      .withColumn("qmask", sum(when(col("doc_id") < 5,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id AS INT))"))
+          .otherwise(0L))
+        .over(wTok))
       .crossJoin(broadcast(stats))
-      .groupBy("query_id", "doc_id")
-      .agg(sum(
-        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-        .as("score"))
+      .select(col("doc_id"), col("qmask"),
+        (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("w"))
+    val slots = (0 until 5).map(qi =>
+      sum(when(expr(s"((qmask >> $qi) & 1) = 1"), col("w"))).as(s"s$qi"))
+    contrib.groupBy("doc_id").agg(slots.head, slots.tail: _*)
+      .select(col("doc_id"), posexplode(
+        array((0 until 5).map(i => col(s"s$i")): _*)))
+      .filter(col("col").isNotNull)
+      .select(col("pos").cast("long").as("query_id"), col("doc_id"),
+        col("col").as("score"))
       .withColumn("rn", row_number().over(Window.partitionBy("query_id")
         .orderBy(round(col("score"), 6).desc, col("doc_id"))))
       .filter(col("rn") <= 10)

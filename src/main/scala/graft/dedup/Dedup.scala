@@ -546,7 +546,15 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         expr(graft.QueriesCommon.toksSqlFor(textCol)).as("toks"))
       .filter(size(col("toks")) >= k + w - 1)
+      // ng materializes BELOW the posexplode: co-selecting it with the
+      // generator would make ExtractGenerator lift it above the
+      // Generate with `toks` retained through the fan-out — the whole
+      // token array copied once per gram row (the q_bm25 round-10
+      // finding; here the generator then consumes toks and only the
+      // 8-byte ng rides along)
       .select(col("doc_id"), (size(col("toks")) - (k - 1)).as("ng"),
+        col("toks"))
+      .select(col("doc_id"), col("ng"),
         posexplode(expr(
           s"transform(sequence(0, size(toks) - $k), i -> $gram)"))
           .as(Seq("pos", "gram")))

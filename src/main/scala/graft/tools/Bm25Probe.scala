@@ -55,9 +55,11 @@ object Bm25Probe {
   def bm25(s: SparkSession, dir: String, dfCap: Long): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = QueriesCommon.fannedTable(s, dir, "documents")
-    val toks = docs.select(col("doc_id"),
-      expr(s"size($toksArr)").cast("double").as("dl"),
-      explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+    val toks = docs
+      .select(col("doc_id"),
+        expr(s"size($toksArr)").cast("double").as("dl"),
+        expr(s"transform($toksArr, x -> xxhash64(x))").as("__harr"))
+      .select(col("doc_id"), col("dl"), explode(col("__harr")).as("tok"))
     val probeVocab0 = vocabOnly(s, dir)
     val probeVocab =
       if (dfCap <= 0) probeVocab0
@@ -144,6 +146,34 @@ object Bm25Probe {
     // phase split: the two extra corpus scans vs the main pipeline
     timed("phase:stats") { statsOnly(spark, dir).collect() }
     timed("phase:vocab") { vocabOnly(spark, dir).collect() }
+
+    // cumulative sub-plan split of the main pipeline: tokenize+explode
+    // alone, + semi prune, + the tok exchange & tf aggregate, + the
+    // df/qmask windows — the first arm whose wall ≈ the full query is
+    // the cost center
+    {
+      val docs = QueriesCommon.fannedTable(spark, dir, "documents")
+      val toks = docs
+        .select(col("doc_id"),
+          expr(s"size($toksArr)").cast("double").as("dl"),
+          expr(s"transform($toksArr, x -> xxhash64(x))").as("__harr"))
+        .select(col("doc_id"), col("dl"), explode(col("__harr")).as("tok"))
+      val vocab = vocabOnly(spark, dir)
+      timed("cum:explode") { toks.count() }
+      val pruned = toks.join(broadcast(vocab), Seq("tok"), "left_semi")
+      timed("cum:+semi") { pruned.count() }
+      val tf = pruned.repartition(col("tok"))
+        .groupBy("tok", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      timed("cum:+tf") { tf.count() }
+      val wT = Window.partitionBy("tok")
+      timed("cum:+windows") {
+        tf.withColumn("df", count(lit(1)).over(wT))
+          .withColumn("qm", sum(when(col("doc_id") < 5,
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id AS INT))"))
+            .otherwise(0L)).over(wT))
+          .count()
+      }
+    }
     timed("shipped") {
       graft.SparkEntry.queries("q_bm25")(spark, dir).count()
     }

@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ivf, IvfPq, Knn}
+
+/** Round-10 ask #7, the NON-DEGENERATE at-scale recall point. The
+  * replicated big-data corpora (`BigGen`: ×84 near-duplicate replicas,
+  * +rep/1000 in component 0) make plain recall saturate at 1.000 for
+  * every route — each query's true top-k IS its own replica family,
+  * which shares the query's IVF list by construction. That is a real
+  * clustered-regime result, but it can't show the nprobe dial.
+  *
+  * This probe excludes the query's replica family (vec_id ≡ q_id mod
+  * the sf0.1 stride) from BOTH ground truth and the searched corpus —
+  * pre-filter semantics, the `Ivf.searchWhere` contract — so the
+  * routes must find the nearest NON-replica neighbors across lists:
+  * the dial becomes visible again at 84× the sf0.1 corpus.
+  *
+  * Usage: runMain graft.tools.RecallFamilyProbe [dir] [k] [stride]
+  */
+object RecallFamilyProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/target/bigdata15")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val stride = args.lift(2).map(_.toLong).getOrElse(2000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qIds = (0L until 16L)
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+    def topSet(df: DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qid, a) => qid -> a.map(_._2).toSet }
+
+    // per-query family-excluded exact ground truth (16 small scans —
+    // the predicate depends on the query, so truth is per-query)
+    val exact: Map[Long, Set[Long]] = qIds.map { qid =>
+      val cands = e.filter(pmod(col("vec_id"), lit(stride)) =!= lit(qid))
+        .select("vec_id", "embedding")
+      val qq = q.filter(col("q_id") === qid)
+      qid -> topSet(Knn.bruteForceTopK(qq, cands, k))
+        .getOrElse(qid, Set.empty)
+    }.toMap
+
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (qid, ex) =>
+        approx.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
+      }.sum / exact.size
+
+    println(s"# family-excluded recall@$k, 16 queries, $dir " +
+      s"(corpus ${e.count()} vectors; pred: vec_id % $stride != q_id)")
+
+    // IVF dial: searchWhere with the per-query family exclusion —
+    // since the predicate is per-query, run per query and union
+    val ivfIx = Ivf.build(e, "vec_id", "embedding", nlist = 8)
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val approx: Map[Long, Set[Long]] = qIds.map { qid =>
+        val qq = q.filter(col("q_id") === qid)
+        val pred = pmod(col("vec_id"), lit(stride)) =!= lit(qid)
+        qid -> topSet(Ivf.searchWhere(ivfIx, qq, k, nprobe, pred)
+          .select(col("q_id"), col("vec_id"))).getOrElse(qid, Set.empty)
+      }.toMap
+      println(f"ivf nlist=8 nprobe=$nprobe%-2d family-excluded " +
+        f"recall@$k = ${recall(approx)}%.3f")
+    }
+
+    // IVFADC ± refine with the family excluded from the ENCODED set
+    // (index built over the filtered corpus — the pre-filter shape)
+    for ((rr, label) <- Seq(0 -> "adc", 8 -> "adc+refine R=8k")) {
+      val approx: Map[Long, Set[Long]] = qIds.map { qid =>
+        val cands = e.filter(pmod(col("vec_id"), lit(stride)) =!= lit(qid))
+        val ix = IvfPq.build(cands, "vec_id", "embedding", dim = 64,
+          nlist = 8, m = 8, ksub = 256)
+        val frozen = ix.copy(encoded = ix.encoded.localCheckpoint(true))
+        val qq = q.filter(col("q_id") === qid)
+        val res =
+          if (rr == 0) IvfPq.search(frozen, qq, k, nprobe = 4)
+          else IvfPq.searchRerank(frozen, qq, k, nprobe = 4, rerank = rr)
+        qid -> topSet(res.select(col("q_id"), col(ix.idCol)))
+          .getOrElse(qid, Set.empty)
+      }.toMap
+      println(f"ivfpq RES m=8 ksub=256 nprobe=4 $label%-16s family-excluded " +
+        f"recall@$k = ${recall(approx)}%.3f")
+    }
+    spark.stop()
+  }
+}
