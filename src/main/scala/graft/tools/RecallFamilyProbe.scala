@@ -73,23 +73,55 @@ object RecallFamilyProbe {
         f"recall@$k = ${recall(approx)}%.3f")
     }
 
-    // IVFADC ± refine with the family excluded from the ENCODED set
-    // (index built over the filtered corpus — the pre-filter shape)
-    for ((rr, label) <- Seq(0 -> "adc", 8 -> "adc+refine R=8k")) {
-      val approx: Map[Long, Set[Long]] = qIds.map { qid =>
+    // METRIC CEILING for the IVFADC rows below: they rank by exact/ADC
+    // squared L2 while the ground truth is cosine — on the
+    // family-excluded (near-uniform) residue the two metrics genuinely
+    // disagree, so no L2 route can exceed this brute-force-L2 number
+    {
+      val ceil: Map[Long, Set[Long]] = qIds.map { qid =>
         val cands = e.filter(pmod(col("vec_id"), lit(stride)) =!= lit(qid))
-        val ix = IvfPq.build(cands, "vec_id", "embedding", dim = 64,
-          nlist = 8, m = 8, ksub = 256)
-        val frozen = ix.copy(encoded = ix.encoded.localCheckpoint(true))
+          .select("vec_id", "embedding")
         val qq = q.filter(col("q_id") === qid)
-        val res =
-          if (rr == 0) IvfPq.search(frozen, qq, k, nprobe = 4)
-          else IvfPq.searchRerank(frozen, qq, k, nprobe = 4, rerank = rr)
-        qid -> topSet(res.select(col("q_id"), col(ix.idCol)))
-          .getOrElse(qid, Set.empty)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("l2").asc, col("vec_id"))
+        qid -> topSet(cands.crossJoin(broadcast(qq))
+          .filter(col("q_id") =!= col("vec_id"))
+          .withColumn("l2", graft.expressions.GraftExtensions.l2Sq(
+            col("q_vec"), col("embedding")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .select(col("q_id"), col("vec_id"))).getOrElse(qid, Set.empty)
       }.toMap
-      println(f"ivfpq RES m=8 ksub=256 nprobe=4 $label%-16s family-excluded " +
-        f"recall@$k = ${recall(approx)}%.3f")
+      println(f"exact-L2 brute force vs cosine truth (metric ceiling) " +
+        f"family-excluded recall@$k = ${recall(ceil)}%.3f")
+    }
+
+    // IVFADC + refine, family dropped POST-RANK from a shared
+    // full-corpus index (one build serves all queries; ≤84 family rows
+    // can crowd a pool, so the pool over-fetches by the family size).
+    // The R DIAL is the point: a fixed R=8·k pool that reached 0.894
+    // on the 2k-vector sf0.1 corpus collapses at 84× — the ADC
+    // ordering is loose on near-uniform residue, so the true top-k
+    // drifts below a fixed cutoff as the corpus grows; scaling R with
+    // the corpus restores recall toward the 0.913 L2-metric ceiling.
+    // FAISS practice sizes the refine pool the same way (k_factor vs
+    // corpus). arg 4 "skipAdc" skips for ceiling-only reruns.
+    if (args.lift(3).contains("skipAdc")) { spark.stop(); return }
+    val famSize = (e.count() / stride).toInt // replicas per family
+    val ix = IvfPq.build(e, "vec_id", "embedding", dim = 64,
+      nlist = 8, m = 8, ksub = 256)
+    val frozen = ix.copy(encoded = ix.encoded.localCheckpoint(true))
+    for (rr <- Seq(8, 34, 136)) {
+      val kFetch = k + famSize
+      val ranked = IvfPq.searchRerank(frozen, q, kFetch, nprobe = 4,
+        rerank = rr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val approx: Map[Long, Set[Long]] = ranked.groupBy(_._1).map {
+        case (qid, rows) =>
+          qid -> rows.filter(t => t._2 % stride != qid)
+            .sortBy(t => (t._3, t._2)).take(k).map(_._2).toSet
+      }
+      println(f"ivfpq RES m=8 ksub=256 nprobe=4 refine R=${rr * kFetch}%-5d " +
+        f"family-excluded recall@$k = ${recall(approx)}%.3f")
     }
     spark.stop()
   }
