@@ -39,6 +39,35 @@ class CliSpec extends SparkSpec {
     assert(ids.forall(i => i >= 10 && i <= 59))
   }
 
+  test("export --bucket_by writes a bucketed namespace: sidecar + co-located join + plain readers unchanged") {
+    val dbRoot = tmp(); val vdf = tmp() + "/vdf_bkt"
+    seedDb(dbRoot)
+    assert(Cli.run(spark, Seq("export", "--db", "mock",
+      "--db_root", dbRoot, "--out", vdf, "--bucket_by", "id:4")) == 0)
+    // the namespace dir is a self-describing bucketed layout...
+    val nsDir = s"$vdf/idx1"
+    assert(new java.io.File(nsDir, graft.ops.Scale.BucketSidecar).isFile)
+    val bkt = graft.ops.Scale.readBucketedDir(spark, nsDir).get
+    assert(bkt.count() == 120)
+    // ...whose self-join on the bucket key is exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = bkt.select("id", "title")
+        .join(graft.ops.Scale.readBucketedDir(spark, nsDir).get
+          .select(org.apache.spark.sql.functions.col("id")), Seq("id"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(joined.count() == 120)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // ...and the ordinary VDF read path sees the identical rows
+    // (bucketing only adds information; the manifest stays valid)
+    val meta = VdfIO.readMeta(vdf)
+    val ns = meta.indexes("idx1").head
+    assert(ns.total_vector_count == 120)
+    val plain = VdfIO.readNamespace(spark, vdf, ns)
+    assert(plain.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 120).map(_.toString).sorted)
+  }
+
   test("reembed adds a vector column and updates the manifest in place-swapped files") {
     val dbRoot = tmp(); val vdf = tmp() + "/vdf"
     seedDb(dbRoot)
