@@ -359,11 +359,22 @@ object QueriesCommon {
     * streaming admission filter cannot diverge on what a "bigram" is.
     * Yields array<struct<0:bigint,1:bigint>> of (xxhash64(w1),
     * xxhash64(w2)); docs with < 2 tokens yield an empty array. */
-  def bigramsSqlFor(textCol: String): String = {
-    val toksArr = toksSqlFor(textCol)
+  def bigramsSqlFor(textCol: String): String =
+    bigramsFromToksSql(toksSqlFor(textCol))
+
+  /** The bigram zip over an ALREADY-TOKENIZED array column — the
+    * implementation `bigramsSqlFor` delegates to, and the form hot
+    * paths should consume through a materialized toks projection: the
+    * expression references its input FOUR times, higher-order
+    * functions evaluate interpreted (no codegen subexpression
+    * elimination), so inlining the tokenizer re-runs the regex split
+    * 4× per document (LmProbe at 15.7 GiB: the bigram map phase was
+    * ~60% of q_lm_score's CPU). A column reference is free to repeat;
+    * CollapseProject keeps the non-cheap toks alias in its own
+    * projection because it is used more than once. */
+  def bigramsFromToksSql(toks: String): String =
     s"""arrays_zip(
-       |  transform(slice($toksArr, 1, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)),
-       |  transform(slice($toksArr, 2, greatest(size($toksArr) - 1, 0)), x -> xxhash64(x)))
+       |  transform(slice($toks, 1, greatest(size($toks) - 1, 0)), x -> xxhash64(x)),
+       |  transform(slice($toks, 2, greatest(size($toks) - 1, 0)), x -> xxhash64(x)))
        |""".stripMargin
-  }
 }

@@ -232,8 +232,14 @@ object QueriesExt6 {
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
     val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
     val docs = ft(s, dir, "documents")
-    val bigrams = docs.select(col("doc_id"),
-      expr(QueriesCommon.bigramsSqlFor("text")).as("bg"))
+    // tokenize ONCE into its own projection, then zip from the array
+    // column — inlining the tokenizer into bigramsSqlFor's four
+    // references re-runs the interpreted split 4x per doc (LmProbe;
+    // 15.7 GiB interleaved 2.30x -> see round-10 artifact)
+    val bigrams = docs
+      .select(col("doc_id"), expr(QueriesCommon.toksSql).as("__toks"))
+      .select(col("doc_id"),
+        expr(QueriesCommon.bigramsFromToksSql("__toks")).as("bg"))
       .select(col("doc_id"), explode(col("bg")).as("p"))
       .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
     // vocab size as a 1-row broadcast (the +V smoothing denominator)
