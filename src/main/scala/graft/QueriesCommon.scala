@@ -377,4 +377,26 @@ object QueriesCommon {
        |  transform(slice($toks, 1, greatest(size($toks) - 1, 0)), x -> xxhash64(x)),
        |  transform(slice($toks, 2, greatest(size($toks) - 1, 0)), x -> xxhash64(x)))
        |""".stripMargin
+
+  /** The SQL tokenizer-hash tower above, as ONE codegen'd expression:
+    * `array<bigint>` of xxhash64-seed-42 token hashes. Value-identical
+    * to `transform(toksSqlFor(c), x -> xxhash64(x))`
+    * (TokenHashSpec pins it on adversarial inputs, the Md5Bucket
+    * contract) — the interpreted HOF stack was ~70% of q_lm_score's
+    * executor CPU at 15.7 GiB (LmProbe, round 10). */
+  def tokenHashesCol(textCol: String): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.TokenXxHashes(
+      Bridge.expression(col(textCol))))
+  }
+
+  /** Adjacent-bigram hash pairs `array<struct<w1,w2>>` as ONE
+    * codegen'd expression — the fused tokenize+hash+tail-zip of
+    * `bigramsSqlFor` (which remains the reference formulation the spec
+    * pins this against). */
+  def bigramHashesCol(textCol: String): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.BigramXxHashes(
+      Bridge.expression(col(textCol))))
+  }
 }

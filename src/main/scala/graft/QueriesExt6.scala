@@ -230,21 +230,21 @@ object QueriesExt6 {
     * (w₁,w₂) sort covers the w₁ frame), so the whole LM — train +
     * score — is two exchanges plus the vocab scalar. */
   private def qLmScore(s: SparkSession, dir: String): DataFrame = {
-    val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
     val docs = ft(s, dir, "documents")
-    // tokenize ONCE into its own projection, then zip from the array
-    // column — inlining the tokenizer into bigramsSqlFor's four
-    // references re-runs the interpreted split 4x per doc (LmProbe;
-    // 15.7 GiB interleaved 2.30x -> see round-10 artifact)
+    // The bigram kernel as ONE codegen'd expression (tokenize + hash +
+    // tail-zip fused, expressions/TokenHashExpressions.scala): the
+    // interpreted HOF tower it replaces was ~42 s of ~60 s executor
+    // CPU at 15.7 GiB even after tokenize-once (LmProbe, round 10).
+    // doc_id is a bare reference, so co-selecting it with the explode
+    // is ExtractGenerator-safe (nothing non-cheap is lifted above the
+    // Generate — the q_bm25 trap).
     val bigrams = docs
-      .select(col("doc_id"), expr(QueriesCommon.toksSql).as("__toks"))
       .select(col("doc_id"),
-        expr(QueriesCommon.bigramsFromToksSql("__toks")).as("bg"))
-      .select(col("doc_id"), explode(col("bg")).as("p"))
-      .select(col("doc_id"), col("p.0").as("w1"), col("p.1").as("w2"))
+        explode(QueriesCommon.bigramHashesCol("text")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
     // vocab size as a 1-row broadcast (the +V smoothing denominator)
     val vocab = t(s, dir, "documents")
-      .select(explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+      .select(explode(QueriesCommon.tokenHashesCol("text")).as("tok"))
       .agg(countDistinct("tok").cast("double").as("v"))
     val cBg = Window.partitionBy("w1", "w2")
     val cHist = Window.partitionBy("w1")

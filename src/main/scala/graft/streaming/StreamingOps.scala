@@ -158,19 +158,20 @@ object StreamingOps {
   /** Train the count tables from a trusted reference corpus (a static
     * frame with a `text` column): per-bigram counts, per-history
     * counts, and the distinct-token vocabulary size for the +V
-    * smoothing denominator. Bigrams are the map-side tail-zip of
-    * `QueriesCommon.bigramsSqlFor` — identical tokenization to the
-    * oracle-gated batch scorer by construction. */
+    * smoothing denominator. Bigrams come from the SAME codegen'd
+    * kernel as the oracle-gated batch scorer
+    * (`QueriesCommon.bigramHashesCol` — identical tokenization by
+    * construction, and TokenHashSpec pins the kernel against the SQL
+    * formulation). */
   def trainBigramLm(refDocs: DataFrame): BigramLm = {
     val bg = refDocs
-      .select(explode(expr(graft.QueriesCommon.bigramsSqlFor("text"))).as("p"))
-      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .select(explode(graft.QueriesCommon.bigramHashesCol("text")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
     BigramLm(
       c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
       c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1")),
       vocab = refDocs
-        .select(explode(expr(
-          s"transform(${graft.QueriesCommon.toksSql}, x -> xxhash64(x))")).as("tok"))
+        .select(explode(graft.QueriesCommon.tokenHashesCol("text")).as("tok"))
         .agg(countDistinct("tok").cast("double").as("v")))
   }
 
@@ -196,9 +197,9 @@ object StreamingOps {
     docs
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("ts"),
-        explode(expr(graft.QueriesCommon.bigramsSqlFor("text"))).as("p"))
+        explode(graft.QueriesCommon.bigramHashesCol("text")).as("p"))
       .select(col("doc_id"), col("ts"),
-        col("p.0").as("w1"), col("p.1").as("w2"))
+        col("p.w1"), col("p.w2"))
       .join(broadcast(lm.c12), Seq("w1", "w2"), "left_outer")
       .join(broadcast(lm.c1), Seq("w1"), "left_outer")
       .crossJoin(broadcast(lm.vocab))
