@@ -181,6 +181,12 @@ object QueriesCommon {
       name: String): Option[DataFrame] = {
     val path = s"$dir/_bucketed/$name"
     if (!new java.io.File(path, graft.ops.Scale.BucketSidecar).isFile) None
+    // freshness link to the source: a layout whose sidecar recorded a
+    // source fingerprint at ingest is only routed while the source
+    // parquet still matches it — a regenerated `<dir>/<name>.parquet`
+    // falls back to the plain route instead of serving stale rows
+    else if (graft.ops.Scale.sidecarSourceFp(path).exists(
+        _ != graft.ops.Scale.sourceFingerprint(s"$dir/$name.parquet"))) None
     else graft.ops.Scale.readBucketedDir(branchFor(s, dir), path)
   }
 

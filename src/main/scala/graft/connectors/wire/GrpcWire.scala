@@ -177,12 +177,35 @@ object GrpcFraming {
   * Liveness: the existing connect (10 s) and read (30 s) timeouts
   * guard every exchange. A pooled channel can go stale (server
   * restart, idle teardown); it fails its next exchange, is closed, and
-  * the request retries ONCE on a fresh dial — a failure on the fresh
-  * channel propagates. The retry can re-send a request the server
-  * already applied before dying; every framed write here is an
-  * id-keyed upsert (last-wins), so the re-send is idempotent. */
+  * — for IDEMPOTENT requests only — retries ONCE on a fresh dial (a
+  * failure on the fresh channel propagates). The retry can re-send a
+  * request the server already applied before dying: reads
+  * (describe/count/query/scan), id-keyed deletes, and last-wins
+  * upserts re-apply harmlessly, but `create` does not (the re-send can
+  * surface ALREADY_EXISTS for a creation that succeeded), so callers
+  * tag it `idempotent = false` and its stale-channel failure
+  * propagates instead of re-sending.
+  *
+  * Boundedness: an endpoint's idle queue is capped
+  * ([[MaxIdlePerEndpoint]] — returns beyond it close the socket
+  * rather than parking it) and idle channels expire after
+  * [[IdleTtlMs]] (checked at borrow; an expired channel is closed and
+  * the next one tried), so a long-lived executor JVM doesn't retain
+  * one socket per task thread per endpoint forever. */
 private[wire] object FramedChannelPool {
+  /** Idle sockets retained per endpoint; borrows beyond it dial fresh
+    * and returns beyond it close — #task-threads sockets can still be
+    * IN FLIGHT concurrently, this only bounds what idles between
+    * pages. Deploy-tunable (and test-settable) via system property. */
+  private def MaxIdlePerEndpoint: Int =
+    Integer.getInteger("graft.wire.pool.maxIdle", 8)
+  /** Idle expiry: servers commonly reap keep-alives at 60–300 s; expiring
+    * ours first turns "stale channel + retry" into a clean fresh dial. */
+  private def IdleTtlMs: Long =
+    java.lang.Long.getLong("graft.wire.pool.idleTtlMs", 60000L)
+
   private final class Channel(hostPort: String) {
+    @volatile var idleSince: Long = System.currentTimeMillis()
     private val Array(h, p) = hostPort.split(":", 2)
     val sock = new Socket()
     sock.connect(new InetSocketAddress(h, p.toInt), 10000)
@@ -212,15 +235,36 @@ private[wire] object FramedChannelPool {
     GrpcFraming.readFrame(ch.in)
   }
 
-  def exchange(hostPort: String, payload: Array[Byte]): Array[Byte] =
-    Option(queue(hostPort).poll()) match {
+  /** Return a channel to its endpoint's idle queue — or close it when
+    * the queue is already at [[MaxIdlePerEndpoint]]. */
+  private def park(hostPort: String, ch: Channel): Unit = {
+    val q = queue(hostPort)
+    if (q.size >= MaxIdlePerEndpoint) ch.close()
+    else { ch.idleSince = System.currentTimeMillis(); q.offer(ch) }
+  }
+
+  /** Borrow a live idle channel, discarding any that outlived
+    * [[IdleTtlMs]] on the way. */
+  private def borrow(hostPort: String): Option[Channel] = {
+    val q = queue(hostPort)
+    val cutoff = System.currentTimeMillis() - IdleTtlMs
+    var ch = q.poll()
+    while (ch != null && ch.idleSince < cutoff) { ch.close(); ch = q.poll() }
+    Option(ch)
+  }
+
+  def exchange(hostPort: String, payload: Array[Byte],
+      idempotent: Boolean = true): Array[Byte] =
+    borrow(hostPort) match {
       case Some(ch) =>
         try {
-          val r = exchangeOn(ch, payload); queue(hostPort).offer(ch); r
+          val r = exchangeOn(ch, payload); park(hostPort, ch); r
         } catch {
-          case _: java.io.IOException => // stale channel: one fresh retry
+          case e: java.io.IOException =>
+            // stale channel: one fresh retry — but only when a re-send
+            // of a possibly-already-applied request is harmless
             ch.close()
-            freshExchange(hostPort, payload)
+            if (idempotent) freshExchange(hostPort, payload) else throw e
         }
       case None => freshExchange(hostPort, payload)
     }
@@ -230,7 +274,7 @@ private[wire] object FramedChannelPool {
     dials.incrementAndGet()
     val ch = new Channel(hostPort)
     try {
-      val r = exchangeOn(ch, payload); queue(hostPort).offer(ch); r
+      val r = exchangeOn(ch, payload); park(hostPort, ch); r
     } catch { case e: Throwable => ch.close(); throw e }
   }
 }
@@ -246,14 +290,16 @@ final case class GrpcWire(hostPort: String,
     with RedactsCredential {
   import GrpcFraming._
 
-  private def call(build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
+  private def call(build: DataOutputStream => Unit,
+      idempotent: Boolean = true): Map[Int, Seq[Any]] = {
     // auth rides field 14 of every request — the framed stand-in for
     // gRPC's `authorization` metadata
     val payload = message { o =>
       token.foreach(writeStringField(o, 14, _))
       build(o)
     }
-    val rsp = readMessage(FramedChannelPool.exchange(hostPort, payload))
+    val rsp = readMessage(
+      FramedChannelPool.exchange(hostPort, payload, idempotent))
     val status = rsp.get(1).flatMap(_.headOption)
       .map(_.asInstanceOf[Long].toInt).getOrElse(0)
     if (status != 0)
@@ -263,12 +309,14 @@ final case class GrpcWire(hostPort: String,
 
   override def create(c: String, dims: Int,
       metric: graft.core.Metric): Unit = {
-    call { o =>
+    // NOT idempotent: a stale-channel re-send of a create the server
+    // already applied surfaces ALREADY_EXISTS — propagate instead
+    call({ o =>
       writeVarintField(o, 15, 1)
       writeStringField(o, 2, c)
       writeVarintField(o, 9, dims)
       writeStringField(o, 10, metric.name)
-    }
+    }, idempotent = false)
     ()
   }
 

@@ -47,12 +47,14 @@ final case class MilvusWire(hostPort: String,
   // one keep-alive channel per (JVM, endpoint) — the reference's
   // one-connection-per-process shape (`milvus_export.py:85-87`),
   // borrowed/returned per exchange; see [[FramedChannelPool]]
-  private def call(build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
+  private def call(build: DataOutputStream => Unit,
+      idempotent: Boolean = true): Map[Int, Seq[Any]] = {
     val payload = message { o =>
       token.foreach(writeStringField(o, 14, _))
       build(o)
     }
-    val rsp = readMessage(FramedChannelPool.exchange(hostPort, payload))
+    val rsp = readMessage(
+      FramedChannelPool.exchange(hostPort, payload, idempotent))
     val status = rsp.get(1).flatMap(_.headOption)
       .map(_.asInstanceOf[Long].toInt).getOrElse(0)
     if (status != 0)
@@ -67,13 +69,15 @@ final case class MilvusWire(hostPort: String,
     * dynamic field on, metric from the VDF manifest
     * (`milvus_import.py:111-150`). */
   override def create(c: String, dims: Int, metric: Metric): Unit = {
-    call { o =>
+    // NOT idempotent: a stale-channel re-send of a create the server
+    // already applied surfaces ALREADY_EXISTS — propagate instead
+    call({ o =>
       writeVarintField(o, 15, MCreate)
       writeStringField(o, 2, c)
       writeVarintField(o, 9, dims)
       writeStringField(o, 10,
         Metric.toDbName("milvus", metric).getOrElse("COSINE"))
-    }
+    }, idempotent = false)
     ()
   }
 
@@ -209,7 +213,7 @@ final case class MilvusSchema(pkField: String, vectorField: String,
   * specs assert identical shrink behavior. Iterator state is
   * server-side (real Milvus holds a query cursor); tokens are opaque
   * to the client. */
-final class MilvusStubServer {
+final class MilvusStubServer(port: Int = 0) {
   import GrpcFraming._
   import MilvusWire._
 
@@ -233,8 +237,10 @@ final class MilvusStubServer {
     readFailStatus = status; readFails.set(n)
   }
 
+  // port 0 (default) = ephemeral; a fixed port lets the pool specs
+  // restart the server in place to stale the parked channels
   private val server = new ServerSocket()
-  server.bind(new InetSocketAddress("127.0.0.1", 0))
+  server.bind(new InetSocketAddress("127.0.0.1", port))
   val hostPort: String = s"127.0.0.1:${server.getLocalPort}"
 
   /** TCP connections ACCEPTED — with keep-alive clients this must stay
@@ -245,10 +251,16 @@ final class MilvusStubServer {
   // a fixed-8 pool would starve new connections behind idle ones
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
   @volatile private var running = true
+  // accepted sockets, so stop() can sever live keep-alive connections
+  // too (the pool specs restart the stub to stale parked channels —
+  // a stop that leaves handler threads serving old sockets would keep
+  // the "dead" connections answering)
+  private val open = new java.util.concurrent.ConcurrentLinkedQueue[Socket]()
   private val acceptor = new Thread(() => {
     while (running) {
       try {
         val sock = server.accept()
+        open.add(sock)
         pool.execute(() => handle(sock))
       } catch { case _: Exception if !running => }
     }
@@ -256,7 +268,12 @@ final class MilvusStubServer {
   acceptor.setDaemon(true)
   acceptor.start()
 
-  def stop(): Unit = { running = false; server.close(); pool.shutdown() }
+  def stop(): Unit = {
+    running = false
+    server.close()
+    open.forEach(s => try s.close() catch { case _: Exception => () })
+    pool.shutdown()
+  }
 
   def collectionSize(c: String): Int = synchronized {
     Option(store.get(c)).map(_.rows.size).getOrElse(0)

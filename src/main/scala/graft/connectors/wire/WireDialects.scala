@@ -57,18 +57,20 @@ private[wire] object WireHttp {
   // (-Dgraft.wire.truststore=<pkcs12> + -Dgraft.wire.truststorePass)
   // points https:// requests at a custom CA bundle (private-CA
   // deployments; the TLS specs' test-time self-signed cert); absent,
-  // the platform roots apply. Keyed by the property value so flipping
-  // the knob takes effect without JVM-global state.
+  // the platform roots apply. Keyed by BOTH knobs — path AND password
+  // — so flipping either takes effect without JVM-global state
+  // (keying on the path alone would reuse an SSLContext built with a
+  // stale password after a rotation).
   private val clients =
-    new java.util.concurrent.ConcurrentHashMap[String, HttpClient]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), HttpClient]()
   def client: HttpClient = {
     val ts = System.getProperty("graft.wire.truststore", "")
-    clients.computeIfAbsent(ts, t => {
+    val pass = System.getProperty("graft.wire.truststorePass", "")
+    clients.computeIfAbsent((ts, pass), { case (t, p) =>
       val b = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10))
       (if (t.isEmpty) b
        else b.sslContext(WireTls.clientContext(
-         java.nio.file.Path.of(t),
-         System.getProperty("graft.wire.truststorePass", "")))).build()
+         java.nio.file.Path.of(t), p))).build()
     })
   }
 

@@ -120,6 +120,13 @@ object VdfIO {
       bucketBy: Option[(String, Int)] = None): NamespaceMeta = {
     val dataPath = if (namespace.isEmpty) indexName else s"$indexName/$namespace"
     val out = Paths.get(dir, dataPath).toString
+    // count the rows IN the write pass (Observation piggybacks on the
+    // write action, the CLI upsert counter's pattern) — the earlier
+    // form re-read the namespace it had just written, a full
+    // file-listing + footer pass per namespace that is a real second
+    // pass at warehouse scale.
+    val obs = org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("rows"))
     bucketBy match {
       case Some((key, buckets)) =>
         // warehouse layout at ingest: the namespace's files are
@@ -129,16 +136,24 @@ object VdfIO {
         // vectors⋈metadata spine, dedup's keyed aggregations — plans
         // with ZERO exchanges. The files stay plain parquet to any
         // reader that ignores the sidecar; bucketing only adds
-        // information. maxRecordsPerFile doesn't compose with this
-        // layout (file count = bucket count by construction).
-        graft.ops.Scale.writeBucketedDir(df, out, key, buckets)
+        // information.
+        require(df.columns.contains(key),
+          s"bucketBy column '$key' is not in namespace '$dataPath' " +
+            s"(columns: ${df.columns.mkString(", ")})")
+        if (maxRecordsPerFile > 0)
+          // file count = bucket count by construction under this
+          // layout; say so instead of silently dropping the option
+          System.err.println(s"[graft] writeNamespace($dataPath): " +
+            s"maxRecordsPerFile=$maxRecordsPerFile has no effect under " +
+            s"bucketBy — one file per bucket ($buckets)")
+        graft.ops.Scale.writeBucketedDir(observed, out, key, buckets)
       case None =>
-        val writer = df.write.mode(SaveMode.Overwrite)
+        val writer = observed.write.mode(SaveMode.Overwrite)
         (if (maxRecordsPerFile > 0)
            writer.option("maxRecordsPerFile", maxRecordsPerFile)
          else writer).parquet(out)
     }
-    val n = df.sparkSession.read.parquet(out).count()
+    val n = obs.get("rows").asInstanceOf[Long]
     val dims = resolveDims(df, vectorColumns.headOption.getOrElse("vector"))
     NamespaceMeta(
       namespace = namespace,
@@ -161,6 +176,18 @@ object VdfIO {
       maxRecordsPerFile: Long = 0L, idColumn: String = Constants.IdColumn,
       metrics: Map[String, String] = Map.empty,
       bucketBy: Option[(String, Int)] = None): VdfMeta = {
+    // validate the bucket column against EVERY frame before writing
+    // anything — one namespace lacking it must not abort the export
+    // midway after earlier namespaces already hit disk
+    bucketBy.foreach { case (key, _) =>
+      val missing = frames.collect {
+        case ((ix, ns), f) if !f.columns.contains(key) =>
+          if (ns.isEmpty) ix else s"$ix/$ns"
+      }
+      require(missing.isEmpty,
+        s"bucketBy column '$key' is missing from namespace(s) " +
+          s"${missing.mkString(", ")} — nothing was written")
+    }
     val nss = frames.toSeq.map { case ((index, ns), df) =>
       index -> writeNamespace(df, dir, index, ns, maxRecordsPerFile,
         metric = metrics.get(index), bucketBy = bucketBy)

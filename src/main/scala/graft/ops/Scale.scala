@@ -77,7 +77,7 @@ object Scale {
     * anywhere — the file-level analogue of a Hive metastore row. */
   val BucketSidecar = "_graft_bucket.json"
 
-  private def bucketTableName(path: String): String = {
+  private[graft] def bucketTableName(path: String): String = {
     val abs = new java.io.File(path).getAbsolutePath
     // stable, identifier-safe, unique per location
     val tail = abs.replaceAll("[^A-Za-z0-9]", "_").takeRight(32)
@@ -97,7 +97,7 @@ object Scale {
     * readable as PLAIN parquet by engines that don't understand the
     * sidecar (bucketing only adds information). */
   def writeBucketedDir(df: DataFrame, path: String, key: String,
-      buckets: Int): Unit = {
+      buckets: Int, sourceFp: Option[String] = None): Unit = {
     val name = bucketTableName(path)
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -113,8 +113,46 @@ object Scale {
     payload.put("key", key)
     payload.put("buckets", Integer.valueOf(buckets))
     payload.put("schema_ddl", df.schema.toDDL)
+    // freshness link to the SOURCE this layout was derived from (when
+    // there is one — a layout that IS the primary copy carries none):
+    // `bucketedTable` re-fingerprints the source and falls back to the
+    // plain route on mismatch instead of serving stale rows
+    sourceFp.foreach(payload.put("source_fp", _))
     java.nio.file.Files.writeString(sidecar.toPath,
       mapper.writeValueAsString(payload))
+  }
+
+  /** Cheap driver-side fingerprint of a source parquet path (file or
+    * directory): md5 over the sorted (name, size, mtime) triples of
+    * its data files. Not a content hash — a rewrite that preserves
+    * every byte AND every mtime would pass — but any real regeneration
+    * (BigGen, a fresh export) changes it, which is the staleness the
+    * `_bucketed` twin needs to detect. */
+  def sourceFingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(x => x.isFile && !x.getName.startsWith("_")
+            && !x.getName.startsWith("."))
+          .sortBy(_.getName)
+      else if (f.isFile) Seq(f)
+      else Seq.empty
+    val desc = files
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("|")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** The `source_fp` a sidecar recorded at ingest, if any. */
+  def sidecarSourceFp(path: String): Option[String] = {
+    val sidecar = new java.io.File(path, BucketSidecar)
+    if (!sidecar.isFile) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readValue(sidecar, classOf[java.util.Map[String, Any]])
+    Option(meta.get("source_fp")).map(_.toString)
   }
 
   /** Open a layout written by `writeBucketedDir` WITH its bucket
@@ -132,12 +170,15 @@ object Scale {
     val buckets = meta.get("buckets").toString.toInt
     val ddl = meta.get("schema_ddl").toString
     val name = bucketTableName(path)
+    // SQL string literal: escape embedded single quotes (a path like
+    // /data/o'brien otherwise breaks — or worse, reshapes — the DDL)
+    val loc = new java.io.File(path).getAbsolutePath.replace("'", "''")
     if (!spark.catalog.tableExists(name))
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $name ($ddl)
            |USING parquet
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS
-           |LOCATION '${new java.io.File(path).getAbsolutePath}'
+           |LOCATION '$loc'
            |""".stripMargin)
     Some(spark.table(name))
   }

@@ -27,16 +27,21 @@ import graft.ops.Scale
 object BucketIngest {
   /** The spine layout (li + orders) under `<dir>/_bucketed`. */
   def write(spark: SparkSession, dir: String, buckets: Int): Unit = {
+    // record the source fingerprint so a later source regen makes
+    // bucketedTable fall back to the plain route instead of silently
+    // serving the stale layout
     Scale.writeBucketedDir(
       spark.read.parquet(s"$dir/lineitem.parquet")
         .select("l_orderkey", "l_extendedprice", "l_discount",
           "l_returnflag", "l_quantity"),
-      s"$dir/_bucketed/lineitem", "l_orderkey", buckets)
+      s"$dir/_bucketed/lineitem", "l_orderkey", buckets,
+      sourceFp = Some(Scale.sourceFingerprint(s"$dir/lineitem.parquet")))
     Scale.writeBucketedDir(
       spark.read.parquet(s"$dir/orders.parquet")
         .select("o_orderkey", "o_custkey", "o_orderpriority",
           "o_orderstatus"),
-      s"$dir/_bucketed/orders", "o_orderkey", buckets)
+      s"$dir/_bucketed/orders", "o_orderkey", buckets,
+      sourceFp = Some(Scale.sourceFingerprint(s"$dir/orders.parquet")))
   }
 
   def main(args: Array[String]): Unit = {

@@ -16,6 +16,35 @@ class VdfIOSpec extends SparkSpec {
       .toDF("id", "vector", "title")
   }
 
+  test("writeVdf(bucketBy) validates the bucket column on EVERY namespace before writing anything") {
+    import spark.implicits._
+    val dir = tmp()
+    val good = points(10)
+    val bad = (0 until 10).map(i => (i.toString, s"t$i")).toDF("id2", "title")
+    val e = intercept[IllegalArgumentException] {
+      VdfIO.writeVdf(Map(("a", "") -> good, ("b", "") -> bad), dir,
+        bucketBy = Some(("id", 2)))
+    }
+    assert(e.getMessage.contains("b"))
+    // fail-fast: namespace "a" must NOT have been written first
+    assert(!new java.io.File(dir, "a").exists(),
+      "earlier namespace hit disk before the bucket column was validated")
+  }
+
+  test("writeNamespace counts in the write pass: manifest counts exact, incl. the bucketed branch") {
+    val dir = tmp()
+    val df = points(137)
+    val plain = VdfIO.writeNamespace(df, dir, "plain",
+      maxRecordsPerFile = 50)
+    assert(plain.total_vector_count == 137L)
+    val bucketed = VdfIO.writeNamespace(df, dir, "bucketed",
+      // composes-with-warning case: maxRecordsPerFile has no effect
+      // under bucketBy but must not corrupt the write or the count
+      maxRecordsPerFile = 50, bucketBy = Some(("id", 4)))
+    assert(bucketed.total_vector_count == 137L)
+    assert(spark.read.parquet(s"$dir/bucketed").count() == 137L)
+  }
+
   test("writeVdf → readVdf round trip preserves rows and manifest shape") {
     val dir = tmp()
     val df = points(100)

@@ -124,4 +124,42 @@ class ScaleSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("readBucketedDir registers a LOCATION containing a single quote") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bktq")
+    val dir = base.resolve("o'brien data").toString
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Scale.writeBucketedDir(df, dir, "id", buckets = 2)
+    // force the CREATE TABLE ... LOCATION path (the write already
+    // registered the table; drop it so the sidecar re-registration —
+    // the quoted-SQL branch — actually runs)
+    spark.sql(s"DROP TABLE IF EXISTS ${Scale.bucketTableName(dir)}")
+    val back = Scale.readBucketedDir(spark, dir).get
+    assert(back.count() == 100)
+  }
+
+  test("bucketedTable falls back to the plain route when the source was rewritten (sidecar fingerprint)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bktfp").toString
+    val src = s"$dir/lineitem.parquet"
+    (0 until 500).map(i => (i.toLong, i * 2.0)).toDF("l_orderkey", "x")
+      .write.parquet(src)
+    Scale.writeBucketedDir(
+      spark.read.parquet(src), s"$dir/_bucketed/lineitem", "l_orderkey", 2,
+      sourceFp = Some(Scale.sourceFingerprint(src)))
+    // matching source: the layout is routed
+    assert(graft.QueriesCommon.bucketedTable(spark, dir, "lineitem").isDefined)
+    // regenerate the source (different rows → different file sizes):
+    // the stale layout must NOT be served
+    (0 until 600).map(i => (i.toLong, i * 3.0)).toDF("l_orderkey", "x")
+      .write.mode("overwrite").parquet(src)
+    assert(graft.QueriesCommon.bucketedTable(spark, dir, "lineitem").isEmpty,
+      "stale bucketed layout was routed after a source rewrite")
+    // a sidecar WITHOUT a fingerprint (pre-round-11 ingest, or a
+    // layout that IS the primary copy) keeps routing
+    Scale.writeBucketedDir(
+      spark.read.parquet(src), s"$dir/_bucketed/orders", "l_orderkey", 2)
+    assert(graft.QueriesCommon.bucketedTable(spark, dir, "orders").isDefined)
+  }
 }
