@@ -175,7 +175,10 @@ object QueriesExt11 {
     val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    IvfPq.searchRerank(mat, q, k = 5, nprobe = 2, rerank = 4)
+    // default rerank = the scale-aware pool (R = max(4k, ceil(n·nprobe
+    // /(6·nlist)))); the oracle SQL reproduces the same integer
+    // arithmetic in its rsz CTE
+    IvfPq.searchRerank(mat, q, k = 5, nprobe = 2)
       .withColumn("exact", round(col("exact"), 6))
       .orderBy("q_id", "vec_id")
   }
@@ -538,16 +541,20 @@ object QueriesExt11 {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn FROM adc)
         |SELECT q_id, vec_id, round(adc, 6) AS adc FROM r WHERE rn <= 5
         |ORDER BY q_id, vec_id""".stripMargin),
-    // The refine tail on the same chain: ADC top-20 per query (k=5,
-    // rerank=4), then EXACT squared L2 in double against the raw
-    // vectors re-ranks to top-5 — mirrors IvfPq.searchRerank's
-    // candidate window and l2Sq fold order.
+    // The refine tail on the same chain: ADC top-R per query with the
+    // SCALE-AWARE pool — R = max(4·k, ceil(n·nprobe/(6·nlist))) =
+    // GREATEST(20, (n·2 + 47) // 48) at k=5/nprobe=2/nlist=8, the same
+    // integer ceil-div IvfPq.autoRefinePool computes — then EXACT
+    // squared L2 in double against the raw vectors re-ranks to top-5,
+    // mirroring IvfPq.searchRerank's candidate window and l2Sq fold
+    // order.
     "q_ann_ivfpq_rerank_oracle" ->
       (ivfPqResCtes + """,
+        |rsz AS (SELECT GREATEST(20, (count(*) * 2 + 47) // 48) AS r FROM e),
         |cand AS (SELECT q_id, vec_id FROM (
         |    SELECT q_id, vec_id,
         |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id) AS rn FROM adc)
-        |  WHERE rn <= 20),
+        |  WHERE rn <= (SELECT r FROM rsz)),
         |exd AS (SELECT c3.q_id, c3.vec_id,
         |    list_transform(range(1, 65), j -> q.qv[j] - e2.v[j]) AS d
         |  FROM cand c3 JOIN q ON q.q_id = c3.q_id JOIN e e2 ON e2.vec_id = c3.vec_id),

@@ -252,8 +252,7 @@ object QueriesExt4 {
     val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    graft.similarity.IvfPq.searchRerank(mat, q, k = 5, nprobe = 2,
-        rerank = 4)
+    graft.similarity.IvfPq.searchRerank(mat, q, k = 5, nprobe = 2)
       .withColumn("exact", round(col("exact"), 6))
       .orderBy("q_id", "vec_id")
   }

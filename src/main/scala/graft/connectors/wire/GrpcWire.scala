@@ -206,14 +206,40 @@ private[wire] object FramedChannelPool {
 
   private final class Channel(hostPort: String) {
     @volatile var idleSince: Long = System.currentTimeMillis()
-    private val Array(h, p) = hostPort.split(":", 2)
-    val sock = new Socket()
-    sock.connect(new InetSocketAddress(h, p.toInt), 10000)
-    // read timeout too: a server that accepts then stalls mid-frame
-    // must fail the call (readFrame/readFully would otherwise block
-    // the Spark task forever)
-    sock.setSoTimeout(30000)
-    sock.setTcpNoDelay(true)
+    // `tls://host:port` dials TLS (real gRPC endpoints are
+    // TLS-by-default); a bare `host:port` stays plain TCP. The scheme
+    // is part of the pool key (the raw endpoint string), so plain and
+    // TLS channels to the same port never mix.
+    private val tls = hostPort.startsWith("tls://")
+    private val Array(h, p) =
+      hostPort.stripPrefix("tls://").split(":", 2)
+    val sock: Socket = {
+      val raw = new Socket()
+      raw.connect(new InetSocketAddress(h, p.toInt), 10000)
+      val s =
+        if (!tls) raw
+        else {
+          // client trust from the SAME knob the HTTPS dialects use
+          // (-Dgraft.wire.truststore / truststorePass; platform roots
+          // absent it), and REAL endpoint identification — the
+          // handshake must verify the server cert's SAN against the
+          // dialed host, not just decrypt
+          val ssl = WireTls.clientContextFromProps().getSocketFactory
+            .createSocket(raw, h, p.toInt, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          val sp = ssl.getSSLParameters
+          sp.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(sp)
+          ssl
+        }
+      // read timeout too: a server that accepts then stalls mid-frame
+      // must fail the call (readFrame/readFully would otherwise block
+      // the Spark task forever)
+      s.setSoTimeout(30000)
+      s.setTcpNoDelay(true)
+      if (tls) s.asInstanceOf[javax.net.ssl.SSLSocket].startHandshake()
+      s
+    }
     val out = new DataOutputStream(sock.getOutputStream)
     val in = new DataInputStream(sock.getInputStream)
     def close(): Unit =
@@ -368,7 +394,7 @@ final case class GrpcWire(hostPort: String,
   * request → one framed response, same store semantics and fault
   * injection as [[WireStubServer]] so the specs assert identical
   * behaviors across transports. */
-final class GrpcStubServer {
+final class GrpcStubServer(tls: Option[WireTls.KeyMaterial] = None) {
   import GrpcFraming._
 
   private val store = new java.util.LinkedHashMap[String,
@@ -393,9 +419,16 @@ final class GrpcStubServer {
     readFailStatus = status; readFails.set(n)
   }
 
-  private val server = new ServerSocket()
+  // with key material the accept socket speaks TLS and hostPort
+  // carries the tls:// scheme the framed channels dial
+  private val server: ServerSocket = tls match {
+    case Some(km) => WireTls.serverContext(km.keyStore, km.password)
+      .getServerSocketFactory.createServerSocket()
+    case None => new ServerSocket()
+  }
   server.bind(new InetSocketAddress("127.0.0.1", 0))
-  val hostPort: String = s"127.0.0.1:${server.getLocalPort}"
+  val hostPort: String =
+    s"${if (tls.isDefined) "tls://" else ""}127.0.0.1:${server.getLocalPort}"
 
   /** TCP connections ACCEPTED — with keep-alive clients this must stay
     * ≪ the request count (the reuse assertion). */

@@ -213,7 +213,8 @@ final case class MilvusSchema(pkField: String, vectorField: String,
   * specs assert identical shrink behavior. Iterator state is
   * server-side (real Milvus holds a query cursor); tokens are opaque
   * to the client. */
-final class MilvusStubServer(port: Int = 0) {
+final class MilvusStubServer(port: Int = 0,
+    tls: Option[WireTls.KeyMaterial] = None) {
   import GrpcFraming._
   import MilvusWire._
 
@@ -238,10 +239,17 @@ final class MilvusStubServer(port: Int = 0) {
   }
 
   // port 0 (default) = ephemeral; a fixed port lets the pool specs
-  // restart the server in place to stale the parked channels
-  private val server = new ServerSocket()
+  // restart the server in place to stale the parked channels. With
+  // key material the accept socket speaks TLS and hostPort carries
+  // the tls:// scheme the framed channels dial.
+  private val server: ServerSocket = tls match {
+    case Some(km) => WireTls.serverContext(km.keyStore, km.password)
+      .getServerSocketFactory.createServerSocket()
+    case None => new ServerSocket()
+  }
   server.bind(new InetSocketAddress("127.0.0.1", port))
-  val hostPort: String = s"127.0.0.1:${server.getLocalPort}"
+  val hostPort: String =
+    s"${if (tls.isDefined) "tls://" else ""}127.0.0.1:${server.getLocalPort}"
 
   /** TCP connections ACCEPTED — with keep-alive clients this must stay
     * ≪ the request count (the reuse assertion in MilvusWireSpec). */

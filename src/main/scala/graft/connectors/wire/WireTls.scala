@@ -74,6 +74,17 @@ object WireTls {
     ctx
   }
 
+  /** Client context from the `graft.wire.truststore` /
+    * `graft.wire.truststorePass` properties — the trust the framed
+    * transports' `tls://` channels dial with; platform roots when the
+    * knob is unset (the public-CA case). */
+  def clientContextFromProps(): SSLContext = {
+    val ts = System.getProperty("graft.wire.truststore", "")
+    if (ts.isEmpty) SSLContext.getDefault
+    else clientContext(Path.of(ts),
+      System.getProperty("graft.wire.truststorePass", ""))
+  }
+
   /** Client-side context trusting exactly the given PKCS12 bundle —
     * what the `graft.wire.truststore` knob builds. */
   def clientContext(trustStore: Path, password: String): SSLContext = {

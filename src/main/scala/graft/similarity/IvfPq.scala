@@ -213,10 +213,42 @@ object IvfPq {
     * (`corpus` = the idCol + vecCol frame the index was built from);
     * omitting it on such an index fails fast with a clear message
     * instead of an unresolved-column AnalysisException. */
+  /** Scale-aware refine-pool size — the round-10 scaling finding made
+    * the default (bm25_recall_r10.txt): a refine cutoff R held FIXED
+    * while the corpus grew 84× collapsed family-excluded recall@10
+    * from 0.894 to 0.250. The ADC stage actually scans ~n·nprobe/nlist
+    * candidates per query, and PQ's lossy codes scatter the true top-k
+    * through an ADC-ordered prefix whose depth grows with that pool —
+    * so R must grow with it too, not with k alone (FAISS's fixed
+    * `k_factor` expects the caller to retune it per corpus; this
+    * default encodes the retune). R = max(4·k, ⌈n·nprobe/(6·nlist)⌉):
+    * one sixth of the expected scanned pool — just above the measured
+    * restore point (R=12,784 ≈ 0.15·pool → recall 0.819 vs the 0.913
+    * exact-L2 metric ceiling on the 168k family-excluded corpus) — with
+    * FAISS-practice k_factor=4 as the small-corpus floor. INTEGER
+    * arithmetic only (ceil-div), so the DuckDB oracle reproduces R
+    * bit-exactly — float `ceil` at integer boundaries is a known
+    * engine-divergence trap. */
+  def autoRefinePool(k: Int, n: Long, nlist: Int, nprobe: Int): Int = {
+    require(k > 0 && n >= 0 && nlist > 0 && nprobe > 0,
+      s"autoRefinePool(k=$k, n=$n, nlist=$nlist, nprobe=$nprobe)")
+    val den = 6L * nlist
+    val scaled = (n * nprobe + den - 1) / den
+    math.min(math.max(4L * k, scaled), Int.MaxValue.toLong).toInt
+  }
+
+  /** @param rerank explicit k_factor: R = k·rerank (FAISS `refine`
+    *   semantics). The default (0) is SCALE-AWARE: R =
+    *   [[autoRefinePool]] of the index's corpus size — see the
+    *   round-10 recall-collapse finding documented there. */
   def searchRerank(index: IvfPqIndex, queries: DataFrame, k: Int,
-      nprobe: Int, rerank: Int = 4,
+      nprobe: Int, rerank: Int = 0,
       corpus: Option[DataFrame] = None): DataFrame = {
-    val cand = search(index, queries, k * rerank, nprobe)
+    val poolSize =
+      if (rerank > 0) k * rerank
+      else autoRefinePool(k, index.encoded.count(),
+        index.centroids.size, nprobe)
+    val cand = search(index, queries, poolSize, nprobe)
       .select(col("q_id"), col(index.idCol))
     // hydrate raw vectors for the candidate pool only: broadcast the
     // small (q_id, id) set against the corpus's id+vector columns

@@ -123,6 +123,24 @@ object RecallFamilyProbe {
       println(f"ivfpq RES m=8 ksub=256 nprobe=4 refine R=${rr * kFetch}%-5d " +
         f"family-excluded recall@$k = ${recall(approx)}%.3f")
     }
+    // the SCALE-AWARE DEFAULT (round 11): rerank omitted → R =
+    // autoRefinePool = max(4·kFetch, ceil(n·nprobe/(6·nlist))) — the
+    // r10 finding encoded as the default, re-measured here
+    {
+      val kFetch = k + famSize
+      val rAuto = IvfPq.autoRefinePool(kFetch,
+        frozen.encoded.count(), nlist = 8, nprobe = 4)
+      val ranked = IvfPq.searchRerank(frozen, q, kFetch, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val approx: Map[Long, Set[Long]] = ranked.groupBy(_._1).map {
+        case (qid, rows) =>
+          qid -> rows.filter(t => t._2 % stride != qid)
+            .sortBy(t => (t._3, t._2)).take(k).map(_._2).toSet
+      }
+      println(f"ivfpq RES m=8 ksub=256 nprobe=4 refine R=$rAuto%-5d " +
+        f"(SCALE-AWARE DEFAULT) family-excluded recall@$k = " +
+        f"${recall(approx)}%.3f")
+    }
     spark.stop()
   }
 }

@@ -184,4 +184,82 @@ class IvfPqSpec extends SparkSpec {
     assert(hits.length == 5)
     assert(hits.forall(_ % 4 == 1), s"left the cluster: ${hits.mkString(",")}")
   }
+
+  test("autoRefinePool: the scale-aware default R (round-10 recall-collapse finding)") {
+    import IvfPq.autoRefinePool
+    // small-corpus floor = FAISS-practice k_factor 4
+    assert(autoRefinePool(5, 100, 8, 2) == 20)
+    // the sf0.01 oracle op point (k=5, n=500, nlist=8, nprobe=2): the
+    // integer ceil-div the q_ann_ivfpq_rerank_oracle SQL reproduces —
+    // GREATEST(20, (500*2 + 47) // 48) = 21
+    assert(autoRefinePool(5, 500, 8, 2) == 21)
+    // the r10 probe op point (kFetch=94, n=168k, nlist=8, nprobe=4):
+    // one sixth of the 84k scanned pool = 14000, ABOVE the measured
+    // restore point (R=12,784 → recall 0.819 vs 0.913 exact-L2
+    // ceiling, bm25_recall_r10.txt) where the old fixed default
+    // (4·k = 376) sat in the 0.250-collapse regime
+    assert(autoRefinePool(94, 168000, 8, 4) == 14000)
+    assert(autoRefinePool(94, 168000, 8, 4) > 12784)
+    // R tracks the corpus linearly once past the floor — the
+    // held-R-under-84x-growth collapse cannot recur by default
+    assert(autoRefinePool(10, 2000, 8, 4) == 167)
+    assert(autoRefinePool(10, 168000, 8, 4) == 14000)
+  }
+
+  test("searchRerank default equals explicit k_factor 4 where the floor dominates") {
+    import spark.implicits._
+    // n=120, nlist=4, nprobe=4, k=5: scaled pool = ceil(480/24) = 20 =
+    // the 4·k floor, so the default route must be result-identical to
+    // the old explicit rerank=4 — the small-corpus behavior is
+    // unchanged by the scale-aware default
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(IvfPq.searchRerank(index, q, k = 5, nprobe = 4)) ==
+      key(IvfPq.searchRerank(index, q, k = 5, nprobe = 4, rerank = 4)))
+  }
+
+  test("default refine pool holds recall near exact-L2 where a fixed small R collapses (near-uniform corpus)") {
+    import spark.implicits._
+    // miniature of the r10 family-excluded regime: near-uniform
+    // vectors make ADC ordering loose, so the true top-k scatters
+    // through a deep ADC prefix — exactly where a fixed cutoff
+    // truncates it. nprobe = nlist isolates the cutoff effect (no
+    // probe misses).
+    val n = 2400
+    val uni = (0L until n.toLong).map { i =>
+      (i, Array.tabulate(16)(j => (math.sin(i * 37.0 + j * 131.0) * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ix = IvfPq.build(uni, "vec_id", "embedding", dim = 16,
+      nlist = 8, m = 4, ksub = 8)
+    val frozen = ix.copy(encoded = ix.encoded.localCheckpoint(true))
+    val q = uni.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // exact-L2 truth (self excluded, searchRerank's own tie order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("vec_id"))
+    val truth = q.crossJoin(uni).filter(col("q_id") =!= col("vec_id"))
+      .withColumn("d2", graft.expressions.GraftExtensions.l2Sq(
+        col("q_vec"), col("embedding")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= 10).select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+      }.sum / truth.size
+    }
+    val fixed = recallOf(
+      IvfPq.searchRerank(frozen, q, k = 10, nprobe = 8, rerank = 2))
+    val auto = recallOf(IvfPq.searchRerank(frozen, q, k = 10, nprobe = 8))
+    // default pool = ceil(2400·8/48) = 400 ≫ the fixed 20: recall must
+    // sit within 0.1 of the exact ceiling (1.0 here — all lists
+    // probed) and strictly above the truncated pool's
+    assert(auto >= 0.9, s"auto-R recall $auto")
+    assert(auto > fixed, s"auto $auto vs fixed-R $fixed")
+  }
 }
