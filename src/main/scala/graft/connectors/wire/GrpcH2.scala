@@ -1,0 +1,261 @@
+package graft.connectors.wire
+
+import java.io.{ByteArrayOutputStream, IOException}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap, TimeUnit}
+
+import io.netty.bootstrap.{Bootstrap, ServerBootstrap}
+import io.netty.buffer.Unpooled
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer, MultiThreadIoEventLoopGroup}
+import io.netty.channel.nio.NioIoHandler
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.{NioServerSocketChannel, NioSocketChannel}
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannelBootstrap, Http2StreamFrame}
+
+/** REAL gRPC-over-HTTP/2 — the transport the reference's flagship
+  * connectors actually dial (`pinecone_export.py:9`,
+  * `qdrant_export.py:34-39` `prefer_grpc=True`, Milvus gRPC-native
+  * `milvus_export.py:85-87`) — built directly on Netty's HTTP/2 codec
+  * (`netty-codec-http2`, on the Spark classpath; grpc-java is NOT in
+  * the offline sandbox cache, which is exactly why round 10 shipped
+  * the length-prefixed TLV stand-in).
+  *
+  * This is the gRPC wire protocol, not a sketch of it:
+  *
+  *  - ONE HTTP/2 connection per (JVM, endpoint), each unary RPC its
+  *    own multiplexed stream — gRPC's channel model (and the
+  *    reference's one-`connections.connect`-per-process shape);
+  *  - request = HEADERS (`:method POST`, `:scheme http`, `:path
+  *    /package.Service/Method`, `content-type application/grpc`,
+  *    `te trailers`, auth as a REAL `authorization` header) + DATA
+  *    carrying the gRPC 5-byte length-prefixed protobuf message
+  *    ([[GrpcFraming]] — the payloads are already protobuf wire
+  *    format);
+  *  - response = HEADERS (`:status 200`) + DATA + TRAILERS with
+  *    `grpc-status`, mapped into the same [[WireHttpError]] fault
+  *    taxonomy both transports share. Errors can also arrive
+  *    trailers-only (the grpc convention for failed-before-payload).
+  *
+  * Cleartext HTTP/2 with prior knowledge (the `grpc --plaintext`
+  * form); the method rides `:path` and auth rides `authorization` —
+  * the two places the TLV fallback had to approximate with payload
+  * fields 15/14. */
+object GrpcH2Client {
+  private lazy val group =
+    new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+
+  private val conns = new ConcurrentHashMap[String, Channel]()
+
+  /** HTTP/2 CONNECTIONS dialed (not streams) — the reuse observable:
+    * an N-page scan must ride ~1 connection, N streams. */
+  val dials = new java.util.concurrent.atomic.AtomicLong()
+
+  private def connect(endpoint: String): Channel = {
+    val Array(h, p) = endpoint.split(":", 2)
+    dials.incrementAndGet()
+    new Bootstrap().group(group).channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit =
+          ch.pipeline().addLast(
+            Http2FrameCodecBuilder.forClient().build(),
+            // inbound (server-initiated) streams: none expected
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+      })
+      .connect(h, p.toInt).sync().channel()
+  }
+
+  private def channelFor(endpoint: String): Channel = {
+    val c = conns.get(endpoint)
+    if (c != null && c.isActive) c
+    else conns.synchronized {
+      val again = conns.get(endpoint)
+      if (again != null && again.isActive) again
+      else { val fresh = connect(endpoint); conns.put(endpoint, fresh); fresh }
+    }
+  }
+
+  /** One unary RPC as one HTTP/2 stream. `framedBody` and the return
+    * value are gRPC 5-byte-prefixed messages (what DATA frames carry
+    * on the real wire). Non-zero `grpc-status` → [[WireHttpError]]
+    * through the shared taxonomy. */
+  def call(endpoint: String, path: String, framedBody: Array[Byte],
+      authToken: Option[String] = None): Array[Byte] = {
+    val parent = channelFor(endpoint)
+    val done = new CompletableFuture[Array[Byte]]()
+    val stream = new Http2StreamChannelBootstrap(parent)
+      .handler(new ChannelInitializer[Channel] {
+        override def initChannel(ch: Channel): Unit =
+          ch.pipeline().addLast(new UnaryHandler(done))
+      }).open().sync().getNow
+    val hdrs = new DefaultHttp2Headers()
+      .method("POST").scheme("http").path(path).authority(endpoint)
+    hdrs.set("content-type", "application/grpc")
+    hdrs.set("te", "trailers")
+    authToken.foreach(t => hdrs.set("authorization", s"Bearer $t"))
+    stream.write(new DefaultHttp2HeadersFrame(hdrs, false))
+    stream.writeAndFlush(new DefaultHttp2DataFrame(
+      Unpooled.wrappedBuffer(framedBody), true))
+    try done.get(30, TimeUnit.SECONDS)
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+      case _: java.util.concurrent.TimeoutException =>
+        stream.close()
+        throw new IOException(s"grpc/h2 call timed out: $path")
+    }
+  }
+
+  /** Collects one response: headers (+ possible trailers-only error),
+    * DATA payload, trailers with grpc-status. */
+  private final class UnaryHandler(done: CompletableFuture[Array[Byte]])
+      extends io.netty.channel.SimpleChannelInboundHandler[Http2StreamFrame] {
+    private val buf = new ByteArrayOutputStream()
+    private var grpcStatus = 0
+
+    private def finish(): Unit = {
+      if (grpcStatus != 0)
+        done.completeExceptionally(WireHttpError(
+          GrpcFraming.statusToHttp(grpcStatus), s"grpc status $grpcStatus"))
+      else done.complete(buf.toByteArray)
+    }
+
+    override def channelRead0(ctx: ChannelHandlerContext,
+        frame: Http2StreamFrame): Unit = frame match {
+      case h: Http2HeadersFrame =>
+        val st = h.headers().get("grpc-status")
+        if (st != null) grpcStatus = st.toString.toInt
+        if (h.isEndStream) finish()
+      case d: Http2DataFrame =>
+        val bytes = new Array[Byte](d.content().readableBytes())
+        d.content().readBytes(bytes)
+        buf.write(bytes)
+        if (d.isEndStream) finish()
+      case _ => ()
+    }
+
+    override def exceptionCaught(ctx: ChannelHandlerContext,
+        cause: Throwable): Unit = {
+      done.completeExceptionally(cause); ctx.close()
+    }
+
+    override def channelInactive(ctx: ChannelHandlerContext): Unit = {
+      done.completeExceptionally(
+        new IOException("grpc/h2 stream closed before trailers"))
+      super.channelInactive(ctx)
+    }
+  }
+}
+
+/** In-process gRPC-over-HTTP/2 server — the test-time peer
+  * [[GrpcH2Client]] is asserted against. `dispatch(path,
+  * authorization, framedRequest)` returns the framed response for one
+  * unary call; a thrown [[WireHttpError]] maps back to its gRPC
+  * status in the trailers, an unknown path gets UNIMPLEMENTED (12) —
+  * both arrive trailers-only, the real convention for
+  * failed-before-payload. */
+final class GrpcH2StubServer(
+    dispatch: (String, Option[String], Array[Byte]) => Array[Byte]) {
+
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** `path authorization=<token|->` per stream. */
+  val requestLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private val group =
+    new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+
+  private final class StreamHandler
+      extends io.netty.channel.SimpleChannelInboundHandler[Http2StreamFrame] {
+    private val body = new ByteArrayOutputStream()
+    private var path: String = ""
+    private var auth: Option[String] = None
+
+    override def channelRead0(ctx: ChannelHandlerContext,
+        frame: Http2StreamFrame): Unit = frame match {
+      case h: Http2HeadersFrame =>
+        path = Option(h.headers().path()).map(_.toString).getOrElse("")
+        auth = Option(h.headers().get("authorization")).map(_.toString)
+        if (h.isEndStream) respond(ctx)
+      case d: Http2DataFrame =>
+        val bytes = new Array[Byte](d.content().readableBytes())
+        d.content().readBytes(bytes)
+        body.write(bytes)
+        if (d.isEndStream) respond(ctx)
+      case _ => ()
+    }
+
+    private def trailersOnly(ctx: ChannelHandlerContext, status: Int): Unit = {
+      val t = new DefaultHttp2Headers().status("200")
+      t.set("content-type", "application/grpc")
+      t.set("grpc-status", status.toString)
+      ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
+    }
+
+    private def respond(ctx: ChannelHandlerContext): Unit = {
+      requestLog.add(s"$path authorization=${auth.getOrElse("-")}")
+      try {
+        val out = dispatch(path, auth, body.toByteArray)
+        val h = new DefaultHttp2Headers().status("200")
+        h.set("content-type", "application/grpc")
+        ctx.write(new DefaultHttp2HeadersFrame(h, false))
+        ctx.write(new DefaultHttp2DataFrame(
+          Unpooled.wrappedBuffer(out), false))
+        val trailers = new DefaultHttp2Headers()
+        trailers.set("grpc-status", "0")
+        ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
+      } catch {
+        case WireHttpError(http, _) =>
+          // back through the shared taxonomy: 429→8, 503→14, 404→5…
+          val grpc = http match {
+            case 400 => 3; case 404 => 5; case 429 => 8
+            case 501 => 12; case 503 => 14; case _ => 2
+          }
+          trailersOnly(ctx, grpc)
+        case scala.util.control.NonFatal(_) => trailersOnly(ctx, 2)
+      }
+    }
+  }
+
+  private val server = new ServerBootstrap()
+    .group(group).channel(classOf[NioServerSocketChannel])
+    .childHandler(new ChannelInitializer[SocketChannel] {
+      override def initChannel(ch: SocketChannel): Unit = {
+        connections.incrementAndGet()
+        ch.pipeline().addLast(
+          Http2FrameCodecBuilder.forServer().build(),
+          new Http2MultiplexHandler(new ChannelInitializer[Channel] {
+            override def initChannel(sc: Channel): Unit =
+              sc.pipeline().addLast(new StreamHandler)
+          }))
+      }
+    })
+    .bind("127.0.0.1", 0).sync().channel()
+
+  val hostPort: String = {
+    val addr = server.localAddress()
+      .asInstanceOf[java.net.InetSocketAddress]
+    s"127.0.0.1:${addr.getPort}"
+  }
+
+  def stop(): Unit = {
+    server.close()
+    group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
+    ()
+  }
+}
+
+object GrpcH2 {
+  /** Framed-bytes helpers for the DATA payloads (the 5-byte gRPC
+    * prefix both directions). */
+  def frame(payload: Array[Byte]): Array[Byte] =
+    GrpcFraming.message(o => GrpcFraming.writeFrame(o, payload))
+  def unframe(framed: Array[Byte]): Array[Byte] =
+    GrpcFraming.readFrame(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(framed)))
+
+  /** Strip a `Bearer ` prefix from an authorization header value. */
+  def bearer(auth: Option[String]): Option[String] =
+    auth.map(a => if (a.startsWith("Bearer ")) a.substring(7) else a)
+
+  private[wire] def utf8(s: String): Array[Byte] =
+    s.getBytes(StandardCharsets.UTF_8)
+}

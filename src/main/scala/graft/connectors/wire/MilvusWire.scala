@@ -44,17 +44,33 @@ final case class MilvusWire(hostPort: String,
   import GrpcFraming._
   import MilvusWire._
 
-  // one keep-alive channel per (JVM, endpoint) — the reference's
-  // one-connection-per-process shape (`milvus_export.py:85-87`),
-  // borrowed/returned per exchange; see [[FramedChannelPool]]
-  private def call(build: DataOutputStream => Unit,
-      idempotent: Boolean = true): Map[Int, Seq[Any]] = {
-    val payload = message { o =>
-      token.foreach(writeStringField(o, 14, _))
-      build(o)
-    }
-    val rsp = readMessage(
-      FramedChannelPool.exchange(hostPort, payload, idempotent))
+  // Transport by scheme: `h2://host:port` dials REAL gRPC-over-HTTP/2
+  // ([[GrpcH2Client]] — one multiplexed connection per endpoint, the
+  // method as `:path`, auth as a real `authorization` header);
+  // `tls://` / bare host:port ride the framed TCP pool
+  // ([[FramedChannelPool]], one keep-alive channel per exchange, the
+  // reference's one-connection-per-process shape
+  // `milvus_export.py:85-87`), with the method on payload field 15 and
+  // auth on field 14 — the TLV stand-ins for what HTTP/2 carries as
+  // headers. The protobuf request/response payloads are IDENTICAL on
+  // both transports.
+  private val h2 = hostPort.startsWith("h2://")
+
+  private def call(method: Int, idempotent: Boolean = true)(
+      build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
+    val rspBytes =
+      if (h2)
+        GrpcH2.unframe(GrpcH2Client.call(hostPort.stripPrefix("h2://"),
+          MilvusWire.h2Path(method), GrpcH2.frame(message(build)), token))
+      else {
+        val payload = message { o =>
+          token.foreach(writeStringField(o, 14, _))
+          writeVarintField(o, 15, method)
+          build(o)
+        }
+        FramedChannelPool.exchange(hostPort, payload, idempotent)
+      }
+    val rsp = readMessage(rspBytes)
     val status = rsp.get(1).flatMap(_.headOption)
       .map(_.asInstanceOf[Long].toInt).getOrElse(0)
     if (status != 0)
@@ -71,13 +87,12 @@ final case class MilvusWire(hostPort: String,
   override def create(c: String, dims: Int, metric: Metric): Unit = {
     // NOT idempotent: a stale-channel re-send of a create the server
     // already applied surfaces ALREADY_EXISTS — propagate instead
-    call({ o =>
-      writeVarintField(o, 15, MCreate)
+    call(MCreate, idempotent = false) { o =>
       writeStringField(o, 2, c)
       writeVarintField(o, 9, dims)
       writeStringField(o, 10,
         Metric.toDbName("milvus", metric).getOrElse("COSINE"))
-    }, idempotent = false)
+    }
     ()
   }
 
@@ -85,8 +100,7 @@ final case class MilvusWire(hostPort: String,
     * dim, and the index's metric_type — what the export reads to find
     * the dtype-100/101 field (`milvus_export.py:127-135`). */
   def describe(c: String): MilvusSchema = {
-    val rsp = call { o =>
-      writeVarintField(o, 15, MDescribe)
+    val rsp = call(MDescribe) { o =>
       writeStringField(o, 2, c)
     }
     MilvusSchema(
@@ -101,8 +115,7 @@ final case class MilvusWire(hostPort: String,
     Some(Metric.standardize("milvus", describe(c).metricType))
 
   override def count(c: String): Long =
-    call { o =>
-      writeVarintField(o, 15, MCount)
+    call(MCount) { o =>
       writeStringField(o, 2, c)
     }.get(2).flatMap(_.headOption).map(_.asInstanceOf[Long]).getOrElse(0L)
 
@@ -110,8 +123,7 @@ final case class MilvusWire(hostPort: String,
     * shape the DSv2 range partitions need. */
   override def fetchPage(c: String, offset: Long, limit: Int,
       wantVector: Boolean, wantPayload: Boolean): WirePage = {
-    val rsp = call { o =>
-      writeVarintField(o, 15, MQuery)
+    val rsp = call(MQuery) { o =>
       writeStringField(o, 2, c)
       writeVarintField(o, 3, offset)
       writeVarintField(o, 4, limit)
@@ -129,8 +141,7 @@ final case class MilvusWire(hostPort: String,
     * id pushdown lands on. */
   override def fetchByIds(c: String, ids: Seq[String],
       wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] =
-    call { o =>
-      writeVarintField(o, 15, MRetrieve)
+    call(MRetrieve) { o =>
       writeStringField(o, 2, c)
       ids.foreach(writeStringField(o, 7, _))
       writeVarintField(o, 5, if (wantVector) 1 else 0)
@@ -143,8 +154,7 @@ final case class MilvusWire(hostPort: String,
     * the reference's `current_batch_size * 2 // 3` loop
     * (`milvus_import.py:208-210`). */
   override def upsertOnce(c: String, points: Seq[WirePoint]): Unit = {
-    call { o =>
-      writeVarintField(o, 15, MUpsert)
+    call(MUpsert) { o =>
       writeStringField(o, 2, c)
       points.foreach(p => writePoint(o, p, withVector = true,
         withPayload = true))
@@ -157,8 +167,7 @@ final case class MilvusWire(hostPort: String,
     * chain (`milvus_export.py:142-148`). */
   def iteratorNext(c: String, itToken: Option[String], batchSize: Int,
       wantVector: Boolean): (Seq[WirePoint], Option[String]) = {
-    val rsp = call { o =>
-      writeVarintField(o, 15, MIterate)
+    val rsp = call(MIterate) { o =>
       writeStringField(o, 2, c)
       writeVarintField(o, 4, batchSize)
       writeVarintField(o, 5, if (wantVector) 1 else 0)
@@ -195,6 +204,22 @@ object MilvusWire {
   val MUpsert = 5
   val MDescribe = 6
   val MIterate = 7
+
+  /** The same methods as real gRPC `:path`es (the H2 transport routes
+    * by path, never by a payload field). Names follow the
+    * MilvusService RPCs these calls correspond to; QueryIterator is
+    * the reference's client-side iterator loop surfaced as one RPC
+    * name on the stub. */
+  private val H2Service = "/milvus.proto.milvus.MilvusService/"
+  val h2Path: Map[Int, String] = Map(
+    MCreate -> (H2Service + "CreateCollection"),
+    MCount -> (H2Service + "GetCollectionStatistics"),
+    MQuery -> (H2Service + "Query"),
+    MRetrieve -> (H2Service + "Get"),
+    MUpsert -> (H2Service + "Upsert"),
+    MDescribe -> (H2Service + "DescribeCollection"),
+    MIterate -> (H2Service + "QueryIterator"))
+  val h2Method: Map[String, Int] = h2Path.map(_.swap)
 
   /** Milvus DataType values the reference keys on
     * (`milvus_export.py:133`: `f.dtype.value in [100, 101]`). */
@@ -281,6 +306,27 @@ final class MilvusStubServer(port: Int = 0,
     server.close()
     open.forEach(s => try s.close() catch { case _: Exception => () })
     pool.shutdown()
+  }
+
+  /** One request → one framed response, transport-agnostic: the
+    * gRPC-over-HTTP/2 stub ([[GrpcH2StubServer]]) routes a real
+    * `:path` + `authorization` header into the SAME dispatch the TCP
+    * acceptor uses — h2Method maps the path back to the method id and
+    * the bearer token is re-injected as field 14 so authLog records
+    * one shape for both transports. Unknown path → 501 → grpc
+    * UNIMPLEMENTED in the trailers. */
+  def dispatchH2(path: String, auth: Option[String],
+      framedReq: Array[Byte]): Array[Byte] = {
+    val method = MilvusWire.h2Method.getOrElse(path,
+      throw WireHttpError(501, s"unimplemented path $path"))
+    val base = readMessage(GrpcH2.unframe(framedReq))
+    val req = base ++ Map[Int, Seq[Any]](
+      15 -> Seq(method.toLong),
+      14 -> GrpcH2.bearer(auth).toSeq.map(t =>
+        t.getBytes(StandardCharsets.UTF_8)))
+    val bos = new java.io.ByteArrayOutputStream()
+    serve(req, new DataOutputStream(bos))
+    bos.toByteArray
   }
 
   def collectionSize(c: String): Int = synchronized {

@@ -1,0 +1,101 @@
+package graft.connectors.wire
+
+import graft.SparkSpec
+import graft.core.Metric
+
+/** Round-11 ask #5: real gRPC-over-HTTP/2 for the Milvus dialect.
+  * grpc-java is not in the offline cache, but Netty's HTTP/2 codec is
+  * on the Spark classpath — so [[GrpcH2Client]]/[[GrpcH2StubServer]]
+  * speak the actual gRPC wire protocol (HTTP/2 streams, `:path`
+  * routing, `application/grpc` 5-byte DATA framing, `authorization`
+  * header, `grpc-status` trailers) and the Milvus dialect runs on it
+  * end to end via `h2://host:port`, with the TLV TCP transport as the
+  * documented fallback. */
+class GrpcH2Spec extends SparkSpec {
+
+  private def withServers[T](body: (MilvusStubServer, GrpcH2StubServer,
+      String) => T): T = {
+    val m = new MilvusStubServer()
+    val h2 = new GrpcH2StubServer(m.dispatchH2)
+    try body(m, h2, s"h2://${h2.hostPort}")
+    finally { h2.stop(); m.stop() }
+  }
+
+  test("Milvus dialect over real HTTP/2: create/upsert/describe/count/page round trip") {
+    withServers { (m, h2, ep) =>
+      val c = "mlv_h2"
+      val w = MilvusWire(ep, token = Some("ztok"))
+      w.create(c, 3, Metric.Cosine)
+      w.upsertOnce(c, (0 until 120).map(i =>
+        WirePoint(s"$c-$i", Seq(i.toDouble, 0, 0), Map("r" -> i.toString))))
+      assert(w.count(c) == 120)
+      val sch = w.describe(c)
+      assert(sch.dtype == MilvusWire.DtypeFloatVector && sch.dim == 3)
+      val page = w.fetchPage(c, 10, 7, wantVector = true, wantPayload = true)
+      assert(page.points.size == 7 && page.points.head.id == s"$c-10")
+      // the method rode :path and auth rode a REAL authorization header
+      val logged = h2.requestLog.toArray.map(_.toString)
+      assert(logged.exists(_.startsWith(
+        "/milvus.proto.milvus.MilvusService/CreateCollection")))
+      assert(logged.forall(_.endsWith("authorization=Bearer ztok")))
+      // and the same dispatch logged the token server-side
+      assert(m.authLog.toArray.map(_.toString)
+        .forall(_.endsWith("token=ztok")))
+    }
+  }
+
+  test("one HTTP/2 connection, many streams: a multi-page DSv2 scan multiplexes") {
+    withServers { (m, h2, ep) =>
+      val c = "mlv_h2_scan"
+      val w = MilvusWire(ep)
+      w.create(c, 3, Metric.Cosine)
+      w.upsertOnce(c, (0 until 400).map(i =>
+        WirePoint(s"$c-$i", Seq(i.toDouble, 0, 0), Map("r" -> i.toString))))
+      val connBefore = h2.connections.get()
+      val reqBefore = h2.requestLog.size()
+      val back = WireVdb.read(spark, "milvus", ep, c, batchSize = 10)
+      assert(back.count() == 400)
+      val pages = h2.requestLog.size() - reqBefore
+      assert(pages >= 40, s"expected >=40 page RPCs, saw $pages")
+      // gRPC channel model: the 4 task threads' 40+ RPCs share the
+      // per-endpoint connection — streams multiplex, sockets don't
+      assert(h2.connections.get() - connBefore <= 1,
+        s"${h2.connections.get() - connBefore} new connections for $pages RPCs")
+    }
+  }
+
+  test("application status flows in DATA, transport errors in trailers") {
+    withServers { (m, h2, ep) =>
+      val w = MilvusWire(ep)
+      // app-level NOT_FOUND: embedded status in the response message
+      // (Milvus's common.Status shape) → the shared taxonomy
+      val e1 = intercept[WireHttpError] { w.describe("missing") }
+      assert(e1.code == 404)
+      // transport-level: unknown :path → trailers-only UNIMPLEMENTED
+      val e2 = intercept[WireHttpError] {
+        GrpcH2Client.call(ep.stripPrefix("h2://"),
+          "/milvus.proto.milvus.MilvusService/Nope",
+          GrpcH2.frame(Array[Byte]()))
+      }
+      assert(e2.code == 501)
+    }
+  }
+
+  test("TLV fallback unchanged: the same dialect code drives both transports") {
+    // identical calls, one stub — plain TCP endpoint vs h2:// endpoint
+    withServers { (m, h2, ep) =>
+      val c = "mlv_both"
+      MilvusWire(ep).create(c, 3, Metric.Cosine)
+      MilvusWire(ep).upsertOnce(c, (0 until 25).map(i =>
+        WirePoint(s"$c-$i", Seq(i.toDouble, 0, 0), Map.empty)))
+      // the TCP acceptor serves the SAME store through field-15 framing
+      assert(MilvusWire(m.hostPort).count(c) == 25)
+      val viaTcp = MilvusWire(m.hostPort)
+        .fetchPage(c, 0, 25, wantVector = true, wantPayload = false)
+      val viaH2 = MilvusWire(ep)
+        .fetchPage(c, 0, 25, wantVector = true, wantPayload = false)
+      assert(viaTcp.points.map(_.id) == viaH2.points.map(_.id))
+      assert(viaTcp.points.map(_.vector) == viaH2.points.map(_.vector))
+    }
+  }
+}
