@@ -50,16 +50,34 @@ object GrpcH2Client {
     * an N-page scan must ride ~1 connection, N streams. */
   val dials = new java.util.concurrent.atomic.AtomicLong()
 
+  /** `endpoint` is `host:port` (cleartext prior-knowledge h2) or
+    * `tls:host:port` (TLS with real endpoint identification — the
+    * gRPC default deployment; trust from the same
+    * `graft.wire.truststore` knob every other transport uses). */
   private def connect(endpoint: String): Channel = {
-    val Array(h, p) = endpoint.split(":", 2)
+    val tls = endpoint.startsWith("tls:")
+    val Array(h, p) = endpoint.stripPrefix("tls:").split(":", 2)
     dials.incrementAndGet()
     new Bootstrap().group(group).channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
-        override def initChannel(ch: SocketChannel): Unit =
+        override def initChannel(ch: SocketChannel): Unit = {
+          if (tls) {
+            val eng = WireTls.clientContextFromProps()
+              .createSSLEngine(h, p.toInt)
+            eng.setUseClientMode(true)
+            val sp = eng.getSSLParameters
+            sp.setEndpointIdentificationAlgorithm("HTTPS")
+            // ALPN: a real TLS gRPC endpoint negotiates h2
+            sp.setApplicationProtocols(Array("h2"))
+            eng.setSSLParameters(sp)
+            ch.pipeline().addLast(
+              new io.netty.handler.ssl.SslHandler(eng))
+          }
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forClient().build(),
             // inbound (server-initiated) streams: none expected
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+        }
       })
       .connect(h, p.toInt).sync().channel()
   }
@@ -88,7 +106,9 @@ object GrpcH2Client {
           ch.pipeline().addLast(new UnaryHandler(done))
       }).open().sync().getNow
     val hdrs = new DefaultHttp2Headers()
-      .method("POST").scheme("http").path(path).authority(endpoint)
+      .method("POST")
+      .scheme(if (endpoint.startsWith("tls:")) "https" else "http")
+      .path(path).authority(endpoint.stripPrefix("tls:"))
     hdrs.set("content-type", "application/grpc")
     hdrs.set("te", "trailers")
     authToken.foreach(t => hdrs.set("authorization", s"Bearer $t"))
@@ -98,7 +118,15 @@ object GrpcH2Client {
     try done.get(30, TimeUnit.SECONDS)
     catch {
       case e: java.util.concurrent.ExecutionException =>
-        throw e.getCause
+        e.getCause match {
+          case w: WireHttpError => throw w
+          case io: IOException => throw io
+          // Netty wraps TLS/codec failures (DecoderException around
+          // SSLHandshakeException etc.) — normalize to the IOException
+          // contract every other transport failure speaks
+          case other => throw new IOException(
+            s"grpc/h2 transport failure: $other", other)
+        }
       case _: java.util.concurrent.TimeoutException =>
         stream.close()
         throw new IOException(s"grpc/h2 call timed out: $path")
@@ -154,7 +182,8 @@ object GrpcH2Client {
   * both arrive trailers-only, the real convention for
   * failed-before-payload. */
 final class GrpcH2StubServer(
-    dispatch: (String, Option[String], Array[Byte]) => Array[Byte]) {
+    dispatch: (String, Option[String], Array[Byte]) => Array[Byte],
+    tls: Option[WireTls.KeyMaterial] = None) {
 
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
   /** `path authorization=<token|->` per stream. */
@@ -220,6 +249,15 @@ final class GrpcH2StubServer(
     .childHandler(new ChannelInitializer[SocketChannel] {
       override def initChannel(ch: SocketChannel): Unit = {
         connections.incrementAndGet()
+        tls.foreach { km =>
+          val eng = WireTls.serverContext(km.keyStore, km.password)
+            .createSSLEngine()
+          eng.setUseClientMode(false)
+          val sp = eng.getSSLParameters
+          sp.setApplicationProtocols(Array("h2")) // ALPN
+          eng.setSSLParameters(sp)
+          ch.pipeline().addLast(new io.netty.handler.ssl.SslHandler(eng))
+        }
         ch.pipeline().addLast(
           Http2FrameCodecBuilder.forServer().build(),
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {

@@ -54,13 +54,19 @@ final case class MilvusWire(hostPort: String,
   // auth on field 14 — the TLV stand-ins for what HTTP/2 carries as
   // headers. The protobuf request/response payloads are IDENTICAL on
   // both transports.
-  private val h2 = hostPort.startsWith("h2://")
+  private val h2 = hostPort.startsWith("h2://") ||
+    hostPort.startsWith("h2s://")
+  // h2s:// = gRPC's default deployment: HTTP/2 over TLS with ALPN
+  private def h2Endpoint: String =
+    if (hostPort.startsWith("h2s://"))
+      "tls:" + hostPort.stripPrefix("h2s://")
+    else hostPort.stripPrefix("h2://")
 
   private def call(method: Int, idempotent: Boolean = true)(
       build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
     val rspBytes =
       if (h2)
-        GrpcH2.unframe(GrpcH2Client.call(hostPort.stripPrefix("h2://"),
+        GrpcH2.unframe(GrpcH2Client.call(h2Endpoint,
           MilvusWire.h2Path(method), GrpcH2.frame(message(build)), token))
       else {
         val payload = message { o =>

@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Round-11 ask #2: test the bucket-TAIL claim with real executor
+  * JVMs. Round 10 proved q_semi_idlist's bucketed zipper reaches CPU
+  * parity with DuckDB-32 (~95 s executor CPU vs 2.88 s × 32 —
+  * `semifloor_r10.txt`) while its WALL stays ~2.5× — and attributed
+  * the gap to single-JVM scheduling: 32 bucket tasks time-share one
+  * JVM's scheduler/allocator/JIT, so the effective parallelism is ~13
+  * cores. The claim "a cluster runs one bucket per core with no
+  * shared-scheduler tail" was an argument, not a measurement.
+  *
+  * This probe runs the SAME two bucketed spines on the SAME data under
+  * `local-cluster[n,cores,mem]` — Spark's standalone-in-a-box: an
+  * in-JVM master/worker pair that forks REAL separate
+  * CoarseGrainedExecutorBackend JVMs, the closest in-sandbox analogue
+  * to a multi-executor cluster. Same min-of-N methodology as every
+  * at-scale number; per-pass executor CPU from stage metrics so the
+  * wall/CPU ratio (effective cores) is read directly.
+  *
+  * Usage: SPARK_HOME=/opt/spark tools/run_main.sh
+  *   graft.tools.ClusterTailProbe <dir> <master> [passes] [execMem]
+  * e.g. master = local-cluster[4,8,8192] | local[32]
+  */
+object ClusterTailProbe {
+  private final class CpuAgg {
+    private var cpuMs = 0L
+    def reset(): Unit = synchronized { cpuMs = 0 }
+    def add(ms: Long): Unit = synchronized { cpuMs += ms }
+    def seconds: Double = synchronized { cpuMs / 1000.0 }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/target/bigdata15")
+    val master = args.lift(1).getOrElse("local-cluster[4,8,8192]")
+    val passes = args.lift(2).map(_.toInt).getOrElse(3)
+    val execMem = args.lift(3).getOrElse("7g")
+    // the forked executor JVMs need the same module opens and the
+    // graft classes the driver runs with
+    val opens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util",
+      "java.util.concurrent", "java.util.concurrent.atomic",
+      "sun.nio.ch", "sun.nio.cs", "sun.security.action",
+      "sun.util.calendar")
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.executor.memory", execMem)
+      .config("spark.executor.extraClassPath",
+        new java.io.File("target/scala-2.13/classes").getAbsolutePath)
+      .config("spark.executor.extraJavaOptions", opens)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val agg = new CpuAgg
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) agg.add(m.executorCpuTime / 1000000)
+      }
+    })
+
+    println(s"# master=$master execMem=$execMem dir=$dir passes=$passes")
+    for (q <- Seq("q_semi_idlist", "q_join_agg", "q_anti_missing")) {
+      var best = Double.MaxValue
+      for (pass <- 1 to passes) {
+        agg.reset()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(q)(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = agg.seconds
+        val eff = cpu / wall
+        best = math.min(best, wall)
+        println(f"$q%-16s pass$pass wall=$wall%6.2f s cpu=$cpu%6.1f s " +
+          f"effCores=$eff%5.1f")
+      }
+      println(f"$q%-16s MIN    wall=$best%6.2f s")
+    }
+    spark.stop()
+  }
+}

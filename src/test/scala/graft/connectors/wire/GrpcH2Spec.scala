@@ -81,6 +81,40 @@ class GrpcH2Spec extends SparkSpec {
     }
   }
 
+  test("h2s://: gRPC over TLS with ALPN — round trip, reuse, untrusted refusal") {
+    val km = WireTls.generate(java.nio.file.Files.createTempDirectory("h2s"))
+    System.setProperty("graft.wire.truststore", km.trustStore.toString)
+    System.setProperty("graft.wire.truststorePass", km.password)
+    try {
+      val m = new MilvusStubServer()
+      val h2 = new GrpcH2StubServer(m.dispatchH2, tls = Some(km))
+      try {
+        val c = "mlv_h2s"
+        val w = MilvusWire(s"h2s://${h2.hostPort}", token = Some("tok"))
+        w.create(c, 3, Metric.Cosine)
+        w.upsertOnce(c, (0 until 30).map(i =>
+          WirePoint(s"$c-$i", Seq(i.toDouble, 0, 0), Map.empty)))
+        assert(w.count(c) == 30)
+        // all RPCs multiplexed one TLS connection (ALPN-negotiated h2)
+        assert(h2.connections.get() == 1)
+      } finally h2.stop()
+      // a client without the trust bundle is refused at the TLS
+      // handshake — fresh server so no cached trusted channel serves it
+      val m2 = new MilvusStubServer()
+      val h2b = new GrpcH2StubServer(m2.dispatchH2, tls = Some(km))
+      try {
+        System.setProperty("graft.wire.truststore", "")
+        intercept[java.io.IOException] {
+          MilvusWire(s"h2s://${h2b.hostPort}").count("nope")
+        }
+      } finally { h2b.stop(); m2.stop() }
+      m.stop()
+    } finally {
+      System.clearProperty("graft.wire.truststore")
+      System.clearProperty("graft.wire.truststorePass")
+    }
+  }
+
   test("TLV fallback unchanged: the same dialect code drives both transports") {
     // identical calls, one stub — plain TCP endpoint vs h2:// endpoint
     withServers { (m, h2, ep) =>
