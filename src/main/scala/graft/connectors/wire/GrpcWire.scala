@@ -316,16 +316,34 @@ final case class GrpcWire(hostPort: String,
     with RedactsCredential {
   import GrpcFraming._
 
-  private def call(build: DataOutputStream => Unit,
-      idempotent: Boolean = true): Map[Int, Seq[Any]] = {
-    // auth rides field 14 of every request — the framed stand-in for
-    // gRPC's `authorization` metadata
-    val payload = message { o =>
-      token.foreach(writeStringField(o, 14, _))
-      build(o)
-    }
-    val rsp = readMessage(
-      FramedChannelPool.exchange(hostPort, payload, idempotent))
+  // transport by scheme, like MilvusWire: h2://host:port = real
+  // gRPC-over-HTTP/2 (method as :path, auth as authorization header),
+  // h2s:// = the same over TLS+ALPN; bare/tls:// = the framed TCP pool
+  // with method/auth on payload fields 15/14
+  private val h2 = hostPort.startsWith("h2://") ||
+    hostPort.startsWith("h2s://")
+  private def h2Endpoint: String =
+    if (hostPort.startsWith("h2s://"))
+      "tls:" + hostPort.stripPrefix("h2s://")
+    else hostPort.stripPrefix("h2://")
+
+  private def call(method: Int, idempotent: Boolean = true)(
+      build: DataOutputStream => Unit): Map[Int, Seq[Any]] = {
+    val rspBytes =
+      if (h2)
+        GrpcH2.unframe(GrpcH2Client.call(h2Endpoint,
+          GrpcWire.h2Path(method), GrpcH2.frame(message(build)), token))
+      else {
+        // auth rides field 14 of every request — the framed stand-in
+        // for gRPC's `authorization` metadata
+        val payload = message { o =>
+          token.foreach(writeStringField(o, 14, _))
+          writeVarintField(o, 15, method)
+          build(o)
+        }
+        FramedChannelPool.exchange(hostPort, payload, idempotent)
+      }
+    val rsp = readMessage(rspBytes)
     val status = rsp.get(1).flatMap(_.headOption)
       .map(_.asInstanceOf[Long].toInt).getOrElse(0)
     if (status != 0)
@@ -337,25 +355,22 @@ final case class GrpcWire(hostPort: String,
       metric: graft.core.Metric): Unit = {
     // NOT idempotent: a stale-channel re-send of a create the server
     // already applied surfaces ALREADY_EXISTS — propagate instead
-    call({ o =>
-      writeVarintField(o, 15, 1)
+    call(1, idempotent = false) { o =>
       writeStringField(o, 2, c)
       writeVarintField(o, 9, dims)
       writeStringField(o, 10, metric.name)
-    }, idempotent = false)
+    }
     ()
   }
 
   override def count(c: String): Long =
-    call { o =>
-      writeVarintField(o, 15, 2)
+    call(2) { o =>
       writeStringField(o, 2, c)
     }.get(2).flatMap(_.headOption).map(_.asInstanceOf[Long]).getOrElse(0L)
 
   override def fetchPage(c: String, offset: Long, limit: Int,
       wantVector: Boolean, wantPayload: Boolean): WirePage = {
-    val rsp = call { o =>
-      writeVarintField(o, 15, 3)
+    val rsp = call(3) { o =>
       writeStringField(o, 2, c)
       writeVarintField(o, 3, offset)
       writeVarintField(o, 4, limit)
@@ -371,8 +386,7 @@ final case class GrpcWire(hostPort: String,
 
   override def fetchByIds(c: String, ids: Seq[String],
       wantVector: Boolean, wantPayload: Boolean): Seq[WirePoint] =
-    call { o =>
-      writeVarintField(o, 15, 4)
+    call(4) { o =>
       writeStringField(o, 2, c)
       ids.foreach(writeStringField(o, 7, _))
       writeVarintField(o, 5, if (wantVector) 1 else 0)
@@ -380,14 +394,26 @@ final case class GrpcWire(hostPort: String,
     }.getOrElse(3, Seq.empty).map(b => readPoint(b.asInstanceOf[Array[Byte]]))
 
   override def upsertOnce(c: String, points: Seq[WirePoint]): Unit = {
-    call { o =>
-      writeVarintField(o, 15, 5)
+    call(5) { o =>
       writeStringField(o, 2, c)
       points.foreach(p => writePoint(o, p, withVector = true,
         withPayload = true))
     }
     ()
   }
+}
+
+object GrpcWire {
+  /** The generic dialect's methods as gRPC `:path`es for the H2
+    * transport — a neutral service name (a real deployment's paths
+    * come from its protos; e.g. Qdrant routes these through
+    * `qdrant.Collections`/`qdrant.Points`). */
+  private val H2Service = "/graft.v1.VectorService/"
+  val h2Path: Map[Int, String] = Map(
+    1 -> (H2Service + "Create"), 2 -> (H2Service + "Count"),
+    3 -> (H2Service + "Query"), 4 -> (H2Service + "Get"),
+    5 -> (H2Service + "Upsert"))
+  val h2Method: Map[String, Int] = h2Path.map(_.swap)
 }
 
 /** The server half: accept loop over a plain ServerSocket, one framed
@@ -450,6 +476,23 @@ final class GrpcStubServer(tls: Option[WireTls.KeyMaterial] = None) {
   acceptor.start()
 
   def stop(): Unit = { running = false; server.close(); pool.shutdown() }
+
+  /** Transport-agnostic dispatch for [[GrpcH2StubServer]]: a real
+    * `:path` + `authorization` header routed into the SAME serve the
+    * TCP acceptor uses (path → method id, bearer → field 14). */
+  def dispatchH2(path: String, auth: Option[String],
+      framedReq: Array[Byte]): Array[Byte] = {
+    val method = GrpcWire.h2Method.getOrElse(path,
+      throw WireHttpError(501, s"unimplemented path $path"))
+    val base = GrpcFraming.readMessage(GrpcH2.unframe(framedReq))
+    val req = base ++ Map[Int, Seq[Any]](
+      15 -> Seq(method.toLong),
+      14 -> GrpcH2.bearer(auth).toSeq.map(t =>
+        t.getBytes(StandardCharsets.UTF_8)))
+    val bos = new java.io.ByteArrayOutputStream()
+    serve(req, new DataOutputStream(bos))
+    bos.toByteArray
+  }
 
   def collectionSize(c: String): Int = synchronized {
     Option(store.get(c)).map(_._2.size).getOrElse(0)

@@ -66,6 +66,18 @@ class CliWireSpec extends SparkSpec {
     assert(grpc.collectionSize(c) == 450)
     assert(grpc.requestLog.asScala.exists(_.startsWith(s"grpc upsert $c")))
 
+    // and over REAL gRPC-over-HTTP/2: the h2:// scheme routes the
+    // same milvus dialect through GrpcH2Client (round 11)
+    val mh2 = new MilvusStubServer()
+    val h2srv = new GrpcH2StubServer(mh2.dispatchH2)
+    try {
+      assert(Cli.run(spark, Seq("import", "--db", "milvus",
+        "--db_root", s"h2://${h2srv.hostPort}", "--dir", vdf)) == 0)
+      assert(mh2.collectionSize(c) == 450)
+      assert(h2srv.requestLog.asScala.exists(_.startsWith(
+        "/milvus.proto.milvus.MilvusService/Upsert")))
+    } finally { h2srv.stop(); mh2.stop() }
+
     // the cursor-token transports import the same VDF dir; a second
     // export round-trips back out of each cursor scan. The stub's
     // store is shared per server, so route each through collections

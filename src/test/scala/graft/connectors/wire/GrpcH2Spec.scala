@@ -115,6 +115,24 @@ class GrpcH2Spec extends SparkSpec {
     }
   }
 
+  test("the generic GrpcWire dialect rides HTTP/2 too (the pinecone/qdrant-preferred shape)") {
+    val g = new GrpcStubServer()
+    val h2 = new GrpcH2StubServer(g.dispatchH2)
+    try {
+      val c = "g_h2"
+      val w = GrpcWire(s"h2://${h2.hostPort}", Some("tok"))
+      w.create(c, 3, Metric.Cosine)
+      w.upsertOnce(c, (0 until 50).map(i =>
+        WirePoint(s"$c-$i", Seq(i.toDouble, 0, 0), Map("r" -> i.toString))))
+      assert(w.count(c) == 50)
+      val got = w.fetchByIds(c, Seq(s"$c-7"), wantVector = true,
+        wantPayload = true)
+      assert(got.size == 1 && got.head.id == s"$c-7")
+      assert(h2.requestLog.toArray.map(_.toString).exists(_.startsWith(
+        "/graft.v1.VectorService/Get")))
+    } finally { h2.stop(); g.stop() }
+  }
+
   test("TLV fallback unchanged: the same dialect code drives both transports") {
     // identical calls, one stub — plain TCP endpoint vs h2:// endpoint
     withServers { (m, h2, ep) =>
