@@ -133,7 +133,7 @@ object QueriesExt12 {
         t(s, dir, "documents")
           .withColumn("budget",
             expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
-          .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})")),
+          .withColumn("toks", size(QueriesCommon.tokenHashesCol("text"))),
         "source", "doc_id", col("toks"), col("budget"))
       .groupBy("source")
       .agg(max(col("budget")).as("budget"), count(lit(1)).as("n_kept"),
@@ -150,7 +150,7 @@ object QueriesExt12 {
         t(s, dir, "documents")
           .withColumn("budget",
             expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
-          .withColumn("toks", expr(s"size(${QueriesCommon.toksSql})")),
+          .withColumn("toks", size(QueriesCommon.tokenHashesCol("text"))),
         "source", "doc_id", col("toks"), col("budget"))
       .groupBy("source")
       .agg(max(col("budget")).as("budget"), count(lit(1)).as("n_kept"),

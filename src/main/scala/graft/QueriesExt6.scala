@@ -78,8 +78,7 @@ object QueriesExt6 {
     // the raw text and checks the resulting cosines hash-exactly).
     val toks = ft(s, dir, "documents")
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(${QueriesCommon.toksSql}, x -> xxhash64(x))")).as("tok"))
+        explode(QueriesCommon.tokenHashesCol("text")).as("tok"))
     // Corpus size as a plan-time scalar: one footer-count job instead
     // of a broadcast-subquery future whose job would serialize behind
     // the heavy aggregation below.
@@ -285,28 +284,32 @@ object QueriesExt6 {
   def bm25Scores(s: SparkSession, dir: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = ft(s, dir, "documents")
-    val toksArr = s"filter(split(trim(lower(text)), '\\\\s+'), x -> x != '')"
-    // dl MUST materialize BELOW the explode: a single select mixing
-    // size(split(text)) with explode(...) makes ExtractGenerator lift
-    // the size() into the Project ABOVE the Generate with `text`
-    // retained through it — the full regex split re-runs PER EXPLODED
-    // TOKEN (~dl× per doc; Bm25Probe measured it as ~330 s of the
-    // query's ~345 s CPU at 15.7 GiB). Two selects pin dl (a scalar)
-    // and the hashed array under the Generate, which consumes the
-    // array and carries only 16 B/doc through the fan-out.
+    // One codegen'd tokenize+hash pass (TokenXxHashes, round 11): the
+    // SQL form ran the interpreted filter/split tower TWICE per doc
+    // (size + transform are separate HOF references; no CSE for
+    // interpreted lambdas). dl still MUST materialize BELOW the
+    // explode: mixing a computed scalar with explode(...) in one
+    // select makes ExtractGenerator lift it into the Project ABOVE
+    // the Generate with its inputs retained — the tokenizer re-runs
+    // PER EXPLODED TOKEN (~dl× per doc; Bm25Probe measured ~330 s of
+    // ~345 s CPU at 15.7 GiB before round 10 pinned it). Here dl
+    // derives from the materialized array, and the final select
+    // carries only bare references through the Generate.
     val toks = docs
       .select(col("doc_id"),
-        expr(s"size($toksArr)").cast("double").as("dl"),
-        expr(s"transform($toksArr, x -> xxhash64(x))").as("__harr"))
+        QueriesCommon.tokenHashesCol("text").as("__harr"))
+      .select(col("doc_id"),
+        size(col("__harr")).cast("double").as("dl"), col("__harr"))
       .select(col("doc_id"), col("dl"), explode(col("__harr")).as("tok"))
     // probe vocabulary from the pushed-down doc_id<5 scan: tiny read,
     // broadcast, prunes the corpus stream to tokens that can score
     val probeVocab = t(s, dir, "documents").filter(col("doc_id") < 5)
-      .select(explode(expr(s"transform($toksArr, x -> xxhash64(x))")).as("tok"))
+      .select(explode(QueriesCommon.tokenHashesCol("text")).as("tok"))
       .distinct()
     // corpus + doc-count scalars as a 1-row broadcast (single job)
     val stats = t(s, dir, "documents")
-      .select(expr(s"size($toksArr)").cast("double").as("dl0"))
+      .select(size(QueriesCommon.tokenHashesCol("text"))
+        .cast("double").as("dl0"))
       .agg(count(lit(1)).cast("double").as("n"), avg("dl0").as("avgdl"))
     // Round 10 (Bm25Probe at 15.7 GiB, stage metrics: 0.5 GB shuffle,
     // zero spill, ~340 s CPU). Two findings:
