@@ -78,7 +78,7 @@ object QueriesCommon {
   // distinct input size class gets its own (bounded: a handful of
   // values per process).
   private val branchSessions = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, Boolean, Long, Int), SparkSession]()
+    (SparkSession, Boolean, Long, Int, Boolean), SparkSession]()
 
   /** At-scale SIZE CLASS: log2 of the input size in GiB (1–2 GiB → 0,
     * 2–4 → 1, …, 8–16 → 3), 0 below the gate. Round 9: the bloom
@@ -110,15 +110,16 @@ object QueriesCommon {
   }
 
   private def branchSession(root: SparkSession, atScale: Boolean,
-      shufflePartitions: Long, sizeCls: Int): SparkSession = {
+      shufflePartitions: Long, sizeCls: Int,
+      noRuntimeFilter: Boolean = false): SparkSession = {
     val s = branchSessions.computeIfAbsent(
-      (root, atScale, shufflePartitions, sizeCls),
+      (root, atScale, shufflePartitions, sizeCls, noRuntimeFilter),
       _ => org.apache.spark.sql.graftbridge.Bridge.forkSession(root))
     // re-applied per call (idempotent — the values are a function of
     // the cache key) so `graft.branch.*` override properties take
     // effect even on an already-forked branch; the clone's SQLConf is
     // library-owned, so this mutates nothing of the caller's
-    configureBranch(s, atScale, shufflePartitions, sizeCls)
+    configureBranch(s, atScale, shufflePartitions, sizeCls, noRuntimeFilter)
     s
   }
 
@@ -163,12 +164,44 @@ object QueriesCommon {
     branchSession(s, atScale, p, sizeClass(bytes, atScale))
   }
 
+  /** The bucketed-SPINE planning branch: branchFor's conf with runtime
+    * bloom-filter injection off (see `configureBranch`). Frames read
+    * through `bucketedTable` bind here; a query mixing bucketed and
+    * plain frames on the bucketed route reads the plain ones through
+    * [[spineTable]] so everything plans under ONE session. */
+  private def spineBranchFor(s: SparkSession, dir: String): SparkSession = {
+    val bytes = totalBytes(dir)
+    val atScale = bytes >= adaptiveMinInputBytes
+    val defaultP = sessionShufflePartitions
+      .computeIfAbsent(s, _.conf.get("spark.sql.shuffle.partitions"))
+    val p =
+      if (atScale) defaultP.toLong
+      else branchFanout(bytes, defaultP.toLong)
+    branchSession(s, atScale, p, sizeClass(bytes, atScale),
+      noRuntimeFilter = true)
+  }
+
+  /** A PLAIN table bound to the bucketed-spine branch — for the routes
+    * that join bucketed facts with un-bucketed dims. */
+  def spineTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val branch = spineBranchFor(s, dir)
+    val path = s"$dir/$name.parquet"
+    tableCache.computeIfAbsent((branch, path), _ => {
+      val schema = schemaCache.computeIfAbsent(path,
+        q => branch.read.parquet(q).schema)
+      branch.read.schema(schema).parquet(path)
+    })
+  }
+
   /** The BUCKETED twin of `table`: the same frame read through a
     * bucketed layout at `<dir>/_bucketed/<name>` when an ingest wrote
     * one (`ops/Scale.writeBucketedDir` — `VdfIO.writeNamespace`'s
     * `bucketBy` option, or `tools/BucketIngest`), None otherwise.
-    * Bound to the SAME branch session as `table`, so a query can mix
-    * bucketed and plain frames and still plan under one conf. This is
+    * Bound to the SPINE branch session (branchFor's conf with runtime
+    * bloom injection off — co-located joins have no exchange for a
+    * bloom to protect); a query mixing bucketed and plain frames
+    * reads the plain ones through `spineTable` so everything plans
+    * under one conf. This is
     * the warehouse layout story for the join spines: a fact table
     * bucketed by its join key at ingest joins/aggregates on that key
     * with ZERO exchanges in every later session — the shuffle the
@@ -187,12 +220,25 @@ object QueriesCommon {
     // falls back to the plain route instead of serving stale rows
     else if (graft.ops.Scale.sidecarSourceFp(path).exists(
         _ != graft.ops.Scale.sourceFingerprint(s"$dir/$name.parquet"))) None
-    else graft.ops.Scale.readBucketedDir(branchFor(s, dir), path)
+    else graft.ops.Scale.readBucketedDir(spineBranchFor(s, dir), path)
   }
 
   private def configureBranch(s: SparkSession, atScale: Boolean,
-      shufflePartitions: Long, sizeCls: Int): Unit = {
+      shufflePartitions: Long, sizeCls: Int,
+      noRuntimeFilter: Boolean = false): Unit = {
     s.conf.set("spark.sql.adaptive.enabled", atScale.toString)
+    // The bucketed-spine fork plans with runtime bloom injection OFF:
+    // a co-located join has no exchange for the bloom to protect — the
+    // zipper/SHJ probe consults exactly the build keys the bloom
+    // approximates — so the injected filter is pure overhead there.
+    // Measured on q_semi_idlist's bucketed route at 15.7 GiB
+    // (ClusterTailProbe, round 11): the bloom build serialized a
+    // 2.9 s ONE-TASK SinglePartition merge stage (~35% of the wall)
+    // plus a per-row might_contain in the probe stage. The plain
+    // (shuffled) route keeps injection — there it prunes ~80% of the
+    // fact exchange (BloomProbe, BASELINE §e).
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      (!noRuntimeFilter).toString)
     // Runtime bloom-filter injection (InjectRuntimeFilter) in the
     // at-scale branch: Spark's defaults require the application side
     // to scan >10 GB AND the creation side to estimate <10 MB. The

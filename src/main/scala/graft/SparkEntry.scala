@@ -41,11 +41,6 @@ object SparkEntry {
       .filter(df => cols.forall(df.columns.contains))
       .map(_.select(cols.head, cols.tail: _*))
 
-  private def spineT(s: SparkSession, dir: String, name: String,
-      cols: Seq[String]): DataFrame =
-    spineOpt(s, dir, name, cols)
-      .getOrElse(t(s, dir, name).select(cols.head, cols.tail: _*))
-
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     qJoinAgg(spark, "/root/testdata/sf0.001")
@@ -117,19 +112,25 @@ object SparkEntry {
     val liB = spineOpt(s, dir, "lineitem",
       Seq("l_orderkey", "l_extendedprice", "l_discount"))
     val oB = spineOpt(s, dir, "orders", Seq("o_orderkey", "o_custkey"))
+    val bucketed = liB.isDefined && oB.isDefined
     val li = liB.getOrElse(
       t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))
     val o = oB.getOrElse(t(s, dir, "orders").select("o_orderkey", "o_custkey"))
-    val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
-    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    // dims bind to whichever branch session the spine plans under —
+    // the bucketed route's frames live on the no-runtime-filter spine
+    // fork, and a query must plan under ONE session
+    def dim(name: String) =
+      if (bucketed) QueriesCommon.spineTable(s, dir, name)
+      else t(s, dir, name)
+    val c = dim("customer").select("c_custkey", "c_nationkey")
+    val n = dim("nation").select("n_nationkey", "n_name")
     // Bucketed route: force the MERGE ZIPPER. Both scans are
     // co-located and per-bucket SORTED (ordering re-enabled in the
     // at-scale branch), so SMJ streams them with no sort, no hash
     // build, no exchange — 15.7 GiB A/B: SHJ 15.6-39 s windows vs
     // sort-free SMJ 14.0 s. The branch-level SHJ preference exists
     // for SHUFFLED spines and stays in charge on the plain route.
-    val spine =
-      if (liB.isDefined && oB.isDefined) li.hint("merge") else li
+    val spine = if (bucketed) li.hint("merge") else li
     spine.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -148,15 +149,24 @@ object SparkEntry {
       Seq("o_orderkey", "o_orderpriority"))
     val liB = spineOpt(s, dir, "lineitem",
       Seq("l_orderkey", "l_returnflag", "l_quantity"))
-    val urgent = oB.getOrElse(
-        t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
+    // the bucketed route only engages with BOTH layouts (a mixed pair
+    // would split the plan across branch sessions)
+    val bucketed = liB.isDefined && oB.isDefined
+    val urgent = (if (bucketed) oB.get
+        else t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val li = liB.getOrElse(t(s, dir, "lineitem")
-      .select("l_orderkey", "l_returnflag", "l_quantity"))
+    val li =
+      if (bucketed) liB.get
+      else t(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
     // bucketed route: sort-free merge semi-zipper (filter preserves
-    // the per-bucket order) — see qJoinAgg's route note
-    val fact = if (liB.isDefined && oB.isDefined) li.hint("merge") else li
+    // the per-bucket order) — see qJoinAgg's route note. The spine
+    // fork also plans WITHOUT runtime bloom injection: the co-located
+    // semi needs no filter, and the injected one measured as a 2.9 s
+    // single-task bloom-merge stage + a per-row might_contain (~45%
+    // of this query's wall at 15.7 GiB — ClusterTailProbe, round 11).
+    val fact = if (bucketed) li.hint("merge") else li
     fact.join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(
@@ -200,12 +210,20 @@ object SparkEntry {
     // bucket), so the merge anti-join streams the scan directly; a
     // distinct there only ADDS a hash aggregate and a re-sort to shrink
     // an exchange that no longer exists.
-    val liKeys = QueriesCommon.bucketedTable(s, dir, "lineitem") match {
-      case Some(b) if b.columns.contains("l_orderkey") =>
-        b.select("l_orderkey")
-      case _ => t(s, dir, "lineitem").select("l_orderkey").distinct()
-    }
-    spineT(s, dir, "orders", Seq("o_orderkey", "o_orderstatus"))
+    val liB = QueriesCommon.bucketedTable(s, dir, "lineitem")
+      .filter(_.columns.contains("l_orderkey"))
+    val oB = spineOpt(s, dir, "orders", Seq("o_orderkey", "o_orderstatus"))
+    // both layouts or neither — a mixed pair would split the plan
+    // across branch sessions (the bucketed frames live on the spine
+    // fork)
+    val bucketed = liB.isDefined && oB.isDefined
+    val liKeys =
+      if (bucketed) liB.get.select("l_orderkey")
+      else t(s, dir, "lineitem").select("l_orderkey").distinct()
+    val orders =
+      if (bucketed) oB.get
+      else t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+    orders
       .join(liKeys.hint("merge"),
         col("o_orderkey") === col("l_orderkey"), "left_anti")
       .select("o_orderkey", "o_orderstatus")

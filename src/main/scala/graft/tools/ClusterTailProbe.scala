@@ -27,9 +27,15 @@ import org.apache.spark.sql.SparkSession
 object ClusterTailProbe {
   private final class CpuAgg {
     private var cpuMs = 0L
-    def reset(): Unit = synchronized { cpuMs = 0 }
-    def add(ms: Long): Unit = synchronized { cpuMs += ms }
+    private var gcMs = 0L
+    private var runMs = 0L
+    def reset(): Unit = synchronized { cpuMs = 0; gcMs = 0; runMs = 0 }
+    def add(cpu: Long, gc: Long, run: Long): Unit = synchronized {
+      cpuMs += cpu; gcMs += gc; runMs += run
+    }
     def seconds: Double = synchronized { cpuMs / 1000.0 }
+    def gcSeconds: Double = synchronized { gcMs / 1000.0 }
+    def runSeconds: Double = synchronized { runMs / 1000.0 }
   }
 
   def main(args: Array[String]): Unit = {
@@ -61,9 +67,42 @@ object ClusterTailProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val m = e.stageInfo.taskMetrics
-        if (m != null) agg.add(m.executorCpuTime / 1000000)
+        if (m != null)
+          agg.add(m.executorCpuTime / 1000000, m.jvmGCTime, m.executorRunTime)
       }
     })
+    // per-stage task-duration skew: where does the wall hide when the
+    // slots are idle? (critical path ≈ Σ per-stage max; tail ratio =
+    // max/avg task duration within the stage)
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val verbose = sys.env.get("GRAFT_TAIL_VERBOSE").contains("1")
+    if (verbose) spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        stageTasks.computeIfAbsent(e.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(e.taskInfo.duration)
+      }
+      override def onStageCompleted(
+          e: SparkListenerStageCompleted): Unit =
+        stageNames.put(e.stageInfo.stageId, e.stageInfo.name.take(70))
+    })
+    def dumpStages(): Unit = if (verbose) {
+      import scala.jdk.CollectionConverters._
+      val rows = stageTasks.asScala.toSeq.sortBy(_._1)
+      for ((sid, q) <- rows if q.size > 0) {
+        val ds = q.asScala.toSeq.map(_.toDouble / 1000)
+        val mx = ds.max; val av = ds.sum / ds.size
+        if (mx > 0.3)
+          println(f"  stage $sid%4d tasks=${ds.size}%4d " +
+            f"avg=$av%6.2f s max=$mx%6.2f s " +
+            f"tail=${mx / math.max(av, 1e-9)}%4.1fx " +
+            stageNames.getOrDefault(sid, ""))
+      }
+      stageTasks.clear(); stageNames.clear()
+    }
 
     println(s"# master=$master execMem=$execMem dir=$dir passes=$passes")
     for (q <- Seq("q_semi_idlist", "q_join_agg", "q_anti_missing")) {
@@ -76,8 +115,12 @@ object ClusterTailProbe {
         val cpu = agg.seconds
         val eff = cpu / wall
         best = math.min(best, wall)
+        // run − cpu = task time OFF-CPU (IO waits, scheduler, lock
+        // contention); gc is the JVM's own share of the stall story
         println(f"$q%-16s pass$pass wall=$wall%6.2f s cpu=$cpu%6.1f s " +
+          f"gc=${agg.gcSeconds}%5.1f s run=${agg.runSeconds}%6.1f s " +
           f"effCores=$eff%5.1f")
+        dumpStages()
       }
       println(f"$q%-16s MIN    wall=$best%6.2f s")
     }
