@@ -57,6 +57,14 @@ object QueriesCommon {
       walk(new java.io.File(d))
     })
 
+  /** On-disk bytes of ONE table's parquet path — the cheap driver-side
+    * stat size-gated hints key on (e.g. the explicit dim-broadcast in
+    * q_join_agg: a hint must not force-broadcast a dim that grew with
+    * the deployment). Cached like `totalBytes` — immutable within a
+    * run. */
+  def tableBytes(dir: String, name: String): Long =
+    totalBytes(s"$dir/$name.parquet")
+
   // Below the AQE threshold the static plan also keeps the session's
   // full shuffle fan-out (one task per core), which for megabyte
   // inputs is pure per-task scheduling overhead at every exchange —

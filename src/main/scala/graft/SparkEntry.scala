@@ -124,6 +124,19 @@ object SparkEntry {
       else t(s, dir, name)
     val c = dim("customer").select("c_custkey", "c_nationkey")
     val n = dim("nation").select("n_nationkey", "n_name")
+    // The explicit broadcast is SIZE-GATED: an unconditioned hint on a
+    // dim that scales with the deployment force-broadcasts arbitrarily
+    // large tables (the r11 stage-timeline probe measured the 125 MB /
+    // 12.6M-row bigdata15 customer costing a ~6.5 s SERIAL driver-side
+    // HashedRelation build per run — still the fastest plan THERE, but
+    // at 100 TB a multi-GB dim would OOM the driver outright). Above
+    // the gate the hint is withheld and the planner/AQE picks the
+    // exchange strategy from its own estimates.
+    def bcast(df: org.apache.spark.sql.DataFrame, name: String) =
+      if (QueriesCommon.tableBytes(dir, name) <=
+        java.lang.Long.getLong("graft.broadcastDimMaxBytes", 512L << 20))
+        broadcast(df)
+      else df
     // Bucketed route: force the MERGE ZIPPER. Both scans are
     // co-located and per-bucket SORTED (ordering re-enabled in the
     // at-scale branch), so SMJ streams them with no sort, no hash
@@ -132,8 +145,8 @@ object SparkEntry {
     // for SHUFFLED spines and stays in charge on the plain route.
     val spine = if (bucketed) li.hint("merge") else li
     spine.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(bcast(c, "customer"), o("o_custkey") === c("c_custkey"))
+      .join(bcast(n, "nation"), c("c_nationkey") === n("n_nationkey"))
       .groupBy("n_name")
       .agg(
         expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)").as("revenue"),

@@ -86,8 +86,14 @@ object ClusterTailProbe {
           .add(e.taskInfo.duration)
       }
       override def onStageCompleted(
-          e: SparkListenerStageCompleted): Unit =
-        stageNames.put(e.stageInfo.stageId, e.stageInfo.name.take(70))
+          e: SparkListenerStageCompleted): Unit = {
+        val i = e.stageInfo
+        val span = for {
+          sub <- i.submissionTime; done <- i.completionTime
+        } yield f"span=${(done - sub) / 1000.0}%5.2f s sub@${sub % 1000000}"
+        stageNames.put(i.stageId,
+          span.getOrElse("") + " " + i.name.take(50))
+      }
     })
     def dumpStages(): Unit = if (verbose) {
       import scala.jdk.CollectionConverters._
@@ -95,7 +101,7 @@ object ClusterTailProbe {
       for ((sid, q) <- rows if q.size > 0) {
         val ds = q.asScala.toSeq.map(_.toDouble / 1000)
         val mx = ds.max; val av = ds.sum / ds.size
-        if (mx > 0.3)
+        if (mx > 0.05)
           println(f"  stage $sid%4d tasks=${ds.size}%4d " +
             f"avg=$av%6.2f s max=$mx%6.2f s " +
             f"tail=${mx / math.max(av, 1e-9)}%4.1fx " +
