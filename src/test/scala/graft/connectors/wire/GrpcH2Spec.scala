@@ -133,6 +133,25 @@ class GrpcH2Spec extends SparkSpec {
     } finally { h2.stop(); g.stop() }
   }
 
+  test("flow control: multi-megabyte messages cross the 64 KB HTTP/2 windows both ways") {
+    // a gRPC DATA payload far beyond the default 65535-byte stream and
+    // connection windows — the transfer stalls unless consumed bytes
+    // are acked (WINDOW_UPDATE) as the handlers read
+    withServers { (m, h2, ep) =>
+      val c = "mlv_h2_big"
+      val w = MilvusWire(ep)
+      w.create(c, 64, Metric.Cosine)
+      val pts = (0 until 4000).map(i => WirePoint(s"$c-$i",
+        (0 until 64).map(j => i * 0.001 + j), Map("r" -> ("x" * 50))))
+      w.upsertOnce(c, pts) // ~3 MB request body
+      assert(w.count(c) == 4000)
+      val page = w.fetchPage(c, 0, 4000, wantVector = true,
+        wantPayload = true) // ~3 MB response body
+      assert(page.points.size == 4000)
+      assert(page.points(1234).vector.size == 64)
+    }
+  }
+
   test("TLV fallback unchanged: the same dialect code drives both transports") {
     // identical calls, one stub — plain TCP endpoint vs h2:// endpoint
     withServers { (m, h2, ep) =>
