@@ -152,6 +152,34 @@ class GrpcH2Spec extends SparkSpec {
     }
   }
 
+  test("32 concurrent caller threads multiplex one connection without loss") {
+    // the executor shape: every task thread fires RPCs at once; stream
+    // creation and writes race on the one shared channel
+    withServers { (m, h2, ep) =>
+      val c = "mlv_h2_conc"
+      val w = MilvusWire(ep)
+      w.create(c, 3, Metric.Cosine)
+      w.upsertOnce(c, (0 until 640).map(i =>
+        WirePoint(f"$c-$i%04d", Seq(i.toDouble, 0, 0), Map.empty)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+      try {
+        val futs = (0 until 32).map { t =>
+          pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+            override def call(): Seq[String] =
+              (0 until 20).flatMap { r =>
+                w.fetchPage(c, ((t * 20 + r) % 64) * 10, 10,
+                  wantVector = false, wantPayload = false)
+                  .points.map(_.id)
+              }
+          })
+        }
+        val ids = futs.flatMap(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        assert(ids.size == 32 * 20 * 10)
+        assert(ids.toSet.size == 640) // every page slice correct
+      } finally pool.shutdownNow()
+    }
+  }
+
   test("TLV fallback unchanged: the same dialect code drives both transports") {
     // identical calls, one stub — plain TCP endpoint vs h2:// endpoint
     withServers { (m, h2, ep) =>
