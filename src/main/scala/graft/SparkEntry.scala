@@ -112,10 +112,20 @@ object SparkEntry {
     val liB = spineOpt(s, dir, "lineitem",
       Seq("l_orderkey", "l_extendedprice", "l_discount"))
     val oB = spineOpt(s, dir, "orders", Seq("o_orderkey", "o_custkey"))
+    // the bucketed route engages BOTH layouts or NEITHER: the per-table
+    // source-fingerprint freshness check can invalidate one layout
+    // independently, and a mixed pair would bind the two spine tables
+    // to different branch sessions (the plan must live under ONE
+    // session — and the spine fork plans with bloom injection off,
+    // which is only correct when the join is actually co-located)
     val bucketed = liB.isDefined && oB.isDefined
-    val li = liB.getOrElse(
-      t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"))
-    val o = oB.getOrElse(t(s, dir, "orders").select("o_orderkey", "o_custkey"))
+    val li =
+      if (bucketed) liB.get
+      else t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o =
+      if (bucketed) oB.get
+      else t(s, dir, "orders").select("o_orderkey", "o_custkey")
     // dims bind to whichever branch session the spine plans under —
     // the bucketed route's frames live on the no-runtime-filter spine
     // fork, and a query must plan under ONE session
@@ -124,34 +134,58 @@ object SparkEntry {
       else t(s, dir, name)
     val c = dim("customer").select("c_custkey", "c_nationkey")
     val n = dim("nation").select("n_nationkey", "n_name")
-    // The explicit broadcast is SIZE-GATED: an unconditioned hint on a
-    // dim that scales with the deployment force-broadcasts arbitrarily
-    // large tables (the r11 stage-timeline probe measured the 125 MB /
-    // 12.6M-row bigdata15 customer costing a ~6.5 s SERIAL driver-side
-    // HashedRelation build per run — still the fastest plan THERE, but
-    // at 100 TB a multi-GB dim would OOM the driver outright). Above
-    // the gate the hint is withheld and the planner/AQE picks the
-    // exchange strategy from its own estimates.
-    def bcast(df: org.apache.spark.sql.DataFrame, name: String) =
-      if (QueriesCommon.tableBytes(dir, name) <=
-        java.lang.Long.getLong("graft.broadcastDimMaxBytes", 512L << 20))
-        broadcast(df)
-      else df
     // Bucketed route: force the MERGE ZIPPER. Both scans are
     // co-located and per-bucket SORTED (ordering re-enabled in the
     // at-scale branch), so SMJ streams them with no sort, no hash
     // build, no exchange — 15.7 GiB A/B: SHJ 15.6-39 s windows vs
     // sort-free SMJ 14.0 s. The branch-level SHJ preference exists
     // for SHUFFLED spines and stays in charge on the plain route.
-    val spine = if (bucketed) li.hint("merge") else li
-    spine.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(bcast(c, "customer"), o("o_custkey") === c("c_custkey"))
-      .join(bcast(n, "nation"), c("c_nationkey") === n("n_nationkey"))
-      .groupBy("n_name")
-      .agg(
-        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)").as("revenue"),
-        count(lit(1)).as("n_items"))
-      .orderBy("n_name")
+    val spine = (if (bucketed) li.hint("merge") else li)
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+    // The explicit customer broadcast is SIZE-GATED on its on-disk
+    // bytes: compressed parquet expands ~6-8× into the driver-built
+    // HashedRelation, so the 64 MiB default bounds the build at a few
+    // hundred MB of driver heap (r11's 512 MiB gate could still admit
+    // a multi-GB in-memory build — the ADVICE finding). Below the gate
+    // the dim joins ride broadcasts with zero exchanges — the right
+    // plan for real dimension tables. ABOVE the gate the query
+    // RESTRUCTURES instead of falling back to a raw shuffled join:
+    // the revenue aggregation is pushed below the dim attach, grouped
+    // by o_custkey — decimal sums and counts re-associate exactly, and
+    // c_custkey is unique, so attaching nation names to ≤|custkey|
+    // partials is value-identical to attaching them to every spine row
+    // (JoinAggShapeSpec pins the two shapes against each other). The
+    // exchange then carries per-custkey partials instead of the raw
+    // spine (630M rows at 15.7 GiB), the customer join is a small
+    // shuffled join reusing the aggregation's hash partitioning, and
+    // NO driver-side serial HashedRelation build exists at any scale —
+    // the r11 stage-timeline probe measured that build alone at ~6.5 s
+    // for the 125 MB/12.6M-row bigdata15 customer, and at 100 TB a
+    // deployment-scaled dim would OOM the driver outright.
+    val custFits = QueriesCommon.tableBytes(dir, "customer") <=
+      java.lang.Long.getLong("graft.broadcastDimMaxBytes", 64L << 20)
+    val revenueDec =
+      "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))"
+    val attached =
+      if (custFits)
+        spine.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          // nation is bounded by the world (25 rows at every scale)
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            expr(s"CAST($revenueDec AS DOUBLE)").as("revenue"),
+            count(lit(1)).as("n_items"))
+      else {
+        val byCust = spine.groupBy(o("o_custkey"))
+          .agg(expr(revenueDec).as("__rev"), count(lit(1)).as("__cnt"))
+        byCust.join(c, col("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            expr("CAST(SUM(__rev) AS DOUBLE)").as("revenue"),
+            sum(col("__cnt")).as("n_items"))
+      }
+    attached.orderBy("n_name")
   }
 
   /** P4 id-list subset as a semi-join (`pinecone_import.py:190-196`):

@@ -44,7 +44,7 @@ object GrpcH2Client {
   private lazy val group =
     new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
 
-  private val conns = new ConcurrentHashMap[String, Channel]()
+  private[wire] val conns = new ConcurrentHashMap[String, Channel]()
 
   /** HTTP/2 CONNECTIONS dialed (not streams) — the reuse observable:
     * an N-page scan must ride ~1 connection, N streams. */
@@ -82,13 +82,36 @@ object GrpcH2Client {
       .connect(h, p.toInt).sync().channel()
   }
 
+  /** TLS-material part of the connection cache key: the client SSL
+    * context is captured at dial time, so a channel dialed under one
+    * `graft.wire.truststore`/`truststorePass` pair must not be reused
+    * after the knobs change (WireHttp's client cache keys the same
+    * way). Cleartext endpoints carry no TLS material. */
+  private def cacheKey(endpoint: String): String =
+    if (!endpoint.startsWith("tls:")) endpoint + "|"
+    else endpoint + "|" +
+      System.getProperty("graft.wire.truststore", "") + "|" +
+      System.getProperty("graft.wire.truststorePass", "")
+
   private def channelFor(endpoint: String): Channel = {
-    val c = conns.get(endpoint)
+    val key = cacheKey(endpoint)
+    val c = conns.get(key)
     if (c != null && c.isActive) c
     else conns.synchronized {
-      val again = conns.get(endpoint)
+      val again = conns.get(key)
       if (again != null && again.isActive) again
-      else { val fresh = connect(endpoint); conns.put(endpoint, fresh); fresh }
+      else {
+        // close whatever this entry replaces: the inactive channel
+        // under the same key, and any channel to the same endpoint
+        // dialed under superseded TLS knobs — replaced channels must
+        // not leak their event-loop registrations
+        import scala.jdk.CollectionConverters._
+        conns.entrySet().asScala.toList
+          .filter(_.getKey.startsWith(endpoint + "|"))
+          .foreach { e => e.getValue.close(); conns.remove(e.getKey) }
+        val fresh = connect(endpoint)
+        conns.put(key, fresh); fresh
+      }
     }
   }
 
@@ -152,6 +175,21 @@ object GrpcH2Client {
       case h: Http2HeadersFrame =>
         val st = h.headers().get("grpc-status")
         if (st != null) grpcStatus = st.toString.toInt
+        // the RESPONSE headers (trailers carry no ':status'): a
+        // non-gRPC reply — a 503 HTML page from an intermediary, say —
+        // must surface as a transport error with its HTTP code, not as
+        // arbitrary bytes that fail frame-parsing later
+        val http = h.headers().status()
+        if (http != null) {
+          val code = scala.util.Try(http.toString.toInt).getOrElse(502)
+          val ct = Option(h.headers().get("content-type")).map(_.toString)
+          if (code != 200)
+            done.completeExceptionally(WireHttpError(code,
+              s"http/2 :status $code (non-grpc response)"))
+          else if (st == null && !ct.exists(_.startsWith("application/grpc")))
+            done.completeExceptionally(WireHttpError(code,
+              s"http/2 content-type ${ct.getOrElse("(none)")} is not application/grpc"))
+        }
         if (h.isEndStream) finish()
       case d: Http2DataFrame =>
         val bytes = new Array[Byte](d.content().readableBytes())
@@ -232,6 +270,15 @@ final class GrpcH2StubServer(
         trailers.set("grpc-status", "0")
         ctx.writeAndFlush(new DefaultHttp2HeadersFrame(trailers, true))
       } catch {
+        case GrpcH2StubServer.NonGrpcResponse(code, ct, bodyBytes) =>
+          // simulate an intermediary answering with a plain HTTP
+          // response (a 503 HTML error page, say) — what the client's
+          // ':status'/content-type guard exists to catch
+          val h = new DefaultHttp2Headers().status(code.toString)
+          h.set("content-type", ct)
+          ctx.write(new DefaultHttp2HeadersFrame(h, false))
+          ctx.writeAndFlush(new DefaultHttp2DataFrame(
+            Unpooled.wrappedBuffer(bodyBytes), true))
         case WireHttpError(http, _) =>
           // back through the shared taxonomy: 429→8, 503→14, 404→5…
           val grpc = http match {
@@ -279,6 +326,15 @@ final class GrpcH2StubServer(
     group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS)
     ()
   }
+}
+
+object GrpcH2StubServer {
+  /** Thrown by a stub `dispatch` to make the server answer as a
+    * NON-gRPC peer (plain HTTP/2 status + body, no grpc-status
+    * trailers) — the intermediary-error shape the client must map to
+    * [[WireHttpError]] instead of parsing the body as frames. */
+  final case class NonGrpcResponse(status: Int, contentType: String,
+      body: Array[Byte]) extends RuntimeException
 }
 
 object GrpcH2 {

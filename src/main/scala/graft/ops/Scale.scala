@@ -123,24 +123,35 @@ object Scale {
   }
 
   /** Cheap driver-side fingerprint of a source parquet path (file or
-    * directory): md5 over the sorted (name, size, mtime) triples of
-    * its data files. Not a content hash — a rewrite that preserves
-    * every byte AND every mtime would pass — but any real regeneration
-    * (BigGen, a fresh export) changes it, which is the staleness the
-    * `_bucketed` twin needs to detect. */
+    * directory): md5 over the sorted (relative-path, size, mtime)
+    * triples of its data files, walked RECURSIVELY — a partitioned or
+    * nested layout (`source/part=a/x.parquet`) fingerprints its leaf
+    * files, not just the partition directories, so a regenerated
+    * partition changes the fingerprint. For a flat directory the
+    * relative path IS the file name, so flat-layout fingerprints (and
+    * the sidecars that recorded them) are unchanged. Not a content
+    * hash — a rewrite that preserves every byte AND every mtime would
+    * pass — but any real regeneration (BigGen, a fresh export) changes
+    * it, which is the staleness the `_bucketed` twin needs to detect. */
   def sourceFingerprint(path: String): String = {
     val f = new java.io.File(path)
-    val files: Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-          .filter(x => x.isFile && !x.getName.startsWith("_")
-            && !x.getName.startsWith("."))
-          .sortBy(_.getName)
-      else if (f.isFile) Seq(f)
+    def walk(x: java.io.File): Seq[java.io.File] =
+      if (x.isDirectory)
+        Option(x.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(k => !k.getName.startsWith("_") && !k.getName.startsWith("."))
+          .flatMap(walk)
+      else if (x.isFile) Seq(x)
       else Seq.empty
-    val desc = files
-      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-      .mkString("|")
+    val desc =
+      if (f.isDirectory) {
+        val root = f.toPath
+        walk(f)
+          .map(x => (root.relativize(x.toPath).toString, x))
+          .sortBy(_._1)
+          .map { case (rel, x) => s"$rel:${x.length}:${x.lastModified}" }
+          .mkString("|")
+      } else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
+      else ""
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.map("%02x".format(_)).mkString

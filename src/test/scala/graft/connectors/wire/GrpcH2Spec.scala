@@ -197,4 +197,73 @@ class GrpcH2Spec extends SparkSpec {
       assert(viaTcp.points.map(_.vector) == viaH2.points.map(_.vector))
     }
   }
+
+  test("a non-200 :status surfaces as WireHttpError with the HTTP code, not a frame-parse failure") {
+    // an intermediary (LB, proxy) answering 503 with an HTML body and
+    // no grpc-status — the client must fail at the transport layer
+    val h2 = new GrpcH2StubServer((path, _, body) =>
+      if (path.endsWith("/Boom"))
+        throw GrpcH2StubServer.NonGrpcResponse(503, "text/html",
+          "<html>service unavailable</html>".getBytes("UTF-8"))
+      else GrpcH2.frame(GrpcH2.unframe(body)))
+    try {
+      val e = intercept[WireHttpError] {
+        GrpcH2Client.call(h2.hostPort, "/x.Y/Boom",
+          GrpcH2.frame(Array[Byte](1, 2, 3)))
+      }
+      assert(e.code == 503)
+      // the guard is surgical: a proper gRPC call on the same channel
+      // still round-trips
+      val ok = GrpcH2Client.call(h2.hostPort, "/x.Y/Echo",
+        GrpcH2.frame(Array[Byte](9, 8)))
+      assert(GrpcH2.unframe(ok).toSeq == Seq[Byte](9, 8))
+    } finally h2.stop()
+  }
+
+  test("a 200 response without application/grpc content-type is a transport error") {
+    val h2 = new GrpcH2StubServer((_, _, _) =>
+      throw GrpcH2StubServer.NonGrpcResponse(200, "text/plain",
+        "not grpc".getBytes("UTF-8")))
+    try {
+      val e = intercept[WireHttpError] {
+        GrpcH2Client.call(h2.hostPort, "/x.Y/Z", GrpcH2.frame(Array[Byte](1)))
+      }
+      assert(e.body.contains("text/plain"))
+    } finally h2.stop()
+  }
+
+  test("flipping the truststore knobs redials h2s and closes the stale channel") {
+    val tmp = java.nio.file.Files.createTempDirectory("h2sflip")
+    val km = WireTls.generate(tmp)
+    System.setProperty("graft.wire.truststore", km.trustStore.toString)
+    System.setProperty("graft.wire.truststorePass", km.password)
+    try {
+      val m = new MilvusStubServer()
+      val h2 = new GrpcH2StubServer(m.dispatchH2, tls = Some(km))
+      try {
+        val w = MilvusWire(s"h2s://${h2.hostPort}")
+        w.create("flip", 3, Metric.Cosine)
+        val d0 = GrpcH2Client.dials.get()
+        assert(w.count("flip") == 0) // reuses the cached channel
+        assert(GrpcH2Client.dials.get() == d0)
+        val oldKey = GrpcH2Client.conns.keySet().stream()
+          .filter(_.startsWith(s"tls:${h2.hostPort}|")).findFirst().get()
+        val oldCh = GrpcH2Client.conns.get(oldKey)
+        // same trust CONTENT at a different path: the TLS context was
+        // captured at dial time, so the cache key must change
+        val ts2 = tmp.resolve("copy-truststore.p12")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(km.trustStore.toString), ts2)
+        System.setProperty("graft.wire.truststore", ts2.toString)
+        assert(w.count("flip") == 0) // still served — via a FRESH dial
+        assert(GrpcH2Client.dials.get() == d0 + 1)
+        // and the superseded channel was closed, not leaked
+        assert(oldCh.closeFuture().await(5000))
+        assert(!oldCh.isActive)
+      } finally { h2.stop(); m.stop() }
+    } finally {
+      System.clearProperty("graft.wire.truststore")
+      System.clearProperty("graft.wire.truststorePass")
+    }
+  }
 }
