@@ -38,7 +38,16 @@ object IvfPq {
       idCol: String,
       vecCol: String,
       /** codes encode `v − c_list` (IVFADC) rather than `v` */
-      residual: Boolean = false)
+      residual: Boolean = false,
+      /** corpus size, captured at build time and persisted in the
+        * `writeIndex` sidecar — the statistic the scale-aware rerank
+        * default ([[autoRefinePool]]) sizes R from. −1 = unknown (a
+        * hand-assembled index), in which case `searchRerank` falls
+        * back to counting `encoded` once. Carrying it here means the
+        * default NEVER runs a Spark job per search call — and never
+        * forces a full re-encode of an un-materialized index just to
+        * learn n (the r11 ADVICE finding). */
+      n: Long = -1L)
 
   /** `v − c_{list}` in DOUBLE: both sides promote exactly from float32,
     * and the subtraction is one IEEE double op — so an external engine
@@ -64,18 +73,22 @@ object IvfPq {
       trainCap: Int = 16384, residual: Boolean = true): IvfPqIndex = {
     val ivf = Ivf.build(vecs, idCol, vecCol, nlist, seed, sampleFraction,
       maxIter, trainCap)
+    // corpus size, captured ONCE at build (a count-only scan —
+    // parquet answers it from row-group metadata): the scale-aware
+    // rerank default consumes it instead of running a job per search
+    val n = vecs.count()
     if (!residual) {
       val pq = Pq.build(ivf.assigned, idCol, vecCol, dim, m, ksub, seed,
         maxIter, trainCap)
       IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub, pq.encoded,
-        idCol, vecCol, residual = false)
+        idCol, vecCol, residual = false, n = n)
     } else {
       val withRes = ivf.assigned.withColumn("__resid",
         residualExpr(col(vecCol), col("list_id"), ivf.centroids))
       val pq = Pq.build(withRes, idCol, "__resid", dim, m, ksub, seed,
         maxIter, trainCap)
       IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub,
-        pq.encoded.drop("__resid"), idCol, vecCol, residual = true)
+        pq.encoded.drop("__resid"), idCol, vecCol, residual = true, n = n)
     }
   }
 
@@ -117,7 +130,7 @@ object IvfPq {
       .withColumn("codes", Pq.encodeExpr(col("__resid"), codebooks, dsub))
       .drop("__resid")
     IvfPqIndex(ivf.centroids, codebooks, dsub, encoded, idCol, vecCol,
-      residual = true)
+      residual = true, n = vecs.count())
   }
 
   /** Materialize at rest: the PQ-encoded table partitioned by coarse
@@ -126,18 +139,44 @@ object IvfPq {
     * (same layout story as `Ivf.writeIndex`, with PQ's ~d·4/m
     * compression on top). The wide raw-vector column is dropped: the
     * index is codes + id, the corpus stays the source of truth. */
-  def writeIndex(index: IvfPqIndex, path: String): Unit =
+  /** Stats sidecar riding the materialized layout (underscore-prefixed
+    * so parquet readers skip it): carries the build-time corpus size,
+    * the statistic the scale-aware rerank default needs — a search
+    * must not pay a count job (or worse, a full re-encode of an
+    * un-materialized index) to learn n. */
+  private val StatsSidecar = "_graft_ivfpq.json"
+
+  def writeIndex(index: IvfPqIndex, path: String): Unit = {
     index.encoded.select(col(index.idCol), col("codes"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = new java.util.LinkedHashMap[String, Any]()
+    payload.put("n", java.lang.Long.valueOf(index.n))
+    java.nio.file.Files.writeString(
+      new java.io.File(path, StatsSidecar).toPath,
+      mapper.writeValueAsString(payload))
+  }
 
   /** Re-open a materialized index (centroids + codebooks are the
-    * driver-sized artifacts persisted alongside). */
+    * driver-sized artifacts persisted alongside). The corpus size
+    * comes back from the stats sidecar; a pre-sidecar layout counts
+    * the (already materialized, codes-only) parquet ONCE here — never
+    * per search. */
   def readIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       centroids: Seq[(Int, Array[Float])],
       codebooks: Array[Array[Array[Float]]], dsub: Int, idCol: String,
-      vecCol: String, residual: Boolean = true): IvfPqIndex =
-    IvfPqIndex(centroids, codebooks, dsub, spark.read.parquet(path),
-      idCol, vecCol, residual)
+      vecCol: String, residual: Boolean = true): IvfPqIndex = {
+    val encoded = spark.read.parquet(path)
+    val sidecar = new java.io.File(path, StatsSidecar)
+    val n =
+      if (sidecar.isFile) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.readValue(sidecar, classOf[java.util.Map[String, Any]])
+          .get("n").toString.toLong
+      } else encoded.count()
+    IvfPqIndex(centroids, codebooks, dsub, encoded, idCol, vecCol,
+      residual, n = n)
+  }
 
   /** Top-k per query: rank centroids (broadcast), keep `nprobe` lists,
     * ADC-score only candidates in those lists. Returns
@@ -246,7 +285,13 @@ object IvfPq {
       corpus: Option[DataFrame] = None): DataFrame = {
     val poolSize =
       if (rerank > 0) k * rerank
-      else autoRefinePool(k, index.encoded.count(),
+      // index.n travels from build/read time — NO Spark job here (a
+      // per-search count() was a metadata job for a materialized index
+      // and a full assign+encode pipeline for an unmaterialized one —
+      // the r11 ADVICE finding). Hand-assembled indexes without n keep
+      // the old one-off count as the documented fallback.
+      else autoRefinePool(k,
+        if (index.n >= 0) index.n else index.encoded.count(),
         index.centroids.size, nprobe)
     val cand = search(index, queries, poolSize, nprobe)
       .select(col("q_id"), col(index.idCol))

@@ -175,6 +175,47 @@ class IvfPqSpec extends SparkSpec {
     assert(refSet == exact)
   }
 
+  test("corpus size n travels with the index: build sets it, the writeIndex sidecar persists it, and the rerank default runs NO job to learn it") {
+    import spark.implicits._
+    // build captures n once
+    assert(index.n == 120, s"build must record the corpus size, got ${index.n}")
+    // writeIndex persists it; readIndex restores it without a count job
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_n").toString
+    IvfPq.writeIndex(index, dir)
+    assert(new java.io.File(dir, "_graft_ivfpq.json").isFile)
+    val reopened = IvfPq.readIndex(spark, dir, index.centroids,
+      index.codebooks, index.dsub, "vec_id", "embedding")
+    assert(reopened.n == 120)
+    val q = vecs.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // the scale-aware default must SIZE R from the carried n — not run
+    // a Spark job over the encoded table per search call (the r11
+    // ADVICE finding: a count() per call, or a full re-encode of an
+    // unmaterialized index). Building the search frame is pure plan
+    // construction: zero jobs.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val planned = IvfPq.searchRerank(reopened, q, k = 5, nprobe = 4,
+        corpus = Some(vecs))
+      Thread.sleep(500) // listener bus is async; any count job is long done
+      assert(jobs.get() == 0,
+        s"searchRerank default ran ${jobs.get()} job(s) while planning")
+      // and the planned frame is the real thing — same rows as the
+      // fresh-index default route
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(key(planned) == key(
+        IvfPq.searchRerank(index, q, k = 5, nprobe = 4)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("search with nprobe=1 stays inside the query's cluster") {
     import spark.implicits._
     val q = vecs.filter(col("vec_id") === 1) // cluster 1
