@@ -82,19 +82,50 @@ object QueriesExt2 {
   /** O2 id-set difference (`pinecone_export.py:198,408`): urgent orders
     * with no returned lineitem, as EXCEPT-distinct semantics —
     * distributed, never a collected id set. Spelled directly as
-    * distinct + anti-join (what Catalyst rewrites EXCEPT to anyway);
-    * an explicit broadcast hint on the exclusion side was measured
-    * SLOWER below the size gate (the build job serializes the DAG) and
-    * at scale AQE converts small sides at runtime. */
-  private def qExceptIds(s: SparkSession, dir: String): DataFrame = {
-    val left = t(s, dir, "orders")
+    * anti-join + distinct (what Catalyst rewrites EXCEPT to anyway;
+    * distinct AFTER the join is set-equivalent and aggregates only the
+    * survivors instead of the whole urgent side).
+    *
+    * Round-12 stage-split findings (exceptids_r12.txt): (a) a left-anti
+    * can only hash-build its RIGHT side, and here that side is the
+    * R-filtered FACT table (~150M keys at 15.7 GiB) — the same
+    * structural fact qAntiMissing encodes, so the exclusion side is
+    * HINTED merge (sort-merge streams both sides; below the at-scale
+    * gate the planner prefers SMJ anyway); (b) both sides live on the
+    * bucketed spine layouts when an ingest wrote them, where the whole
+    * difference — scan, anti zipper, distinct — plans with ZERO
+    * join-key exchanges (the filters preserve per-bucket order, the
+    * distinct's partitioning requirement is satisfied by the bucket
+    * partitioning). An explicit broadcast hint on the exclusion side
+    * was measured SLOWER below the size gate (the build job serializes
+    * the DAG) and at scale the exclusion side scales with the fact
+    * table — never broadcastable. */
+  private def qExceptIds(s: SparkSession, dir: String): DataFrame =
+    idSetOp(s, dir, "left_anti")
+
+  /** Shared spine for q_except_ids / q_intersect_ids — identical
+    * route-selection and join shape, only the join type differs. */
+  private[graft] def idSetOp(s: SparkSession, dir: String,
+      joinType: String): DataFrame = {
+    def spineOpt(name: String, cols: Seq[String]) =
+      QueriesCommon.bucketedTable(s, dir, name)
+        .filter(df => cols.forall(df.columns.contains))
+        .map(_.select(cols.head, cols.tail: _*))
+    val oB = spineOpt("orders", Seq("o_orderkey", "o_orderpriority"))
+    val liB = spineOpt("lineitem", Seq("l_orderkey", "l_returnflag"))
+    // both layouts or neither: a mixed pair would split the plan
+    // across branch sessions (bucketed frames live on the spine fork)
+    val bucketed = oB.isDefined && liB.isDefined
+    val left = (if (bucketed) oB.get
+        else t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("id"))
-    val right = t(s, dir, "lineitem")
+    val right = (if (bucketed) liB.get
+        else t(s, dir, "lineitem").select("l_orderkey", "l_returnflag"))
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("id"))
-    left.distinct()
-      .join(right, Seq("id"), "left_anti")
+    left.join(right.hint("merge"), Seq("id"), joinType)
+      .distinct()
       .orderBy("id")
   }
 

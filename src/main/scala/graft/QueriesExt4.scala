@@ -153,21 +153,13 @@ object QueriesExt4 {
 
   /** INTERSECT set operation (O-algebra completion next to except/
     * union): order keys that are both urgent and had a returned item.
-    * Spelled directly as distinct + semi-join (INTERSECT-distinct
-    * semantics); an explicit broadcast hint on the probe side was
-    * measured SLOWER below the size gate (the build job serializes the
-    * DAG) and at scale AQE converts small sides at runtime. */
-  private def qIntersectIds(s: SparkSession, dir: String): DataFrame = {
-    val left = t(s, dir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey").as("id"))
-    val right = t(s, dir, "lineitem")
-      .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("id"))
-    left.distinct()
-      .join(right, Seq("id"), "left_semi")
-      .orderBy("id")
-  }
+    * Spelled directly as semi-join + distinct (INTERSECT-distinct
+    * semantics) on the SAME route-dependent spine as q_except_ids
+    * (`QueriesExt2.idSetOp` — bucketed zero-exchange zipper when the
+    * layouts exist, merge-hinted shuffled SMJ otherwise; see the
+    * round-12 stage-split notes there). */
+  private def qIntersectIds(s: SparkSession, dir: String): DataFrame =
+    QueriesExt2.idSetOp(s, dir, "left_semi")
 
   /** SimHash through an engine-neutral hash: a 16-bit simhash built
     * from md5 nibbles, so the CONSTRUCTION (tokenize → per-bit vote →

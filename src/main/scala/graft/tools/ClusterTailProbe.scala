@@ -111,7 +111,12 @@ object ClusterTailProbe {
     }
 
     println(s"# master=$master execMem=$execMem dir=$dir passes=$passes")
-    for (q <- Seq("q_semi_idlist", "q_join_agg", "q_anti_missing")) {
+    // query set overridable: GRAFT_TAIL_QUERIES=q_a,q_b (round 12 runs
+    // the EXCEPT/INTERSECT pair through the same histogram)
+    val queryList = sys.env.get("GRAFT_TAIL_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("q_semi_idlist", "q_join_agg", "q_anti_missing"))
+    for (q <- queryList) {
       var best = Double.MaxValue
       for (pass <- 1 to passes) {
         agg.reset()
