@@ -47,7 +47,10 @@ object Cli {
       // Vertex AI names three distinct resources (index, endpoint,
       // deployed index); default stays the stub's 1:1 collapse
       vertexEndpointId = a.flags.getOrElse("endpoint_id", "default"),
-      vertexDeployedIndexId = a.flags.get("deployed_index_id"))
+      vertexDeployedIndexId = a.flags.get("deployed_index_id"),
+      // --batch_size: wire page/batch rows (the reference CLI's
+      // batch_size knob); 0 = per-dialect defaults
+      batchSize = a.flags.get("batch_size").map(_.toInt).getOrElse(0))
 
   final case class Args(positional: List[String], flags: Map[String, String])
 

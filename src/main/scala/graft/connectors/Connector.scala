@@ -43,6 +43,11 @@ trait VdbImporter {
   * partition — the executor-side half of every sink connector. */
 object UpsertPolicy {
 
+  /** Process-wide count of batch-shrink events — the observability the
+    * migration bench reports ("shrink events" per leg). Monotonic;
+    * callers diff before/after. */
+  val shrinkEvents = new java.util.concurrent.atomic.AtomicLong()
+
   /** Iterate `rows` in batches of `batchSize`, calling `write`; on
     * failure shrink the batch ×2/3 and RE-SPLIT the failed rows at the
     * new size before retrying (the Pinecone/Milvus/KDB policy,
@@ -71,6 +76,7 @@ object UpsertPolicy {
           case e: Exception =>
             if (current > minBatch) {
               current = math.max(minBatch, current * 2 / 3)
+              shrinkEvents.incrementAndGet()
               failures = 0 // shrinking resets the retry budget
             } else {
               failures += 1

@@ -41,8 +41,13 @@ import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers,
   * the two places the TLV fallback had to approximate with payload
   * fields 15/14. */
 object GrpcH2Client {
-  private lazy val group =
-    new MultiThreadIoEventLoopGroup(2, NioIoHandler.newFactory())
+  // DAEMON event-loop threads: the client group is a process-lifetime
+  // singleton with no close hook, and netty's default (non-daemon)
+  // threads pin the JVM alive after main returns (found by the r12
+  // migration bench hanging at exit)
+  private lazy val group = new MultiThreadIoEventLoopGroup(2,
+    new io.netty.util.concurrent.DefaultThreadFactory("graft-h2-client", true),
+    NioIoHandler.newFactory())
 
   private[wire] val conns = new ConcurrentHashMap[String, Channel]()
 

@@ -29,8 +29,19 @@ import graft.core.{Constants, Metric}
 final class WireCliConnector(dialectName: String, url: String,
     collections: Seq[String], apiKey: Option[String] = None,
     vertexEndpointId: String = "default",
-    vertexDeployedIndexId: Option[String] = None)
+    vertexDeployedIndexId: Option[String] = None,
+    /** page/batch size on the wire (`--batch_size`, the reference's
+      * CLI knob — `export_vdf_cli.py` batch_size). 0 = per-dialect
+      * defaults (1000 offset pages, 500 cursor pages). The r12
+      * migration bench (wire_migration_r12.txt) measured the serial
+      * scroll export leg at 16.6k rows/s on 1000-row pages vs 115k on
+      * 10000-row pages — per-page overhead, not bandwidth, bounds a
+      * cursor scan. */
+    batchSize: Int = 0)
     extends VdbExporter with VdbImporter {
+
+  private def pageSize(dialectDefault: Int): Int =
+    if (batchSize > 0) batchSize else dialectDefault
 
   import WireCliConnector.CursorNames
 
@@ -81,16 +92,17 @@ final class WireCliConnector(dialectName: String, url: String,
     dialectName match {
       case "astra" =>
         AstraWire(url, apiKey = key)
-          .scan(spark, index, fetchSize = 500, wantVector = true)
+          .scan(spark, index, fetchSize = pageSize(500), wantVector = true)
       case "turbopuffer" =>
-        TurbopufferWire(url, key).scan(spark, index, limit = 500,
+        TurbopufferWire(url, key).scan(spark, index, limit = pageSize(500),
           includeVectors = true)
       case "weaviate" =>
-        WeaviateWire(url, key).scan(spark, index, limit = 500,
+        WeaviateWire(url, key).scan(spark, index, limit = pageSize(500),
           includeVector = true)
       case "vertex" =>
         vertex.scan(spark, index, deployedIndexId = deployedId(index))
-      case d => WireVdb.read(spark, d, url, index, apiKey = key)
+      case d => WireVdb.read(spark, d, url, index,
+        batchSize = pageSize(1000), apiKey = key)
     }
 
   /** Does a collection hold data? The common surface has no true
@@ -139,14 +151,18 @@ final class WireCliConnector(dialectName: String, url: String,
       .observe(obs, count(lit(1)).as("rows"))
     dialectName match {
       case "astra" =>
-        AstraWire(url, apiKey = key).write(shaped, index, batchSize = 500)
+        AstraWire(url, apiKey = key).write(shaped, index,
+          batchSize = pageSize(500))
       case "turbopuffer" =>
-        TurbopufferWire(url, key).write(shaped, index, batchSize = 500)
+        TurbopufferWire(url, key).write(shaped, index,
+          batchSize = pageSize(500))
       case "weaviate" =>
-        WeaviateWire(url, key).write(shaped, index, batchSize = 500)
+        WeaviateWire(url, key).write(shaped, index,
+          batchSize = pageSize(500))
       case "vertex" =>
-        vertex.write(shaped, index, batchSize = 500)
-      case d => WireVdb.write(shaped, d, url, index, apiKey = key)
+        vertex.write(shaped, index, batchSize = pageSize(500))
+      case d => WireVdb.write(shaped, d, url, index,
+        batchSize = pageSize(1000), apiKey = key)
     }
     obs.get("rows").asInstanceOf[Long]
   }

@@ -108,7 +108,16 @@ final class WireStubServer(tls: Boolean = false) {
   val url: String =
     s"${if (tls) "https" else "http"}://127.0.0.1:${server.getAddress.getPort}"
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    server.stop(0)
+    // the handler pool's threads are non-daemon: left running they pin
+    // the JVM alive after main exits (found by the round-12 migration
+    // bench hanging at process exit)
+    server.getExecutor match {
+      case es: java.util.concurrent.ExecutorService => es.shutdown()
+      case _ => ()
+    }
+  }
 
   def collectionSize(c: String): Int = synchronized {
     Option(store.get(c)).map(_._2.size).getOrElse(0)
@@ -133,9 +142,21 @@ final class WireStubServer(tls: Boolean = false) {
       : Seq[(String, Seq[Double], Map[String, String])] = synchronized {
     val col = store.get(c)
     require(col != null, s"no such collection $c")
-    import scala.jdk.CollectionConverters._
-    col._2.entrySet().asScala.toSeq.slice(offset, offset + limit)
-      .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+    // iterate, don't materialize: entrySet().toSeq copied the WHOLE
+    // store per page — O(n²/limit) across a scan, found by the r12
+    // migration bench (1M-row export leg 28k → 7.9k rows/s). Skipping
+    // offset entries on the live iterator is the linked-map analogue
+    // of a segment seek.
+    val it = col._2.entrySet().iterator()
+    var skip = offset
+    while (skip > 0 && it.hasNext) { it.next(); skip -= 1 }
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Double], Map[String, String])]
+    while (buf.size < limit && it.hasNext) {
+      val e = it.next()
+      buf += ((e.getKey, e.getValue._1, e.getValue._2))
+    }
+    buf.toSeq
   }
 
   private def byIds(c: String, ids: Seq[String])
@@ -151,14 +172,20 @@ final class WireStubServer(tls: Boolean = false) {
       : Seq[(String, Seq[Double], Map[String, String])] = synchronized {
     val col = store.get(c)
     require(col != null, s"no such collection $c")
-    import scala.jdk.CollectionConverters._
-    val all = col._2.entrySet().asScala.toSeq
-    val from = after match {
-      case None => 0
-      case Some(id) => all.indexWhere(_.getKey == id) + 1
+    // same no-materialize treatment as `page`: walk to the cursor id,
+    // then take limit — never copy the whole store per page
+    val it = col._2.entrySet().iterator()
+    after.foreach { id =>
+      var found = false
+      while (!found && it.hasNext) found = it.next().getKey == id
     }
-    all.slice(from, from + limit)
-      .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Seq[Double], Map[String, String])]
+    while (buf.size < limit && it.hasNext) {
+      val e = it.next()
+      buf += ((e.getKey, e.getValue._1, e.getValue._2))
+    }
+    buf.toSeq
   }
 
   // ------------------------------------------------------------------
