@@ -104,6 +104,10 @@ object Cli {
         |                      "default")
         |  --deployed_index_id D  vertex only: deployed-index id
         |                      (default: the collection name)
+        |  --batch_size N      wire page size (rows per scroll/list page;
+        |                      default: per-dialect — 1000 offset pages,
+        |                      500 cursor pages). Page overhead, not
+        |                      bandwidth, bounds a serial cursor scan
         |  --out VDF_DIR       output VDF directory
         |  --max_file_rows N   rows per parquet chunk file (default: engine)
         |  --bucket_by COL:N   write each namespace bucketed by COL into
@@ -131,6 +135,9 @@ object Cli {
         |                      "default")
         |  --deployed_index_id D  vertex only: deployed-index id
         |                      (default: the collection name)
+        |  --batch_size N      wire upsert batch rows (default:
+        |                      per-dialect — 1000 offset, 500 cursor);
+        |                      shrinks ×2/3 on 429/500/413 either way
         |  --create_new        always create a fresh index (name-N suffixing)""".stripMargin
     case "reembed" =>
       """usage: graft reembed --dir VDF_DIR --index I --model M --text_column C
