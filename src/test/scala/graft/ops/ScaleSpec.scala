@@ -77,7 +77,8 @@ class ScaleSpec extends SparkSpec {
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$dir/$tbl.parquet"),
         java.nio.file.Paths.get(s"$sf/$tbl.parquet"))
-    val spine = Seq("q_join_agg", "q_semi_idlist", "q_anti_missing")
+    val spine = Seq("q_join_agg", "q_semi_idlist", "q_anti_missing",
+      "q_except_ids", "q_intersect_ids")
     def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
     // keep the spine joins real even at this tiny scale — the branch
     // override property is how probe tools flip planner confs on the
@@ -94,7 +95,8 @@ class ScaleSpec extends SparkSpec {
         assert(plan.contains("SelectedBucketsCount") ||
           plan.contains("Bucketed: true"), s"$q not reading buckets:\n$plan")
         // ...and the join key never exchanges on the bucketed route
-        val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey)"
+        // `id` is the EXCEPT/INTERSECT spine's alias of the bucket key
+        val exchanges = "Exchange hashpartitioning\\((l_orderkey|o_orderkey|id)"
           .r.findAllIn(plan).size
         assert(exchanges == 0, s"$q exchanges on the bucketed route:\n$plan")
         assert(routed.collect().map(_.toString).toSeq == plainRows,
