@@ -46,6 +46,12 @@ object Ivf {
   def build(vecs: DataFrame, idCol: String, vecCol: String, nlist: Int,
       seed: Long = 42L, sampleFraction: Double = 1.0,
       maxIter: Int = 20, trainCap: Int = 65536): IvfIndex = {
+    // NOTE (r12): do NOT try to observe the corpus count on this
+    // training pass — an Observation below a global sort double-counts
+    // (the range partitioner's boundary-SAMPLING pass re-executes the
+    // subtree; measured exactly 2× on a local relation where
+    // EliminateLimits drops the top-k and the sort plans a range
+    // exchange). IvfPq.build pays one explicit count job instead.
     val src = vecs.select(col(idCol), col(vecCol).cast("array<float>").as(vecCol))
       .filter(col(vecCol).isNotNull)
     val sampled =

@@ -73,9 +73,12 @@ object IvfPq {
       trainCap: Int = 16384, residual: Boolean = true): IvfPqIndex = {
     val ivf = Ivf.build(vecs, idCol, vecCol, nlist, seed, sampleFraction,
       maxIter, trainCap)
-    // corpus size, captured ONCE at build (a count-only scan —
-    // parquet answers it from row-group metadata): the scale-aware
-    // rerank default consumes it instead of running a job per search
+    // corpus size, captured ONCE at build (a count-only scan — parquet
+    // answers it from row-group metadata): the scale-aware rerank
+    // default consumes it instead of running a job per search. NOT
+    // observed on the training pass: an Observation below a global
+    // sort double-counts (the range partitioner's boundary-sampling
+    // pass re-executes the subtree — measured exactly 2×).
     val n = vecs.count()
     if (!residual) {
       val pq = Pq.build(ivf.assigned, idCol, vecCol, dim, m, ksub, seed,
