@@ -231,6 +231,19 @@ object QueriesCommon {
     else graft.ops.Scale.readBucketedDir(spineBranchFor(s, dir), path)
   }
 
+  /** The bucketed layout of `name` carrying at least `cols`, projected
+    * to them — None when the layout is absent, stale (source
+    * fingerprint mismatch), or missing a needed column; callers fall
+    * back to the plain route. SINGLE-SOURCED route selection for every
+    * spine query (SparkEntry's joins, the EXCEPT/INTERSECT set ops) so
+    * a change to the routing contract cannot silently apply to one
+    * query family and not another. */
+  def spineOpt(s: SparkSession, dir: String, name: String,
+      cols: Seq[String]): Option[DataFrame] =
+    bucketedTable(s, dir, name)
+      .filter(df => cols.forall(df.columns.contains))
+      .map(_.select(cols.head, cols.tail: _*))
+
   private def configureBranch(s: SparkSession, atScale: Boolean,
       shufflePartitions: Long, sizeCls: Int,
       noRuntimeFilter: Boolean = false): Unit = {

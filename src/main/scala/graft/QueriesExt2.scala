@@ -107,12 +107,10 @@ object QueriesExt2 {
     * route-selection and join shape, only the join type differs. */
   private[graft] def idSetOp(s: SparkSession, dir: String,
       joinType: String): DataFrame = {
-    def spineOpt(name: String, cols: Seq[String]) =
-      QueriesCommon.bucketedTable(s, dir, name)
-        .filter(df => cols.forall(df.columns.contains))
-        .map(_.select(cols.head, cols.tail: _*))
-    val oB = spineOpt("orders", Seq("o_orderkey", "o_orderpriority"))
-    val liB = spineOpt("lineitem", Seq("l_orderkey", "l_returnflag"))
+    val oB = QueriesCommon.spineOpt(s, dir, "orders",
+      Seq("o_orderkey", "o_orderpriority"))
+    val liB = QueriesCommon.spineOpt(s, dir, "lineitem",
+      Seq("l_orderkey", "l_returnflag"))
     // both layouts or neither: a mixed pair would split the plan
     // across branch sessions (bucketed frames live on the spine fork)
     val bucketed = oB.isDefined && liB.isDefined

@@ -37,9 +37,7 @@ object SparkEntry {
     * key plans with zero exchanges (asserted in ScaleSpec). */
   private def spineOpt(s: SparkSession, dir: String, name: String,
       cols: Seq[String]): Option[DataFrame] =
-    QueriesCommon.bucketedTable(s, dir, name)
-      .filter(df => cols.forall(df.columns.contains))
-      .map(_.select(cols.head, cols.tail: _*))
+    QueriesCommon.spineOpt(s, dir, name, cols)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

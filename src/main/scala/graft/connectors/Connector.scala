@@ -43,9 +43,14 @@ trait VdbImporter {
   * partition — the executor-side half of every sink connector. */
 object UpsertPolicy {
 
-  /** Process-wide count of batch-shrink events — the observability the
+  /** Per-JVM count of batch-shrink events — the observability the
     * migration bench reports ("shrink events" per leg). Monotonic;
-    * callers diff before/after. */
+    * callers diff before/after. NOTE: shrinks happen where the write
+    * runs — in local mode (the bench, the CLI) that is this JVM, so a
+    * driver-side diff sees everything; on a real cluster the
+    * increments land on EXECUTOR JVMs and a driver read stays 0 (use
+    * executor logs/metrics there — a cluster-visible counter would be
+    * a LongAccumulator, which a static policy object cannot own). */
   val shrinkEvents = new java.util.concurrent.atomic.AtomicLong()
 
   /** Iterate `rows` in batches of `batchSize`, calling `write`; on

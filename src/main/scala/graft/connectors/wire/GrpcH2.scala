@@ -109,7 +109,11 @@ object GrpcH2Client {
         // close whatever this entry replaces: the inactive channel
         // under the same key, and any channel to the same endpoint
         // dialed under superseded TLS knobs — replaced channels must
-        // not leak their event-loop registrations
+        // not leak their event-loop registrations. In-flight RPCs on a
+        // superseded-trust channel fail fast (stream closed before
+        // trailers) BY DESIGN: once the operator changes the trust
+        // material, completing calls over the old trust would be
+        // wrong; callers retry on the fresh channel.
         import scala.jdk.CollectionConverters._
         conns.entrySet().asScala.toList
           .filter(_.getKey.startsWith(endpoint + "|"))

@@ -100,7 +100,8 @@ final class WireCliConnector(dialectName: String, url: String,
         WeaviateWire(url, key).scan(spark, index, limit = pageSize(500),
           includeVector = true)
       case "vertex" =>
-        vertex.scan(spark, index, deployedIndexId = deployedId(index))
+        vertex.scan(spark, index, deployedIndexId = deployedId(index),
+          batchSize = pageSize(500))
       case d => WireVdb.read(spark, d, url, index,
         batchSize = pageSize(1000), apiKey = key)
     }

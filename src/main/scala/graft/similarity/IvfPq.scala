@@ -152,12 +152,20 @@ object IvfPq {
   def writeIndex(index: IvfPqIndex, path: String): Unit = {
     index.encoded.select(col(index.idCol), col("codes"), col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // sidecar through the HADOOP filesystem, not java.io: the parquet
+    // write above accepts hdfs://-style paths, and the sidecar must land
+    // on the same filesystem (a local-File write would throw — or
+    // worse, write somewhere local — for any distributed path)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload = new java.util.LinkedHashMap[String, Any]()
     payload.put("n", java.lang.Long.valueOf(index.n))
-    java.nio.file.Files.writeString(
-      new java.io.File(path, StatsSidecar).toPath,
-      mapper.writeValueAsString(payload))
+    val p = new org.apache.hadoop.fs.Path(path, StatsSidecar)
+    val fs = p.getFileSystem(
+      index.encoded.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsString(payload)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Re-open a materialized index (centroids + codebooks are the
@@ -170,12 +178,17 @@ object IvfPq {
       codebooks: Array[Array[Array[Float]]], dsub: Int, idCol: String,
       vecCol: String, residual: Boolean = true): IvfPqIndex = {
     val encoded = spark.read.parquet(path)
-    val sidecar = new java.io.File(path, StatsSidecar)
+    val p = new org.apache.hadoop.fs.Path(path, StatsSidecar)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val n =
-      if (sidecar.isFile) {
+      if (fs.exists(p)) {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        mapper.readValue(sidecar, classOf[java.util.Map[String, Any]])
+        // FSDataInputStream is both DataInput and InputStream — pin
+        // the jackson overload
+        val in: java.io.InputStream = fs.open(p)
+        try mapper.readValue(in, classOf[java.util.Map[String, Any]])
           .get("n").toString.toLong
+        finally in.close()
       } else encoded.count()
     IvfPqIndex(centroids, codebooks, dsub, encoded, idCol, vecCol,
       residual, n = n)
