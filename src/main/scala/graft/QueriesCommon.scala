@@ -49,12 +49,14 @@ object QueriesCommon {
 
   private def totalBytes(dir: String): Long =
     dirBytes.computeIfAbsent(dir, d => {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles match {
-          case null => 0L
-          case kids => kids.map(walk).sum
-        } else f.length
-      walk(new java.io.File(d))
+      // HADOOP walk, not java.io: on a cluster the inputs live on
+      // hdfs://-style filesystems where a java.io walk silently
+      // returns 0 — which would put every 100 TB input on the
+      // BELOW-gate branch (AQE off, minimal fan-out). Identical
+      // totals for local paths.
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     })
 
   /** On-disk bytes of ONE table's parquet path — the cheap driver-side
@@ -221,7 +223,7 @@ object QueriesCommon {
   def bucketedTable(s: SparkSession, dir: String,
       name: String): Option[DataFrame] = {
     val path = s"$dir/_bucketed/$name"
-    if (!new java.io.File(path, graft.ops.Scale.BucketSidecar).isFile) None
+    if (!graft.ops.Scale.hasSidecar(path)) None
     // freshness link to the source: a layout whose sidecar recorded a
     // source fingerprint at ingest is only routed while the source
     // parquet still matches it — a regenerated `<dir>/<name>.parquet`

@@ -77,8 +77,15 @@ object Scale {
     * anywhere — the file-level analogue of a Hive metastore row. */
   val BucketSidecar = "_graft_bucket.json"
 
+  /** Canonical location string: URI paths (hdfs://…, s3a://…) pass
+    * through; bare local paths absolutize so the derived table name
+    * and LOCATION are stable across working directories. */
+  private[graft] def canonicalPath(path: String): String =
+    if (path.contains("://")) path
+    else new java.io.File(path).getAbsolutePath
+
   private[graft] def bucketTableName(path: String): String = {
-    val abs = new java.io.File(path).getAbsolutePath
+    val abs = canonicalPath(path)
     // stable, identifier-safe, unique per location
     val tail = abs.replaceAll("[^A-Za-z0-9]", "_").takeRight(32)
     f"graft_bkt_${abs.hashCode & 0x7fffffff}%08x_$tail"
@@ -104,10 +111,9 @@ object Scale {
     df.repartition(buckets, col(key))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
-      .option("path", new java.io.File(path).getAbsolutePath)
+      .option("path", canonicalPath(path))
       .format("parquet")
       .saveAsTable(name)
-    val sidecar = new java.io.File(path, BucketSidecar)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload = new java.util.LinkedHashMap[String, Any]()
     payload.put("key", key)
@@ -118,8 +124,14 @@ object Scale {
     // `bucketedTable` re-fingerprints the source and falls back to the
     // plain route on mismatch instead of serving stale rows
     sourceFp.foreach(payload.put("source_fp", _))
-    java.nio.file.Files.writeString(sidecar.toPath,
-      mapper.writeValueAsString(payload))
+    // sidecar through the HADOOP filesystem, like the table files it
+    // describes — a layout on hdfs://-style storage carries it too
+    val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
+    val fs = sp.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(sp, true)
+    try out.write(mapper.writeValueAsString(payload)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Cheap driver-side fingerprint of a source parquet path (file or
@@ -134,37 +146,64 @@ object Scale {
     * pass — but any real regeneration (BigGen, a fresh export) changes
     * it, which is the staleness the `_bucketed` twin needs to detect. */
   def sourceFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    def walk(x: java.io.File): Seq[java.io.File] =
-      if (x.isDirectory)
-        Option(x.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-          .filter(k => !k.getName.startsWith("_") && !k.getName.startsWith("."))
-          .flatMap(walk)
-      else if (x.isFile) Seq(x)
-      else Seq.empty
+    // HADOOP filesystem walk (r12): a source on hdfs://-style storage
+    // must fingerprint like a local one. Local descriptors are
+    // byte-identical to the java.io form this replaces (relative
+    // path : length : mtime-millis), so sidecars recorded before the
+    // change stay fresh.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def walk(d: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(d).toSeq
+        .filter(s => !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
     val desc =
-      if (f.isDirectory) {
-        val root = f.toPath
-        walk(f)
-          .map(x => (root.relativize(x.toPath).toString, x))
-          .sortBy(_._1)
-          .map { case (rel, x) => s"$rel:${x.length}:${x.lastModified}" }
-          .mkString("|")
-      } else if (f.isFile) s"${f.getName}:${f.length}:${f.lastModified}"
-      else ""
+      if (!fs.exists(p)) ""
+      else {
+        val st = fs.getFileStatus(p)
+        if (st.isDirectory) {
+          val rootPrefix = st.getPath.toString + "/"
+          walk(st.getPath)
+            .map(s => (s.getPath.toString.stripPrefix(rootPrefix), s))
+            .sortBy(_._1)
+            .map { case (rel, s) =>
+              s"$rel:${s.getLen}:${s.getModificationTime}" }
+            .mkString("|")
+        } else s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+      }
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(desc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     d.map("%02x".format(_)).mkString
   }
 
-  /** The `source_fp` a sidecar recorded at ingest, if any. */
-  def sidecarSourceFp(path: String): Option[String] = {
-    val sidecar = new java.io.File(path, BucketSidecar)
-    if (!sidecar.isFile) return None
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val meta = mapper.readValue(sidecar, classOf[java.util.Map[String, Any]])
-    Option(meta.get("source_fp")).map(_.toString)
+  /** The parsed sidecar of a bucketed layout, through the HADOOP
+    * filesystem (None when absent). */
+  private def readSidecar(path: String): Option[java.util.Map[String, Any]] = {
+    val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
+    val fs = sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(sp)) None
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      // FSDataInputStream is both DataInput and InputStream — pin the
+      // jackson overload
+      val in: java.io.InputStream = fs.open(sp)
+      try Some(mapper.readValue(in, classOf[java.util.Map[String, Any]]))
+      finally in.close()
+    }
   }
+
+  /** Does `path` carry a bucket sidecar (i.e. IS it a self-describing
+    * bucketed layout)? */
+  def hasSidecar(path: String): Boolean = {
+    val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
+    sp.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(sp)
+  }
+
+  /** The `source_fp` a sidecar recorded at ingest, if any. */
+  def sidecarSourceFp(path: String): Option[String] =
+    readSidecar(path).flatMap(m => Option(m.get("source_fp")).map(_.toString))
 
   /** Open a layout written by `writeBucketedDir` WITH its bucket
     * metadata: registers the external table from the sidecar (CREATE
@@ -173,17 +212,17 @@ object Scale {
     * directory carries no sidecar — callers fall back to the plain
     * parquet read. */
   def readBucketedDir(spark: SparkSession, path: String): Option[DataFrame] = {
-    val sidecar = new java.io.File(path, BucketSidecar)
-    if (!sidecar.isFile) return None
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val meta = mapper.readValue(sidecar, classOf[java.util.Map[String, Any]])
+    val meta = readSidecar(path) match {
+      case None => return None
+      case Some(m) => m
+    }
     val key = meta.get("key").toString
     val buckets = meta.get("buckets").toString.toInt
     val ddl = meta.get("schema_ddl").toString
     val name = bucketTableName(path)
     // SQL string literal: escape embedded single quotes (a path like
     // /data/o'brien otherwise breaks — or worse, reshapes — the DDL)
-    val loc = new java.io.File(path).getAbsolutePath.replace("'", "''")
+    val loc = canonicalPath(path).replace("'", "''")
     if (!spark.catalog.tableExists(name))
       spark.sql(
         s"""CREATE TABLE IF NOT EXISTS $name ($ddl)
