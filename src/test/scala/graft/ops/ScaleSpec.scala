@@ -127,6 +127,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("the layout machinery works through filesystem URIs (Hadoop FS, not java.io)") {
+    import spark.implicits._
+    // file:// is the in-sandbox stand-in for hdfs://-style storage: a
+    // java.io.File of this string is NOT a valid local path, so every
+    // assert below fails unless the sidecar write/read, fingerprint,
+    // and LOCATION all go through the Hadoop filesystem API
+    val local = java.nio.file.Files.createTempDirectory("bkturi")
+    val dir = "file://" + local.resolve("layout").toString
+    val src = "file://" + local.resolve("src.parquet").toString
+    val df = (0 until 300).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.write.parquet(src)
+    val fp = Scale.sourceFingerprint(src)
+    assert(fp.nonEmpty && fp == Scale.sourceFingerprint(src)) // stable
+    Scale.writeBucketedDir(spark.read.parquet(src), dir, "id", buckets = 2,
+      sourceFp = Some(fp))
+    assert(Scale.hasSidecar(dir))
+    assert(Scale.sidecarSourceFp(dir).contains(fp))
+    spark.sql(s"DROP TABLE IF EXISTS ${Scale.bucketTableName(dir)}")
+    val back = Scale.readBucketedDir(spark, dir).get
+    assert(back.count() == 300)
+    // and the URI path did not absolutize into a bogus local path
+    assert(Scale.canonicalPath(dir) == dir)
+  }
+
   test("readBucketedDir registers a LOCATION containing a single quote") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("bktq")
