@@ -19,6 +19,18 @@ import scala.jdk.CollectionConverters._
   * the manual 100 MB buffer flush, `constants.py:3`,
   * `pinecone_export.py:564-571`) with the manifest written on the
   * driver after the distributed write completes.
+  *
+  * FILESYSTEM BOUNDARY (deliberate): a VDF dataset DIRECTORY — the
+  * manifest, the consolidate/write-new-then-SWAP lifecycle, version
+  * bumps — is a local/shared-filesystem artifact, exactly like the
+  * reference's (the Python tool writes local dirs; `java.nio` rename
+  * semantics are what makes the swap atomic-adjacent). The QUERY and
+  * WAREHOUSE paths are filesystem-agnostic: parquet scans, the
+  * `_bucketed` layouts and their sidecars/fingerprints, the IVF-PQ
+  * index layouts, and the at-scale gate statistic all go through the
+  * Hadoop FS API and accept `hdfs://`-style URIs. A 100 TB deployment
+  * keeps datasets on the cluster filesystem and uses VDF dirs at the
+  * import/export boundary, as the reference does.
   */
 object VdfIO {
 
