@@ -53,9 +53,11 @@ object QueriesCommon {
       // hdfs://-style filesystems where a java.io walk silently
       // returns 0 — which would put every 100 TB input on the
       // BELOW-gate branch (AQE off, minimal fan-out). Identical
-      // totals for local paths.
+      // totals for local paths. Resolved with the SESSION Hadoop conf
+      // (r13 ADVICE): a store whose credentials/endpoint live in
+      // `spark.hadoop.*` must gate the same as a local one.
       val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = p.getFileSystem(graft.ops.Scale.activeHadoopConf())
       if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
     })
 

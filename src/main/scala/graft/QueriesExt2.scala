@@ -118,10 +118,22 @@ object QueriesExt2 {
         else t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("id"))
-    val right = (if (bucketed) liB.get
+    val rightRaw = (if (bucketed) liB.get
         else t(s, dir, "lineitem").select("l_orderkey", "l_returnflag"))
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("id"))
+    // The fact side's shape is ROUTE-DEPENDENT, exactly as in
+    // qAntiMissing: anti/semi joins consult key EXISTENCE only, so a
+    // distinct on the fact side is set-neutral. Shuffled route:
+    // distinct FIRST — lineitem carries ~4 rows per order, the
+    // map-side partial aggregate collapses the join exchange ~4× and
+    // the join reuses the aggregation's hash partitioning (A/B at
+    // 1.4 GiB with the layouts removed, idsetop_plain_r13.txt).
+    // Bucketed route: NO distinct — the layout is co-located and
+    // per-bucket sorted, the merge zipper streams the scan directly; a
+    // distinct there only ADDS a hash aggregate to shrink an exchange
+    // that no longer exists (the round-10 EXCEPT lesson).
+    val right = if (bucketed) rightRaw else rightRaw.distinct()
     left.join(right.hint("merge"), Seq("id"), joinType)
       .distinct()
       .orderBy("id")

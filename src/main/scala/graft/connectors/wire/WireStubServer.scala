@@ -178,6 +178,13 @@ final class WireStubServer(tls: Boolean = false) {
     after.foreach { id =>
       var found = false
       while (!found && it.hasNext) found = it.next().getKey == id
+      // an unknown cursor (e.g. the cursor row deleted mid-scan) must
+      // FAIL, not exhaust the iterator into an empty page — a silent
+      // truncation the client would read as normal end-of-scan. Real
+      // scroll APIs error on an invalid cursor the same way (r12
+      // ADVICE; the pre-r12 behavior of restarting from index 0 was
+      // equally wrong — duplicated the whole scan prefix).
+      require(found, s"unknown cursor id '$id' in collection $c")
     }
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[(String, Seq[Double], Map[String, String])]

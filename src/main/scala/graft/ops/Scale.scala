@@ -77,6 +77,22 @@ object Scale {
     * anywhere — the file-level analogue of a Hive metastore row. */
   val BucketSidecar = "_graft_bucket.json"
 
+  /** The Hadoop conf every driver-side metadata READ resolves its
+    * filesystem with: the active session's, falling back to a bare
+    * `Configuration` only when no session exists (plain unit tests).
+    * The WRITE paths (`writeBucketedDir`, `IvfPq.writeIndex`) already
+    * use `spark.sessionState.newHadoopConf()`; a read path built on a
+    * bare `new Configuration()` would miss every setting supplied as
+    * `spark.hadoop.*` (s3a credentials/endpoint, fs.defaultFS, custom
+    * FS impls) — the layout WRITE would succeed and the freshness READ
+    * would throw or see nothing, so the layout silently never routes
+    * (the r12 ADVICE finding). */
+  private[graft] def activeHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Canonical location string: URI paths (hdfs://…, s3a://…) pass
     * through; bare local paths absolutize so the derived table name
     * and LOCATION are stable across working directories. */
@@ -144,15 +160,65 @@ object Scale {
     * the sidecars that recorded them) are unchanged. Not a content
     * hash — a rewrite that preserves every byte AND every mtime would
     * pass — but any real regeneration (BigGen, a fresh export) changes
-    * it, which is the staleness the `_bucketed` twin needs to detect. */
+    * it, which is the staleness the `_bucketed` twin needs to detect.
+    *
+    * MEMOIZED per canonical path (r13): the recursive walk + md5 is a
+    * SERIAL driver stage — trivial at 32 files, multi-second at a
+    * 100 TB layout's 10⁵–10⁶ source files — and `bucketedTable` used
+    * to pay it once per spine table per QUERY. Each call now does ONE
+    * `getFileStatus` of the root and re-walks only when the root's own
+    * (mtime, length, isDir) status changed since the cached walk.
+    * Staleness bound: any real regeneration replaces the source
+    * directory (delete + recreate, or files created/removed directly
+    * under it), which updates the root status → re-walk. A mutation
+    * INVISIBLE on the root status — an in-place rewrite of a nested
+    * leaf file that leaves the root untouched — is not detected until
+    * the process restarts or the cache is cleared
+    * (`invalidateFingerprints()`); that bound is deliberate: detecting
+    * it would require exactly the full walk the cache exists to
+    * avoid. */
   def sourceFingerprint(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(canonicalPath(path))
+    val fs = p.getFileSystem(activeHadoopConf())
+    val rootKey: String =
+      if (!fs.exists(p)) "absent"
+      else {
+        val st = fs.getFileStatus(p)
+        s"${st.isDirectory}:${st.getLen}:${st.getModificationTime}"
+      }
+    val cached = fingerprintCache.get(p.toString)
+    if (cached != null && cached._1 == rootKey) cached._2
+    else {
+      val fp = walkFingerprint(fs, p)
+      fingerprintCache.put(p.toString, (rootKey, fp))
+      fp
+    }
+  }
+
+  /** Fingerprint-walk count (diagnostics/spec hook: the memoization
+    * contract is "one walk per source path per change", asserted by
+    * ScaleSpec). */
+  private[graft] val fingerprintWalks =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val fingerprintCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Drop every memoized fingerprint — the manual invalidation story
+    * for the one mutation class the root-status check cannot see (an
+    * in-place nested rewrite; see `sourceFingerprint`). */
+  def invalidateFingerprints(): Unit = fingerprintCache.clear()
+
+  /** The full recursive walk + md5 behind `sourceFingerprint` — always
+    * recomputes; the public entry memoizes it on the root status. */
+  private def walkFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    fingerprintWalks.incrementAndGet()
     // HADOOP filesystem walk (r12): a source on hdfs://-style storage
     // must fingerprint like a local one. Local descriptors are
     // byte-identical to the java.io form this replaces (relative
     // path : length : mtime-millis), so sidecars recorded before the
     // change stay fresh.
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     def walk(d: org.apache.hadoop.fs.Path)
         : Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(d).toSeq
@@ -182,7 +248,7 @@ object Scale {
     * filesystem (None when absent). */
   private def readSidecar(path: String): Option[java.util.Map[String, Any]] = {
     val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
-    val fs = sp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = sp.getFileSystem(activeHadoopConf())
     if (!fs.exists(sp)) None
     else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -198,7 +264,7 @@ object Scale {
     * bucketed layout)? */
   def hasSidecar(path: String): Boolean = {
     val sp = new org.apache.hadoop.fs.Path(path, BucketSidecar)
-    sp.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(sp)
+    sp.getFileSystem(activeHadoopConf()).exists(sp)
   }
 
   /** The `source_fp` a sidecar recorded at ingest, if any. */

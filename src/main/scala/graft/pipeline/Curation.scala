@@ -1,0 +1,159 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueriesCommon
+import graft.functions.{TextFunctions => TF}
+
+/** The COMPOSED training-data curation pipeline: the individual
+  * operators this engine already ships (quality filter, exact dedup,
+  * MinHash-LSH near-dedup, leak-free decontamination split, per-source
+  * token budget, sequence packing), chained as ONE dataflow — what a
+  * real 100 TB curation run executes, as opposed to six standalone
+  * jobs each re-scanning and re-tokenizing the corpus.
+  *
+  * Every stage reuses the exact rule its standalone oracle-gated query
+  * proves (cited per stage below), so the composed result is itself
+  * oracle-checkable as one DuckDB CTE chain (`q_curation_pipeline`).
+  *
+  * Composition is where the scale win lives:
+  *   - the corpus is SCANNED once and TOKENIZED once (the per-stage
+  *     standalone queries each pay their own scan + tokenize);
+  *   - stages that need a per-key pass are windows over one exchange
+  *     (fp for dedup, (band, v) for LSH, source for budget+pack) —
+  *     never a self-join that would re-execute the upstream subtree;
+  *   - everything between exchanges is map-side: the quality verdict,
+  *     the fp coin, the budget filter each run inside the stage that
+  *     already owns the rows.
+  *
+  * Reference anchors: quality filter = C4 (Raffel et al. 2020 §2.2)
+  * rules as in q_quality_filter; exact dedup keep-min fp as in
+  * q_dedup_survivors/q_dedup_incremental (fp = md5 of the trim/lower
+  * normalized text — ONE canonical fingerprint across the family);
+  * near-dedup = MinHash-LSH banded buckets (Broder 1997; Lee et al.
+  * ACL'22) with the engine-neutral md5 signature of q_minhash_oracle;
+  * decontamination split = the content-keyed coin of q_split_leakfree;
+  * token budget + packing = q_token_budget / q_pack.
+  */
+object Curation {
+
+  /** One lowered-token count, shared by the quality bounds, the token
+    * budget, and the packing bins — counts are case-insensitive so this
+    * equals TF.tokenCount; computed once per row and carried. */
+  private def nTok: Column = size(QueriesCommon.toksExpr)
+
+  /** Stage 1 — quality filter (q_quality_filter's keep rule): token
+    * count in [20, 80] and stopword ratio ≤ 0.2. Map-only: one scan,
+    * verdict inline, no exchange. Carries (doc_id, source, text,
+    * n_tok) forward so later stages never re-tokenize. */
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val sr = TF.stopwordRatio(col("text"))
+    docs
+      .select(col("doc_id"), col("source"), col("text"), nTok.as("n_tok"),
+        sr.as("stop_ratio"))
+      .filter(col("n_tok") >= 20 && col("n_tok") <= 80
+        && col("stop_ratio") <= 0.2)
+      .drop("stop_ratio")
+  }
+
+  /** Stage 2 — exact dedup, keep-min survivor per content fingerprint
+    * (q_dedup_survivors semantics over the canonical fp of
+    * q_dedup_incremental / q_split_leakfree). Window formulation: ONE
+    * exchange on fp, no agg+self-join that would re-execute the
+    * tokenize subtree. Carries fp forward — the decontamination split
+    * keys its coin on it. */
+  def exactDedup(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("fp")
+    df.withColumn("fp", md5(trim(lower(col("text")))))
+      .withColumn("__mn", min(col("doc_id")).over(w))
+      .filter(col("__mn") === col("doc_id"))
+      .drop("__mn")
+  }
+
+  /** Stage 3 — near-dedup via MinHash-LSH: 8 engine-neutral md5
+    * minhashes over distinct 3-shingles (the q_minhash_oracle
+    * signature), banded 4×2; a doc is dropped iff ANY of its band
+    * buckets contains a lower doc_id (keep-min per bucket — the LSH
+    * dedup rule of Lee et al. ACL'22 §4.1 as production pipelines run
+    * it). The bucket pass is a window over one (band, v) exchange —
+    * never an all-pairs join — and the shingle space is per-doc
+    * bounded, so the shape survives 100 TB (the df-capped inverted
+    * index of q_ngram_jaccard handles the verify-step variant; LSH
+    * buckets alone are the cheaper standard). */
+  def nearDedupLsh(df: DataFrame): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleRows(
+      df.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+    val mhAggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
+    val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = mh.select(col("doc_id"), posexplode(array(
+      concat(col("mh0"), col("mh1")), concat(col("mh2"), col("mh3")),
+      concat(col("mh4"), col("mh5")), concat(col("mh6"), col("mh7"))))
+      .as(Seq("band", "v")))
+    val dropped = bands
+      .withColumn("__mn", min(col("doc_id")).over(
+        Window.partitionBy("band", "v")))
+      .filter(col("__mn") < col("doc_id"))
+      .select("doc_id").distinct()
+    df.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 4 — decontamination split: the content-keyed md5 coin of
+    * q_split_leakfree (bucket of fp, train < 230) — duplicates of an
+    * eval document can never reach the training set by construction.
+    * The pipeline keeps TRAIN; map-side, zero exchanges. */
+  def keepTrainSplit(df: DataFrame): DataFrame =
+    df.filter(graft.ops.Mixture.bucket("fp") < 230)
+
+  /** Stage 5 — per-source token budget (q_token_budget's rule: budget
+    * derived from the source name, greedy prefix in seeded md5 order).
+    * Delegates to the proven Mixture.tokenBudget kernel — one window
+    * over the source exchange (the salted variant swaps in for skewed
+    * sources at extreme scale; same oracle). */
+  def tokenBudget(df: DataFrame): DataFrame =
+    graft.ops.Mixture.tokenBudget(
+      df.withColumn("budget",
+        expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000")),
+      "source", "doc_id", col("n_tok"), col("budget"))
+
+  /** Stage 6 — sequence packing (q_pack's rule at the shared n_tok):
+    * per source in doc_id order, bin = exclusive-cumsum div `budget`
+    * tokens; reports per-bin occupancy. Reuses the source exchange the
+    * budget window just established. */
+  def pack(df: DataFrame, binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum_start",
+        sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin", expr(s"__cum_start div $binTokens"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
+  /** The named stages, in order — the bench tool materializes each
+    * prefix to report per-stage rows/wall next to the one-dataflow
+    * composed run. */
+  val stages: Seq[(String, DataFrame => DataFrame)] = Seq(
+    "quality_filter" -> (qualityFilter(_)),
+    "exact_dedup" -> (exactDedup(_)),
+    "neardup_lsh" -> (nearDedupLsh(_)),
+    "decontam_split" -> (keepTrainSplit(_)),
+    "token_budget" -> (tokenBudget(_)),
+    "pack" -> (pack(_, 512)))
+
+  /** The full composed pipeline: documents in, packed-bin occupancy
+    * out, one dataflow. */
+  def pipeline(docs: DataFrame): DataFrame =
+    stages.foldLeft(docs) { case (df, (_, f)) => f(df) }
+      .orderBy("source", "bin")
+
+  /** The curated DOCUMENT set (the pipeline's stage-5 output — what a
+    * training run would actually read): doc_id, source, n_tok, in
+    * deterministic order. The CLI export subcommand writes this. */
+  def curatedDocs(docs: DataFrame): DataFrame =
+    stages.take(5).foldLeft(docs) { case (df, (_, f)) => f(df) }
+      .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"))
+}

@@ -73,13 +73,18 @@ object IvfPq {
       trainCap: Int = 16384, residual: Boolean = true): IvfPqIndex = {
     val ivf = Ivf.build(vecs, idCol, vecCol, nlist, seed, sampleFraction,
       maxIter, trainCap)
-    // corpus size, captured ONCE at build (a count-only scan — parquet
-    // answers it from row-group metadata): the scale-aware rerank
-    // default consumes it instead of running a job per search. NOT
-    // observed on the training pass: an Observation below a global
-    // sort double-counts (the range partitioner's boundary-sampling
-    // pass re-executes the subtree — measured exactly 2×).
-    val n = vecs.count()
+    // corpus size, captured ONCE at build: the scale-aware rerank
+    // default consumes it instead of running a job per search. Counted
+    // under the SAME (non-null, dim-length) filter Pq.build applies to
+    // what it encodes, so the persisted n matches `encoded.count()` —
+    // readIndex's fallback for hand-assembled indexes — instead of
+    // exceeding it whenever the input carries null/mis-sized vectors
+    // (the r12 ADVICE finding). NOT observed on the training pass: an
+    // Observation below a global sort double-counts (the range
+    // partitioner's boundary-sampling pass re-executes the subtree —
+    // measured exactly 2×).
+    val n = vecs.filter(col(vecCol).isNotNull
+      && size(col(vecCol).cast("array<float>")) === dim).count()
     if (!residual) {
       val pq = Pq.build(ivf.assigned, idCol, vecCol, dim, m, ksub, seed,
         maxIter, trainCap)

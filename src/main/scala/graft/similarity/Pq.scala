@@ -60,8 +60,13 @@ object Pq {
       // distinct seed per subspace, deterministic overall
       Ivf.lloyd(sub, ksub, maxIter, seed + s).map(_._2).toArray
     }
-    val encoded = vecs.withColumn("codes",
-      encodeExpr(col(vecCol), codebooks, dsub))
+    // `encoded` IS the searchable corpus: rows the codes can't be
+    // computed for (null / mis-sized vectors) are excluded here, not
+    // carried as null-code rows — so a persisted layout, a fallback
+    // `encoded.count()`, and the build-time n all agree (r12 ADVICE)
+    val encoded = vecs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .withColumn("codes", encodeExpr(col(vecCol), codebooks, dsub))
     PqIndex(codebooks, dsub, encoded, idCol, vecCol)
   }
 
@@ -88,8 +93,10 @@ object Pq {
     val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
       seeds.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
     }
-    val encoded = vecs.withColumn("codes",
-      encodeExpr(col(vecCol), codebooks, dsub))
+    // same searchable-corpus contract as `build` (see comment there)
+    val encoded = vecs
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .withColumn("codes", encodeExpr(col(vecCol), codebooks, dsub))
     PqIndex(codebooks, dsub, encoded, idCol, vecCol)
   }
 

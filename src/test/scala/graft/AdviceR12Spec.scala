@@ -52,11 +52,18 @@ class AdviceR12Spec extends SparkSpec {
     }
     put("part=a/x.parquet", "aaaa")
     put("part=b/x.parquet", "bbbb")
+    Scale.invalidateFingerprints()
     val fp1 = Scale.sourceFingerprint(root.toString)
-    // regenerating ONE nested partition file (same name, new size)
-    // must change the fingerprint — the non-recursive listing saw only
-    // the partition directories and missed this
+    // regenerating ONE nested partition file IN PLACE (same name, new
+    // size) leaves the ROOT status untouched — the r13 memoization's
+    // documented staleness bound serves the cached value here …
     put("part=b/x.parquet", "bbbb-regenerated")
+    assert(Scale.sourceFingerprint(root.toString) == fp1,
+      "root status unchanged: the memoized fingerprint must be served")
+    // … and after invalidation the RECURSIVE walk sees the nested
+    // change (the r12 fix this test pins: a non-recursive listing saw
+    // only the partition directories and missed it)
+    Scale.invalidateFingerprints()
     val fp2 = Scale.sourceFingerprint(root.toString)
     assert(fp1 != fp2)
     // same-named files in different subdirectories are distinct

@@ -381,6 +381,29 @@ class AdapterWireSpec extends SparkSpec {
       .forall(_.contains("include=-")))
   }
 
+  test("weaviate: an unknown after-cursor errors instead of silently truncating (r12 ADVICE)") {
+    val c = "Weav_cursor"
+    val wire = WeaviateWire(server.url)
+    wire.write(points(30, c).coalesce(1), c, batchSize = 30)
+    def get(after: String): (Int, String) = {
+      val u = new java.net.URI(
+        s"${server.url}/v1/objects?class=$c&limit=10&after=$after").toURL
+      val conn = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val in = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = scala.io.Source.fromInputStream(in).mkString
+      (code, body)
+    }
+    // a cursor row deleted mid-scan must FAIL the page — returning an
+    // empty page reads as normal end-of-scan and truncates the export
+    val (code, body) = get(s"$c-nope")
+    assert(code == 500, s"expected 500, got $code: $body")
+    assert(body.contains("unknown cursor"), body)
+    // a valid cursor still pages from strictly after it
+    val (okCode, okBody) = get(s"$c-5")
+    assert(okCode == 200 && okBody.contains(s"$c-6"), okBody)
+  }
+
   test("weaviate: a 413 on batch/objects shrinks until it lands") {
     val c = "Weav_413"
     val wire = WeaviateWire(server.url)

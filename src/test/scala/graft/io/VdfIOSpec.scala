@@ -45,6 +45,71 @@ class VdfIOSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/bucketed").count() == 137L)
   }
 
+  test("write-side golden interop: a graft export's manifest carries the reference's field set (meta_types.py:1-29), so the Python tool could read it") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    graft.io.VdfIO.writeVdf(Map(("idx1", "") -> points(10)), dir,
+      metrics = Map("idx1" -> "Cosine"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(src: java.io.InputStream) = mapper
+      .readValue(src, classOf[java.util.Map[String, Object]]).asScala.toMap
+    val written = parse(new java.io.FileInputStream(
+      new java.io.File(dir, "VDF_META.json")))
+    val golden = parse(getClass.getResourceAsStream("/example-VDF_META.json"))
+    // the reference's pydantic VDFMeta (meta_types.py:22-29): six
+    // required fields + optional id_column. The golden example carries
+    // exactly the required six (fixture self-check); a graft export
+    // must carry all required ones and NOTHING the model doesn't
+    // declare — pydantic v2 ignores extras, but an undeclared key
+    // would mean the two sides drifted.
+    val requiredTop = Set("version", "file_structure", "author",
+      "exported_from", "indexes", "exported_at")
+    val declaredTop = requiredTop + "id_column"
+    assert(golden.keySet == requiredTop)
+    assert(requiredTop.subsetOf(written.keySet), written.keySet)
+    assert(written.keySet.subsetOf(declaredTop),
+      s"graft-invented top-level keys: ${written.keySet -- declaredTop}")
+    // required values present AND of the pydantic-declared JSON shape
+    assert(written("version").isInstanceOf[String])
+    assert(written("author").isInstanceOf[String])
+    assert(written("exported_from").isInstanceOf[String])
+    assert(written("exported_at").isInstanceOf[String])
+    assert(written("file_structure").isInstanceOf[java.util.List[_]])
+    assert(written("indexes").isInstanceOf[java.util.Map[_, _]])
+    // per-namespace (meta_types.py:5-19): namespace/index_name/counts/
+    // dimensions/data_path are REQUIRED (no pydantic default) — a
+    // manifest missing index_name fails the Python model validation
+    val requiredNs = Set("namespace", "index_name", "total_vector_count",
+      "exported_vector_count", "dimensions", "data_path")
+    val declaredNs = requiredNs ++ Set("model_name", "model_map",
+      "vector_columns", "metric", "index_config", "schema_dict_str")
+    val writtenNs = written("indexes").asInstanceOf[java.util.Map[String, Object]]
+      .get("idx1").asInstanceOf[java.util.List[Object]]
+      .get(0).asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+    val goldenNs = golden("indexes").asInstanceOf[java.util.Map[String, Object]]
+      .values.asScala.head.asInstanceOf[java.util.List[Object]]
+      .get(0).asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+    assert(goldenNs.keySet.subsetOf(declaredNs)) // fixture self-check
+    assert(requiredNs.subsetOf(writtenNs.keySet),
+      s"missing required namespace keys: ${requiredNs -- writtenNs.keySet}")
+    assert(writtenNs.keySet.subsetOf(declaredNs),
+      s"graft-invented namespace keys: ${writtenNs.keySet -- declaredNs}")
+    assert(writtenNs("namespace").isInstanceOf[String])
+    assert(writtenNs("index_name") == "idx1")
+    assert(writtenNs("total_vector_count").isInstanceOf[Number])
+    assert(writtenNs("exported_vector_count").isInstanceOf[Number])
+    assert(writtenNs("dimensions").asInstanceOf[Number].intValue() == 4)
+    assert(writtenNs("vector_columns").isInstanceOf[java.util.List[_]])
+    // data_path/file_structure are RELATIVE like the golden example —
+    // an absolute path would break the directory-relocatable contract
+    val dp = writtenNs("data_path").asInstanceOf[String]
+    assert(!dp.startsWith("/"), s"data_path must be relative, got $dp")
+    val fsList = written("file_structure")
+      .asInstanceOf[java.util.List[Object]].asScala.map(_.toString)
+    assert(fsList.nonEmpty && fsList.forall(!_.startsWith("/")), fsList)
+    assert(fsList.exists(_.endsWith(".parquet")), fsList)
+  }
+
   test("writeVdf → readVdf round trip preserves rows and manifest shape") {
     val dir = tmp()
     val df = points(100)

@@ -188,4 +188,79 @@ class ScaleSpec extends SparkSpec {
       spark.read.parquet(src), s"$dir/_bucketed/orders", "l_orderkey", 2)
     assert(graft.QueriesCommon.bucketedTable(spark, dir, "orders").isDefined)
   }
+
+  test("sourceFingerprint memoizes the walk on the root status (one walk per change, not per query)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fpmemo").toString
+    val src = s"$dir/t.parquet"
+    (0 until 200).map(i => (i.toLong, i * 2.0)).toDF("id", "x")
+      .write.parquet(src)
+    Scale.invalidateFingerprints()
+    val w0 = Scale.fingerprintWalks.get()
+    val fp1 = Scale.sourceFingerprint(src)
+    assert(Scale.fingerprintWalks.get() == w0 + 1)
+    // repeated calls (the per-query freshness check) serve the cache:
+    // one O(1) root getFileStatus each, ZERO recursive walks
+    (1 to 5).foreach(_ => assert(Scale.sourceFingerprint(src) == fp1))
+    assert(Scale.fingerprintWalks.get() == w0 + 1,
+      "every freshness check re-walked the source — the memoization is dead")
+    // a regeneration (delete + recreate, what Spark overwrite does)
+    // changes the root status → exactly one more walk, new fingerprint.
+    // Bump the dir mtime explicitly so the test can't flake on
+    // same-millisecond rewrites (real regens take >1ms).
+    (0 until 300).map(i => (i.toLong, i * 3.0)).toDF("id", "x")
+      .write.mode("overwrite").parquet(src)
+    new java.io.File(src).setLastModified(System.currentTimeMillis() + 5000)
+    val fp2 = Scale.sourceFingerprint(src)
+    assert(fp2 != fp1, "regenerated source kept its fingerprint")
+    assert(Scale.fingerprintWalks.get() == w0 + 2)
+    // and the mid-session regeneration still flips the ROUTE: a layout
+    // fingerprinted against the old source must fall back
+    Scale.writeBucketedDir(spark.read.parquet(src),
+      s"$dir/_bucketed/t", "id", 2, sourceFp = Some(fp1))
+    assert(graft.QueriesCommon.bucketedTable(spark, dir, "t").isEmpty,
+      "stale layout routed from the memoized fingerprint path")
+  }
+
+  test("sidecar/fingerprint/size reads resolve their filesystem with the SESSION Hadoop conf (session FS settings reach reads, not just writes)") {
+    import spark.implicits._
+    // a scheme that exists ONLY in the session conf: resolvable iff the
+    // read path consults the session's `newHadoopConf()` (which folds
+    // runtime-set Hadoop keys in), exactly like s3a credentials or a
+    // custom FS impl supplied per session on a real deployment
+    spark.conf.set("fs.graftprobe.impl", classOf[GraftProbeFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("fsconf")
+    val srcLocal = local.resolve("t.parquet").toString
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .write.parquet(srcLocal)
+    val probeSrc = "graftprobe://" + srcLocal
+    // a bare Configuration (the pre-r13 read path) cannot resolve it
+    intercept[java.io.IOException] {
+      new org.apache.hadoop.fs.Path(probeSrc)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    }
+    // fingerprint: resolves through the session conf, and the
+    // descriptor (relative paths) is identical to the local walk
+    Scale.invalidateFingerprints()
+    assert(Scale.sourceFingerprint(probeSrc) ==
+      Scale.sourceFingerprint(srcLocal))
+    // sidecar read trio: write locally, read through the scheme
+    val layoutLocal = local.resolve("layout").toString
+    Scale.writeBucketedDir(spark.read.parquet(srcLocal), layoutLocal,
+      "id", 2, sourceFp = Some(Scale.sourceFingerprint(srcLocal)))
+    val probeLayout = "graftprobe://" + layoutLocal
+    assert(Scale.hasSidecar(probeLayout))
+    assert(Scale.sidecarSourceFp(probeLayout) ==
+      Scale.sidecarSourceFp(layoutLocal))
+    // the at-scale gate's byte stat resolves the same way
+    assert(graft.QueriesCommon.tableBytes("graftprobe://" + local, "t") > 0L)
+  }
+}
+
+/** RawLocalFileSystem under a private scheme — the in-sandbox stand-in
+  * for "an FS whose wiring lives only in `spark.hadoop.*`" (s3a with
+  * session credentials, a custom FS impl). */
+class GraftProbeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftprobe"
+  override def getUri: java.net.URI = java.net.URI.create("graftprobe:///")
 }

@@ -175,6 +175,26 @@ class IvfPqSpec extends SparkSpec {
     assert(refSet == exact)
   }
 
+  test("build's n matches the ENCODED corpus when the input carries null / mis-sized vectors (r12 ADVICE)") {
+    import spark.implicits._
+    // 120 good vectors + 2 nulls: the encode path (Pq.build's
+    // isNotNull && size==dim filter) drops the null rows, so the
+    // persisted n must be 120 — not 122, which would diverge from
+    // readIndex's encoded.count() fallback for hand-built indexes.
+    // (Mis-SIZED vectors are out of scope here: they fail k-means
+    // training itself, so a corpus carrying them never builds.)
+    val dirty = vecs.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .unionByName(Seq(
+        (900L, null.asInstanceOf[Array[Float]]),
+        (901L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val ix = IvfPq.build(dirty, "vec_id", "embedding",
+      dim = 16, nlist = 4, m = 4, ksub = 8)
+    assert(ix.encoded.count() == 120)
+    assert(ix.n == 120, s"n must match the encoded corpus, got ${ix.n}")
+  }
+
   test("corpus size n travels with the index: build sets it, the writeIndex sidecar persists it, and the rerank default runs NO job to learn it") {
     import spark.implicits._
     // build captures n once
