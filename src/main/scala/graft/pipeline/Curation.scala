@@ -19,11 +19,17 @@ import graft.functions.{TextFunctions => TF}
   * oracle-checkable as one DuckDB CTE chain (`q_curation_pipeline`).
   *
   * Composition is where the scale win lives:
-  *   - the corpus is SCANNED once and TOKENIZED once (the per-stage
-  *     standalone queries each pay their own scan + tokenize);
+  *   - the linear chain (quality → fp dedup → split → budget → pack)
+  *     scans and tokenizes the corpus ONCE — six standalone jobs each
+  *     pay their own scan + tokenize;
   *   - stages that need a per-key pass are windows over one exchange
-  *     (fp for dedup, (band, v) for LSH, source for budget+pack) —
-  *     never a self-join that would re-execute the upstream subtree;
+  *     (fp for dedup, (band, v) for LSH, source for budget AND pack —
+  *     the two windows share one source exchange), never an
+  *     agg-plus-self-join that re-executes the upstream subtree;
+  *   - the ONE structural second pass — LSH candidate derivation, a
+  *     dedup being inherently self-referential — is a column-pruned
+  *     (doc_id, text) branch with a fully map-side signature (see
+  *     [[lshDropIds]]), not a materialization of the carried frame;
   *   - everything between exchanges is map-side: the quality verdict,
   *     the fp coin, the budget filter each run inside the stage that
   *     already owns the rows.
@@ -82,22 +88,46 @@ object Curation {
     * bounded, so the shape survives 100 TB (the df-capped inverted
     * index of q_ngram_jaccard handles the verify-step variant; LSH
     * buckets alone are the cheaper standard). */
-  def nearDedupLsh(df: DataFrame): DataFrame = {
-    val sh = graft.dedup.Dedup.shingleRows(
-      df.select(col("doc_id"), col("text")), "doc_id", "text", 3)
-    val mhAggs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"mh$i"))
-    val mh = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = mh.select(col("doc_id"), posexplode(array(
-      concat(col("mh0"), col("mh1")), concat(col("mh2"), col("mh3")),
-      concat(col("mh4"), col("mh5")), concat(col("mh6"), col("mh7"))))
-      .as(Seq("band", "v")))
-    val dropped = bands
+  def nearDedupLsh(df: DataFrame): DataFrame =
+    df.join(lshDropIds(df), Seq("doc_id"), "left_anti")
+
+  /** The ids the LSH rule drops. The whole signature is MAP-SIDE — the
+    * per-doc minhash is an array fold over the doc's own shingles, not
+    * an explode + re-aggregate (which would shuffle every shingle row
+    * on doc_id before the band pass) — so the only exchange candidate
+    * derivation pays is the narrow (band, v) window over
+    * (doc_id, band, v) triples. The anti-join back to the carried
+    * frame is the one structural cost of ANY dedup stage: the drop
+    * set derives from the same corpus it filters, so the candidate
+    * branch re-scans (doc_id, text) — column-pruned recompute, the
+    * right trade at scale against materializing the full upstream
+    * frame. No explicit distinct on the drop ids: a left-anti only
+    * consults existence, and each id repeats at most 4× (once per
+    * band) — a distinct would add a doc_id exchange to shrink a
+    * build side the join dedups anyway. */
+  private def lshDropIds(df: DataFrame): DataFrame = {
+    val toks = QueriesCommon.toksExpr
+    // distinct 3-shingles (q_minhash_oracle construction: docs under 3
+    // tokens collapse to one whole-doc shingle; empty docs to [""])
+    val shs = when(size(col("__toks")) < 3,
+        array(array_join(col("__toks"), " ")))
+      .otherwise(expr(
+        "array_distinct(transform(sequence(1, size(__toks) - 2), " +
+          "i -> array_join(slice(__toks, i, 3), ' ')))"))
+    val mhCols = (0 until 8).map(i => expr(
+      s"array_min(transform(__shs, x -> md5(concat('$i:', x))))").as(s"mh$i"))
+    val bands = df.select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), shs.as("__shs"))
+      .select(col("doc_id") +: mhCols: _*)
+      .select(col("doc_id"), posexplode(array(
+        concat(col("mh0"), col("mh1")), concat(col("mh2"), col("mh3")),
+        concat(col("mh4"), col("mh5")), concat(col("mh6"), col("mh7"))))
+        .as(Seq("band", "v")))
+    bands
       .withColumn("__mn", min(col("doc_id")).over(
         Window.partitionBy("band", "v")))
       .filter(col("__mn") < col("doc_id"))
-      .select("doc_id").distinct()
-    df.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id")
   }
 
   /** Stage 4 — decontamination split: the content-keyed md5 coin of
