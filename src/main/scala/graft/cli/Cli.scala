@@ -74,7 +74,7 @@ object Cli {
 
   val commands: Seq[String] =
     Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup",
-      "search", "mixture", "bump-version", "version-check")
+      "search", "mixture", "curate", "bump-version", "version-check")
 
   /** Frozen per-command help transcripts, mirroring the reference's
     * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
@@ -249,6 +249,34 @@ object Cli {
         |  --source_column C    source column (default: source)
         |  --id_column C        id column (default: doc_id)
         |  --text_column C      text column for --budget (default: text)""".stripMargin
+    case "curate" =>
+      """usage: graft curate --in PARQUET_DIR --out PARQUET_DIR
+        |                    [--min_tokens 20] [--max_tokens 80]
+        |                    [--max_stopword_ratio 0.2] [--split train]
+        |                    [--budget N] [--pack N]
+        |                    [--source_column source] [--id_column doc_id]
+        |                    [--text_column text]
+        |
+        |Run the composed curation pipeline as ONE dataflow: quality
+        |filter -> exact dedup (keep-min per normalized-content
+        |fingerprint) -> MinHash-LSH near-dedup -> leak-free
+        |decontamination split -> per-source token budget -> sequence
+        |packing. Writes the curated documents (id, source, token count,
+        |and bin when --pack is set) and prints rows in/out per stage,
+        |counted by observers on the single write pass — the corpus is
+        |not re-scanned per stage.
+        |
+        |  --in PARQUET_DIR       input document table
+        |  --out PARQUET_DIR      curated output (fresh directory)
+        |  --min_tokens N         quality: minimum token count (default: 20)
+        |  --max_tokens N         quality: maximum token count (default: 80)
+        |  --max_stopword_ratio R quality: stopword-ratio cap (default: 0.2)
+        |  --split S              train | val | test | all (default: train)
+        |  --budget N             per-source token budget (default: none)
+        |  --pack N               assign 'bin' by N-token packing (default: none)
+        |  --source_column C      source column (default: source)
+        |  --id_column C          id column (default: doc_id)
+        |  --text_column C        text column (default: text)""".stripMargin
     case "bump-version" =>
       """usage: graft bump-version [--file build.sbt] [--part patch]
         |
@@ -282,6 +310,8 @@ object Cli {
         |              [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2] [--filter EXPR]
         |  mixture     --in PARQUET_DIR --out PARQUET_DIR [--weights SRC=W,...]
         |              [--epochs SRC=E,...] [--budget N] [--shuffle S] [--default_weight 1]
+        |  curate      --in PARQUET_DIR --out PARQUET_DIR [--min_tokens 20] [--max_tokens 80]
+        |              [--max_stopword_ratio 0.2] [--split train] [--budget N] [--pack N]
         |  bump-version  [--file build.sbt] [--part major|minor|patch]
         |  version-check [--current X.Y.Z] [--latest X.Y.Z]
         |
@@ -361,6 +391,7 @@ object Cli {
       case "dedup" :: Nil => cmdDedup(spark, args)
       case "search" :: Nil => cmdSearch(spark, args)
       case "mixture" :: Nil => cmdMixture(spark, args)
+      case "curate" :: Nil => cmdCurate(spark, args)
       case "bump-version" :: Nil => cmdBumpVersion(args)
       case "version-check" :: Nil => cmdVersionCheck(args)
       case other =>
@@ -777,6 +808,82 @@ object Cli {
       else ""
     println(s"mixture(${stages.reverse.mkString(" -> ")}): " +
       s"$inPart$n1 rows -> ${a.flags("out")}")
+    0
+  }
+
+  /** The composed curation pipeline as a CLI verb: ONE dataflow from
+    * the raw document table to the curated training set, with
+    * per-stage row counts observed on the single write pass (no
+    * per-stage re-scan; observers are write-pass-safe — no global sort
+    * below them). */
+  private def cmdCurate(spark: SparkSession, a: Args): Int = {
+    import graft.pipeline.Curation
+    inOutGuard(a, "curate") match {
+      case Some(code) => return code
+      case None =>
+    }
+    val srcCol = a.flags.getOrElse("source_column", "source")
+    val idCol = a.flags.getOrElse("id_column", "doc_id")
+    val textCol = a.flags.getOrElse("text_column", "text")
+    val minTok = a.flags.getOrElse("min_tokens", "20").toIntOption
+    val maxTok = a.flags.getOrElse("max_tokens", "80").toIntOption
+    val maxStop = a.flags.getOrElse("max_stopword_ratio", "0.2").toDoubleOption
+    if (minTok.isEmpty || maxTok.isEmpty || maxStop.isEmpty
+        || minTok.get < 0 || maxTok.get < minTok.get
+        || maxStop.get < 0 || maxStop.get > 1) {
+      System.err.println("curate: --min_tokens/--max_tokens must be " +
+        "0 <= min <= max; --max_stopword_ratio in [0, 1]")
+      return 2
+    }
+    val split = a.flags.getOrElse("split", "train")
+    if (!Seq("train", "val", "test", "all").contains(split)) {
+      System.err.println("curate: --split must be train|val|test|all")
+      return 2
+    }
+    val budget = a.flags.get("budget").map(_.toLongOption.filter(_ > 0))
+    val packN = a.flags.get("pack").map(_.toIntOption.filter(_ > 0))
+    if (budget.contains(None) || packN.contains(None)) {
+      System.err.println("curate: --budget/--pack must be positive integers")
+      return 2
+    }
+    val raw = spark.read.parquet(a.flags("in"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        col(srcCol).as("source"))
+    import org.apache.spark.sql.Observation
+    val obs = scala.collection.mutable.ListBuffer[(String, Observation)]()
+    def observed(name: String, df: org.apache.spark.sql.DataFrame) = {
+      val o = Observation(s"curate_$name")
+      obs += name -> o
+      df.observe(o, count(lit(1)).as("rows"))
+    }
+    var df = observed("input", raw)
+    df = observed("quality_filter",
+      Curation.qualityFilter(df, minTok.get, maxTok.get, maxStop.get))
+    df = observed("exact_dedup", Curation.exactDedup(df))
+    // the LSH drop set derives from an UN-OBSERVED twin of the chain so
+    // the stage-1/2 observers aren't duplicated into the candidate
+    // branch (a metric node executed in two branches double-counts —
+    // the same failure class as an Observation below a global sort)
+    val clean = Curation.exactDedup(Curation.qualityFilter(
+      raw, minTok.get, maxTok.get, maxStop.get))
+    df = observed("neardup_lsh",
+      df.join(Curation.lshDropIds(clean), Seq("doc_id"), "left_anti"))
+    if (split != "all")
+      df = observed(s"split_$split", Curation.keepSplit(df, split))
+    budget.flatten.foreach { b =>
+      df = observed(s"budget_$b", Curation.tokenBudgetWith(df, lit(b)))
+    }
+    var out = df.select(col("doc_id"), col("source"),
+      col("n_tok").cast("long").as("n_tok"))
+    packN.flatten.foreach { n => out = Curation.packAssign(out, n) }
+    out
+      .withColumnRenamed("doc_id", idCol)
+      .withColumnRenamed("source", srcCol)
+      .write.mode("overwrite").parquet(a.flags("out"))
+    val counts = obs.toList.map { case (n, o) =>
+      n -> o.get("rows").asInstanceOf[Long] }
+    println(counts.map { case (n, c) => s"$n=$c" }.mkString("curate: ", " -> ",
+      s" -> ${a.flags("out")}"))
     0
   }
 

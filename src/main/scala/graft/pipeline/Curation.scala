@@ -54,13 +54,14 @@ object Curation {
     * count in [20, 80] and stopword ratio ≤ 0.2. Map-only: one scan,
     * verdict inline, no exchange. Carries (doc_id, source, text,
     * n_tok) forward so later stages never re-tokenize. */
-  def qualityFilter(docs: DataFrame): DataFrame = {
+  def qualityFilter(docs: DataFrame, minTok: Int = 20, maxTok: Int = 80,
+      maxStopRatio: Double = 0.2): DataFrame = {
     val sr = TF.stopwordRatio(col("text"))
     docs
       .select(col("doc_id"), col("source"), col("text"), nTok.as("n_tok"),
         sr.as("stop_ratio"))
-      .filter(col("n_tok") >= 20 && col("n_tok") <= 80
-        && col("stop_ratio") <= 0.2)
+      .filter(col("n_tok") >= minTok && col("n_tok") <= maxTok
+        && col("stop_ratio") <= maxStopRatio)
       .drop("stop_ratio")
   }
 
@@ -105,7 +106,7 @@ object Curation {
     * consults existence, and each id repeats at most 4× (once per
     * band) — a distinct would add a doc_id exchange to shrink a
     * build side the join dedups anyway. */
-  private def lshDropIds(df: DataFrame): DataFrame = {
+  private[graft] def lshDropIds(df: DataFrame): DataFrame = {
     val toks = QueriesCommon.toksExpr
     // distinct 3-shingles (q_minhash_oracle construction: docs under 3
     // tokens collapse to one whole-doc shingle; empty docs to [""])
@@ -134,8 +135,20 @@ object Curation {
     * q_split_leakfree (bucket of fp, train < 230) — duplicates of an
     * eval document can never reach the training set by construction.
     * The pipeline keeps TRAIN; map-side, zero exchanges. */
-  def keepTrainSplit(df: DataFrame): DataFrame =
-    df.filter(graft.ops.Mixture.bucket("fp") < 230)
+  def keepTrainSplit(df: DataFrame): DataFrame = keepSplit(df, "train")
+
+  /** The q_split_leakfree coin generalized to any split: train < 230 ≤
+    * val < 243 ≤ test (the 90/5/5-ish cut the standalone query pins). */
+  def keepSplit(df: DataFrame, split: String): DataFrame = {
+    val b = graft.ops.Mixture.bucket("fp")
+    split match {
+      case "train" => df.filter(b < 230)
+      case "val" => df.filter(b >= 230 && b < 243)
+      case "test" => df.filter(b >= 243)
+      case "all" => df
+      case other => sys.error(s"unknown split '$other'")
+    }
+  }
 
   /** Stage 5 — per-source token budget (q_token_budget's rule: budget
     * derived from the source name, greedy prefix in seeded md5 order).
@@ -143,24 +156,37 @@ object Curation {
     * over the source exchange (the salted variant swaps in for skewed
     * sources at extreme scale; same oracle). */
   def tokenBudget(df: DataFrame): DataFrame =
+    tokenBudgetWith(df,
+      expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000"))
+
+  /** The budget stage with an explicit per-row budget column — the CLI
+    * passes a constant; the oracle query derives it from the source
+    * name (q_token_budget's rule). */
+  def tokenBudgetWith(df: DataFrame, budget: org.apache.spark.sql.Column)
+      : DataFrame =
     graft.ops.Mixture.tokenBudget(
-      df.withColumn("budget",
-        expr("(cast(substr(source, 4) AS int) % 3 + 1) * 1000")),
+      df.withColumn("budget", budget),
       "source", "doc_id", col("n_tok"), col("budget"))
 
   /** Stage 6 — sequence packing (q_pack's rule at the shared n_tok):
     * per source in doc_id order, bin = exclusive-cumsum div `budget`
     * tokens; reports per-bin occupancy. Reuses the source exchange the
     * budget window just established. */
-  def pack(df: DataFrame, binTokens: Int = 512): DataFrame = {
+  def pack(df: DataFrame, binTokens: Int = 512): DataFrame =
+    packAssign(df, binTokens)
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+
+  /** Per-document bin assignment (what a trainer actually reads); the
+    * reporting `pack` aggregates this. */
+  def packAssign(df: DataFrame, binTokens: Int): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum_start",
         sum(col("n_tok")).over(w) - col("n_tok"))
       .withColumn("bin", expr(s"__cum_start div $binTokens"))
-      .groupBy("source", "bin")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tok")).cast("long").as("n_tokens"))
+      .drop("__cum_start")
   }
 
   /** The named stages, in order — the bench tool materializes each

@@ -225,6 +225,47 @@ class CliSpec extends SparkSpec {
     assert(captured("search", "--in", in)._1 == 2)
   }
 
+  test("curate: one-dataflow pipeline — library-equal output, observed stage counts monotone") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    // 120 docs: most 30 in-range tokens, some too short, a few exact
+    // dups (same lowered text), custom column names to exercise the
+    // renaming path
+    (0L until 120L).map { i =>
+      val text =
+        if (i % 10 == 9) "too short"
+        else if (i % 10 == 8) (0 until 30).map(j => s"dup$j").mkString(" ")
+        else (0 until 30).map(j => s"t${i}x$j").mkString(" ")
+      (i, s"src${i % 3}", text)
+    }.toDF("id", "src", "body").write.parquet(in)
+    val out = tmp() + "/curated"
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--id_column", "id", "--source_column", "src",
+      "--text_column", "body", "--budget", "900", "--pack", "256")) == 0)
+    val got = spark.read.parquet(out)
+    assert(got.columns.toSet == Set("id", "src", "n_tok", "bin"))
+    // library-equal: same doc set as composing the stages directly
+    val docs = spark.read.parquet(in).select(col("id").as("doc_id"),
+      col("body").as("text"), col("src").as("source"))
+    val want = graft.pipeline.Curation.tokenBudgetWith(
+        graft.pipeline.Curation.keepSplit(
+          graft.pipeline.Curation.nearDedupLsh(
+            graft.pipeline.Curation.exactDedup(
+              graft.pipeline.Curation.qualityFilter(docs))), "train"),
+        lit(900L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotIds = got.select("id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == want && gotIds.nonEmpty)
+    // per-source budget respected
+    val perSrc = got.groupBy("src").agg(sum("n_tok").as("t")).collect()
+    assert(perSrc.forall(_.getAs[Long]("t") <= 900L))
+    // bad flags fail fast
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--split", "nope")) == 2)
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--min_tokens", "50", "--max_tokens", "10")) == 2)
+  }
+
   test("mixture: weights downsample, budget caps, epochs upsample — library-equal") {
     import spark.implicits._
     val in = tmp() + "/docs"
