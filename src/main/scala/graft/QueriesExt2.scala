@@ -118,22 +118,25 @@ object QueriesExt2 {
         else t(s, dir, "orders").select("o_orderkey", "o_orderpriority"))
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey").as("id"))
-    val rightRaw = (if (bucketed) liB.get
+    val right = (if (bucketed) liB.get
         else t(s, dir, "lineitem").select("l_orderkey", "l_returnflag"))
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey").as("id"))
-    // The fact side's shape is ROUTE-DEPENDENT, exactly as in
-    // qAntiMissing: anti/semi joins consult key EXISTENCE only, so a
-    // distinct on the fact side is set-neutral. Shuffled route:
-    // distinct FIRST — lineitem carries ~4 rows per order, the
-    // map-side partial aggregate collapses the join exchange ~4× and
-    // the join reuses the aggregation's hash partitioning (A/B at
-    // 1.4 GiB with the layouts removed, idsetop_plain_r13.txt).
-    // Bucketed route: NO distinct — the layout is co-located and
-    // per-bucket sorted, the merge zipper streams the scan directly; a
-    // distinct there only ADDS a hash aggregate to shrink an exchange
-    // that no longer exists (the round-10 EXCEPT lesson).
-    val right = if (bucketed) rightRaw else rightRaw.distinct()
+    // Why NO fact-side pre-distinct here, unlike qAntiMissing (the r12
+    // ADVICE asked for the rule to be applied or the asymmetry
+    // documented — this is the documented measurement): the distinct
+    // pays only when per-key multiplicity is HIGH. qAntiMissing's fact
+    // side is UNFILTERED lineitem keys (~4 rows/order — the partial
+    // agg collapses the exchange 4×, wall-neutral in one JVM, 4× less
+    // network on a cluster). Here the l_returnflag = 'R' filter
+    // already collapses multiplicity to ~1.8× (16.0M rows / 8.85M keys
+    // at 1.4 GiB), and the alternating-arm A/B on the plain route
+    // (tools/IdSetOpProbe, docs/artifacts/idsetop_plain_r13.txt)
+    // measured the distinct 29% SLOWER for the anti (1.22 → 1.57 s
+    // min-of-3) and ~neutral for the semi (2.28 → 2.15 s): the added
+    // hash aggregate costs more than the 1.8× exchange shrink is
+    // worth. Bucketed route: no distinct either way — the zipper
+    // streams the co-located scan; there is no exchange to shrink.
     left.join(right.hint("merge"), Seq("id"), joinType)
       .distinct()
       .orderBy("id")
