@@ -266,10 +266,23 @@ final class GrpcH2StubServer(
       ctx.writeAndFlush(new DefaultHttp2HeadersFrame(t, true))
     }
 
+    // Application work OFF the event loop, like a real gRPC server's
+    // handler executor: the r13 REST-vs-h2 A/B traced the h2 leg's
+    // 2.4× gap to dispatch (protobuf decode + store) running ON the
+    // connection's single IO thread — every stream of the one shared
+    // connection serialized behind it, and the loop couldn't even read
+    // the next stream's DATA frames while a handler ran. Netty writes
+    // from a worker are safe (they schedule onto the loop).
     private def respond(ctx: ChannelHandlerContext): Unit = {
+      val payload = body.toByteArray
+      GrpcH2StubServer.handlerPool.execute(() => respondNow(ctx, payload))
+    }
+
+    private def respondNow(ctx: ChannelHandlerContext,
+        payload: Array[Byte]): Unit = {
       requestLog.add(s"$path authorization=${auth.getOrElse("-")}")
       try {
-        val out = dispatch(path, auth, body.toByteArray)
+        val out = dispatch(path, auth, payload)
         val h = new DefaultHttp2Headers().status("200")
         h.set("content-type", "application/grpc")
         ctx.write(new DefaultHttp2HeadersFrame(h, false))
@@ -314,8 +327,23 @@ final class GrpcH2StubServer(
           eng.setSSLParameters(sp)
           ch.pipeline().addLast(new io.netty.handler.ssl.SslHandler(eng))
         }
+        // Flow-control windows sized for bulk upserts (the r13 A/B):
+        // h2 defaults give every stream — and the WHOLE connection —
+        // a 64 KiB window, so 32 concurrent 5 MB upsert RPCs share
+        // 64 KiB of unacked in-flight data and progress one
+        // WINDOW_UPDATE ping-pong at a time. 4 MiB per stream plus a
+        // matching CONNECTION window (the initialWindowSize call on
+        // the local flow controller raises stream 0, exactly what
+        // grpc-netty's flowControlWindow option does) lets a full
+        // batch stream without stalling.
+        val codec = Http2FrameCodecBuilder.forServer()
+          .initialSettings(io.netty.handler.codec.http2.Http2Settings
+            .defaultSettings().initialWindowSize(4 * 1024 * 1024))
+          .build()
+        codec.connection().local().flowController()
+          .initialWindowSize(4 * 1024 * 1024)
         ch.pipeline().addLast(
-          Http2FrameCodecBuilder.forServer().build(),
+          codec,
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {
             override def initChannel(sc: Channel): Unit =
               sc.pipeline().addLast(new StreamHandler)
@@ -344,6 +372,19 @@ object GrpcH2StubServer {
     * [[WireHttpError]] instead of parsing the body as frames. */
   final case class NonGrpcResponse(status: Int, contentType: String,
       body: Array[Byte]) extends RuntimeException
+
+  /** Shared handler executor (DAEMON threads — a surviving non-daemon
+    * pool is a JVM-exit hang, the r12 lesson): dispatch runs here so
+    * concurrent streams decode/store in parallel instead of
+    * serializing on the connection's IO thread. */
+  private[wire] val handlerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(4, Runtime.getRuntime.availableProcessors() / 2),
+      r => {
+        val t = new Thread(r, "graft-h2-stub-handler")
+        t.setDaemon(true)
+        t
+      })
 }
 
 object GrpcH2 {
