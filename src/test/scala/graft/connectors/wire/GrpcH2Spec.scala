@@ -3,6 +3,8 @@ package graft.connectors.wire
 import graft.SparkSpec
 import graft.core.Metric
 
+import scala.jdk.CollectionConverters._
+
 /** Round-11 ask #5: real gRPC-over-HTTP/2 for the Milvus dialect.
   * grpc-java is not in the offline cache, but Netty's HTTP/2 codec is
   * on the Spark classpath — so [[GrpcH2Client]]/[[GrpcH2StubServer]]
@@ -150,6 +152,38 @@ class GrpcH2Spec extends SparkSpec {
       assert(page.points.size == 4000)
       assert(page.points(1234).vector.size == 64)
     }
+  }
+
+  test("dispatch runs OFF the IO event loop (r13: concurrent streams must not serialize behind a handler)") {
+    // the r13 REST-vs-h2 A/B traced a consistent 2.4× import gap to
+    // dispatch (decode+store) running on the connection's single netty
+    // IO thread; this pins the executor offload by observing the
+    // thread every dispatch runs on
+    val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val m = new MilvusStubServer()
+    val h2 = new GrpcH2StubServer({ (path, auth, body) =>
+      threads.add(Thread.currentThread().getName)
+      m.dispatchH2(path, auth, body)
+    })
+    try {
+      val w = MilvusWire(s"h2://${h2.hostPort}")
+      val c = "mlv_h2_offload"
+      w.create(c, 4, Metric.Cosine)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = (0 until 8).map { t =>
+          pool.submit(new java.lang.Runnable {
+            override def run(): Unit =
+              w.upsertOnce(c, (0 until 500).map(i => WirePoint(
+                s"$c-$t-$i", Seq(i.toDouble, 1, 2, 3), Map("k" -> "v"))))
+          })
+        }
+        futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+      assert(w.count(c) == 8 * 500)
+      assert(threads.asScala.forall(_.startsWith("graft-h2-stub-handler")),
+        s"dispatch ran on: $threads — the IO loop would serialize streams")
+    } finally { h2.stop(); m.stop() }
   }
 
   test("32 concurrent caller threads multiplex one connection without loss") {
