@@ -331,19 +331,38 @@ final class GrpcH2StubServer(
         // h2 defaults give every stream — and the WHOLE connection —
         // a 64 KiB window, so 32 concurrent 5 MB upsert RPCs share
         // 64 KiB of unacked in-flight data and progress one
-        // WINDOW_UPDATE ping-pong at a time. 4 MiB per stream plus a
-        // matching CONNECTION window (the initialWindowSize call on
-        // the local flow controller raises stream 0, exactly what
-        // grpc-netty's flowControlWindow option does) lets a full
-        // batch stream without stalling.
+        // WINDOW_UPDATE ping-pong at a time. SETTINGS_INITIAL_WINDOW_SIZE
+        // covers only the per-stream half: per RFC 7540 §6.9.2 it
+        // never touches the CONNECTION window, and the local flow
+        // controller's initialWindowSize(...) only revisits streams
+        // already active (none exist at init time). Stream 0 must be
+        // raised explicitly via incrementWindowSize — what
+        // grpc-netty's flowControlWindow option does — which also
+        // advertises the new budget in an immediate WINDOW_UPDATE(0).
+        // That frame may only follow the server preface, so it is
+        // sent from channelActive AFTER the codec's own channelActive
+        // has written preface + SETTINGS (pipeline order), exactly
+        // like grpc-netty's sendInitialConnectionWindow.
+        val h2Window = 4 * 1024 * 1024
         val codec = Http2FrameCodecBuilder.forServer()
           .initialSettings(io.netty.handler.codec.http2.Http2Settings
-            .defaultSettings().initialWindowSize(4 * 1024 * 1024))
+            .defaultSettings().initialWindowSize(h2Window))
           .build()
-        codec.connection().local().flowController()
-          .initialWindowSize(4 * 1024 * 1024)
         ch.pipeline().addLast(
           codec,
+          new io.netty.channel.ChannelInboundHandlerAdapter {
+            override def channelActive(
+                hctx: io.netty.channel.ChannelHandlerContext): Unit = {
+              val conn = codec.connection()
+              val fc = conn.local().flowController()
+              fc.incrementWindowSize(conn.connectionStream(),
+                h2Window - fc.windowSize(conn.connectionStream()))
+              hctx.flush()
+              hctx.fireChannelActive()
+              hctx.pipeline().remove(this)
+              ()
+            }
+          },
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {
             override def initChannel(sc: Channel): Unit =
               sc.pipeline().addLast(new StreamHandler)

@@ -166,17 +166,25 @@ object Scale {
     * SERIAL driver stage — trivial at 32 files, multi-second at a
     * 100 TB layout's 10⁵–10⁶ source files — and `bucketedTable` used
     * to pay it once per spine table per QUERY. Each call now does ONE
-    * `getFileStatus` of the root and re-walks only when the root's own
-    * (mtime, length, isDir) status changed since the cached walk.
-    * Staleness bound: any real regeneration replaces the source
-    * directory (delete + recreate, or files created/removed directly
-    * under it), which updates the root status → re-walk. A mutation
-    * INVISIBLE on the root status — an in-place rewrite of a nested
-    * leaf file that leaves the root untouched — is not detected until
-    * the process restarts or the cache is cleared
-    * (`invalidateFingerprints()`); that bound is deliberate: detecting
-    * it would require exactly the full walk the cache exists to
-    * avoid. */
+    * non-recursive `listStatus` of the root (a single RPC — the cost
+    * the cache avoids is the RECURSIVE walk, O(directories)) and
+    * re-walks only when any immediate child's (name, kind, length,
+    * mtime) changed since the cached walk. The key deliberately does
+    * NOT use the root directory's own status: object stores (s3a)
+    * synthesize directory statuses with length 0 / mtime 0, so a
+    * root-status key is a CONSTANT there and could never invalidate —
+    * it would silently serve a stale layout across a mid-session
+    * regeneration, the exact staleness this fingerprint gate exists
+    * to catch. The shallow listing sees real statuses for the data
+    * files directly under the root (the flat layout every testdata/
+    * VDF export uses) on every store. Staleness bound: a mutation
+    * confined to NESTED subdirectories that leaves every top-level
+    * name and file status unchanged (an in-place rewrite of one
+    * partition's leaf file on a store without directory mtimes) is
+    * not detected until the process restarts or the cache is cleared
+    * (`invalidateFingerprints()`); that bound is deliberate:
+    * detecting it would require exactly the full walk the cache
+    * exists to avoid. */
   def sourceFingerprint(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(canonicalPath(path))
     val fs = p.getFileSystem(activeHadoopConf())
@@ -184,7 +192,13 @@ object Scale {
       if (!fs.exists(p)) "absent"
       else {
         val st = fs.getFileStatus(p)
-        s"${st.isDirectory}:${st.getLen}:${st.getModificationTime}"
+        if (!st.isDirectory) s"file:${st.getLen}:${st.getModificationTime}"
+        else fs.listStatus(p).toSeq
+          .filter(s => !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith("."))
+          .map(s => s"${s.getPath.getName}:${s.isDirectory}:" +
+            s"${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString("|")
       }
     val cached = fingerprintCache.get(p.toString)
     if (cached != null && cached._1 == rootKey) cached._2

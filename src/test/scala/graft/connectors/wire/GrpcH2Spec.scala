@@ -154,6 +154,53 @@ class GrpcH2Spec extends SparkSpec {
     }
   }
 
+  test("the CONNECTION window (stream 0) is actually raised: WINDOW_UPDATE(0) follows the server preface") {
+    // r13 self-review: SETTINGS_INITIAL_WINDOW_SIZE never touches the
+    // connection window (RFC 7540 §6.9.2), and the local flow
+    // controller's initialWindowSize(...) only revisits streams
+    // already active (none at init) — so the pre-fix code left
+    // stream 0 at the 65535-byte default and 32 concurrent upsert
+    // RPCs shared ONE default connection window. Pin the fix at the
+    // frame level: after the preface exchange the server must
+    // advertise the raised connection budget in a WINDOW_UPDATE on
+    // stream 0 (after its SETTINGS, before any request exists).
+    withServers { (_, h2, _) =>
+      val Array(host, port) = h2.hostPort.split(":")
+      val sock = new java.net.Socket(host, port.toInt)
+      try {
+        sock.setSoTimeout(5000)
+        val out = sock.getOutputStream
+        out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
+        out.write(Array[Byte](0, 0, 0, 4, 0, 0, 0, 0, 0)) // empty SETTINGS
+        out.flush()
+        val in = new java.io.DataInputStream(sock.getInputStream)
+        var increment = -1L
+        var sawSettings = false
+        var frames = 0
+        while (increment < 0 && frames < 8) { // bounded frame scan
+          val hdr = new Array[Byte](9); in.readFully(hdr)
+          val len = ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) |
+            (hdr(2) & 0xff)
+          val tpe = hdr(3) & 0xff
+          val sid = ((hdr(5) & 0x7f) << 24) | ((hdr(6) & 0xff) << 16) |
+            ((hdr(7) & 0xff) << 8) | (hdr(8) & 0xff)
+          val body = new Array[Byte](len); in.readFully(body)
+          if (tpe == 4 && (hdr(4) & 1) == 0) sawSettings = true
+          if (tpe == 8 && sid == 0) {
+            assert(sawSettings,
+              "WINDOW_UPDATE(0) must FOLLOW the server SETTINGS preface")
+            increment = ((body(0) & 0x7f).toLong << 24) |
+              ((body(1) & 0xff) << 16) | ((body(2) & 0xff) << 8) |
+              (body(3) & 0xff)
+          }
+          frames += 1
+        }
+        assert(increment >= 4L * 1024 * 1024 - 65535,
+          s"connection window increment $increment — stream 0 still at the 64 KiB default")
+      } finally sock.close()
+    }
+  }
+
   test("dispatch runs OFF the IO event loop (r13: concurrent streams must not serialize behind a handler)") {
     // the r13 REST-vs-h2 A/B traced a consistent 2.4× import gap to
     // dispatch (decode+store) running on the connection's single netty

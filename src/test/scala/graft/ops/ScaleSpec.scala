@@ -189,7 +189,7 @@ class ScaleSpec extends SparkSpec {
     assert(graft.QueriesCommon.bucketedTable(spark, dir, "orders").isDefined)
   }
 
-  test("sourceFingerprint memoizes the walk on the root status (one walk per change, not per query)") {
+  test("sourceFingerprint memoizes the walk on the root's shallow listing (one walk per change, not per query)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("fpmemo").toString
     val src = s"$dir/t.parquet"
@@ -200,17 +200,15 @@ class ScaleSpec extends SparkSpec {
     val fp1 = Scale.sourceFingerprint(src)
     assert(Scale.fingerprintWalks.get() == w0 + 1)
     // repeated calls (the per-query freshness check) serve the cache:
-    // one O(1) root getFileStatus each, ZERO recursive walks
+    // one O(1) non-recursive root listing each, ZERO recursive walks
     (1 to 5).foreach(_ => assert(Scale.sourceFingerprint(src) == fp1))
     assert(Scale.fingerprintWalks.get() == w0 + 1,
       "every freshness check re-walked the source — the memoization is dead")
     // a regeneration (delete + recreate, what Spark overwrite does)
-    // changes the root status → exactly one more walk, new fingerprint.
-    // Bump the dir mtime explicitly so the test can't flake on
-    // same-millisecond rewrites (real regens take >1ms).
+    // changes the root's immediate children (fresh part-file UUIDs) →
+    // exactly one more walk, new fingerprint
     (0 until 300).map(i => (i.toLong, i * 3.0)).toDF("id", "x")
       .write.mode("overwrite").parquet(src)
-    new java.io.File(src).setLastModified(System.currentTimeMillis() + 5000)
     val fp2 = Scale.sourceFingerprint(src)
     assert(fp2 != fp1, "regenerated source kept its fingerprint")
     assert(Scale.fingerprintWalks.get() == w0 + 2)
@@ -220,6 +218,31 @@ class ScaleSpec extends SparkSpec {
       s"$dir/_bucketed/t", "id", 2, sourceFp = Some(fp1))
     assert(graft.QueriesCommon.bucketedTable(spark, dir, "t").isEmpty,
       "stale layout routed from the memoized fingerprint path")
+  }
+
+  test("fingerprint memo invalidates on a child change even when the root directory's own status is constant (object-store shape)") {
+    // object stores (s3a) synthesize directory statuses with length 0
+    // / mtime 0, so a memo keyed on the root's OWN status would be a
+    // constant there and could never invalidate. Simulate: mutate a
+    // child, then pin the root dir's mtime back to its original value
+    // — the shallow-listing key must still see the change.
+    val dir = java.nio.file.Files.createTempDirectory("fpshallow")
+    val child = dir.resolve("data.parquet")
+    java.nio.file.Files.write(child, Array.fill[Byte](64)(1))
+    val rootMtime = dir.toFile.lastModified()
+    Scale.invalidateFingerprints()
+    val w0 = Scale.fingerprintWalks.get()
+    val fp1 = Scale.sourceFingerprint(dir.toString)
+    assert(Scale.fingerprintWalks.get() == w0 + 1)
+    // in-place rewrite of the child: same name, same length, new mtime;
+    // root dir status restored to its pre-mutation value
+    java.nio.file.Files.write(child, Array.fill[Byte](64)(2))
+    assert(child.toFile.setLastModified(rootMtime + 5000))
+    assert(dir.toFile.setLastModified(rootMtime))
+    val fp2 = Scale.sourceFingerprint(dir.toString)
+    assert(Scale.fingerprintWalks.get() == w0 + 2,
+      "child mutation invisible: the memo key ignores the root's immediate children")
+    assert(fp2 != fp1, "regenerated child kept its fingerprint")
   }
 
   test("sidecar/fingerprint/size reads resolve their filesystem with the SESSION Hadoop conf (session FS settings reach reads, not just writes)") {
