@@ -78,8 +78,34 @@ object GrpcH2Client {
             ch.pipeline().addLast(
               new io.netty.handler.ssl.SslHandler(eng))
           }
+          // Receive-side flow control, symmetric with the server: the
+          // default 64 KiB per-stream AND connection windows throttle
+          // multi-MB fetch responses (the export leg) to WINDOW_UPDATE
+          // ping-pong, shared across all multiplexed streams. Settings
+          // raise the per-stream half; stream 0 must be raised via
+          // incrementWindowSize after the codec writes the client
+          // preface (channelActive, pipeline order) — see the server
+          // initializer for the RFC 7540 §6.9.2 reasoning.
+          val h2Window = 4 * 1024 * 1024
+          val codec = Http2FrameCodecBuilder.forClient()
+            .initialSettings(io.netty.handler.codec.http2.Http2Settings
+              .defaultSettings().initialWindowSize(h2Window))
+            .build()
           ch.pipeline().addLast(
-            Http2FrameCodecBuilder.forClient().build(),
+            codec,
+            new ChannelInboundHandlerAdapter {
+              override def channelActive(hctx: ChannelHandlerContext)
+                  : Unit = {
+                val conn = codec.connection()
+                val fc = conn.local().flowController()
+                fc.incrementWindowSize(conn.connectionStream(),
+                  h2Window - fc.windowSize(conn.connectionStream()))
+                hctx.flush()
+                hctx.fireChannelActive()
+                hctx.pipeline().remove(this)
+                ()
+              }
+            },
             // inbound (server-initiated) streams: none expected
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
         }
