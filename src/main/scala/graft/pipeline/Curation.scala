@@ -55,11 +55,11 @@ object Curation {
     * verdict inline, no exchange. Carries (doc_id, source, text,
     * n_tok) forward so later stages never re-tokenize. */
   def qualityFilter(docs: DataFrame, minTok: Int = 20, maxTok: Int = 80,
-      maxStopRatio: Double = 0.2): DataFrame = {
+      maxStopRatio: Double = 0.2, carry: Seq[String] = Nil): DataFrame = {
     val sr = TF.stopwordRatio(col("text"))
     docs
-      .select(col("doc_id"), col("source"), col("text"), nTok.as("n_tok"),
-        sr.as("stop_ratio"))
+      .select(carry.map(col) ++ Seq(col("doc_id"), col("source"),
+        col("text"), nTok.as("n_tok"), sr.as("stop_ratio")): _*)
       .filter(col("n_tok") >= minTok && col("n_tok") <= maxTok
         && col("stop_ratio") <= maxStopRatio)
       .drop("stop_ratio")
@@ -212,4 +212,51 @@ object Curation {
   def curatedDocs(docs: DataFrame): DataFrame =
     stages.take(5).foldLeft(docs) { case (df, (_, f)) => f(df) }
       .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"))
+
+  /** The STREAMING front-end of the pipeline: the stream-safe prefix
+    * (quality filter → exact dedup → leak-free decontamination split)
+    * composed as ONE incremental dataflow over a documents stream —
+    * the continuous form of a crawl-ingest curation front-end, where
+    * each arriving document is admitted or dropped online instead of
+    * waiting for the nightly batch.
+    *
+    * Stage mapping (each reuses the exact batch rule):
+    *   - quality filter: map-only, identical verdict column-for-column
+    *     (`qualityFilter` with the event-time column carried through);
+    *   - exact dedup: the same canonical fp (md5 of trim/lower text);
+    *     state is one fp-keyed store bounded by the watermark horizon
+    *     ([[graft.streaming.StreamingOps.streamingDedupExact]]), and
+    *     with `fpIndex` (the materialized fingerprint set of a prior
+    *     batch run) the stream also anti-joins the existing corpus —
+    *     `q_dedup_incremental`'s nightly-crawl shape, continuous;
+    *   - decontamination split: the fp-keyed coin is pure map-side, so
+    *     a duplicate of an eval document STILL can't reach train even
+    *     if it slipped the dedup horizon.
+    *
+    * Semantics vs batch: the batch prefix keeps the MIN doc_id per fp;
+    * the stream keeps the FIRST arrival — identical when the stream
+    * replays in doc_id order, and the honest contract otherwise (an
+    * online system can't know a smaller id arrives later). The
+    * LSH near-dedup, token budget, and packing stages are inherently
+    * batch finishers — keep-min over unbounded band buckets and the
+    * global greedy budget order need the full curated set — so they
+    * run as the periodic sweep over this front-end's accumulated
+    * output (the same batch/streaming split `streamingDedupExact`
+    * documents; streaming near-dup semantics are covered separately by
+    * `streamingNearDupSimhash`). */
+  def streamingPrefix(docs: DataFrame, tsCol: String,
+      watermarkDelay: String, fpIndex: Option[DataFrame] = None,
+      split: String = "train"): DataFrame = {
+    val fped = qualityFilter(docs, carry = Seq(tsCol))
+      .withColumn("fp", md5(trim(lower(col("text")))))
+    val deduped = fpIndex match {
+      case Some(ix) => graft.streaming.StreamingOps
+        .incrementalDedupStream(fped, tsCol, "fp", ix, watermarkDelay)
+      case None => graft.streaming.StreamingOps
+        .streamingDedupExact(fped, tsCol, "fp", watermarkDelay)
+    }
+    keepSplit(deduped, split)
+      .select(col(tsCol), col("doc_id"), col("source"), col("n_tok"),
+        col("fp"))
+  }
 }
