@@ -256,6 +256,9 @@ object Cli {
         |                    [--budget N] [--pack N]
         |                    [--source_column source] [--id_column doc_id]
         |                    [--text_column text]
+        |                    [--follow [--watermark "10 minutes"]
+        |                     [--ts_column C] [--fp_index PARQUET_DIR]
+        |                     [--checkpoint DIR]]
         |
         |Run the composed curation pipeline as ONE dataflow: quality
         |filter -> exact dedup (keep-min per normalized-content
@@ -266,8 +269,18 @@ object Cli {
         |counted by observers on the single write pass — the corpus is
         |not re-scanned per stage.
         |
+        |With --follow, runs the STREAMING front-end instead: each
+        |invocation drains whatever new files landed under --in since
+        |the last run with the same checkpoint through the stream-safe
+        |prefix (quality -> exact dedup within the watermark horizon ->
+        |split) and APPENDS the admitted docs to --out. Dedup beyond
+        |the horizon rides --fp_index (a prior run's fp column);
+        |near-dedup/budget/pack stay batch finishers over the
+        |accumulated output.
+        |
         |  --in PARQUET_DIR       input document table
-        |  --out PARQUET_DIR      curated output (fresh directory)
+        |  --out PARQUET_DIR      curated output (fresh directory;
+        |                         appended to under --follow)
         |  --min_tokens N         quality: minimum token count (default: 20)
         |  --max_tokens N         quality: maximum token count (default: 80)
         |  --max_stopword_ratio R quality: stopword-ratio cap (default: 0.2)
@@ -276,7 +289,14 @@ object Cli {
         |  --pack N               assign 'bin' by N-token packing (default: none)
         |  --source_column C      source column (default: source)
         |  --id_column C          id column (default: doc_id)
-        |  --text_column C        text column (default: text)""".stripMargin
+        |  --text_column C        text column (default: text)
+        |  --follow               incremental streaming mode (see above)
+        |  --watermark W          dedup-state horizon (default: 10 minutes)
+        |  --ts_column C          event-time column (default: stamp the
+        |                         micro-batch processing time)
+        |  --fp_index DIR         parquet with an fp column: reject these
+        |                         fingerprints on first arrival
+        |  --checkpoint DIR       stream checkpoint (default: OUT_checkpoint)""".stripMargin
     case "bump-version" =>
       """usage: graft bump-version [--file build.sbt] [--part patch]
         |
@@ -312,6 +332,7 @@ object Cli {
         |              [--epochs SRC=E,...] [--budget N] [--shuffle S] [--default_weight 1]
         |  curate      --in PARQUET_DIR --out PARQUET_DIR [--min_tokens 20] [--max_tokens 80]
         |              [--max_stopword_ratio 0.2] [--split train] [--budget N] [--pack N]
+        |              [--follow [--watermark W] [--ts_column C] [--fp_index DIR] [--checkpoint DIR]]
         |  bump-version  [--file build.sbt] [--part major|minor|patch]
         |  version-check [--current X.Y.Z] [--latest X.Y.Z]
         |
@@ -845,6 +866,60 @@ object Cli {
     if (budget.contains(None) || packN.contains(None)) {
       System.err.println("curate: --budget/--pack must be positive integers")
       return 2
+    }
+    if (a.flags.get("follow").contains("true")) {
+      // STREAMING ingest mode: process whatever NEW files landed under
+      // --in since the last run with the same checkpoint, through the
+      // stream-safe prefix (quality → exact dedup within the watermark
+      // horizon, optionally anti-joined against --fp_index → split),
+      // and APPEND the admitted docs to --out. Trigger.AvailableNow
+      // drains the backlog and stops — the reference's incremental-
+      // marker use case (SURVEY S6f) as checkpointed streaming state
+      // instead of mutated metadata. Cross-RUN dedup durability beyond
+      // the watermark horizon belongs to --fp_index (a prior run's
+      // fingerprint column); budget/pack are batch finishers over the
+      // accumulated output and are rejected here.
+      if (budget.isDefined || packN.isDefined) {
+        System.err.println(
+          "curate: --budget/--pack are batch finishers over the " +
+            "accumulated output; not valid with --follow")
+        return 2
+      }
+      val wm = a.flags.getOrElse("watermark", "10 minutes")
+      val fpIndex = a.flags.get("fp_index").map(p =>
+        spark.read.parquet(p).select(col("fp")))
+      val schema = spark.read.parquet(a.flags("in")).schema
+      val tsCol = a.flags.get("ts_column")
+      val base = spark.readStream.schema(schema).parquet(a.flags("in"))
+      val renamed = base.select(
+        col(idCol).as("doc_id") :: col(textCol).as("text") ::
+          col(srcCol).as("source") ::
+          tsCol.map(c => col(c).as("__ts")).toList: _*)
+      // without an event-time column, stamp the micro-batch's
+      // processing time (evaluated once per batch — a valid, monotone
+      // watermark column for the ingest-dedup horizon)
+      val withTs = if (tsCol.isDefined) renamed
+        else renamed.withColumn("__ts", current_timestamp())
+      val curated = graft.pipeline.Curation.streamingPrefix(withTs,
+        "__ts", wm, fpIndex, split, minTok.get, maxTok.get, maxStop.get)
+      val ckpt = a.flags.getOrElse("checkpoint",
+        a.flags("out") + "_checkpoint")
+      val q = curated
+        .withColumnRenamed("__ts", "ingest_ts")
+        .withColumnRenamed("doc_id", idCol)
+        .withColumnRenamed("source", srcCol)
+        .writeStream.format("parquet")
+        .option("path", a.flags("out"))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val admitted = q.recentProgress
+        .map(_.sink.numOutputRows).filter(_ > 0).sum
+      println(s"curate --follow: admitted $admitted new docs -> " +
+        s"${a.flags("out")} (checkpoint $ckpt)")
+      return 0
     }
     val raw = spark.read.parquet(a.flags("in"))
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),

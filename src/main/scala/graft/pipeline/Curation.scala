@@ -246,8 +246,10 @@ object Curation {
     * `streamingNearDupSimhash`). */
   def streamingPrefix(docs: DataFrame, tsCol: String,
       watermarkDelay: String, fpIndex: Option[DataFrame] = None,
-      split: String = "train"): DataFrame = {
-    val fped = qualityFilter(docs, carry = Seq(tsCol))
+      split: String = "train", minTok: Int = 20, maxTok: Int = 80,
+      maxStopRatio: Double = 0.2): DataFrame = {
+    val fped = qualityFilter(docs, minTok, maxTok, maxStopRatio,
+        carry = Seq(tsCol))
       .withColumn("fp", md5(trim(lower(col("text")))))
     val deduped = fpIndex match {
       case Some(ix) => graft.streaming.StreamingOps

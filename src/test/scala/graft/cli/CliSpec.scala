@@ -266,6 +266,53 @@ class CliSpec extends SparkSpec {
       "--min_tokens", "50", "--max_tokens", "10")) == 2)
   }
 
+  test("curate --follow: incremental runs drain only new files; fp_index rejects prior-run fingerprints") {
+    import spark.implicits._
+    val in = tmp() + "/docs_follow"
+    def text(i: Long) = (0 until 30).map(j => s"f${i}x$j").mkString(" ")
+    // batch 1: docs 0-19, doc 19 an exact dup of doc 0
+    (0L until 20L).map(i => (i, s"src${i % 3}",
+      if (i == 19) text(0) else text(i)))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val out = tmp() + "/cur_follow"
+    val ckpt = tmp() + "/ckpt_follow"
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--follow", "--split", "all", "--checkpoint", ckpt)) == 0)
+    val got1 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 0 and 19 share a fingerprint AND a micro-batch, so the winner is
+    // arbitrary — exactly one of the pair survives
+    assert(got1.size == 19 && Set(0L, 19L).count(got1.contains) == 1,
+      s"run 1 admitted $got1")
+    // batch 2 lands: one dup of doc 1 (within the dedup horizon,
+    // state restored from the checkpoint) + one novel doc
+    Seq((100L, "src0", text(1)), (101L, "src0", text(100)))
+      .toDF("doc_id", "source", "text")
+      .write.mode("append").parquet(in)
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--follow", "--split", "all", "--checkpoint", ckpt)) == 0)
+    val got2 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got2 == got1 + 101L,
+      s"run 2 must append ONLY the novel doc: $got2")
+    // the appended output carries fp — usable directly as the NEXT
+    // run's --fp_index: a fresh checkpoint re-reads everything, the
+    // index rejects every already-curated fingerprint, and only a
+    // genuinely new batch-3 doc lands
+    Seq((200L, "src1", text(200)))
+      .toDF("doc_id", "source", "text")
+      .write.mode("append").parquet(in)
+    val out3 = tmp() + "/cur_follow3"
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out3,
+      "--follow", "--split", "all", "--fp_index", out)) == 0)
+    val got3 = spark.read.parquet(out3).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got3 == Set(200L), s"index run admitted $got3")
+    // budget/pack are batch finishers — rejected with --follow
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--follow", "--budget", "900")) == 2)
+  }
+
   test("mixture: weights downsample, budget caps, epochs upsample — library-equal") {
     import spark.implicits._
     val in = tmp() + "/docs"
