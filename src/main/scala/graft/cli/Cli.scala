@@ -296,7 +296,11 @@ object Cli {
         |                         micro-batch processing time)
         |  --fp_index DIR         parquet with an fp column: reject these
         |                         fingerprints on first arrival
-        |  --checkpoint DIR       stream checkpoint (default: OUT_checkpoint)""".stripMargin
+        |  --checkpoint DIR       stream checkpoint (default: OUT_checkpoint).
+        |                         COUPLED to --out: the sink log under OUT
+        |                         is keyed by this checkpoint's batch ids,
+        |                         so always move/keep them together (the
+        |                         command fails loud on a mismatched pair)""".stripMargin
     case "bump-version" =>
       """usage: graft bump-version [--file build.sbt] [--part patch]
         |
@@ -867,7 +871,15 @@ object Cli {
       System.err.println("curate: --budget/--pack must be positive integers")
       return 2
     }
-    if (a.flags.get("follow").contains("true")) {
+    if (a.flags.contains("follow") && a.flags("follow") != "true") {
+      // parseArgs binds `--follow X` as follow=X; silently falling
+      // back to BATCH mode on a stray token would mode("overwrite")
+      // the corpus accumulated by prior --follow runs
+      System.err.println("curate: --follow takes no value " +
+        s"(got '${a.flags("follow")}' — a misplaced argument?)")
+      return 2
+    }
+    if (a.flags.contains("follow")) {
       // STREAMING ingest mode: process whatever NEW files landed under
       // --in since the last run with the same checkpoint, through the
       // stream-safe prefix (quality → exact dedup within the watermark
@@ -904,6 +916,37 @@ object Cli {
         "__ts", wm, fpIndex, split, minTok.get, maxTok.get, maxStop.get)
       val ckpt = a.flags.getOrElse("checkpoint",
         a.flags("out") + "_checkpoint")
+      // the parquet streaming sink and its checkpoint are a COUPLED
+      // pair: the sink's _spark_metadata log is keyed by batch ids
+      // from the checkpoint, so (a) reusing --out with a fresh
+      // checkpoint silently SKIPS writes (batch 0 already committed in
+      // the sink log), and (b) appending sink output into a dir the
+      // batch verb wrote makes reads return ONLY sink-logged files,
+      // hiding the batch rows. Fail loud on both.
+      val outDir = new java.io.File(a.flags("out"))
+      val sinkLog = new java.io.File(outDir, "_spark_metadata")
+      if (sinkLog.exists && !new java.io.File(ckpt).exists) {
+        System.err.println("curate: --out carries a streaming sink " +
+          "log but the checkpoint is fresh — the sink would silently " +
+          "skip already-committed batch ids. Pass the checkpoint that " +
+          "wrote it (or a fresh --out).")
+        return 2
+      }
+      if (!sinkLog.exists && outDir.isDirectory
+          && outDir.listFiles != null && outDir.listFiles.nonEmpty) {
+        System.err.println("curate: --out exists but was not written " +
+          "by --follow (no _spark_metadata) — appending a streaming " +
+          "sink into it would hide the existing rows on read. Use a " +
+          "fresh --out.")
+        return 2
+      }
+      // exact admitted count from the sink itself (recentProgress is
+      // capped at 100 entries — a long backlog drain would
+      // under-report); counted BEFORE the stream starts
+      def sinkRows(): Long =
+        if (!sinkLog.exists) 0L
+        else spark.read.parquet(a.flags("out")).count()
+      val before = sinkRows()
       val q = curated
         .withColumnRenamed("__ts", "ingest_ts")
         .withColumnRenamed("doc_id", idCol)
@@ -915,8 +958,7 @@ object Cli {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val admitted = q.recentProgress
-        .map(_.sink.numOutputRows).filter(_ > 0).sum
+      val admitted = sinkRows() - before
       println(s"curate --follow: admitted $admitted new docs -> " +
         s"${a.flags("out")} (checkpoint $ckpt)")
       return 0

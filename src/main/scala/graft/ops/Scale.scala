@@ -165,26 +165,28 @@ object Scale {
     * MEMOIZED per canonical path (r13): the recursive walk + md5 is a
     * SERIAL driver stage — trivial at 32 files, multi-second at a
     * 100 TB layout's 10⁵–10⁶ source files — and `bucketedTable` used
-    * to pay it once per spine table per QUERY. Each call now does ONE
-    * non-recursive `listStatus` of the root (a single RPC — the cost
-    * the cache avoids is the RECURSIVE walk, O(directories)) and
-    * re-walks only when any immediate child's (name, kind, length,
-    * mtime) changed since the cached walk. The key deliberately does
-    * NOT use the root directory's own status: object stores (s3a)
-    * synthesize directory statuses with length 0 / mtime 0, so a
-    * root-status key is a CONSTANT there and could never invalidate —
-    * it would silently serve a stale layout across a mid-session
-    * regeneration, the exact staleness this fingerprint gate exists
-    * to catch. The shallow listing sees real statuses for the data
-    * files directly under the root (the flat layout every testdata/
-    * VDF export uses) on every store. Staleness bound: a mutation
-    * confined to NESTED subdirectories that leaves every top-level
-    * name and file status unchanged (an in-place rewrite of one
-    * partition's leaf file on a store without directory mtimes) is
-    * not detected until the process restarts or the cache is cleared
-    * (`invalidateFingerprints()`); that bound is deliberate:
-    * detecting it would require exactly the full walk the cache
-    * exists to avoid. */
+    * to pay it once per spine table per QUERY. The invalidation key is
+    * the strongest CHEAP signal the store offers:
+    *   - root is a file, or a directory with a REAL status (nonzero
+    *     mtime/length — local FS, HDFS): the root's own
+    *     `getFileStatus`, one O(1) RPC. Directory mtimes change on any
+    *     child create/delete/rename (every real regeneration);
+    *   - root directory status is SYNTHETIC (mtime 0 and length 0 —
+    *     what s3a fabricates for prefixes): one non-recursive
+    *     `listStatus` of the root. A root-status key would be a
+    *     CONSTANT there and could never invalidate — it would
+    *     silently serve a stale layout across a mid-session
+    *     regeneration, the exact staleness this gate exists to catch.
+    *     The listing is O(immediate children) — on an object store
+    *     that cost IS the floor for any freshness signal at all.
+    * Staleness bound, per class: on real-status stores an in-place
+    * child rewrite that leaves the root mtime unchanged; on synthetic-
+    * status stores a mutation confined to nested subdirectories that
+    * leaves every top-level name/file status unchanged. Neither is
+    * detected until the process restarts or the cache is cleared
+    * (`invalidateFingerprints()`); that bound is deliberate: closing
+    * it would require exactly the full walk the cache exists to
+    * avoid. */
   def sourceFingerprint(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(canonicalPath(path))
     val fs = p.getFileSystem(activeHadoopConf())
@@ -193,6 +195,8 @@ object Scale {
       else {
         val st = fs.getFileStatus(p)
         if (!st.isDirectory) s"file:${st.getLen}:${st.getModificationTime}"
+        else if (st.getModificationTime != 0L)
+          s"dir:${st.getLen}:${st.getModificationTime}"
         else fs.listStatus(p).toSeq
           .filter(s => !s.getPath.getName.startsWith("_")
             && !s.getPath.getName.startsWith("."))

@@ -257,8 +257,12 @@ object Curation {
       case None => graft.streaming.StreamingOps
         .streamingDedupExact(fped, tsCol, "fp", watermarkDelay)
     }
+    // text rides along: the batch finishers this front-end feeds
+    // (LSH near-dedup tokenizes text; a full batch `curate` over the
+    // accumulated output) need it — an output without text would make
+    // the documented periodic sweep impossible
     keepSplit(deduped, split)
-      .select(col(tsCol), col("doc_id"), col("source"), col("n_tok"),
-        col("fp"))
+      .select(col(tsCol), col("doc_id"), col("source"), col("text"),
+        col("n_tok"), col("fp"))
   }
 }

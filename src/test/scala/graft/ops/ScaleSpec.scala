@@ -205,10 +205,12 @@ class ScaleSpec extends SparkSpec {
     assert(Scale.fingerprintWalks.get() == w0 + 1,
       "every freshness check re-walked the source — the memoization is dead")
     // a regeneration (delete + recreate, what Spark overwrite does)
-    // changes the root's immediate children (fresh part-file UUIDs) →
-    // exactly one more walk, new fingerprint
+    // updates the root dir status → exactly one more walk, new
+    // fingerprint. Bump the dir mtime explicitly so the test can't
+    // flake on same-millisecond rewrites (real regens take >1ms).
     (0 until 300).map(i => (i.toLong, i * 3.0)).toDF("id", "x")
       .write.mode("overwrite").parquet(src)
+    new java.io.File(src).setLastModified(System.currentTimeMillis() + 5000)
     val fp2 = Scale.sourceFingerprint(src)
     assert(fp2 != fp1, "regenerated source kept its fingerprint")
     assert(Scale.fingerprintWalks.get() == w0 + 2)
@@ -220,25 +222,30 @@ class ScaleSpec extends SparkSpec {
       "stale layout routed from the memoized fingerprint path")
   }
 
-  test("fingerprint memo invalidates on a child change even when the root directory's own status is constant (object-store shape)") {
-    // object stores (s3a) synthesize directory statuses with length 0
-    // / mtime 0, so a memo keyed on the root's OWN status would be a
-    // constant there and could never invalidate. Simulate: mutate a
-    // child, then pin the root dir's mtime back to its original value
-    // — the shallow-listing key must still see the change.
+  test("fingerprint memo invalidates on a child change even when the root directory's own status is synthetic (object-store shape)") {
+    // object stores (s3a) synthesize directory statuses with mtime 0,
+    // so a memo keyed on the root's OWN status would be a constant
+    // there and could never invalidate. Simulate the synthetic shape
+    // by pinning the root mtime to 0: the key must fall back to the
+    // shallow listing and see the child mutation.
     val dir = java.nio.file.Files.createTempDirectory("fpshallow")
     val child = dir.resolve("data.parquet")
     java.nio.file.Files.write(child, Array.fill[Byte](64)(1))
-    val rootMtime = dir.toFile.lastModified()
+    assert(dir.toFile.setLastModified(0L),
+      "cannot pin dir mtime on this filesystem")
     Scale.invalidateFingerprints()
     val w0 = Scale.fingerprintWalks.get()
     val fp1 = Scale.sourceFingerprint(dir.toString)
     assert(Scale.fingerprintWalks.get() == w0 + 1)
-    // in-place rewrite of the child: same name, same length, new mtime;
-    // root dir status restored to its pre-mutation value
+    // cached while nothing changes (the listing key is stable)
+    assert(Scale.sourceFingerprint(dir.toString) == fp1)
+    assert(Scale.fingerprintWalks.get() == w0 + 1)
+    // in-place rewrite of the child: same name, same length, new
+    // mtime; root dir mtime pinned back to the synthetic 0
     java.nio.file.Files.write(child, Array.fill[Byte](64)(2))
-    assert(child.toFile.setLastModified(rootMtime + 5000))
-    assert(dir.toFile.setLastModified(rootMtime))
+    assert(child.toFile.setLastModified(
+      System.currentTimeMillis() + 5000))
+    assert(dir.toFile.setLastModified(0L))
     val fp2 = Scale.sourceFingerprint(dir.toString)
     assert(Scale.fingerprintWalks.get() == w0 + 2,
       "child mutation invisible: the memo key ignores the root's immediate children")

@@ -56,9 +56,11 @@ class CurationStreamSpec extends SparkSpec {
       assert(got == expected,
         s"stream admitted $got, batch prefix keeps $expected")
       assert(got.nonEmpty && got.size < 40) // rules actually fired
-      // the carried columns a downstream batch finisher needs
+      // the carried columns a downstream batch finisher needs —
+      // including text (LSH near-dedup re-tokenizes it) and fp (the
+      // next incremental run's index)
       assert(spark.table("scur").columns.toSet ==
-        Set("ts", "doc_id", "source", "n_tok", "fp"))
+        Set("ts", "doc_id", "source", "text", "n_tok", "fp"))
     } finally q.stop()
   }
 
