@@ -46,6 +46,13 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     val results = (1 to passes).flatMap { _ =>
       picked.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // drop any persisted relation a previous execution registered
+        // (the curation pipeline's dedup barrier): CacheManager
+        // rewrites logically-equal subtrees to read the cache, so
+        // without this a timed pass would skip the corpus pass its
+        // DuckDB twin re-pays every run — cache reuse ACROSS runs is
+        // contamination, the barrier WITHIN one run is the plan
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

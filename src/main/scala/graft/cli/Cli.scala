@@ -977,14 +977,16 @@ object Cli {
     df = observed("quality_filter",
       Curation.qualityFilter(df, minTok.get, maxTok.get, maxStop.get))
     df = observed("exact_dedup", Curation.exactDedup(df))
-    // the LSH drop set derives from an UN-OBSERVED twin of the chain so
-    // the stage-1/2 observers aren't duplicated into the candidate
-    // branch (a metric node executed in two branches double-counts —
-    // the same failure class as an Observation below a global sort)
-    val clean = Curation.exactDedup(Curation.qualityFilter(
-      raw, minTok.get, maxTok.get, maxStop.get))
-    df = observed("neardup_lsh",
-      df.join(Curation.lshDropIds(clean), Seq("doc_id"), "left_anti"))
+    // materialization barrier (same reasoning as Curation.dedupBarrier):
+    // ONE execution of the scan→tokenize→dedup subtree serves both the
+    // carried chain and the self-referential LSH candidate branch —
+    // this also keeps the stage-1/2 observers single-fire (block
+    // locking computes each cached partition exactly once), which the
+    // pre-barrier code had to guarantee with an un-observed twin of
+    // the chain that paid the second corpus pass
+    val deduped = df.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df = observed("neardup_lsh", Curation.nearDedupLsh(deduped))
     if (split != "all")
       df = observed(s"split_$split", Curation.keepSplit(df, split))
     budget.flatten.foreach { b =>
@@ -997,6 +999,7 @@ object Cli {
       .withColumnRenamed("doc_id", idCol)
       .withColumnRenamed("source", srcCol)
       .write.mode("overwrite").parquet(a.flags("out"))
+    deduped.unpersist(false)
     val counts = obs.toList.map { case (n, o) =>
       n -> o.get("rows").asInstanceOf[Long] }
     println(counts.map { case (n, c) => s"$n=$c" }.mkString("curate: ", " -> ",

@@ -200,17 +200,38 @@ object Curation {
     "token_budget" -> (tokenBudget(_)),
     "pack" -> (pack(_, 512)))
 
+  /** Materialization barrier between the exact-dedup output and its
+    * TWO consumers — the carried frame and the self-referential LSH
+    * candidate branch (`nearDedupLsh` anti-joins the frame against
+    * ids derived FROM the frame). Without it Spark executes the
+    * scan → tokenize → dedup subtree once PER consumer: a second full
+    * corpus pass, measured at 10.5M docs as the composed form losing
+    * to the materialized N-job chain (26.9 s vs 17.6 s —
+    * docs/artifacts/curation_r13_bigdata15.txt) once the staged
+    * baseline was costed honestly. The barrier stores O(survivors)
+    * (MEMORY_AND_DISK: spills, never recomputes; BlockManager's
+    * per-partition block locking means concurrent consumers share ONE
+    * computation rather than racing), while the recompute costs
+    * O(corpus) — and dedup exists precisely because survivors ≪
+    * corpus, so the barrier side wins wherever the pipeline matters.
+    * This is the composed-dataflow analogue of the stage boundary a
+    * staged pipeline pays as a parquet write+read. */
+  private def dedupBarrier(docs: DataFrame): DataFrame =
+    exactDedup(qualityFilter(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** The full composed pipeline: documents in, packed-bin occupancy
-    * out, one dataflow. */
+    * out, one dataflow (with the one deliberate materialization
+    * barrier — see [[dedupBarrier]]). */
   def pipeline(docs: DataFrame): DataFrame =
-    stages.foldLeft(docs) { case (df, (_, f)) => f(df) }
+    stages.drop(2).foldLeft(dedupBarrier(docs)) { case (df, (_, f)) => f(df) }
       .orderBy("source", "bin")
 
   /** The curated DOCUMENT set (the pipeline's stage-5 output — what a
     * training run would actually read): doc_id, source, n_tok, in
     * deterministic order. The CLI export subcommand writes this. */
   def curatedDocs(docs: DataFrame): DataFrame =
-    stages.take(5).foldLeft(docs) { case (df, (_, f)) => f(df) }
+    stages.slice(2, 5).foldLeft(dedupBarrier(docs)) { case (df, (_, f)) => f(df) }
       .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"))
 
   /** The STREAMING front-end of the pipeline: the stream-safe prefix

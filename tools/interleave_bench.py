@@ -45,6 +45,8 @@ def duck_once(sf_dir, sql):
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            continue  # doc-only corpora (DocCorpusGen) carry one table
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     con.sql(sql).fetchall()  # warm (same treatment as graft side)
