@@ -78,34 +78,18 @@ object GrpcH2Client {
             ch.pipeline().addLast(
               new io.netty.handler.ssl.SslHandler(eng))
           }
-          // Receive-side flow control, symmetric with the server: the
-          // default 64 KiB per-stream AND connection windows throttle
-          // multi-MB fetch responses (the export leg) to WINDOW_UPDATE
-          // ping-pong, shared across all multiplexed streams. Settings
-          // raise the per-stream half; stream 0 must be raised via
-          // incrementWindowSize after the codec writes the client
-          // preface (channelActive, pipeline order) — see the server
-          // initializer for the RFC 7540 §6.9.2 reasoning.
-          val h2Window = 4 * 1024 * 1024
-          val codec = Http2FrameCodecBuilder.forClient()
-            .initialSettings(io.netty.handler.codec.http2.Http2Settings
-              .defaultSettings().initialWindowSize(h2Window))
-            .build()
+          // Receive-side flow control, symmetric with the server:
+          // SETTINGS raise the PER-STREAM window so a multi-MB fetch
+          // response streams without per-stream WINDOW_UPDATE
+          // ping-pong; the CONNECTION window deliberately stays at the
+          // 64 KiB default — see the server initializer for the
+          // measured reasoning (raising it regressed bulk transfer
+          // ~3× by destroying the stream-completion pipelining).
           ch.pipeline().addLast(
-            codec,
-            new ChannelInboundHandlerAdapter {
-              override def channelActive(hctx: ChannelHandlerContext)
-                  : Unit = {
-                val conn = codec.connection()
-                val fc = conn.local().flowController()
-                fc.incrementWindowSize(conn.connectionStream(),
-                  h2Window - fc.windowSize(conn.connectionStream()))
-                hctx.flush()
-                hctx.fireChannelActive()
-                hctx.pipeline().remove(this)
-                ()
-              }
-            },
+            Http2FrameCodecBuilder.forClient()
+              .initialSettings(io.netty.handler.codec.http2.Http2Settings
+                .defaultSettings().initialWindowSize(4 * 1024 * 1024))
+              .build(),
             // inbound (server-initiated) streams: none expected
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
         }
@@ -353,42 +337,38 @@ final class GrpcH2StubServer(
           eng.setSSLParameters(sp)
           ch.pipeline().addLast(new io.netty.handler.ssl.SslHandler(eng))
         }
-        // Flow-control windows sized for bulk upserts (the r13 A/B):
-        // h2 defaults give every stream — and the WHOLE connection —
-        // a 64 KiB window, so 32 concurrent 5 MB upsert RPCs share
-        // 64 KiB of unacked in-flight data and progress one
-        // WINDOW_UPDATE ping-pong at a time. SETTINGS_INITIAL_WINDOW_SIZE
-        // covers only the per-stream half: per RFC 7540 §6.9.2 it
-        // never touches the CONNECTION window, and the local flow
-        // controller's initialWindowSize(...) only revisits streams
-        // already active (none exist at init time). Stream 0 must be
-        // raised explicitly via incrementWindowSize — what
-        // grpc-netty's flowControlWindow option does — which also
-        // advertises the new budget in an immediate WINDOW_UPDATE(0).
-        // That frame may only follow the server preface, so it is
-        // sent from channelActive AFTER the codec's own channelActive
-        // has written preface + SETTINGS (pipeline order), exactly
-        // like grpc-netty's sendInitialConnectionWindow.
-        val h2Window = 4 * 1024 * 1024
-        val codec = Http2FrameCodecBuilder.forServer()
-          .initialSettings(io.netty.handler.codec.http2.Http2Settings
-            .defaultSettings().initialWindowSize(h2Window))
-          .build()
+        // Flow control, the MEASURED configuration (r13b A/B,
+        // docs/artifacts/wire_import_ab_r13b.txt):
+        //  - PER-STREAM window 4 MiB via SETTINGS_INITIAL_WINDOW_SIZE,
+        //    so one multi-MB upsert message streams without
+        //    per-stream WINDOW_UPDATE ping-pong;
+        //  - CONNECTION window (stream 0): SETTINGS never touches it
+        //    (RFC 7540 §6.9.2), and an init-time call on the local
+        //    flow controller's initialWindowSize(...) is a no-op (it
+        //    only revisits already-active streams). What actually
+        //    raises it: Netty's Http2FrameCodec ITSELF — on the server
+        //    path, handlerAdded calls
+        //    tryExpandConnectionFlowControlWindow, incrementing
+        //    stream 0 by 2× the (SETTINGS window − 64 KiB default)
+        //    delta, i.e. to ~8.3 MiB here, advertised in an eager
+        //    WINDOW_UPDATE(0). The r13b self-review first misread the
+        //    stray explicit no-op call as "connection window still
+        //    64 KiB" and 'fixed' it with grpc-netty's
+        //    sendInitialConnectionWindow pattern sized to 4 MiB —
+        //    which SHRANK the codec-expanded budget by half: across 7
+        //    interleaved rounds the force-shrunk import leg never beat
+        //    5.5 s (minima 131-182k rows/s) while the codec-sized
+        //    config dipped to 2.5-3.2 s (318-402k rows/s) within 3-6
+        //    rounds the same hour (wire_import_ab_r13b.txt). Hence:
+        //    set the SETTINGS window, let the codec size stream 0,
+        //    and change neither without an interleaved A/B. GrpcH2Spec
+        //    pins the healthy preface at the frame level (per-stream
+        //    4 MiB + eager WINDOW_UPDATE(0) ≥ 4 MiB).
         ch.pipeline().addLast(
-          codec,
-          new io.netty.channel.ChannelInboundHandlerAdapter {
-            override def channelActive(
-                hctx: io.netty.channel.ChannelHandlerContext): Unit = {
-              val conn = codec.connection()
-              val fc = conn.local().flowController()
-              fc.incrementWindowSize(conn.connectionStream(),
-                h2Window - fc.windowSize(conn.connectionStream()))
-              hctx.flush()
-              hctx.fireChannelActive()
-              hctx.pipeline().remove(this)
-              ()
-            }
-          },
+          Http2FrameCodecBuilder.forServer()
+            .initialSettings(io.netty.handler.codec.http2.Http2Settings
+              .defaultSettings().initialWindowSize(4 * 1024 * 1024))
+            .build(),
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {
             override def initChannel(sc: Channel): Unit =
               sc.pipeline().addLast(new StreamHandler)

@@ -154,30 +154,40 @@ class GrpcH2Spec extends SparkSpec {
     }
   }
 
-  test("the CONNECTION window (stream 0) is actually raised: WINDOW_UPDATE(0) follows the server preface") {
-    // r13 self-review: SETTINGS_INITIAL_WINDOW_SIZE never touches the
-    // connection window (RFC 7540 §6.9.2), and the local flow
-    // controller's initialWindowSize(...) only revisits streams
-    // already active (none at init) — so the pre-fix code left
-    // stream 0 at the 65535-byte default and 32 concurrent upsert
-    // RPCs shared ONE default connection window. Pin the fix at the
-    // frame level: after the preface exchange the server must
-    // advertise the raised connection budget in a WINDOW_UPDATE on
-    // stream 0 (after its SETTINGS, before any request exists).
+  test("flow-control preface pins the MEASURED config: 4 MiB per-stream SETTINGS + codec-expanded connection window") {
+    // r13b: the connection window is raised by Netty's Http2FrameCodec
+    // ITSELF (tryExpandConnectionFlowControlWindow: 2× the SETTINGS
+    // delta, eagerly advertised in WINDOW_UPDATE(0)) — NOT by the
+    // stray explicit initialWindowSize call the r13 code carried
+    // (a no-op: it only revisits active streams, and SETTINGS never
+    // touches stream 0 per RFC 7540 §6.9.2). The self-review first
+    // misread that no-op as "stream 0 still 64 KiB" and 'fixed' it by
+    // force-sizing stream 0 to exactly 4 MiB — HALVING the
+    // codec-expanded budget: the force-shrunk import leg never beat
+    // 5.5 s across 7 interleaved rounds while the codec-sized config
+    // dipped to 2.5-3.2 s the same hour. This pins the healthy preface:
+    // SETTINGS advertises the 4 MiB per-stream window, and an eager
+    // WINDOW_UPDATE(0) of at least 4 MiB follows it. If either assert
+    // fires after a flow-control change, bring an interleaved A/B
+    // (see the comment in GrpcH2StubServer).
     withServers { (_, h2, _) =>
       val Array(host, port) = h2.hostPort.split(":")
       val sock = new java.net.Socket(host, port.toInt)
       try {
-        sock.setSoTimeout(5000)
+        sock.setSoTimeout(2000)
         val out = sock.getOutputStream
         out.write("PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n".getBytes("US-ASCII"))
         out.write(Array[Byte](0, 0, 0, 4, 0, 0, 0, 0, 0)) // empty SETTINGS
         out.flush()
         val in = new java.io.DataInputStream(sock.getInputStream)
+        var streamWindow = -1L
         var increment = -1L
         var sawSettings = false
         var frames = 0
-        while (increment < 0 && frames < 8) { // bounded frame scan
+        var sawSettingsAck = false
+        // read the whole server preface: SETTINGS ... SETTINGS-ack
+        // bounds the scan (everything eager precedes the ack)
+        while (!sawSettingsAck && frames < 8) {
           val hdr = new Array[Byte](9); in.readFully(hdr)
           val len = ((hdr(0) & 0xff) << 16) | ((hdr(1) & 0xff) << 8) |
             (hdr(2) & 0xff)
@@ -185,18 +195,35 @@ class GrpcH2Spec extends SparkSpec {
           val sid = ((hdr(5) & 0x7f) << 24) | ((hdr(6) & 0xff) << 16) |
             ((hdr(7) & 0xff) << 8) | (hdr(8) & 0xff)
           val body = new Array[Byte](len); in.readFully(body)
-          if (tpe == 4 && (hdr(4) & 1) == 0) sawSettings = true
+          if (tpe == 4 && (hdr(4) & 1) == 1) sawSettingsAck = true
+          if (tpe == 4 && (hdr(4) & 1) == 0) {
+            sawSettings = true
+            // 6-byte settings entries: id(2) value(4); id 4 =
+            // SETTINGS_INITIAL_WINDOW_SIZE (the per-stream half)
+            var i = 0
+            while (i + 6 <= len) {
+              val id = ((body(i) & 0xff) << 8) | (body(i + 1) & 0xff)
+              if (id == 4) streamWindow =
+                ((body(i + 2) & 0x7f).toLong << 24) |
+                  ((body(i + 3) & 0xff) << 16) |
+                  ((body(i + 4) & 0xff) << 8) | (body(i + 5) & 0xff)
+              i += 6
+            }
+          }
           if (tpe == 8 && sid == 0) {
             assert(sawSettings,
-              "WINDOW_UPDATE(0) must FOLLOW the server SETTINGS preface")
+              "WINDOW_UPDATE(0) must FOLLOW the server SETTINGS")
             increment = ((body(0) & 0x7f).toLong << 24) |
               ((body(1) & 0xff) << 16) | ((body(2) & 0xff) << 8) |
               (body(3) & 0xff)
           }
           frames += 1
         }
-        assert(increment >= 4L * 1024 * 1024 - 65535,
-          s"connection window increment $increment — stream 0 still at the 64 KiB default")
+        assert(streamWindow == 4L * 1024 * 1024,
+          s"per-stream SETTINGS window $streamWindow — expected 4 MiB")
+        assert(increment >= 4L * 1024 * 1024,
+          s"eager connection WINDOW_UPDATE(0) increment $increment — " +
+            "the codec expansion is missing or force-shrunk")
       } finally sock.close()
     }
   }
