@@ -215,7 +215,16 @@ object Curation {
     * O(corpus) — and dedup exists precisely because survivors ≪
     * corpus, so the barrier side wins wherever the pipeline matters.
     * This is the composed-dataflow analogue of the stage boundary a
-    * staged pipeline pays as a parquet write+read. */
+    * staged pipeline pays as a parquet write+read.
+    *
+    * Lifecycle: the persisted relation stays registered in the
+    * session's CacheManager for the frame's lifetime (a query builder
+    * cannot know when its caller's action is done). Drivers that run
+    * many queries on one session should `spark.catalog.clearCache()`
+    * between timed/independent runs — graft.Bench and QueryOnce do,
+    * both for hygiene and because the CacheManager would otherwise
+    * serve this materialization to the next logically-equal plan and
+    * un-time the corpus pass. The CLI unpersists after its write. */
   private def dedupBarrier(docs: DataFrame): DataFrame =
     exactDedup(qualityFilter(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -41,6 +41,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash intermediates are not left cached (ADVICE r1 leak)") {
+    // isolate from suites that DELIBERATELY persist on the shared
+    // session (the curation dedup barrier): this asserts minhash
+    // leaves nothing behind, not that no other component ever caches
+    spark.catalog.clearCache()
     Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.5).count()
     val leaked = spark.sparkContext.getPersistentRDDs.values
       .filterNot(_.name == null)
