@@ -916,13 +916,28 @@ object Cli {
         "__ts", wm, fpIndex, split, minTok.get, maxTok.get, maxStop.get)
       val ckpt = a.flags.getOrElse("checkpoint",
         a.flags("out") + "_checkpoint")
+      // same local-path boundary as --in/--out (inOutGuard): the
+      // coupling guards below are java.io.File checks, and a
+      // URI-form checkpoint would break them in both directions
+      // (File("file:///x").exists is always false)
+      if (ckpt.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) {
+        System.err.println(
+          "curate: --checkpoint must be a plain local path (no URI scheme)")
+        return 2
+      }
       // the parquet streaming sink and its checkpoint are a COUPLED
       // pair: the sink's _spark_metadata log is keyed by batch ids
-      // from the checkpoint, so (a) reusing --out with a fresh
-      // checkpoint silently SKIPS writes (batch 0 already committed in
-      // the sink log), and (b) appending sink output into a dir the
-      // batch verb wrote makes reads return ONLY sink-logged files,
-      // hiding the batch rows. Fail loud on both.
+      // from the checkpoint, and the checkpoint's offsets record which
+      // source files are already processed. Fail loud on every
+      // mismatched combination instead of silently skipping writes,
+      // silently omitting rows, or hiding batch-written files:
+      //  (a) sink log present, checkpoint fresh → the sink skips
+      //      already-committed batch ids (writes silently dropped);
+      //  (b) --out exists but isn't a streaming sink → reads of the
+      //      mixed dir would return only sink-logged files;
+      //  (c) checkpoint carries offsets but the sink log is gone →
+      //      already-processed source files would be silently OMITTED
+      //      from the fresh --out (the mirror of (a)).
       val outDir = new java.io.File(a.flags("out"))
       val sinkLog = new java.io.File(outDir, "_spark_metadata")
       if (sinkLog.exists && !new java.io.File(ckpt).exists) {
@@ -940,6 +955,27 @@ object Cli {
           "fresh --out.")
         return 2
       }
+      if (!sinkLog.exists
+          && new java.io.File(ckpt, "offsets").exists) {
+        System.err.println("curate: --checkpoint already carries " +
+          "source offsets but --out has no sink log — the processed " +
+          "files would be silently omitted from the fresh output. " +
+          "Keep the sink and checkpoint together (or start both fresh).")
+        return 2
+      }
+      // schema guard: appending rows with a different column set into
+      // an existing sink makes reads nondeterministic (parquet picks
+      // one file's footer) — fail loud instead
+      if (sinkLog.exists) {
+        val have = spark.read.parquet(a.flags("out")).columns.toSet
+        val want = Set("ingest_ts", idCol, srcCol, textCol, "n_tok", "fp")
+        if (have != want) {
+          System.err.println("curate: --out was written with a " +
+            s"different schema (${have.mkString(",")} vs " +
+            s"${want.mkString(",")}) — start a fresh --out.")
+          return 2
+        }
+      }
       // exact admitted count from the sink itself (recentProgress is
       // capped at 100 entries — a long backlog drain would
       // under-report); counted BEFORE the stream starts
@@ -951,6 +987,7 @@ object Cli {
         .withColumnRenamed("__ts", "ingest_ts")
         .withColumnRenamed("doc_id", idCol)
         .withColumnRenamed("source", srcCol)
+        .withColumnRenamed("text", textCol)
         .writeStream.format("parquet")
         .option("path", a.flags("out"))
         .option("checkpointLocation", ckpt)

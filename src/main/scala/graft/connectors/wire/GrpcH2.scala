@@ -81,10 +81,14 @@ object GrpcH2Client {
           // Receive-side flow control, symmetric with the server:
           // SETTINGS raise the PER-STREAM window so a multi-MB fetch
           // response streams without per-stream WINDOW_UPDATE
-          // ping-pong; the CONNECTION window deliberately stays at the
-          // 64 KiB default — see the server initializer for the
-          // measured reasoning (raising it regressed bulk transfer
-          // ~3× by destroying the stream-completion pipelining).
+          // ping-pong, and the CONNECTION window expands the same
+          // codec way as on the server — Http2FrameCodec calls
+          // tryExpandConnectionFlowControlWindow for clients from
+          // userEventTriggered once the preface is written (it
+          // can't precede the client preface), reaching ~8.3 MiB.
+          // Do NOT force-size stream 0 by hand: see the server
+          // initializer for the A/B in which exactly that shrank the
+          // codec budget and cost ~2× on bulk transfer.
           ch.pipeline().addLast(
             Http2FrameCodecBuilder.forClient()
               .initialSettings(io.netty.handler.codec.http2.Http2Settings

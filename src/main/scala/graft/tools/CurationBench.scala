@@ -116,7 +116,17 @@ object CurationBench {
         stageRows(i) =
           if (lastRows >= 0) lastRows
           else spark.read.parquet(s"$tmpRoot/stage${i + 1}").count()
-        stagePlans(i) = costs(out)
+        if (pass == 0) {
+          // plan costs from an EXECUTED instance: an unexecuted
+          // AdaptiveSparkPlanExec reports the INITIAL plan (exchange
+          // reuse unresolved, runtime re-plans unapplied), which
+          // would bias the staged counts against the composed ones
+          // (taken post-execution) — drive the same plan instance to
+          // completion, like ExplainDump's at-scale section
+          val fin = f(in)
+          fin.queryExecution.executedPlan.execute().count()
+          stagePlans(i) = costs(fin)
+        }
       }
     }
     var prevRows = inRows

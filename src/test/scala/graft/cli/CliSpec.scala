@@ -311,6 +311,15 @@ class CliSpec extends SparkSpec {
     // budget/pack are batch finishers — rejected with --follow
     assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
       "--follow", "--budget", "900")) == 2)
+    // sink/checkpoint coupling guards fail loud on every mismatch:
+    // a used checkpoint with a fresh --out would silently OMIT the
+    // already-processed files from the new corpus
+    assert(Cli.run(spark, Seq("curate", "--in", in,
+      "--out", tmp() + "/cur_fresh", "--follow", "--split", "all",
+      "--checkpoint", ckpt)) == 2)
+    // a URI-form checkpoint would break the java.io.File guards
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--follow", "--checkpoint", "file:///tmp/ck")) == 2)
   }
 
   test("mixture: weights downsample, budget caps, epochs upsample — library-equal") {
