@@ -180,13 +180,17 @@ object Scale {
     *     The listing is O(immediate children) — on an object store
     *     that cost IS the floor for any freshness signal at all.
     * Staleness bound, per class: on real-status stores an in-place
-    * child rewrite that leaves the root mtime unchanged; on synthetic-
+    * child rewrite that leaves the root mtime unchanged (also: two
+    * regenerations whose final mutations land within the store's
+    * mtime granularity collide on the key — ns on ext4, ms on HDFS;
+    * real regenerations take far longer than either); on synthetic-
     * status stores a mutation confined to nested subdirectories that
     * leaves every top-level name/file status unchanged. Neither is
     * detected until the process restarts or the cache is cleared
     * (`invalidateFingerprints()`); that bound is deliberate: closing
     * it would require exactly the full walk the cache exists to
-    * avoid. */
+    * avoid — and both bounds are the documented pre-memoization
+    * behavior class, not new exposure. */
   def sourceFingerprint(path: String): String = {
     val p = new org.apache.hadoop.fs.Path(canonicalPath(path))
     val fs = p.getFileSystem(activeHadoopConf())
