@@ -1,0 +1,131 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  /** Reference BPE (Sennrich et al. 2016 pseudocode shape): pair
+    * counts weighted by word frequency, argmax with (count DESC, left,
+    * right) tie-break, leftmost-first non-overlapping application. */
+  private def refBpe(wf: Map[String, Long], numMerges: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Seq[String]]) = {
+    var words: Map[String, (Seq[String], Long)] =
+      wf.map { case (w, f) => w -> (w.split("").filter(_.nonEmpty).toSeq, f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var stop = false
+    while (rank <= numMerges && !stop) {
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      words.values.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + f)
+      }
+      if (pc.isEmpty) stop = true
+      else {
+        val ((l, r), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((rank, l, r, cnt))
+        words = words.map { case (w, (syms, f)) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          w -> (out.result(), f)
+        }
+        rank += 1
+      }
+    }
+    (merges.result(), words.map { case (w, (s, _)) => w -> s })
+  }
+
+  // A corpus engineered to exercise the hard cases:
+  //  - "aaa"/"aaaa": overlapping candidate pairs (leftmost-first rule)
+  //  - "xa"/"bx" frequent: later ranks merge (x,a) and (b,x), after
+  //    which "xabx" = [xa, bx] must NOT fire a learned (a,b) merge
+  //    across the symbol boundary — the false-match trap the doubled
+  //    separator encoding exists to prevent
+  //  - multi-char symbol merges ((a,b)→ab then (ab,c)→abc)
+  private val corpusWf: Map[String, Long] = Map(
+    "abab" -> 50L, "abc" -> 40L, "aaa" -> 30L, "aaaa" -> 10L,
+    "xa" -> 45L, "bx" -> 45L, "xabx" -> 25L, "b" -> 60L, "cab" -> 15L)
+
+  private def wordsDf = {
+    import spark.implicits._
+    corpusWf.toSeq.toDF("word", "freq")
+  }
+
+  test("learnInMemory matches the reference merge sequence") {
+    val got = Bpe.learnInMemory(corpusWf.toArray, 6)
+    val (ref, _) = refBpe(corpusWf, 6)
+    assert(got.map(m => (m.rank, m.left, m.right, m.freq)) == ref)
+  }
+
+  test("learnDistributed matches learnInMemory (adaptive paths agree)") {
+    val viaDriver = Bpe.learn(wordsDf, 6)
+    val viaCluster = Bpe.learn(wordsDf, 6, collectCap = 0L)
+    assert(viaDriver == viaCluster)
+    assert(viaDriver.size == 6)
+  }
+
+  test("boundary safety: a merge never fires across symbol boundaries") {
+    // force-learn (x,a) and (b,x) first, then apply (a,b): in "xabx"
+    // the symbols are [xa, bx] — no (a,b) adjacency exists, though the
+    // raw characters 'a','b' are adjacent in the word
+    val merges = Seq(Bpe.Merge(1, "x", "a", 1L), Bpe.Merge(2, "b", "x", 1L),
+      Bpe.Merge(3, "a", "b", 1L))
+    val toks = wordsDf.filter(col("word") === "xabx")
+      .select(Bpe.tokensCol(col("word"), merges).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks == Seq("xa", "bx"))
+    // whereas in "abab" the (a,b) merge fires on BOTH pairs
+    val toks2 = wordsDf.filter(col("word") === "abab")
+      .select(Bpe.tokensCol(col("word"), Seq(Bpe.Merge(1, "a", "b", 1L))).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks2 == Seq("ab", "ab"))
+    // and overlapping candidates resolve leftmost-first: aaa → [aa, a]
+    val toks3 = wordsDf.filter(col("word") === "aaa")
+      .select(Bpe.tokensCol(col("word"), Seq(Bpe.Merge(1, "a", "a", 1L))).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(toks3 == Seq("aa", "a"))
+  }
+
+  test("column tokenization equals the reference under learned merges") {
+    val merges = Bpe.learn(wordsDf, 6)
+    val (_, refWords) = refBpe(corpusWf, 6)
+    val got = wordsDf.select(col("word"),
+        Bpe.tokensCol(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got == refWords)
+    // and the broadcast-join vocab path agrees with the direct column
+    val vocab = Bpe.tokenizeVocab(wordsDf, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    refWords.foreach { case (w, syms) => assert(vocab(w) == syms.size) }
+  }
+
+  test("wordFreq filters empties and separator-containing words") {
+    import spark.implicits._
+    val docs = Seq("  the the  cat ", "", "the dog", null)
+      .toDF("text")
+    val wf = Bpe.wordFreq(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wf == Map("the" -> 2L, "cat" -> 1L, "dog" -> 1L))
+  }
+
+  test("docTokenCounts: per-doc counts via the broadcast vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc"), (2L, "aaa b")).toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learn(words, 2) // (a,b) then (ab,ab)… per corpus stats
+    val got = Bpe.docTokenCounts(docs, "text", Seq("doc_id"), merges, words)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // reference: tokenize each word under the same merges
+    val (_, refWords) = refBpe(
+      Map("abab" -> 1L, "abc" -> 1L, "aaa" -> 1L, "b" -> 1L), 2)
+    val exp = Map(
+      1L -> (2L, (refWords("abab").size + refWords("abc").size).toLong),
+      2L -> (2L, (refWords("aaa").size + refWords("b").size).toLong))
+    assert(got == exp)
+  }
+}
