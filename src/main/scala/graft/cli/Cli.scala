@@ -74,7 +74,7 @@ object Cli {
 
   val commands: Seq[String] =
     Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup",
-      "search", "mixture", "curate", "bump-version", "version-check")
+      "search", "mixture", "curate", "tokenize", "bump-version", "version-check")
 
   /** Frozen per-command help transcripts, mirroring the reference's
     * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
@@ -301,6 +301,31 @@ object Cli {
         |                         is keyed by this checkpoint's batch ids,
         |                         so always move/keep them together (the
         |                         command fails loud on a mismatched pair)""".stripMargin
+    case "tokenize" =>
+      """usage: graft tokenize --in PARQUET_DIR (--merges N | --merges_file FILE)
+        |                      [--out_merges FILE] [--out PARQUET_DIR] [--stats]
+        |                      [--id_column doc_id] [--text_column text]
+        |
+        |Learn a BPE merge table from the corpus's own word statistics
+        |(Sennrich-style byte-pair encoding: one corpus-scale
+        |word-frequency pass, then the merge loop on the vocab-scale
+        |table only), or load a previously learned table, and
+        |optionally write per-document BPE token counts — the unit the
+        |token-budget and packing stages are denominated in. The merges
+        |file is TSV (rank<TAB>left<TAB>right<TAB>freq; symbols never
+        |contain whitespace), reloadable via --merges_file so a
+        |tokenizer learned once can be applied to any corpus.
+        |
+        |  --in PARQUET_DIR    input document table
+        |  --merges N          learn N merges from --in
+        |  --merges_file FILE  load a learned merge table instead
+        |  --out_merges FILE   write the merge table as TSV
+        |  --out PARQUET_DIR   write per-doc token counts
+        |                      (id, n_words, n_tokens; fresh directory)
+        |  --stats             also count the distinct-word vocabulary
+        |                      for the summary line (an extra job)
+        |  --id_column C       id column (default: doc_id)
+        |  --text_column C     text column (default: text)""".stripMargin
     case "bump-version" =>
       """usage: graft bump-version [--file build.sbt] [--part patch]
         |
@@ -337,6 +362,8 @@ object Cli {
         |  curate      --in PARQUET_DIR --out PARQUET_DIR [--min_tokens 20] [--max_tokens 80]
         |              [--max_stopword_ratio 0.2] [--split train] [--budget N] [--pack N]
         |              [--follow [--watermark W] [--ts_column C] [--fp_index DIR] [--checkpoint DIR]]
+        |  tokenize    --in PARQUET_DIR (--merges N | --merges_file FILE)
+        |              [--out_merges FILE] [--out PARQUET_DIR] [--stats]
         |  bump-version  [--file build.sbt] [--part major|minor|patch]
         |  version-check [--current X.Y.Z] [--latest X.Y.Z]
         |
@@ -417,6 +444,7 @@ object Cli {
       case "search" :: Nil => cmdSearch(spark, args)
       case "mixture" :: Nil => cmdMixture(spark, args)
       case "curate" :: Nil => cmdCurate(spark, args)
+      case "tokenize" :: Nil => cmdTokenize(spark, args)
       case "bump-version" :: Nil => cmdBumpVersion(args)
       case "version-check" :: Nil => cmdVersionCheck(args)
       case other =>
@@ -1041,6 +1069,78 @@ object Cli {
       n -> o.get("rows").asInstanceOf[Long] }
     println(counts.map { case (n, c) => s"$n=$c" }.mkString("curate: ", " -> ",
       s" -> ${a.flags("out")}"))
+    0
+  }
+
+  /** BPE tokenizer induction/application (`functions/Bpe`, SURVEY
+    * §7.5's training-data layer): learn a merge table from the
+    * corpus's own word statistics — one corpus-scale word-frequency
+    * pass, then a vocab-scale merge loop — persist it as TSV, and/or
+    * write per-document BPE token counts (the budget/pack stages'
+    * denomination). Merge symbols can never contain whitespace (words
+    * are whitespace-split), so the TSV is loss-free. */
+  private def cmdTokenize(spark: SparkSession, a: Args): Int = {
+    val haveLearn = a.flags.contains("merges")
+    val haveLoad = a.flags.contains("merges_file")
+    if (!a.flags.contains("in") || (haveLearn == haveLoad)) {
+      System.err.println(
+        "tokenize: need --in and exactly one of --merges N / --merges_file FILE " +
+          "(usage: tokenize --in PARQUET_DIR (--merges N | --merges_file FILE) " +
+          "[--out_merges FILE] [--out PARQUET_DIR])")
+      return 2
+    }
+    if (a.flags.contains("out")) {
+      inOutGuard(a, "tokenize") match {
+        case Some(code) => return code
+        case None =>
+      }
+    }
+    if (haveLearn && a.flags("merges").toIntOption.forall(_ < 0)) {
+      System.err.println("tokenize: --merges must be a non-negative integer")
+      return 2
+    }
+    val idCol = a.flags.getOrElse("id_column", "doc_id")
+    val textCol = a.flags.getOrElse("text_column", "text")
+    val docs = spark.read.parquet(a.flags("in"))
+    val words = graft.functions.Bpe.wordFreq(docs, textCol)
+    val merges: Seq[graft.functions.Bpe.Merge] =
+      if (haveLearn) graft.functions.Bpe.learn(words, a.flags("merges").toInt)
+      else {
+        val src = scala.io.Source.fromFile(a.flags("merges_file"), "UTF-8")
+        val lines = try src.getLines().filter(_.nonEmpty).toList
+          finally src.close()
+        val parsed = lines.map { line =>
+          scala.util.Try(line.split("\t", -1) match {
+            case Array(rank, l, r, freq) =>
+              graft.functions.Bpe.Merge(rank.toInt, l, r, freq.toLong)
+          }).toOption
+        }
+        parsed.zip(lines).find(_._1.isEmpty) match {
+          case Some((_, bad)) =>
+            System.err.println(s"tokenize: malformed merges line: $bad")
+            return 2
+          case None => parsed.flatten.sortBy(_.rank)
+        }
+      }
+    a.flags.get("out_merges").foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        merges.map(m => s"${m.rank}\t${m.left}\t${m.right}\t${m.freq}")
+          .mkString("", "\n", "\n"))
+    }
+    a.flags.get("out").foreach { out =>
+      graft.functions.Bpe
+        .docTokenCounts(docs, textCol, Seq(idCol), merges, words)
+        .write.mode("overwrite").parquet(out)
+    }
+    val stats =
+      if (a.flags.contains("stats"))
+        s" over ${words.count()} distinct words" else ""
+    val action = if (haveLearn) "learned" else "loaded"
+    val sinks = Seq(
+      a.flags.get("out_merges").map(f => s"merges -> $f"),
+      a.flags.get("out").map(o => s"token counts -> $o")).flatten
+    println(s"tokenize: $action ${merges.size} merges$stats" +
+      (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))
     0
   }
 

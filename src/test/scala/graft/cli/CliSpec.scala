@@ -395,4 +395,57 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/z4",
       "--epochs", "src0=0.0039063")) == 0)
   }
+
+  test("tokenize: learn → persist TSV → reload → apply, library-equal") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    Seq((1L, "s0", "abab abc aaa"), (2L, "s0", "abab b cab"),
+      (3L, "s1", "xa bx xabx abab"))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val docs = spark.read.parquet(in)
+
+    // learn + both sinks
+    val mergesFile = tmp() + "/merges.tsv"
+    val out = tmp() + "/counts"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "4",
+      "--out_merges", mergesFile, "--out", out)) == 0)
+
+    // the persisted table equals the library's learn on the same corpus
+    val words = graft.functions.Bpe.wordFreq(docs, "text")
+    val want = graft.functions.Bpe.learn(words, 4)
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(mergesFile)).trim.split("\n").toSeq
+    assert(lines == want.map(m => s"${m.rank}\t${m.left}\t${m.right}\t${m.freq}"))
+
+    // per-doc counts equal the library path
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    val ref = graft.functions.Bpe
+      .docTokenCounts(docs, "text", Seq("doc_id"), want, words)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == ref && got.keySet == Set(1L, 2L, 3L))
+
+    // reload path: applying the TSV to the same corpus reproduces counts
+    val out2 = tmp() + "/counts2"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", mergesFile, "--out", out2)) == 0)
+    val got2 = spark.read.parquet(out2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got2 == got)
+
+    // guards: both/neither merge sources, bad count, malformed TSV,
+    // overlapping --out
+    assert(Cli.run(spark, Seq("tokenize", "--in", in)) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--merges_file", mergesFile)) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "abc")) == 2)
+    val bad = tmp() + "/bad.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(bad), "oops\n")
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", bad, "--out", tmp() + "/x")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out", in)) == 2)
+  }
 }
