@@ -254,6 +254,7 @@ object Cli {
         |                    [--min_tokens 20] [--max_tokens 80]
         |                    [--max_stopword_ratio 0.2] [--split train]
         |                    [--budget N] [--pack N]
+        |                    [--bpe_merges N | --bpe_file FILE]
         |                    [--source_column source] [--id_column doc_id]
         |                    [--text_column text]
         |                    [--follow [--watermark "10 minutes"]
@@ -287,6 +288,12 @@ object Cli {
         |  --split S              train | val | test | all (default: train)
         |  --budget N             per-source token budget (default: none)
         |  --pack N               assign 'bin' by N-token packing (default: none)
+        |  --bpe_merges N         learn an N-merge BPE tokenizer from the raw
+        |                         input corpus and denominate EVERY token count
+        |                         (quality bounds, budget, bins) in its units
+        |                         instead of whitespace words (batch mode only)
+        |  --bpe_file FILE        load the tokenizer from a `tokenize
+        |                         --out_merges` TSV instead of learning
         |  --source_column C      source column (default: source)
         |  --id_column C          id column (default: doc_id)
         |  --text_column C        text column (default: text)
@@ -361,6 +368,7 @@ object Cli {
         |              [--epochs SRC=E,...] [--budget N] [--shuffle S] [--default_weight 1]
         |  curate      --in PARQUET_DIR --out PARQUET_DIR [--min_tokens 20] [--max_tokens 80]
         |              [--max_stopword_ratio 0.2] [--split train] [--budget N] [--pack N]
+        |              [--bpe_merges N | --bpe_file FILE]
         |              [--follow [--watermark W] [--ts_column C] [--fp_index DIR] [--checkpoint DIR]]
         |  tokenize    --in PARQUET_DIR (--merges N | --merges_file FILE)
         |              [--out_merges FILE] [--out PARQUET_DIR] [--stats]
@@ -899,6 +907,25 @@ object Cli {
       System.err.println("curate: --budget/--pack must be positive integers")
       return 2
     }
+    val bpeN = a.flags.get("bpe_merges")
+    val bpeFile = a.flags.get("bpe_file")
+    if (bpeN.isDefined && bpeFile.isDefined) {
+      System.err.println("curate: --bpe_merges and --bpe_file are exclusive")
+      return 2
+    }
+    if (bpeN.exists(_.toIntOption.forall(_ < 0))) {
+      System.err.println("curate: --bpe_merges must be a non-negative integer")
+      return 2
+    }
+    if ((bpeN.isDefined || bpeFile.isDefined) && a.flags.contains("follow")) {
+      // learning needs a static corpus, and the streaming prefix's
+      // token units are pinned by its batch-equivalence contract —
+      // re-denominating only the stream would silently disagree with
+      // the batch finishers over the accumulated output
+      System.err.println(
+        "curate: --bpe_merges/--bpe_file are batch-mode only")
+      return 2
+    }
     if (a.flags.contains("follow") && a.flags("follow") != "true") {
       // parseArgs binds `--follow X` as follow=X; silently falling
       // back to BATCH mode on a stray token would mode("overwrite")
@@ -1038,9 +1065,26 @@ object Cli {
       obs += name -> o
       df.observe(o, count(lit(1)).as("rows"))
     }
+    // the learned-BPE re-denomination of the whole pipeline (quality
+    // bounds, budget, packing bins): learn from the raw input corpus
+    // (tokenizers are trained pre-filter), or load a persisted table —
+    // a map-only column swap, the dataflow shape is unchanged
+    val bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = bpeN match {
+      case Some(n) => Some(graft.functions.Bpe.learn(
+        graft.functions.Bpe.wordFreq(raw, "text"), n.toInt))
+      case None => bpeFile.map(f => readMergesTsv(f) match {
+        case Left(err) => System.err.println(s"curate: $err"); return 2
+        case Right(m) => m
+      })
+    }
     var df = observed("input", raw)
-    df = observed("quality_filter",
-      Curation.qualityFilter(df, minTok.get, maxTok.get, maxStop.get))
+    df = observed("quality_filter", bpeMerges match {
+      case Some(m) => Curation.qualityFilter(df, minTok.get, maxTok.get,
+        maxStop.get,
+        nTokCol = graft.functions.Bpe.docTokenCountCol(col("text"), m))
+      case None =>
+        Curation.qualityFilter(df, minTok.get, maxTok.get, maxStop.get)
+    })
     df = observed("exact_dedup", Curation.exactDedup(df))
     // materialization barrier (same reasoning as Curation.dedupBarrier):
     // ONE execution of the scan→tokenize→dedup subtree serves both the
@@ -1067,9 +1111,31 @@ object Cli {
     deduped.unpersist(false)
     val counts = obs.toList.map { case (n, o) =>
       n -> o.get("rows").asInstanceOf[Long] }
-    println(counts.map { case (n, c) => s"$n=$c" }.mkString("curate: ", " -> ",
-      s" -> ${a.flags("out")}"))
+    val tok = bpeMerges.fold("")(m => s"[bpe=${m.size} merges]")
+    println(counts.map { case (n, c) => s"$n=$c" }.mkString(s"curate$tok: ",
+      " -> ", s" -> ${a.flags("out")}"))
     0
+  }
+
+  /** The TSV merge-table format shared by `tokenize --out_merges` and
+    * every `--merges_file`/`--bpe_file` reader: one
+    * rank<TAB>left<TAB>right<TAB>freq line per merge (symbols are
+    * whitespace-split words' fragments, so tabs/newlines can't occur). */
+  private def readMergesTsv(path: String)
+      : Either[String, Seq[graft.functions.Bpe.Merge]] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList
+      finally src.close()
+    val parsed = lines.map { line =>
+      scala.util.Try(line.split("\t", -1) match {
+        case Array(rank, l, r, freq) =>
+          graft.functions.Bpe.Merge(rank.toInt, l, r, freq.toLong)
+      }).toOption
+    }
+    parsed.zip(lines).find(_._1.isEmpty) match {
+      case Some((_, bad)) => Left(s"malformed merges line: $bad")
+      case None => Right(parsed.flatten.sortBy(_.rank))
+    }
   }
 
   /** BPE tokenizer induction/application (`functions/Bpe`, SURVEY
@@ -1105,22 +1171,9 @@ object Cli {
     val words = graft.functions.Bpe.wordFreq(docs, textCol)
     val merges: Seq[graft.functions.Bpe.Merge] =
       if (haveLearn) graft.functions.Bpe.learn(words, a.flags("merges").toInt)
-      else {
-        val src = scala.io.Source.fromFile(a.flags("merges_file"), "UTF-8")
-        val lines = try src.getLines().filter(_.nonEmpty).toList
-          finally src.close()
-        val parsed = lines.map { line =>
-          scala.util.Try(line.split("\t", -1) match {
-            case Array(rank, l, r, freq) =>
-              graft.functions.Bpe.Merge(rank.toInt, l, r, freq.toLong)
-          }).toOption
-        }
-        parsed.zip(lines).find(_._1.isEmpty) match {
-          case Some((_, bad)) =>
-            System.err.println(s"tokenize: malformed merges line: $bad")
-            return 2
-          case None => parsed.flatten.sortBy(_.rank)
-        }
+      else readMergesTsv(a.flags("merges_file")) match {
+        case Left(err) => System.err.println(s"tokenize: $err"); return 2
+        case Right(m) => m
       }
     a.flags.get("out_merges").foreach { f =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),

@@ -105,6 +105,21 @@ object Bpe {
   def tokenCountCol(w: Column, merges: Seq[Merge]): Column =
     size(tokensCol(w, merges))
 
+  /** Whole-document BPE token count as ONE pure column — no explode,
+    * no join: the sum over the doc's words of each word's token count
+    * (same empty/SEP word filters as `wordFreq`). Higher-order
+    * functions evaluate interpreted, so this is the right form when
+    * the merge table is small or a join is unwelcome (a streaming
+    * micro-batch, a quality filter that must stay map-only);
+    * `docTokenCounts`' broadcast-vocab join is the right form at
+    * vocab-sized merge tables. */
+  def docTokenCountCol(text: Column, merges: Seq[Merge]): Column = {
+    val words = org.apache.spark.sql.functions.filter(
+      split(trim(text), "\\s+"),
+      w => w =!= lit("") && !w.contains(Sep))
+    aggregate(words, lit(0L), (acc, w) => acc + tokenCountCol(w, merges))
+  }
+
   /** (word, n_tok): the vocab tokenized ONCE under the merge table —
     * broadcast this against exploded corpus words so the corpus pays a
     * hash probe per word instead of numMerges replaces per occurrence. */

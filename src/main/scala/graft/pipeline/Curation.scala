@@ -53,13 +53,21 @@ object Curation {
   /** Stage 1 — quality filter (q_quality_filter's keep rule): token
     * count in [20, 80] and stopword ratio ≤ 0.2. Map-only: one scan,
     * verdict inline, no exchange. Carries (doc_id, source, text,
-    * n_tok) forward so later stages never re-tokenize. */
+    * n_tok) forward so later stages never re-tokenize.
+    *
+    * `nTokCol` swaps the token COUNTER — and with it the denomination
+    * of every downstream stage (quality bounds, budget, packing bins),
+    * since all of them consume the carried n_tok. The default is the
+    * whitespace count the oracle queries pin; the CLI's --bpe_merges
+    * passes a learned-BPE count (`Bpe.docTokenCountCol`), which stays
+    * map-only so the stage's no-exchange shape is unchanged. */
   def qualityFilter(docs: DataFrame, minTok: Int = 20, maxTok: Int = 80,
-      maxStopRatio: Double = 0.2, carry: Seq[String] = Nil): DataFrame = {
+      maxStopRatio: Double = 0.2, carry: Seq[String] = Nil,
+      nTokCol: Column = nTok): DataFrame = {
     val sr = TF.stopwordRatio(col("text"))
     docs
       .select(carry.map(col) ++ Seq(col("doc_id"), col("source"),
-        col("text"), nTok.as("n_tok"), sr.as("stop_ratio")): _*)
+        col("text"), nTokCol.cast("long").as("n_tok"), sr.as("stop_ratio")): _*)
       .filter(col("n_tok") >= minTok && col("n_tok") <= maxTok
         && col("stop_ratio") <= maxStopRatio)
       .drop("stop_ratio")
@@ -225,22 +233,26 @@ object Curation {
     * both for hygiene and because the CacheManager would otherwise
     * serve this materialization to the next logically-equal plan and
     * un-time the corpus pass. The CLI unpersists after its write. */
-  private def dedupBarrier(docs: DataFrame): DataFrame =
-    exactDedup(qualityFilter(docs))
+  private def dedupBarrier(docs: DataFrame,
+      nTokCol: Column = nTok): DataFrame =
+    exactDedup(qualityFilter(docs, nTokCol = nTokCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The full composed pipeline: documents in, packed-bin occupancy
     * out, one dataflow (with the one deliberate materialization
-    * barrier — see [[dedupBarrier]]). */
-  def pipeline(docs: DataFrame): DataFrame =
-    stages.drop(2).foldLeft(dedupBarrier(docs)) { case (df, (_, f)) => f(df) }
+    * barrier — see [[dedupBarrier]]). `nTokCol` re-denominates every
+    * stage (see [[qualityFilter]]). */
+  def pipeline(docs: DataFrame, nTokCol: Column = nTok): DataFrame =
+    stages.drop(2).foldLeft(dedupBarrier(docs, nTokCol)) {
+      case (df, (_, f)) => f(df) }
       .orderBy("source", "bin")
 
   /** The curated DOCUMENT set (the pipeline's stage-5 output — what a
     * training run would actually read): doc_id, source, n_tok, in
     * deterministic order. The CLI export subcommand writes this. */
-  def curatedDocs(docs: DataFrame): DataFrame =
-    stages.slice(2, 5).foldLeft(dedupBarrier(docs)) { case (df, (_, f)) => f(df) }
+  def curatedDocs(docs: DataFrame, nTokCol: Column = nTok): DataFrame =
+    stages.slice(2, 5).foldLeft(dedupBarrier(docs, nTokCol)) {
+      case (df, (_, f)) => f(df) }
       .select(col("doc_id"), col("source"), col("n_tok").cast("long").as("n_tok"))
 
   /** The STREAMING front-end of the pipeline: the stream-safe prefix

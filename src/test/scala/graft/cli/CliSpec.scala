@@ -396,6 +396,59 @@ class CliSpec extends SparkSpec {
       "--epochs", "src0=0.0039063")) == 0)
   }
 
+  test("curate --bpe_merges: every stage re-denominated in learned-BPE units") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    (0L until 40L).map { i =>
+      (i, s"src${i % 2}", (s"alpha$i beta gamma delta " * 3).trim)
+    }.toDF("doc_id", "source", "text").write.parquet(in)
+    val docs = spark.read.parquet(in)
+
+    val out = tmp() + "/bpe"
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--min_tokens", "0", "--max_tokens", "100000",
+      "--max_stopword_ratio", "1", "--split", "all",
+      "--bpe_merges", "5")) == 0)
+    // n_tok in the output is the BPE count (learned on the raw corpus),
+    // not the whitespace count
+    val words = graft.functions.Bpe.wordFreq(docs, "text")
+    val merges = graft.functions.Bpe.learn(words, 5)
+    val want = graft.functions.Bpe
+      .docTokenCounts(docs, "text", Seq("doc_id"), merges, words)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    // the pipeline's dedup stages drop near-identical docs, so the
+    // output is a survivor subset — every survivor must carry the
+    // BPE count the library computes for it
+    assert(got.nonEmpty && got.keySet.subsetOf(want.keySet))
+    got.foreach { case (id, n) => assert(n == want(id), s"doc $id") }
+    val wsCount = docs.filter(col("doc_id") === 0L)
+      .select(size(split(trim(col("text")), "\\s+"))).collect().head.getInt(0)
+    assert(got(0L) > wsCount, "BPE subword counts must exceed word counts here")
+
+    // --bpe_file reload path agrees with the in-line learn
+    val mergesFile = tmp() + "/m.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "5",
+      "--out_merges", mergesFile)) == 0)
+    val out2 = tmp() + "/bpe2"
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out2,
+      "--min_tokens", "0", "--max_tokens", "100000",
+      "--max_stopword_ratio", "1", "--split", "all",
+      "--bpe_file", mergesFile)) == 0)
+    val got2 = spark.read.parquet(out2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    assert(got2 == got)
+
+    // guards: exclusive flags, bad count, batch-only under --follow
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", tmp() + "/x",
+      "--bpe_merges", "3", "--bpe_file", mergesFile)) == 2)
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", tmp() + "/y",
+      "--bpe_merges", "nope")) == 2)
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", tmp() + "/z",
+      "--bpe_merges", "3", "--follow")) == 2)
+  }
+
   test("tokenize: learn → persist TSV → reload → apply, library-equal") {
     import spark.implicits._
     val in = tmp() + "/docs"

@@ -113,6 +113,24 @@ class BpeSpec extends SparkSpec {
     assert(wf == Map("the" -> 2L, "cat" -> 1L, "dog" -> 1L))
   }
 
+  test("docTokenCountCol (pure column) equals the broadcast-join path") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc aaa"), (2L, "  xa bx  xabx "), (3L, "b"))
+      .toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learn(words, 4)
+    val direct = docs.select(col("doc_id"),
+        Bpe.docTokenCountCol(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val joined = Bpe.docTokenCounts(docs, "text", Seq("doc_id"), merges, words)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(direct == joined)
+    // empty text counts zero tokens (filter drops the "" pseudo-word)
+    val z = Seq((9L, "")).toDF("doc_id", "text")
+      .select(Bpe.docTokenCountCol(col("text"), merges)).collect().head.getLong(0)
+    assert(z == 0L)
+  }
+
   test("docTokenCounts: per-doc counts via the broadcast vocab") {
     import spark.implicits._
     val docs = Seq((1L, "abab abc"), (2L, "aaa b")).toDF("doc_id", "text")
