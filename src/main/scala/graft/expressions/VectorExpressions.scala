@@ -129,6 +129,129 @@ case class L2DistanceSq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** argmax over a centroid MATRIX of `v·cᵢ − ‖cᵢ‖²/2` (≡ nearest
+  * centroid in L2), fused into ONE small loop — the assignment kernel
+  * of IVF and distributed k-means.
+  *
+  * Why not `array(dot(v,c₀)−h₀, …)` + `array_position(array_max(…))`
+  * (the pre-r13 formulation)? That inlines k independent dot loops
+  * into one generated `doConsume`; at k≈64 the method blows past the
+  * JVM's huge-method bytecode limit, HotSpot refuses to JIT it, and
+  * the "codegen'd" assignment runs as interpreted bytecode —
+  * measured ~200× slower at 2M×64/k=64: 420 s vs 2 s per pass
+  * (KmeansProbe caught it — 32 cores pegged for minutes per pass
+  * inside `project_doConsume`; docs/artifacts/kmeans_probe_r13c.txt).
+  * This expression is one k×dim loop over two flat reference arrays —
+  * a few hundred bytecodes regardless of k, always JIT-compiled.
+  *
+  * Semantics are IDENTICAL to the old formulation (the oracle gate
+  * re-proves it): scores accumulate left-to-right in double over the
+  * element type, ties keep the LOWEST list id (strict `>` ≡
+  * array_position-of-first-max), a null/ragged vector yields null
+  * (any null element made every dot null, so the argmax was null). */
+case class NearestList(child: Expression, cents: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "centroid matrix must be non-empty and rectangular")
+
+  override def prettyName: String = "graft_nearest_list"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.simpleString}")
+  }
+
+  private def k = cents.length
+  private def dim = cents.head.length
+
+  /** Flattened row-major matrix + the ‖c‖²/2 terms, computed once per
+    * (driver/executor) deserialized instance — the same
+    * `c.map(x => x.toDouble * x).sum / 2.0` fold the Column-level
+    * formulation used, so scores match bit for bit. */
+  @transient private lazy val flat: Array[Float] = {
+    val f = new Array[Float](k * dim)
+    var c = 0
+    while (c < k) {
+      System.arraycopy(cents(c), 0, f, c * dim, dim); c += 1
+    }
+    f
+  }
+  @transient private lazy val halves: Array[Double] =
+    cents.map(c => c.map(x => x.toDouble * x).sum / 2.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      x(j) = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      j += 1
+    }
+    var best = -1
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val base = c * dim
+      var i = 0
+      while (i < dim) { acc += x(i) * flat(base + i); i += 1 }
+      val s = acc - halves(c)
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (child.dataType.asInstanceOf[ArrayType].elementType ==
+      FloatType) "getFloat" else "getDouble"
+    val fRef = ctx.addReferenceObj("graftCents", flat, "float[]")
+    val hRef = ctx.addReferenceObj("graftHalves", halves, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (x, j, c, i, acc, s, best, bs, base) = (
+        ctx.freshName("x"), ctx.freshName("j"), ctx.freshName("c"),
+        ctx.freshName("i"), ctx.freshName("acc"), ctx.freshName("s"),
+        ctx.freshName("best"), ctx.freshName("bs"), ctx.freshName("base"))
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $x = new double[$dim];
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    $x[$j] = (double) $v.$get($j);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    int $best = -1;
+         |    double $bs = Double.NEGATIVE_INFINITY;
+         |    for (int $c = 0; $c < $k; $c++) {
+         |      double $acc = 0.0;
+         |      int $base = $c * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $acc += $x[$i] * (double) $fRef[$base + $i];
+         |      }
+         |      double $s = $acc - $hRef[$c];
+         |      if ($s > $bs) { $bs = $s; $best = $c; }
+         |    }
+         |    ${ev.value} = $best;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : NearestList = copy(child = newChild)
+}
+
 /** Σ |xᵢ-yᵢ| — Manhattan distance (reference Metric "Manhattan"). */
 case class L1Distance(left: Expression, right: Expression)
     extends VectorFoldExpression {

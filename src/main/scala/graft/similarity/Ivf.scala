@@ -70,20 +70,30 @@ object Ivf {
     IvfIndex(centroids, assign(vecs, centroids, idCol, vecCol), idCol, vecCol)
   }
 
-  /** Distributed assignment: argmax over nlist codegen'd dot products
-    * (`v·c − ‖c‖²/2` ≡ nearest centroid in L2; ties → lowest list_id
-    * via array_position-of-first-max). Shared by the k-means and
-    * md5-seeded builds so the two can't drift. */
+  /** Distributed assignment: argmax of `v·c − ‖c‖²/2` (≡ nearest
+    * centroid in L2; ties → lowest list_id) over the centroid MATRIX,
+    * as the single fused `NearestList` expression — one small
+    * always-JIT'd loop. The pre-r13 array-of-dots formulation
+    * (`array(dot−half, …)` + array_position-of-first-max) inlined
+    * nlist dot loops into one generated method; past the JVM's
+    * huge-method limit (~nlist ≥ 30ish at 64 dims) HotSpot stopped
+    * JIT-compiling it and assignment ran interpreted — ~200× slower
+    * at k=64 (caught by KmeansProbe, see the expression's scaladoc).
+    * Score math, tie-breaks, and null semantics are identical
+    * (spec-pinned against the old formulation; the q_ann_* /
+    * q_kmeans_* oracle gates re-prove it end-to-end). Centroids must
+    * assign by the position in the Seq: list ids ARE indexes here.
+    * Shared by the k-means and md5-seeded builds so the two can't
+    * drift. */
   private def assign(vecs: DataFrame, centroids: Seq[(Int, Array[Float])],
       idCol: String, vecCol: String): DataFrame = {
-    val scores = array(centroids.map { case (_, c) =>
-      val half = c.map(x => x.toDouble * x).sum / 2.0
-      GraftExtensions.dot(col(vecCol), lit(c)) - lit(half)
-    }: _*)
-    val assigned = vecs.withColumn("__s", scores)
-      .withColumn("list_id",
-        expr("CAST(array_position(__s, array_max(__s)) - 1 AS INT)"))
-      .drop("__s")
+    require(centroids.zipWithIndex.forall { case ((li, _), i) => li == i },
+      "centroid list ids must be 0..k-1 in order")
+    val assigned = vecs.withColumn("list_id",
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expressions.NearestList(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col(vecCol)),
+          centroids.map(_._2).toArray)))
     require(assigned.columns.contains(idCol) && assigned.columns.contains(vecCol),
       s"id/vector columns $idCol/$vecCol must exist in the input")
     assigned

@@ -76,4 +76,68 @@ class VectorExpressionsSpec extends SparkSpec {
       .filter(abs(col("c") - 1.0) > 1e-9).count()
     assert(bad == 0)
   }
+
+  test("NearestList equals the array-of-dots formulation (values, ties, nulls)") {
+    import spark.implicits._
+    val dim = 16
+    val k = 40 // past the old formulation's comfortable codegen size
+    val cents: Array[Array[Float]] = Array.tabulate(k)(c =>
+      Array.tabulate(dim)(j => (math.sin(c * dim + j) * 4).toFloat))
+    // row corpus including exact copies of centroids (ties-by-identity),
+    // a duplicated centroid pair (true tie → lowest index must win),
+    // a null element row, and a ragged row
+    val dupCents = cents.updated(k - 1, cents(0))
+    val rows: Seq[(Long, Array[java.lang.Float])] =
+      (0 until 300).map(i => (i.toLong,
+        Array.tabulate(dim)(j => java.lang.Float.valueOf(
+          (math.cos(i * dim + j) * 5).toFloat)))) ++
+      cents.zipWithIndex.map { case (c, i) =>
+        (1000L + i, c.map(java.lang.Float.valueOf)) } :+
+      (2000L, Array.tabulate(dim)(j => if (j == 3) null
+        else java.lang.Float.valueOf(j.toFloat))) :+
+      (2001L, Array.tabulate(dim - 2)(j => java.lang.Float.valueOf(j.toFloat)))
+    val df = rows.toDF("id", "v")
+
+    def fused(cs: Array[Array[Float]]) =
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        NearestList(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("v")), cs))
+    for (cs <- Seq(cents, dupCents)) {
+      val got = df.withColumn("s", array(cs.map { c =>
+          val half = c.map(x => x.toDouble * x).sum / 2.0
+          GraftExtensions.dot(col("v"), lit(c)) - lit(half)
+        }: _*))
+        .select(col("id"), fused(cs).as("fused"),
+          expr("CAST(array_position(s, array_max(s)) - 1 AS INT)").as("old"))
+        .collect()
+      got.foreach { r =>
+        val (f, o) = (Option(r.get(1)), Option(r.get(2)))
+        // the old form encodes "no argmax" (all-null scores) as null
+        // or -1 depending on the null path; both mean null here
+        val oldNorm = o.filter(_ != -1)
+        assert(f == oldNorm, s"id=${r.getLong(0)}: fused=$f old=$o")
+      }
+      // exact-copy rows must land on their own centroid (or the
+      // duplicate's FIRST index)
+      val hits = df.filter(col("id") >= 1000L && col("id") < 2000L)
+        .select(col("id"), fused(cs).as("l")).collect()
+        .map(r => (r.getLong(0) - 1000L).toInt -> r.getInt(1)).toMap
+      cents.indices.foreach { i =>
+        if ((cs eq dupCents) && i == k - 1) {
+          // row 1000+(k-1) carries the ORIGINAL cents(k-1), which the
+          // duplicated matrix no longer contains — nothing to pin
+        } else assert(hits(i) == i, s"centroid copy $i -> ${hits(i)}")
+      }
+      // the duplicated centroid (matrix indexes 0 and k-1) must
+      // resolve to the FIRST index — the tie rule
+      if (cs eq dupCents) assert(hits(0) == 0)
+    }
+    // interpreted path agrees with codegen (direct eval)
+    val e = NearestList(org.apache.spark.sql.graftbridge.Bridge
+      .expression(col("v")), cents)
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      cents(7).toSeq, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    assert(e.withNewChildren(Seq(lit0)).eval(null) == 7)
+  }
 }
