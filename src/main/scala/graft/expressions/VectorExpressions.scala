@@ -159,6 +159,13 @@ case class NearestList(child: Expression, cents: Array[Array[Float]])
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
+  // the default rendering would print the matrix as [[F@<hashcode> —
+  // unreadable AND run-nondeterministic (EXPLAIN.md would churn on
+  // every regeneration); show the shape instead
+  override def toString: String =
+    s"$prettyName($child, k=$k, dim=$dim)"
+  override def sql: String = s"$prettyName(${child.sql}, k=$k, dim=$dim)"
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
