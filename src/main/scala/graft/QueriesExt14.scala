@@ -104,8 +104,34 @@ object QueriesExt14 {
       .orderBy("source")
   }
 
+  /** Cluster-BALANCED sampling — the embedding-space sibling of the
+    * per-source caps (`Mixture.tokenBudget`): assign every vector to
+    * its md5-seeded cluster (the fused `NearestList` kernel, map-only)
+    * and keep the first 50 per cluster in md5-priority order — the
+    * "cap each semantic region" move of SemDeDup-style data pruning
+    * and DoReMi-style balancing, as a deterministic engine-neutral
+    * subset. ONE window exchange on list_id; a cluster skewed past a
+    * single sort task switches to the Md5BucketHi decomposition
+    * exactly as `tokenBudgetSalted` documents. */
+  private def qClusterSample(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val seeds = Kmeans.md5Seeds(e, "vec_id", "embedding", k = 4)
+    val asg = graft.similarity.Ivf.assignTo(
+      e.select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+        .filter(col("embedding").isNotNull),
+      seeds, "vec_id", "embedding")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("list_id")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    asg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select(col("list_id"), col("vec_id"))
+      .orderBy("list_id", "vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_iter_oracle" -> (qKmeansIterOracle(_, _)),
+    "q_cluster_sample" -> (qClusterSample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_bpe_learn_oracle" -> (qBpeLearnOracle(_, _)),
     "q_bpe_encode" -> (qBpeEncode(_, _)))
@@ -161,6 +187,25 @@ object QueriesExt14 {
         |ctr AS (SELECT list_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x FROM asg)
         |SELECT list_id, pos, CAST(count(*) AS BIGINT) AS n, round(avg(x), 6) AS centroid
         |FROM ctr GROUP BY list_id, pos ORDER BY list_id, pos""".stripMargin,
+    "q_cluster_sample" ->
+      // the q_kmeans_iter_oracle assignment CTEs + a per-cluster
+      // md5-priority cap (ROW_NUMBER <= 50)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |sd AS (SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id,
+        |         v AS c FROM e),
+        |seeds AS (SELECT list_id, c FROM sd WHERE list_id < 4),
+        |asg AS (SELECT vec_id, list_id FROM (
+        |    SELECT e.vec_id, s.list_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY (list_dot_product(e.v, s.c) - list_dot_product(s.c, s.c) / 2) DESC,
+        |                 s.list_id) AS rn
+        |    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+        |capped AS (SELECT list_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY list_id
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM asg)
+        |SELECT list_id, vec_id FROM capped WHERE rn <= 50
+        |ORDER BY list_id, vec_id""".stripMargin,
     "q_bpe_pairs" ->
       (bpeWf +
         """
