@@ -259,6 +259,159 @@ case class NearestList(child: Expression, cents: Array[Array[Float]])
       : NearestList = copy(child = newChild)
 }
 
+/** Product-quantization encoding — codes[s] = argmin_c ‖v_sub(s) −
+  * codebook(s)(c)‖² for all m subspaces, fused into ONE triple loop
+  * (m × ksub × dsub) over a flat codebook reference array.
+  *
+  * Same huge-method story as [[NearestList]], but on PQ's CORPUS-scale
+  * stage: the per-subspace `array(l2Sq(sub, code_0), …)` +
+  * array_position-of-first-min formulation inlines m × ksub distance
+  * loops into one generated method — tolerable at the oracle queries'
+  * ksub=16, interpreted bytecode at the ksub=256 every real PQ uses.
+  * This expression's method size is constant in both m and ksub.
+  *
+  * Per-subspace semantics are IDENTICAL to the old column form
+  * (spec-pinned, and the PQ/IVF-PQ oracle family re-proves it):
+  * distances accumulate left-to-right in double; ties keep the LOWEST
+  * code; a subspace whose slice is short or contains a null element
+  * yields a NULL code for THAT subspace only (slice+l2Sq null
+  * semantics — a truncated vector still encodes its complete prefix
+  * subspaces, and `adcExpr` null-propagates the rest). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "need at least one subspace and one code per subspace")
+  require(codebooks.flatten.forall(_.length == codebooks.head.head.length),
+    "all codewords must share the sub-dimension")
+  require(codebooks.forall(_.length == codebooks.head.length),
+    "all subspaces must share ksub")
+
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.simpleString}")
+  }
+
+  private def m = codebooks.length
+  private def ksub = codebooks.head.length
+  private def dsub = codebooks.head.head.length
+
+  override def toString: String =
+    s"$prettyName($child, m=$m, ksub=$ksub, dsub=$dsub)"
+  override def sql: String =
+    s"$prettyName(${child.sql}, m=$m, ksub=$ksub, dsub=$dsub)"
+
+  /** Flat row-major codebook: [s][c][j] at ((s*ksub)+c)*dsub + j. */
+  @transient private lazy val flat: Array[Float] = {
+    val f = new Array[Float](m * ksub * dsub)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < ksub) {
+        System.arraycopy(codebooks(s)(c), 0, f, (s * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      s += 1
+    }
+    f
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = v.numElements()
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      if (base + dsub > n) out(s) = null
+      else {
+        val x = new Array[Double](dsub)
+        var j = 0
+        var anyNull = false
+        while (j < dsub && !anyNull) {
+          if (v.isNullAt(base + j)) anyNull = true
+          else x(j) =
+            if (isFloat) v.getFloat(base + j).toDouble
+            else v.getDouble(base + j)
+          j += 1
+        }
+        if (anyNull) out(s) = null
+        else {
+          var best = -1
+          var bd = Double.PositiveInfinity
+          var c = 0
+          while (c < ksub) {
+            var acc = 0.0
+            val cb = (s * ksub + c) * dsub
+            var i = 0
+            while (i < dsub) {
+              val d = x(i) - flat(cb + i); acc += d * d; i += 1
+            }
+            if (acc < bd) { bd = acc; best = c }
+            c += 1
+          }
+          out(s) = best
+        }
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (child.dataType.asInstanceOf[ArrayType].elementType ==
+      FloatType) "getFloat" else "getDouble"
+    val fRef = ctx.addReferenceObj("graftCodebooks", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (out, n, s, base, x, j, anyNull, best, bd, c, cb, acc, i, d) = (
+        ctx.freshName("out"), ctx.freshName("n"), ctx.freshName("s"),
+        ctx.freshName("base"), ctx.freshName("x"), ctx.freshName("j"),
+        ctx.freshName("anyNull"), ctx.freshName("best"), ctx.freshName("bd"),
+        ctx.freshName("c"), ctx.freshName("cb"), ctx.freshName("acc"),
+        ctx.freshName("i"), ctx.freshName("d"))
+      s"""
+         |Object[] $out = new Object[$m];
+         |int $n = $v.numElements();
+         |double[] $x = new double[$dsub];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $base = $s * $dsub;
+         |  if ($base + $dsub > $n) { $out[$s] = null; continue; }
+         |  boolean $anyNull = false;
+         |  for (int $j = 0; $j < $dsub && !$anyNull; $j++) {
+         |    if ($v.isNullAt($base + $j)) $anyNull = true;
+         |    else $x[$j] = (double) $v.$get($base + $j);
+         |  }
+         |  if ($anyNull) { $out[$s] = null; continue; }
+         |  int $best = -1;
+         |  double $bd = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $acc = 0.0;
+         |    int $cb = ($s * $ksub + $c) * $dsub;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $d = $x[$i] - (double) $fRef[$cb + $i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bd) { $bd = $acc; $best = $c; }
+         |  }
+         |  $out[$s] = java.lang.Integer.valueOf($best);
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : PqEncode = copy(child = newChild)
+}
+
 /** Σ |xᵢ-yᵢ| — Manhattan distance (reference Metric "Manhattan"). */
 case class L1Distance(left: Expression, right: Expression)
     extends VectorFoldExpression {

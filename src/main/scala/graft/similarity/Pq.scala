@@ -100,19 +100,24 @@ object Pq {
     PqIndex(codebooks, dsub, encoded, idCol, vecCol)
   }
 
-  /** codes[s] = argmin_c ‖v_sub(s) − codebook(s)(c)‖² as a pure column
-    * expression: per subspace an array of codegen'd l2Sq distances and
-    * an array_position argmin (ties → lowest code, deterministic). */
+  /** codes[s] = argmin_c ‖v_sub(s) − codebook(s)(c)‖², all m subspaces
+    * in the single fused `PqEncode` expression (ties → lowest code;
+    * short/null-element subspaces → null code — identical per-subspace
+    * semantics to the old per-code l2Sq array + array_position argmin,
+    * spec-pinned). The old formulation inlined m×ksub distance loops
+    * into one generated method — past the JVM huge-method limit at the
+    * ksub=256 every real PQ uses, the corpus-scale encode stage ran as
+    * interpreted bytecode (the Ivf.assign story, same fix — see
+    * NearestList's scaladoc; measured in pq_encode_probe_r13c.txt).
+    * Top-level null vectors are excluded by both build paths before
+    * encoding (the r12 ADVICE rule above), so the fused form's
+    * null-out-for-null-in is unreachable there. */
   private[similarity] def encodeExpr(vec: Column, codebooks: Array[Array[Array[Float]]],
       dsub: Int): Column = {
-    val subCodes = codebooks.indices.map { s =>
-      val sub = slice(vec, s * dsub + 1, dsub)
-      val dists = array(codebooks(s).map(c =>
-        GraftExtensions.l2Sq(sub, lit(c))): _*)
-      // array_position is 1-based; code is 0-based
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    array(subCodes: _*)
+    require(codebooks.head.head.length == dsub, "dsub mismatch")
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.PqEncode(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec), codebooks))
   }
 
   /** (m × ksub) ADC distance table for a query vector column:

@@ -140,4 +140,62 @@ class VectorExpressionsSpec extends SparkSpec {
         org.apache.spark.sql.types.FloatType))
     assert(e.withNewChildren(Seq(lit0)).eval(null) == 7)
   }
+
+  test("PqEncode equals the per-code l2Sq array formulation (short, null-element, tie)") {
+    import spark.implicits._
+    val (m, ksub, dsub) = (4, 12, 8)
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m)(s =>
+      Array.tabulate(ksub)(c =>
+        Array.tabulate(dsub)(j => (math.sin(s * 97 + c * 13 + j) * 3).toFloat)))
+    // duplicate codeword inside subspace 1 → tie must keep the LOWER code
+    codebooks(1)(9) = codebooks(1)(2).clone()
+    val dim = m * dsub
+    val rows: Seq[(Long, Array[java.lang.Float])] =
+      (0 until 300).map(i => (i.toLong, Array.tabulate(dim)(j =>
+        java.lang.Float.valueOf((math.cos(i * dim + j) * 4).toFloat)))) ++
+      // exact copies of codewords embedded in a full vector (subspace 1)
+      (0 until ksub).map { c =>
+        val v = Array.fill(dim)(java.lang.Float.valueOf(9f))
+        codebooks(1)(c).zipWithIndex.foreach { case (x, j) =>
+          v(dsub + j) = java.lang.Float.valueOf(x) }
+        (1000L + c, v)
+      } :+
+      // short vector: first 2 subspaces complete, rest missing
+      (2000L, Array.tabulate(2 * dsub + 3)(j => java.lang.Float.valueOf(j.toFloat))) :+
+      // null element in subspace 2 only
+      (2001L, Array.tabulate(dim)(j => if (j == 2 * dsub + 1) null
+        else java.lang.Float.valueOf(j.toFloat)))
+    val df = rows.toDF("id", "v")
+
+    // the pre-r13c formulation, reconstructed verbatim
+    val oldForm = array(codebooks.indices.map { s =>
+      val sub = slice(col("v"), s * dsub + 1, dsub)
+      val dists = array(codebooks(s).map(c =>
+        GraftExtensions.l2Sq(sub, lit(c))): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val fused = org.apache.spark.sql.graftbridge.Bridge.column(
+      PqEncode(org.apache.spark.sql.graftbridge.Bridge.expression(col("v")),
+        codebooks))
+    val got = df.select(col("id"), fused.as("f"), oldForm.as("o")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"id=${r.getLong(0)}: fused=${r.getSeq[Any](1)} old=${r.getSeq[Any](2)}")
+    }
+    // the codeword-copy rows land on their own code in subspace 1,
+    // with the duplicated codeword resolving to the FIRST index
+    val bySub1 = got.filter(r => r.getLong(0) >= 1000L && r.getLong(0) < 2000L)
+      .map(r => (r.getLong(0) - 1000L).toInt -> r.getSeq[Any](1)(1)).toMap
+    (0 until ksub).foreach { c =>
+      assert(bySub1(c) == (if (c == 9) 2 else c), s"codeword $c -> ${bySub1(c)}")
+    }
+    // short vector: complete prefix encodes, truncated tail is null
+    val shortRow = got.find(_.getLong(0) == 2000L).get.getSeq[Any](1)
+    assert(shortRow(0) != null && shortRow(1) != null
+      && shortRow(2) == null && shortRow(3) == null)
+    // null element poisons ONLY its subspace
+    val nullRow = got.find(_.getLong(0) == 2001L).get.getSeq[Any](1)
+    assert(nullRow(2) == null && nullRow(0) != null
+      && nullRow(1) != null && nullRow(3) != null)
+  }
 }
