@@ -129,11 +129,27 @@ object QueriesExt14 {
       .orderBy("list_id", "vec_id")
   }
 
+  /** The learned vocabulary as a shippable artifact: every symbol the
+    * 6-merge tokenizer can emit, with its corpus frequency — what a
+    * tokenizer.json/vocab file contains. Tokenize the vocab-scale word
+    * table once, explode its symbols weighted by word frequency, one
+    * small aggregation. Deterministic (count DESC, symbol ASC). */
+  private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    val words = Bpe.wordFreq(t(s, dir, "documents"), "text")
+    val merges = Bpe.learn(words, numMerges = 6)
+    words
+      .select(explode(Bpe.tokensCol(col("word"), merges)).as("symbol"),
+        col("freq"))
+      .groupBy("symbol").agg(sum("freq").as("sym_freq"))
+      .orderBy(desc("sym_freq"), asc("symbol"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_iter_oracle" -> (qKmeansIterOracle(_, _)),
     "q_cluster_sample" -> (qClusterSample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_bpe_learn_oracle" -> (qBpeLearnOracle(_, _)),
+    "q_bpe_vocab" -> (qBpeVocab(_, _)),
     "q_bpe_encode" -> (qBpeEncode(_, _)))
 
   // ------------------------------------------------------- oracle SQL
@@ -214,6 +230,12 @@ object QueriesExt14 {
           |FROM (SELECT unnest(range(1, length(word))) AS i, word, freq FROM wf)
           |GROUP BY left_sym, right_sym
           |ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 20""".stripMargin),
+    "q_bpe_vocab" ->
+      (bpeProlog(carryWord = false) + bpeMergeSteps(6, carryWord = false) +
+        """
+          |SELECT sym AS symbol, CAST(sum(freq) AS BIGINT) AS sym_freq
+          |FROM (SELECT unnest(string_split(sw[2:length(sw)-1], chr(1)||chr(1))) AS sym, freq FROM w6)
+          |GROUP BY sym ORDER BY sym_freq DESC, symbol""".stripMargin),
     "q_bpe_learn_oracle" ->
       (bpeProlog(carryWord = false) + bpeMergeSteps(4, carryWord = false) + "\n" +
         (1 to 4).map(i =>
