@@ -291,9 +291,12 @@ object Cli {
         |  --bpe_merges N         learn an N-merge BPE tokenizer from the raw
         |                         input corpus and denominate EVERY token count
         |                         (quality bounds, budget, bins) in its units
-        |                         instead of whitespace words (batch mode only)
+        |                         instead of whitespace words (batch mode only
+        |                         — learning needs a static corpus)
         |  --bpe_file FILE        load the tokenizer from a `tokenize
-        |                         --out_merges` TSV instead of learning
+        |                         --out_merges` TSV instead of learning; also
+        |                         valid under --follow (use the SAME file for
+        |                         the batch sweeps over the accumulated output)
         |  --source_column C      source column (default: source)
         |  --id_column C          id column (default: doc_id)
         |  --text_column C        text column (default: text)
@@ -917,13 +920,14 @@ object Cli {
       System.err.println("curate: --bpe_merges must be a non-negative integer")
       return 2
     }
-    if ((bpeN.isDefined || bpeFile.isDefined) && a.flags.contains("follow")) {
-      // learning needs a static corpus, and the streaming prefix's
-      // token units are pinned by its batch-equivalence contract —
-      // re-denominating only the stream would silently disagree with
-      // the batch finishers over the accumulated output
+    if (bpeN.isDefined && a.flags.contains("follow")) {
+      // learning needs a static corpus — a stream-learned table could
+      // never match the batch finishers'. A PERSISTED table
+      // (--bpe_file) is stream-safe: the same file denominates both
+      // the stream and the batch sweep over the accumulated output.
       System.err.println(
-        "curate: --bpe_merges/--bpe_file are batch-mode only")
+        "curate: --bpe_merges is batch-mode only (use --bpe_file " +
+          "with a table learned by `tokenize` under --follow)")
       return 2
     }
     if (a.flags.contains("follow") && a.flags("follow") != "true") {
@@ -967,8 +971,21 @@ object Cli {
       // watermark column for the ingest-dedup horizon)
       val withTs = if (tsCol.isDefined) renamed
         else renamed.withColumn("__ts", current_timestamp())
-      val curated = graft.pipeline.Curation.streamingPrefix(withTs,
-        "__ts", wm, fpIndex, split, minTok.get, maxTok.get, maxStop.get)
+      // a PERSISTED merge table re-denominates the stream (map-only
+      // column swap, stream shape unchanged); the batch finishers
+      // over the accumulated output must use the same --bpe_file
+      val followTok = bpeFile.map(f => readMergesTsv(f) match {
+        case Left(err) => System.err.println(s"curate: $err"); return 2
+        case Right(ms) =>
+          graft.functions.Bpe.docTokenCountCol(col("text"), ms)
+      })
+      val curated = followTok match {
+        case Some(c) => graft.pipeline.Curation.streamingPrefix(withTs,
+          "__ts", wm, fpIndex, split, minTok.get, maxTok.get,
+          maxStop.get, nTokCol = c)
+        case None => graft.pipeline.Curation.streamingPrefix(withTs,
+          "__ts", wm, fpIndex, split, minTok.get, maxTok.get, maxStop.get)
+      }
       val ckpt = a.flags.getOrElse("checkpoint",
         a.flags("out") + "_checkpoint")
       // same local-path boundary as --in/--out (inOutGuard): the

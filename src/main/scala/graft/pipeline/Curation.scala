@@ -289,9 +289,14 @@ object Curation {
   def streamingPrefix(docs: DataFrame, tsCol: String,
       watermarkDelay: String, fpIndex: Option[DataFrame] = None,
       split: String = "train", minTok: Int = 20, maxTok: Int = 80,
-      maxStopRatio: Double = 0.2): DataFrame = {
+      maxStopRatio: Double = 0.2, nTokCol: Column = nTok): DataFrame = {
+    // nTokCol re-denominates the stream exactly as it does the batch
+    // pipeline — stream/batch equivalence then requires BOTH to use
+    // the same counter (the CLI only admits a PERSISTED merge table
+    // here, --bpe_file: learning needs a static corpus, and a
+    // stream-learned table could never match the batch finishers')
     val fped = qualityFilter(docs, minTok, maxTok, maxStopRatio,
-        carry = Seq(tsCol))
+        carry = Seq(tsCol), nTokCol = nTokCol)
       .withColumn("fp", md5(trim(lower(col("text")))))
     val deduped = fpIndex match {
       case Some(ix) => graft.streaming.StreamingOps

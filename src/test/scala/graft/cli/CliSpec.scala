@@ -322,6 +322,39 @@ class CliSpec extends SparkSpec {
       "--follow", "--checkpoint", "file:///tmp/ck")) == 2)
   }
 
+  test("curate --follow --bpe_file: the stream denominated in a persisted tokenizer") {
+    import spark.implicits._
+    val in = tmp() + "/docs_fbpe"
+    def text(i: Long) = (0 until 30).map(j => s"f${i}x$j").mkString(" ")
+    (0L until 10L).map(i => (i, s"src${i % 2}", text(i)))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val docs = spark.read.parquet(in)
+    // persist a tokenizer learned from the same corpus
+    val mergesFile = tmp() + "/fm.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "4",
+      "--out_merges", mergesFile)) == 0)
+    val out = tmp() + "/cur_fbpe"
+    // bounds re-denominated: BPE counts exceed the 30-word whitespace
+    // count, so default [20,80] would still pass — use wide bounds and
+    // assert the UNIT, not the filter
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", out,
+      "--follow", "--split", "all", "--min_tokens", "0",
+      "--max_tokens", "100000", "--max_stopword_ratio", "1",
+      "--bpe_file", mergesFile)) == 0)
+    val words = graft.functions.Bpe.wordFreq(docs, "text")
+    val merges = graft.functions.Bpe.learn(words, 4)
+    val want = graft.functions.Bpe
+      .docTokenCounts(docs, "text", Seq("doc_id"), merges, words)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tok")).toMap
+    assert(got.keySet == (0L until 10L).toSet)
+    got.foreach { case (id, n) => assert(n == want(id), s"doc $id") }
+    // learning under --follow stays rejected
+    assert(Cli.run(spark, Seq("curate", "--in", in, "--out", tmp() + "/x",
+      "--follow", "--bpe_merges", "4")) == 2)
+  }
+
   test("mixture: weights downsample, budget caps, epochs upsample — library-equal") {
     import spark.implicits._
     val in = tmp() + "/docs"
