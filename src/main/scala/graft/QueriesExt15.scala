@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pca
+
+/** Round-13 linear-algebra layer: PCA / linear projection over the
+  * embedding column (SURVEY §7.5 — dimensionality reduction before
+  * clustering/ANN, subspace balancing before PQ).
+  *
+  * Gating splits along the repo's standard trained-operator seam:
+  *
+  *  - q_pca_cov:     the DISTRIBUTED stats pass — the exact
+  *                   `Pca.CovStats` Aggregator buffer `fit` consumes,
+  *                   formatted long as (i, j, cov) and capped to the
+  *                   16×16 leading block so the oracle's d²-row unnest
+  *                   self-join stays cheap at 1.4 GiB (the cap bounds
+  *                   the ORACLE join, not the Spark buffer — the full
+  *                   triangle aggregates either way).
+  *  - q_jl_project:  the fused projection KERNEL
+  *                   (`MatVecProject`, the same expression PCA
+  *                   projection runs) under an engine-neutral
+  *                   md5-derived ±1 matrix — signs both engines read
+  *                   off the same hex digit, the projection analogue
+  *                   of `Ivf.buildMd5Seeded`'s seeded centroids. Also
+  *                   an operator in its own right: JL random
+  *                   projection is the cheap-and-cheerful
+  *                   dim-reduction baseline (Achlioptas 2003's ±1
+  *                   construction).
+  *  - q_pca_project: the production path end to end (fit k=16 →
+  *                   project) — NO SQL oracle (eigenvectors aren't
+  *                   SQL-expressible); rows-only check by the driver,
+  *                   gated by the two oracle siblings above plus
+  *                   PcaSpec's eigensolver rows (known matrices,
+  *                   orthonormality, diagonalization, agreement with
+  *                   a naive driver reference on real rows).
+  */
+object QueriesExt15 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    QueriesCommon.table(s, dir, name)
+
+  private def embDim(e: DataFrame): Int =
+    e.select(size(col("embedding")).as("d"))
+      .filter(col("d") > 0).head().getInt(0)
+
+  /** Leading 16×16 block of the sample covariance, long format. */
+  private def qPcaCov(s: SparkSession, dir: String): DataFrame =
+    Pca.covarianceDf(t(s, dir, "embeddings"), "embedding", maxDim = 16)
+      .orderBy("i", "j")
+
+  /** JL ±1 projection to 8 dims through the fused kernel, exploded to
+    * (vec_id, r, proj) rows. */
+  private def qJlProject(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val mat = Pca.md5SignMatrix(rows = 8, dim = embDim(e))
+    e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        posexplode(Pca.matVec(col("embedding"), mat,
+          new Array[Double](mat.head.length))))
+      .select(col("vec_id"), col("pos").as("r"), col("col").as("proj"))
+      .orderBy("vec_id", "r")
+  }
+
+  /** Production PCA: fit a k=16 model (one moment pass + driver
+    * Jacobi), project the corpus map-only through the fused kernel. */
+  private def qPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val model = Pca.fit(e, "embedding", k = 16)
+    e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        posexplode(Pca.project(col("embedding"), model)))
+      .select(col("vec_id"), col("pos").as("r"), col("col").as("proj"))
+      .orderBy("vec_id", "r")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pca_cov" -> (qPcaCov(_, _)),
+    "q_jl_project" -> (qJlProject(_, _)),
+    "q_pca_project" -> (qPcaProject(_, _)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pca_cov" ->
+      """WITH u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |)
+        |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+        |  (SUM(a.e * b.e) - SUM(a.e) * SUM(b.e) / COUNT(*)) / (COUNT(*) - 1) AS cov
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |WHERE a.i < 16 AND b.i < 16
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_jl_project" ->
+      """WITH u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |), rr AS (SELECT UNNEST(range(8)) AS r)
+        |SELECT u.vec_id, CAST(rr.r AS INT) AS r,
+        |  SUM(CASE WHEN ascii(substr(md5(CAST(rr.r AS VARCHAR) || '_' ||
+        |                               CAST(u.i AS VARCHAR)), 1, 1)) % 2 = 0
+        |           THEN u.e ELSE -u.e END) AS proj
+        |FROM u CROSS JOIN rr
+        |GROUP BY u.vec_id, rr.r
+        |ORDER BY u.vec_id, r""".stripMargin)
+}

@@ -412,6 +412,129 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
       : PqEncode = copy(child = newChild)
 }
 
+/** Dense affine projection — out[r] = Σᵢ (v[i] − mean[i]) · M[r][i]
+  * for all `rows` output coordinates, fused into ONE rows × dim loop
+  * over a flat row-major matrix: the kernel of PCA projection,
+  * JL random projection, and any learned linear re-embedding.
+  *
+  * Same huge-method discipline as [[NearestList]]/[[PqEncode]]: the
+  * `array(dot(v,m₀), …)` formulation inlines `rows` dot loops into one
+  * generated method (interpreted bytecode past the JIT limit at the
+  * 64-wide bases PCA actually uses); this expression's method size is
+  * constant in both `rows` and `dim`, so the corpus-scale projection
+  * pass stays whole-stage-codegen'd and JIT-compiled.
+  *
+  * Numerics are pinned for the DuckDB oracle gate (q_jl_project):
+  * elements widen to double, each output accumulates left-to-right
+  * over i ascending, centering happens per element BEFORE the product
+  * ((v[i]−mean[i])·m — not v·m − mean·m, which rounds differently).
+  * NULL semantics: a null/ragged vector or ANY null element nulls the
+  * WHOLE output — unlike PQ's per-subspace codes, every projected
+  * coordinate mixes every input dimension, so no partial output is
+  * honest. */
+case class MatVecProject(child: Expression, mat: Array[Array[Double]],
+    mean: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(mat.nonEmpty && mat.forall(_.length == mean.length),
+    "matrix must be non-empty with rows matching the mean length")
+
+  override def prettyName: String = "graft_matvec_project"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def rows = mat.length
+  private def dim = mean.length
+
+  // shape-only rendering — see NearestList: the default would print
+  // [[D@<hashcode>, churning EXPLAIN.md nondeterministically
+  override def toString: String =
+    s"$prettyName($child, rows=$rows, dim=$dim)"
+  override def sql: String = s"$prettyName(${child.sql}, rows=$rows, dim=$dim)"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float|double> input, got ${other.simpleString}")
+  }
+
+  /** Flat row-major matrix, built once per deserialized instance. */
+  @transient private lazy val flat: Array[Double] = {
+    val f = new Array[Double](rows * dim)
+    var r = 0
+    while (r < rows) {
+      System.arraycopy(mat(r), 0, f, r * dim, dim); r += 1
+    }
+    f
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    val isFloat =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val x = new Array[Double](dim)
+    var j = 0
+    while (j < dim) {
+      if (v.isNullAt(j)) return null
+      val e = if (isFloat) v.getFloat(j).toDouble else v.getDouble(j)
+      x(j) = e - mean(j)
+      j += 1
+    }
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = 0.0
+      val base = r * dim
+      var i = 0
+      while (i < dim) { acc += x(i) * flat(base + i); i += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (child.dataType.asInstanceOf[ArrayType].elementType ==
+      FloatType) "getFloat" else "getDouble"
+    val fRef = ctx.addReferenceObj("graftProjMat", flat, "double[]")
+    val mRef = ctx.addReferenceObj("graftProjMean", mean, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (x, j, r, i, acc, base, out) = (
+        ctx.freshName("x"), ctx.freshName("j"), ctx.freshName("r"),
+        ctx.freshName("i"), ctx.freshName("acc"), ctx.freshName("base"),
+        ctx.freshName("out"))
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $x = new double[$dim];
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    $x[$j] = (double) $v.$get($j) - $mRef[$j];
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double[] $out = new double[$rows];
+         |    for (int $r = 0; $r < $rows; $r++) {
+         |      double $acc = 0.0;
+         |      int $base = $r * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $acc += $x[$i] * $fRef[$base + $i];
+         |      }
+         |      $out[$r] = $acc;
+         |    }
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : MatVecProject = copy(child = newChild)
+}
+
 /** Σ |xᵢ-yᵢ| — Manhattan distance (reference Metric "Manhattan"). */
 case class L1Distance(left: Expression, right: Expression)
     extends VectorFoldExpression {

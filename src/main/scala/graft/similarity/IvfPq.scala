@@ -137,8 +137,12 @@ object IvfPq {
         residualExpr(col(vecCol), col("list_id"), ivf.centroids))
       .withColumn("codes", Pq.encodeExpr(col("__resid"), codebooks, dsub))
       .drop("__resid")
+    // same (non-null, dim-length) filter as the trained build above, so
+    // the persisted n matches the encoded corpus on dirty inputs too
+    val n = vecs.filter(col(vecCol).isNotNull
+      && size(col(vecCol).cast("array<float>")) === dim).count()
     IvfPqIndex(ivf.centroids, codebooks, dsub, encoded, idCol, vecCol,
-      residual = true, n = vecs.count())
+      residual = true, n = n)
   }
 
   /** Materialize at rest: the PQ-encoded table partitioned by coarse

@@ -1,0 +1,364 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders}
+
+import graft.expressions.MatVecProject
+
+/** Distributed PCA over an embedding column — the linear
+  * dimensionality-reduction layer of an embedding pipeline (truncate
+  * before clustering/ANN, decorrelate/balance before PQ, drift
+  * monitoring in a compact basis).
+  *
+  * Dataflow shape (the only part that touches the corpus): ONE
+  * map-side pass accumulating a fixed-size second-moment buffer — the
+  * per-dimension sum plus the packed upper triangle of Σ vᵢvⱼ,
+  * d(d+3)/2 doubles total (~17 KB at d=64) — combined per partition by
+  * the typed Aggregator and merged across partitions by one narrow
+  * exchange whose payload is ONE buffer row per map partition. The
+  * vectors themselves never shuffle; nothing grows with row count. At
+  * 100 TB this is exactly a `q_counts`-class aggregation: corpus scan
+  * + buffer merge + a single ~17 KB driver collect.
+  *
+  * The d×d eigendecomposition happens on the DRIVER (cyclic Jacobi —
+  * deterministic, no randomness, O(d³) at d≤a few thousand is
+  * microseconds-to-seconds and independent of corpus size), mirroring
+  * `Ivf.build`'s driver-side quantizer training: the cluster computes
+  * what scales with DATA, the driver computes what scales with DIM.
+  * Projection back over the corpus is map-only through the fused
+  * [[graft.expressions.MatVecProject]] kernel (constant generated-code
+  * size — see NearestList's huge-method story).
+  *
+  * Oracle gating (the repo's standard split for trained operators):
+  * the distributed stats pass is SQL-expressible and hash-gated in
+  * `q_pca_cov`; the projection KERNEL is gated end-to-end in
+  * `q_jl_project` with an engine-neutral md5-derived ±1 matrix (both
+  * engines derive the same matrix from the same hex digits); the
+  * eigensolver is spec-gated (known matrices, orthonormality,
+  * diagonalization, agreement with a naive O(n·d²) reference on real
+  * rows) since eigenvectors are not SQL-expressible.
+  *
+  * Reference scope: vector-io ships no dimensionality reduction; this
+  * is the beyond-parity training-data layer (SURVEY §7.5), sited with
+  * the other embedding-geometry trainers (Ivf/Pq/Kmeans).
+  */
+object Pca {
+
+  /** Raw-moment buffer: per-dim sums, packed upper-triangle Σ vᵢvⱼ
+    * (index `i*d − i(i−1)/2 + (j−i)` for i ≤ j), row count. */
+  final case class CovBuf(sum: Array[Double], prods: Array[Double], n: Long)
+
+  /** Packed upper-triangle index for i ≤ j in dimension d. */
+  @inline private[similarity] def triIdx(i: Int, j: Int, d: Int): Int =
+    i * d - i * (i - 1) / 2 + (j - i)
+
+  /** Elementwise second-moment accumulation over Array[Float] rows.
+    * Null/empty rows are skipped; dimensions are fixed by the first
+    * non-null vector (ragged inputs fail fast — same contract as
+    * `VectorAggregates.ElementwiseStats`). */
+  object CovStats extends Aggregator[Seq[Float], CovBuf, CovBuf] {
+    override def zero: CovBuf = CovBuf(Array.empty, Array.empty, 0L)
+
+    private def init(v: Seq[Float]): CovBuf = {
+      val d = v.length
+      val b = CovBuf(new Array[Double](d), new Array[Double](d * (d + 1) / 2), 0L)
+      accumulate(b, v)
+    }
+
+    private def accumulate(b: CovBuf, v: Seq[Float]): CovBuf = {
+      val d = b.sum.length
+      // materialize once: Seq#apply on the row wrapper is not O(1)-safe
+      val x = new Array[Double](d)
+      var i = 0
+      while (i < d) { x(i) = v(i).toDouble; i += 1 }
+      i = 0
+      while (i < d) {
+        b.sum(i) += x(i)
+        val base = triIdx(i, i, d)
+        var j = i
+        while (j < d) {
+          b.prods(base + (j - i)) += x(i) * x(j)
+          j += 1
+        }
+        i += 1
+      }
+      CovBuf(b.sum, b.prods, b.n + 1L)
+    }
+
+    override def reduce(b: CovBuf, v: Seq[Float]): CovBuf =
+      if (v == null || v.isEmpty) b
+      else if (b.n == 0L) init(v)
+      else {
+        require(v.length == b.sum.length,
+          s"ragged vectors: ${v.length} vs ${b.sum.length}")
+        accumulate(b, v)
+      }
+
+    override def merge(a: CovBuf, b: CovBuf): CovBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        require(a.sum.length == b.sum.length,
+          s"ragged buffers: ${a.sum.length} vs ${b.sum.length}")
+        var i = 0
+        while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+        i = 0
+        while (i < a.prods.length) { a.prods(i) += b.prods(i); i += 1 }
+        CovBuf(a.sum, a.prods, a.n + b.n)
+      }
+
+    override def finish(b: CovBuf): CovBuf = b
+    override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    override def outputEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+  }
+
+  /** Untyped handle: `df.agg(covStats(col("vec")))` →
+    * struct<sum:array<double>, prods:array<double>, n:bigint>. */
+  val covStats: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(CovStats)
+
+  /** The one corpus pass, collected: raw moments on the driver. */
+  private[similarity] def collectMoments(vecs: DataFrame, vecCol: String): CovBuf = {
+    val row = vecs
+      .select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(covStats(col("__v")).as("st"))
+      .select(col("st.sum").as("sum"), col("st.prods").as("prods"),
+        col("st.n").as("n"))
+      .head()
+    CovBuf(row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray,
+      row.getLong(2))
+  }
+
+  /** Sample covariance (Bessel-corrected) from raw moments:
+    * cov(i,j) = (Σvᵢvⱼ − ΣvᵢΣvⱼ/n) / (n−1). */
+  private[similarity] def covFromMoments(b: CovBuf): Array[Array[Double]] = {
+    require(b.n >= 2, s"need at least 2 vectors, got ${b.n}")
+    val d = b.sum.length
+    val c = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = (b.prods(triIdx(i, j, d)) - b.sum(i) * b.sum(j) / b.n) /
+          (b.n - 1)
+        c(i)(j) = v; c(j)(i) = v
+        j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** The covariance pass as an UNCOLLECTED long-format frame
+    * (i, j, cov) for i ≤ j < maxDim — the literal production dataflow
+    * (same Aggregator, same formula), only formatted, so `q_pca_cov`
+    * gates exactly what `fit` consumes (the `q_kmeans_iter_oracle`
+    * pattern). maxDim caps the ORACLE side's d² unnest join, not the
+    * Spark buffer — the full triangle is aggregated either way. */
+  def covarianceDf(vecs: DataFrame, vecCol: String, maxDim: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(covStats(col("__v")).as("st"))
+      .select(col("st.sum").as("sum"), col("st.prods").as("prods"),
+        col("st.n").as("n"))
+      .as[CovBuf]
+      .flatMap { b =>
+        val d = b.sum.length
+        for {
+          i <- 0 until math.min(d, maxDim)
+          j <- i until math.min(d, maxDim)
+        } yield (i, j,
+          (b.prods(triIdx(i, j, d)) - b.sum(i) * b.sum(j) / b.n) / (b.n - 1))
+      }
+      .toDF("i", "j", "cov")
+  }
+
+  /** Trained model: mean, top-k basis ROWS (orthonormal, eigenvalue
+    * descending, sign-canonicalized), their eigenvalues, corpus size. */
+  final case class PcaModel(mean: Array[Double], basis: Array[Array[Double]],
+      eigenvalues: Array[Double], n: Long, totalVariance: Double) {
+    def dim: Int = mean.length
+    def k: Int = basis.length
+    /** Fraction of total variance captured by the k components. */
+    def varianceExplained: Double =
+      if (totalVariance <= 0) 1.0 else eigenvalues.sum / totalVariance
+  }
+
+  /** Deterministic cyclic Jacobi eigendecomposition of a symmetric
+    * matrix. Returns (eigenvalues, eigenvector ROWS), sorted by
+    * eigenvalue DESCENDING (ties by original diagonal index), each
+    * vector sign-canonicalized so its largest-|component| entry (first
+    * on ties) is positive — two runs, or two hosts, always emit the
+    * identical basis. */
+  private[similarity] def jacobiEigen(sym: Array[Array[Double]],
+      maxSweeps: Int = 64, tol: Double = 1e-12)
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    require(sym.forall(_.length == d), "matrix must be square")
+    val a = Array.tabulate(d, d)((i, j) => sym(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    // scale-aware stop: off-diagonal energy relative to the matrix norm
+    val norm0 = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d) s += a(i)(j) * a(i)(j)
+      math.max(s, Double.MinPositiveValue)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offDiag() > tol * norm0) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta >= 0.0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            // rotate A in the (p,q) plane: A' = JᵀAJ
+            var i = 0
+            while (i < d) {
+              if (i != p && i != q) {
+                val aip = a(i)(p); val aiq = a(i)(q)
+                a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+              }
+              i += 1
+            }
+            val app = a(p)(p); val aqq = a(q)(q)
+            a(p)(p) = c * c * app - 2.0 * s * c * apq + s * s * aqq
+            a(q)(q) = s * s * app + 2.0 * s * c * apq + c * c * aqq
+            a(p)(q) = 0.0; a(q)(p) = 0.0
+            // accumulate the rotation into the eigenvector columns
+            i = 0
+            while (i < d) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => (-a(i)(i), i))
+    val vals = order.map(i => a(i)(i)).toArray
+    val rows = order.map { oi =>
+      val r = Array.tabulate(d)(i => v(i)(oi))
+      // canonical sign: largest-|component| (first on ties) positive
+      var best = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(r(i)) > math.abs(r(best))) best = i
+        i += 1
+      }
+      if (r(best) < 0.0) { i = 0; while (i < d) { r(i) = -r(i); i += 1 } }
+      r
+    }.toArray
+    (vals, rows)
+  }
+
+  /** Train: one distributed moment pass + driver Jacobi. `k` is the
+    * output dimensionality (k = dim for a pure rotation, e.g. the
+    * PQ-balancing use below). */
+  def fit(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
+    val b = collectMoments(vecs, vecCol)
+    val d = b.sum.length
+    require(k >= 1 && k <= d, s"k=$k out of range for dim=$d")
+    val mean = Array.tabulate(d)(i => b.sum(i) / b.n)
+    val (vals, rows) = jacobiEigen(covFromMoments(b))
+    PcaModel(mean, rows.take(k), vals.take(k), b.n, vals.sum)
+  }
+
+  /** Map-only projection through the fused kernel: (v − mean)·Bᵀ as
+    * array<double> of length k. Null/ragged vectors project to null. */
+  def project(vec: Column, model: PcaModel): Column =
+    matVec(vec, model.basis, model.mean)
+
+  /** Raw kernel handle: centered dense mat-vec with an arbitrary
+    * matrix (rows = output dims). mean = zeros ⇒ plain projection. */
+  def matVec(vec: Column, mat: Array[Array[Double]],
+      mean: Array[Double]): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      MatVecProject(
+        org.apache.spark.sql.graftbridge.Bridge.expression(vec), mat, mean))
+
+  /** Engine-neutral ±1 matrix from md5 hex digits — sign(r,i) = +1
+    * iff the first hex char of md5("r_i") has even code point. Both
+    * engines derive it from the same digest of the same string, so a
+    * JL random projection through the REAL MatVecProject kernel is
+    * DuckDB-expressible (`q_jl_project`) — the projection analogue of
+    * `Ivf.buildMd5Seeded`'s seeded centroids. */
+  def md5SignMatrix(rows: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(rows, dim) { (r, i) =>
+      val hex = md.digest(s"${r}_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.charAt(0).toInt % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** OPQ-style eigenvalue allocation (Ge et al., "Optimized Product
+    * Quantization", CVPR 2013 — the non-parametric baseline's
+    * balanced-variance variant): deal the eigenvalue-DESCENDING
+    * principal dims across m PQ subspaces so each subspace gets
+    * dim/m components with near-equal variance PRODUCT (greedy: next
+    * dim goes to the non-full subspace with the smallest Σ log λ).
+    * Returns the permutation of basis rows — subspace s owns rows
+    * perm[s·dsub … (s+1)·dsub). Plain PCA rotation without this piles
+    * all the variance into the FIRST subspaces and starves the rest;
+    * balanced allocation is what makes PCA-then-PQ beat raw PQ. */
+  def balancedOrder(eigenvalues: Array[Double], m: Int): Array[Int] = {
+    val d = eigenvalues.length
+    require(d % m == 0, s"dim $d not divisible by m $m")
+    val dsub = d / m
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logSum = new Array[Double](m)
+    // eigenvalues arrive descending from jacobiEigen; guard anyway
+    val order = eigenvalues.indices.sortBy(i => (-eigenvalues(i), i))
+    for (idx <- order) {
+      var best = -1
+      var bestLog = Double.PositiveInfinity
+      var s = 0
+      while (s < m) {
+        if (buckets(s).length < dsub && logSum(s) < bestLog) {
+          bestLog = logSum(s); best = s
+        }
+        s += 1
+      }
+      buckets(best) ::= idx
+      logSum(best) += math.log(math.max(eigenvalues(idx), 1e-300))
+    }
+    buckets.flatMap(_.reverse)
+  }
+
+  /** The PCA-for-PQ rotation: full-rank basis with rows permuted by
+    * [[balancedOrder]] — project with this, then `Pq.build` on the
+    * rotated vectors. Distances are preserved exactly (orthonormal
+    * rotation), subspace variance is balanced. */
+  def pqRotation(model: PcaModel, m: Int): Array[Array[Double]] = {
+    require(model.k == model.dim,
+      s"need a full-rank model (k=dim), got k=${model.k} dim=${model.dim}")
+    balancedOrder(model.eigenvalues, m).map(model.basis)
+  }
+}

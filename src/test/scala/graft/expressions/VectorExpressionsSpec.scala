@@ -198,4 +198,53 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullRow(2) == null && nullRow(0) != null
       && nullRow(1) != null && nullRow(3) != null)
   }
+
+  test("MatVecProject equals the array-of-dots formulation; nulls poison the whole output") {
+    import spark.implicits._
+    val (rows, dim) = (40, 16) // past the old form's comfortable codegen size
+    val mat: Array[Array[Double]] = Array.tabulate(rows)(r =>
+      Array.tabulate(dim)(j => math.sin(r * dim + j) * 3))
+    val mean: Array[Double] = Array.tabulate(dim)(j => math.cos(j) * 0.5)
+    val data: Seq[(Long, Array[java.lang.Float])] =
+      (0 until 200).map(i => (i.toLong,
+        Array.tabulate(dim)(j => java.lang.Float.valueOf(
+          (math.cos(i * dim + j) * 5).toFloat)))) :+
+      (2000L, Array.tabulate(dim)(j => if (j == 3) null
+        else java.lang.Float.valueOf(j.toFloat))) :+      // null element
+      (2001L, Array.tabulate(dim - 2)(j => java.lang.Float.valueOf(j.toFloat)))
+    val df = data.toDF("id", "v")
+    def fused = org.apache.spark.sql.graftbridge.Bridge.column(
+      MatVecProject(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("v")), mat, mean))
+    val old = array(mat.map(row =>
+      GraftExtensions.dot(
+        org.apache.spark.sql.functions.zip_with(
+          col("v").cast("array<double>"),
+          lit(mean), (x, m) => x - m),
+        lit(row))): _*)
+    val got = df.select(col("id"), fused.as("f"), old.as("o")).collect()
+    got.foreach { r =>
+      if (r.getLong(0) >= 2000L) {
+        // whole-output null for null-element and ragged rows (the old
+        // form nulls per-output; the projection mixes all dims, so the
+        // fused kernel nulls everything — assert exactly that)
+        assert(r.isNullAt(1), s"id=${r.getLong(0)} should be null")
+      } else {
+        assert(!r.isNullAt(1) && r.getSeq[Double](1) == r.getSeq[Double](2),
+          s"id=${r.getLong(0)}")
+      }
+    }
+    // interpreted eval agrees with the codegen'd DataFrame path
+    val e = MatVecProject(org.apache.spark.sql.graftbridge.Bridge
+      .expression(col("v")), mat, mean)
+    val probe = Array.tabulate(dim)(j => (j * 0.25f - 1f))
+    val lit0 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      probe.toSeq, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+    val evd = e.withNewChildren(Seq(lit0)).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    val viaDf = Seq(Tuple1(probe.map(java.lang.Float.valueOf))).toDF("v")
+      .select(fused.as("f")).collect().head.getSeq[Double](0).toArray
+    assert(evd.toSeq == viaDf.toSeq)
+  }
 }

@@ -1,0 +1,177 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+
+  private val dim = 12
+
+  // two fixed orthonormal directions; variance along u1 dominates, u2
+  // second, everything else is small deterministic "noise" — so the
+  // top-2 principal directions are known in advance
+  private lazy val u1 = normalize(Array.tabulate(dim)(j => math.cos(j * 0.7)))
+  private lazy val u2 = {
+    val raw = Array.tabulate(dim)(j => math.sin(j * 1.3))
+    val d = dot(raw, u1)
+    normalize(raw.zipWithIndex.map { case (x, j) => x - d * u1(j) })
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  private lazy val vecs: DataFrame = {
+    import spark.implicits._
+    (0 until 400).map { i =>
+      val t1 = 10.0 * math.sin(i * 0.37)       // big spread along u1
+      val t2 = 3.0 * math.cos(i * 0.91)        // smaller along u2
+      (i.toLong, Array.tabulate(dim) { j =>
+        (1.5 + t1 * u1(j) + t2 * u2(j) +
+          0.05 * math.sin(i * dim + j)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def naiveCov(): (Array[Double], Array[Array[Double]], Long) = {
+    val data = vecs.collect().map(_.getSeq[Float](1).toArray)
+    val n = data.length.toLong
+    val mean = Array.tabulate(dim)(j => data.map(_(j).toDouble).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      data.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / (n - 1)
+    }
+    (mean, cov, n)
+  }
+
+  test("distributed moment pass matches the naive driver covariance") {
+    val b = Pca.collectMoments(vecs, "embedding")
+    val (mean, cov, n) = naiveCov()
+    assert(b.n == n)
+    val gotCov = Pca.covFromMoments(b)
+    for (i <- 0 until dim) {
+      assert(math.abs(b.sum(i) / b.n - mean(i)) < 1e-10, s"mean $i")
+      for (j <- 0 until dim)
+        assert(math.abs(gotCov(i)(j) - cov(i)(j)) < 1e-8, s"cov $i,$j")
+    }
+  }
+
+  test("jacobiEigen: analytic 2x2 and diagonal cases") {
+    val (v2, r2) = Pca.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(v2(0) - 3.0) < 1e-12 && math.abs(v2(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(math.abs(r2(0)(0) - s) < 1e-12 && math.abs(r2(0)(1) - s) < 1e-12)
+    // second vector sign-canonicalized: largest-|component| positive
+    assert(math.abs(math.abs(r2(1)(0)) - s) < 1e-12)
+    assert(r2(1)(0) * r2(1)(1) < 0) // orthogonal to the first
+    val (vd, rd) = Pca.jacobiEigen(Array(
+      Array(5.0, 0.0, 0.0), Array(0.0, 2.0, 0.0), Array(0.0, 0.0, 9.0)))
+    assert(vd.toSeq == Seq(9.0, 5.0, 2.0))
+    assert(rd(0).toSeq == Seq(0.0, 0.0, 1.0))
+    assert(rd(1).toSeq == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("fit: orthonormal descending basis that diagonalizes the covariance") {
+    val m = Pca.fit(vecs, "embedding", k = dim)
+    assert(m.n == 400L && m.dim == dim && m.k == dim)
+    // descending, non-negative (covariance is PSD)
+    m.eigenvalues.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    assert(m.eigenvalues.last > -1e-9)
+    assert(math.abs(m.varianceExplained - 1.0) < 1e-12)
+    // B·Bᵀ = I
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val e = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot(m.basis(i), m.basis(j)) - e) < 1e-9, s"BBt $i,$j")
+    }
+    // B·C·Bᵀ = diag(λ)
+    val (_, cov, _) = naiveCov()
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val bicbj = dot(m.basis(i), Array.tabulate(dim)(c =>
+        dot(cov(c), m.basis(j))))
+      val want = if (i == j) m.eigenvalues(i) else 0.0
+      assert(math.abs(bicbj - want) < 1e-6, s"BCBt $i,$j: $bicbj vs $want")
+    }
+    // the planted directions are recovered in order
+    assert(math.abs(dot(m.basis(0), u1)) > 0.999, "top component ≠ u1")
+    assert(math.abs(dot(m.basis(1), u2)) > 0.999, "second component ≠ u2")
+  }
+
+  test("DataFrame projection equals the driver-side matmul bit for bit") {
+    val m = Pca.fit(vecs, "embedding", k = 5)
+    val got = vecs
+      .select(col("vec_id"), Pca.project(col("embedding"), m).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val x = Array.tabulate(dim)(i => v(i).toDouble - m.mean(i))
+      val want = m.basis.map { row =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += x(i) * row(i); i += 1 }
+        acc
+      }
+      assert(got(r.getLong(0)).toSeq == want.toSeq, s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("full-rank rotation preserves pairwise L2 distances") {
+    val m = Pca.fit(vecs, "embedding", k = dim)
+    val proj = vecs
+      .select(col("vec_id"), Pca.project(col("embedding"), m).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val raw = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    for (i <- 0L until 20L; j <- (i + 1) to 20L) {
+      val dRaw = l2(raw(i).map(_.toDouble), raw(j).map(_.toDouble))
+      val dRot = l2(proj(i), proj(j))
+      assert(math.abs(dRaw - dRot) < 1e-6 * math.max(1.0, dRaw),
+        s"pair $i,$j: $dRaw vs $dRot")
+    }
+  }
+
+  test("balancedOrder deals descending eigenvalues into variance-balanced subspaces") {
+    val ev = Array.tabulate(16)(i => math.pow(0.7, i) * 100.0)
+    val perm = Pca.balancedOrder(ev, m = 4)
+    assert(perm.sorted.toSeq == (0 until 16))
+    def spread(order: Array[Int]): Double = {
+      val sums = order.grouped(4).map(_.map(i => math.log(ev(i))).sum).toSeq
+      sums.max - sums.min
+    }
+    // strictly better than the naive contiguous split of the same dims
+    assert(spread(perm) < spread((0 until 16).toArray))
+    // deterministic
+    assert(perm.toSeq == Pca.balancedOrder(ev, 4).toSeq)
+  }
+
+  test("pqRotation demands a full-rank model") {
+    val m = Pca.fit(vecs, "embedding", k = 3)
+    intercept[IllegalArgumentException] { Pca.pqRotation(m, 2) }
+    val full = Pca.fit(vecs, "embedding", k = dim)
+    val rot = Pca.pqRotation(full, m = 4)
+    assert(rot.length == dim)
+    // rows are still the model's basis rows, just permuted
+    assert(rot.map(_.toSeq).toSet == full.basis.map(_.toSeq).toSet)
+  }
+
+  test("md5SignMatrix is deterministic ±1 and matches a direct digest") {
+    val m = Pca.md5SignMatrix(4, 6)
+    assert(m.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(m.map(_.toSeq).toSeq == Pca.md5SignMatrix(4, 6).map(_.toSeq).toSeq)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("2_3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = if (hex.charAt(0).toInt % 2 == 0) 1.0 else -1.0
+    assert(m(2)(3) == want)
+  }
+
+  test("varianceExplained grows with k toward 1") {
+    val v2 = Pca.fit(vecs, "embedding", k = 2).varianceExplained
+    val v5 = Pca.fit(vecs, "embedding", k = 5).varianceExplained
+    assert(v2 > 0.9, s"planted top-2 carry the variance, got $v2") // u1+u2 dominate
+    assert(v5 >= v2 && v5 <= 1.0 + 1e-12)
+  }
+}
