@@ -74,7 +74,8 @@ object Cli {
 
   val commands: Seq[String] =
     Seq("export", "import", "reembed", "consolidate", "count", "id-list", "dedup",
-      "search", "mixture", "curate", "tokenize", "bump-version", "version-check")
+      "search", "mixture", "curate", "tokenize", "pca", "bump-version",
+      "version-check")
 
   /** Frozen per-command help transcripts, mirroring the reference's
     * golden help files (e.g. `docs/export_vdf_pinecone_help.txt`):
@@ -336,6 +337,31 @@ object Cli {
         |                      for the summary line (an extra job)
         |  --id_column C       id column (default: doc_id)
         |  --text_column C     text column (default: text)""".stripMargin
+    case "pca" =>
+      """usage: graft pca --in PARQUET_DIR [--k K | --rotate_pq M | --model_file FILE]
+        |                 [--out PARQUET_DIR] [--out_model FILE]
+        |                 [--id_column vec_id] [--vector_column embedding]
+        |
+        |Linear re-embedding of the vector column: fit a PCA model on
+        |the corpus (one distributed moment pass + a driver-side
+        |eigensolve) or load a previously fitted one, then project
+        |map-only. --k truncates to the top-K components; --rotate_pq
+        |fits FULL-rank and emits the variance-balanced rotation for an
+        |M-subspace product quantizer (OPQ-style eigenvalue allocation
+        |— same dimensionality, better PQ recall on skewed spectra).
+        |The model file is JSON, reloadable via --model_file so a basis
+        |fitted once on the big corpus re-applies to any corpus.
+        |
+        |  --in PARQUET_DIR    input vector table
+        |  --k K               fit and keep the top K components (default 16)
+        |  --rotate_pq M       fit full-rank, emit the M-subspace
+        |                      balanced rotation instead of truncating
+        |  --model_file FILE   load a fitted model instead of fitting
+        |  --out PARQUET_DIR   write (id, vector) projected as
+        |                      array<float> (fresh directory)
+        |  --out_model FILE    write the fitted model as JSON
+        |  --id_column C       id column (default: vec_id)
+        |  --vector_column C   vector column (default: embedding)""".stripMargin
     case "bump-version" =>
       """usage: graft bump-version [--file build.sbt] [--part patch]
         |
@@ -456,6 +482,7 @@ object Cli {
       case "mixture" :: Nil => cmdMixture(spark, args)
       case "curate" :: Nil => cmdCurate(spark, args)
       case "tokenize" :: Nil => cmdTokenize(spark, args)
+      case "pca" :: Nil => cmdPca(spark, args)
       case "bump-version" :: Nil => cmdBumpVersion(args)
       case "version-check" :: Nil => cmdVersionCheck(args)
       case other =>
@@ -1210,6 +1237,91 @@ object Cli {
       a.flags.get("out_merges").map(f => s"merges -> $f"),
       a.flags.get("out").map(o => s"token counts -> $o")).flatten
     println(s"tokenize: $action ${merges.size} merges$stats" +
+      (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))
+    0
+  }
+
+  /** PCA fit/project over a parquet vector table (`similarity/Pca`):
+    * the linear re-embedding step of an embedding pipeline, as a
+    * pipeline verb. Exactly one basis source — fit (--k / --rotate_pq)
+    * or load (--model_file) — and at least one sink (--out /
+    * --out_model), so an invocation that computes nothing is an
+    * explicit usage error rather than a silent no-op. */
+  private def cmdPca(spark: SparkSession, a: Args): Int = {
+    import org.apache.spark.sql.functions.{col, size}
+    val sources = Seq("k", "rotate_pq", "model_file").filter(a.flags.contains)
+    if (!a.flags.contains("in") || sources.length > 1) {
+      System.err.println(
+        "pca: need --in and at most one of --k K / --rotate_pq M / " +
+          "--model_file FILE (usage: pca --in PARQUET_DIR " +
+          "[--k K | --rotate_pq M | --model_file FILE] " +
+          "[--out PARQUET_DIR] [--out_model FILE])")
+      return 2
+    }
+    if (!a.flags.contains("out") && !a.flags.contains("out_model")) {
+      System.err.println("pca: need at least one sink (--out / --out_model)")
+      return 2
+    }
+    if (a.flags.contains("out")) {
+      inOutGuard(a, "pca") match {
+        case Some(code) => return code
+        case None =>
+      }
+    }
+    for (f <- Seq("k", "rotate_pq") if a.flags.contains(f))
+      if (a.flags(f).toIntOption.forall(_ < 1)) {
+        System.err.println(s"pca: --$f must be a positive integer")
+        return 2
+      }
+    val idCol = a.flags.getOrElse("id_column", "vec_id")
+    val vecCol = a.flags.getOrElse("vector_column", "embedding")
+    val vecs = spark.read.parquet(a.flags("in"))
+    val rotateM = a.flags.get("rotate_pq").map(_.toInt)
+    val model: graft.similarity.Pca.PcaModel =
+      a.flags.get("model_file") match {
+        case Some(f) => graft.similarity.Pca.readModel(f)
+        case None =>
+          val k = rotateM match {
+            case Some(_) => // full-rank: resolve dim from the data
+              vecs.select(size(col(vecCol)).as("d"))
+                .filter(col("d") > 0).head().getInt(0)
+            case None => a.flags.get("k").map(_.toInt).getOrElse(16)
+          }
+          graft.similarity.Pca.fit(vecs, vecCol, k)
+      }
+    rotateM match {
+      case Some(_) if model.k != model.dim =>
+        System.err.println(
+          s"pca: --rotate_pq needs a full-rank model (k=dim), " +
+            s"got k=${model.k} dim=${model.dim}")
+        return 2
+      case Some(m) if model.dim % m != 0 =>
+        System.err.println(
+          s"pca: --rotate_pq $m does not divide dim ${model.dim}")
+        return 2
+      case _ =>
+    }
+    a.flags.get("out_model").foreach(
+      graft.similarity.Pca.writeModel(model, _))
+    a.flags.get("out").foreach { out =>
+      val proj = rotateM match {
+        case Some(m) => graft.similarity.Pca.matVec(col(vecCol),
+          graft.similarity.Pca.pqRotation(model, m), model.mean)
+        case None => graft.similarity.Pca.project(col(vecCol), model)
+      }
+      vecs.filter(col(vecCol).isNotNull)
+        .select(col(idCol), proj.cast("array<float>").as(vecCol))
+        .write.mode("overwrite").parquet(out)
+    }
+    val shape = rotateM match {
+      case Some(m) => s"rotated dim=${model.dim} for m=$m subspaces"
+      case None => s"dim=${model.dim} -> k=${model.k}"
+    }
+    val sinks = Seq(
+      a.flags.get("out_model").map(f => s"model -> $f"),
+      a.flags.get("out").map(o => s"projected -> $o")).flatten
+    println(f"pca: $shape over n=${model.n} vectors, " +
+      f"varianceExplained=${model.varianceExplained}%.4f" +
       (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))
     0
   }

@@ -318,6 +318,25 @@ object Pca {
     }
   }
 
+  /** Persist a trained model as JSON (mean/basis/eigenvalues/n/
+    * totalVariance) — the `tokenize --merges_file` pattern: fit once
+    * on the big corpus, re-apply to any corpus from the file. */
+  def writeModel(m: PcaModel, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      modelMapper.writerWithDefaultPrettyPrinter().writeValueAsString(m))
+
+  def readModel(path: String): PcaModel =
+    modelMapper.readValue(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+      classOf[PcaModel])
+
+  private lazy val modelMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(
+      com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
   /** OPQ-style eigenvalue allocation (Ge et al., "Optimized Product
     * Quantization", CVPR 2013 — the non-parametric baseline's
     * balanced-variance variant): deal the eigenvalue-DESCENDING

@@ -534,4 +534,43 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
       "--out", in)) == 2)
   }
+
+  test("pca: fit/project, model-file round trip, rotate_pq, usage errors") {
+    import spark.implicits._
+    val in = tmp() + "/vecs"
+    // anisotropic on purpose: decaying per-dim scale so k=3 is meaningful
+    (0 until 200).map(i => (i.toLong,
+      Array.tabulate(8)(j => (math.sin(i * 0.3 + j) * (8 - j)).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(in)
+    val out = tmp() + "/proj"; val modelF = tmp() + "/model.json"
+    assert(Cli.run(spark, Seq("pca", "--in", in, "--k", "3",
+      "--out", out, "--out_model", modelF)) == 0)
+    val proj = spark.read.parquet(out)
+    assert(proj.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(proj.count() == 200)
+    assert(proj.select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    // a reloaded model projects bit-identically
+    val out2 = tmp() + "/proj2"
+    assert(Cli.run(spark, Seq("pca", "--in", in,
+      "--model_file", modelF, "--out", out2)) == 0)
+    def vecsOf(dir: String) = spark.read.parquet(dir).orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    assert(vecsOf(out) == vecsOf(out2))
+    // the PQ rotation keeps the dimensionality (it permutes, not truncates)
+    val out3 = tmp() + "/rot"
+    assert(Cli.run(spark, Seq("pca", "--in", in,
+      "--rotate_pq", "4", "--out", out3)) == 0)
+    assert(spark.read.parquet(out3)
+      .select(size(col("embedding")).as("d")).head().getInt(0) == 8)
+    // usage errors: no sink; two basis sources; a truncated model can't
+    // rotate; a subspace count that doesn't divide the dimension
+    assert(Cli.run(spark, Seq("pca", "--in", in)) == 2)
+    assert(Cli.run(spark, Seq("pca", "--in", in, "--k", "3",
+      "--model_file", modelF, "--out", tmp() + "/x")) == 2)
+    assert(Cli.run(spark, Seq("pca", "--in", in, "--model_file", modelF,
+      "--rotate_pq", "4", "--out", tmp() + "/y")) == 2)
+    assert(Cli.run(spark, Seq("pca", "--in", in,
+      "--rotate_pq", "3", "--out", tmp() + "/z")) == 2)
+  }
 }
