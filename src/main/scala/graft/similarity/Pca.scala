@@ -112,6 +112,9 @@ object Pca {
     override def finish(b: CovBuf): CovBuf = b
     override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
     override def outputEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    // plan renderings print the aggregator instance — the default
+    // object@hashcode churns EXPLAIN.md on every regeneration
+    override def toString: String = "graft.Pca.CovStats"
   }
 
   /** Untyped handle: `df.agg(covStats(col("vec")))` →
