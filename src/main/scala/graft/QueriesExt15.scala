@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.similarity.Pca
+import graft.similarity.{Coreset, Pca}
 
 /** Round-13 linear-algebra layer: PCA / linear projection over the
   * embedding column (SURVEY §7.5 — dimensionality reduction before
@@ -35,6 +35,10 @@ import graft.similarity.Pca
   *                   PcaSpec's eigensolver rows (known matrices,
   *                   orthonormality, diagonalization, agreement with
   *                   a naive driver reference on real rows).
+  *  - q_kcenter:     greedy farthest-point selection (`Coreset`) —
+  *                   the ENTIRE k=4 greedy loop under the oracle via
+  *                   chained MATERIALIZED CTEs (seed, incremental
+  *                   max-score update, argmax with id tie-break).
   */
 object QueriesExt15 {
 
@@ -75,10 +79,26 @@ object QueriesExt15 {
       .orderBy("vec_id", "r")
   }
 
+  /** Greedy farthest-point (k-center) selection, k=4: the WHOLE loop
+    * — md5-rank seed, incremental max-score update, argmax pick with
+    * id tie-break — mirrored as chained MATERIALIZED CTEs in DuckDB
+    * (the q_bpe_learn_oracle pattern). Every distance derives from
+    * left-to-right double dot products on both engines. */
+  private def qKcenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val picks = Coreset.select(t(s, dir, "embeddings"), "vec_id",
+      "embedding", k = 4)
+    picks.map(p => (p.rank, p.id.asInstanceOf[Long], p.minDistSq))
+      .toDF("rank", "vec_id", "md")
+      .select(col("rank"), col("vec_id"), round(col("md"), 6).as("md"))
+      .orderBy("rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_cov" -> (qPcaCov(_, _)),
     "q_jl_project" -> (qJlProject(_, _)),
-    "q_pca_project" -> (qPcaProject(_, _)))
+    "q_pca_project" -> (qPcaProject(_, _)),
+    "q_kcenter" -> (qKcenter(_, _)))
 
   def oracleSql: Map[String, String] = Map(
     "q_pca_cov" ->
@@ -104,5 +124,29 @@ object QueriesExt15 {
         |           THEN u.e ELSE -u.e END) AS proj
         |FROM u CROSS JOIN rr
         |GROUP BY u.vec_id, rr.r
-        |ORDER BY u.vec_id, r""".stripMargin)
+        |ORDER BY u.vec_id, r""".stripMargin,
+    "q_kcenter" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+        |c0 AS MATERIALIZED (SELECT vec_id, v FROM e
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+        |s1 AS MATERIALIZED (SELECT e.vec_id, e.v,
+        |    list_dot_product(e.v, c0.v) - list_dot_product(c0.v, c0.v) / 2 AS ms
+        |  FROM e CROSS JOIN c0),
+        |c1 AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) - 2 * ms AS md
+        |  FROM s1 ORDER BY md DESC, vec_id LIMIT 1),
+        |s2 AS MATERIALIZED (SELECT s1.vec_id, s1.v,
+        |    GREATEST(s1.ms, list_dot_product(s1.v, c1.v) - list_dot_product(c1.v, c1.v) / 2) AS ms
+        |  FROM s1 CROSS JOIN c1),
+        |c2 AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) - 2 * ms AS md
+        |  FROM s2 ORDER BY md DESC, vec_id LIMIT 1),
+        |s3 AS MATERIALIZED (SELECT s2.vec_id, s2.v,
+        |    GREATEST(s2.ms, list_dot_product(s2.v, c2.v) - list_dot_product(c2.v, c2.v) / 2) AS ms
+        |  FROM s2 CROSS JOIN c2),
+        |c3 AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) - 2 * ms AS md
+        |  FROM s3 ORDER BY md DESC, vec_id LIMIT 1)
+        |SELECT CAST(0 AS INT) AS rank, vec_id, CAST(0.0 AS DOUBLE) AS md FROM c0
+        |UNION ALL SELECT 1, vec_id, round(md, 6) FROM c1
+        |UNION ALL SELECT 2, vec_id, round(md, 6) FROM c2
+        |UNION ALL SELECT 3, vec_id, round(md, 6) FROM c3
+        |ORDER BY rank""".stripMargin)
 }
