@@ -298,6 +298,21 @@ object Pca {
   def project(vec: Column, model: PcaModel): Column =
     matVec(vec, model.basis, model.mean)
 
+  /** Whitening rows: the basis scaled by 1/√λ per component, so
+    * `matVec(vec, whitening(m), m.mean)` yields coordinates with
+    * (sample-)identity covariance — the Mahalanobis frame. ‖output‖²
+    * IS the Mahalanobis distance² to the corpus mean (outlier score);
+    * cosine/L2 in this frame de-weights the dominant directions (the
+    * standard pre-transform for embedding-similarity calibration).
+    * Components with λ ≤ eps pass through unscaled (a degenerate
+    * direction carries no signal; dividing by √0 would mint infinities
+    * out of rounding noise). */
+  def whitening(model: PcaModel, eps: Double = 1e-9): Array[Array[Double]] =
+    model.basis.zip(model.eigenvalues).map { case (row, ev) =>
+      if (ev <= eps) row.clone()
+      else { val s = 1.0 / math.sqrt(ev); row.map(_ * s) }
+    }
+
   /** Raw kernel handle: centered dense mat-vec with an arbitrary
     * matrix (rows = output dims). mean = zeros ⇒ plain projection. */
   def matVec(vec: Column, mat: Array[Array[Double]],

@@ -174,4 +174,28 @@ class PcaSpec extends SparkSpec {
     assert(v2 > 0.9, s"planted top-2 carry the variance, got $v2") // u1+u2 dominate
     assert(v5 >= v2 && v5 <= 1.0 + 1e-12)
   }
+
+  test("whitening yields identity sample covariance (Mahalanobis frame)") {
+    val m = Pca.fit(vecs, "embedding", k = 4) // the signal-carrying components
+    val w = Pca.whitening(m)
+    val rows = vecs
+      .select(Pca.matVec(org.apache.spark.sql.functions.col("embedding"),
+        w, m.mean).as("p"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = rows.length
+    for (i <- 0 until 4; j <- 0 until 4) {
+      val mean_i = rows.map(_(i)).sum / n
+      val mean_j = rows.map(_(j)).sum / n
+      val cov = rows.map(r => (r(i) - mean_i) * (r(j) - mean_j)).sum / (n - 1)
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 1e-6, s"whitened cov $i,$j = $cov")
+    }
+    // degenerate directions pass through unscaled instead of exploding
+    val flat = Pca.PcaModel(m.mean, m.basis, Array(4.0, 0.0, 1e-15, 1.0),
+      m.n, m.totalVariance)
+    val wf = Pca.whitening(flat)
+    assert(wf(0).toSeq == m.basis(0).map(_ / 2.0).toSeq)
+    assert(wf(1).toSeq == m.basis(1).toSeq)
+    assert(wf(2).toSeq == m.basis(2).toSeq)
+  }
 }
