@@ -283,9 +283,30 @@ object Pca {
 
   /** Train: one distributed moment pass + driver Jacobi. `k` is the
     * output dimensionality (k = dim for a pure rotation, e.g. the
-    * PQ-balancing use below). */
-  def fit(vecs: DataFrame, vecCol: String, k: Int): PcaModel = {
-    val b = collectMoments(vecs, vecCol)
+    * PQ-balancing use below).
+    *
+    * `sampleFraction` < 1 trains on a deterministic md5-coin sample of
+    * the corpus (the `ops/Mixture` coin — the same rows on every run
+    * and every engine). The moment pass costs O(d²/2) multiplies PER
+    * ROW, so at wide embeddings (d ≥ ~512, measured 44 s for 1M×768 vs
+    * 3 s for 8M×64 — pca_probe_r13e.txt) a 1–10% sample is the right
+    * call: the covariance is an average, its estimate concentrates at
+    * O(1/√n), and millions of sampled rows estimate a 768×768 matrix
+    * to far beyond quantizer-training accuracy (the `Ivf.build`
+    * sampleFraction argument, applied to the statistic instead of the
+    * k-means). `idCol` seeds the coin; pass it whenever sampling. */
+  def fit(vecs: DataFrame, vecCol: String, k: Int,
+      sampleFraction: Double = 1.0, idCol: String = ""): PcaModel = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val src =
+      if (sampleFraction >= 1.0) vecs
+      else {
+        require(idCol.nonEmpty, "sampling needs idCol for the md5 coin")
+        vecs.filter(
+          graft.ops.Mixture.bucket(idCol) < (sampleFraction * 256).toInt)
+      }
+    val b = collectMoments(src, vecCol)
     val d = b.sum.length
     require(k >= 1 && k <= d, s"k=$k out of range for dim=$d")
     val mean = Array.tabulate(d)(i => b.sum(i) / b.n)

@@ -69,6 +69,20 @@ object PcaProbe {
     println(f"fit(k=16) total (pass + driver Jacobi at d=$dims): $tFit%.2f s, " +
       f"varianceExplained=${model.varianceExplained}%.3f")
 
+    // at wide d the O(d²)/row moment pass is the cost center — show the
+    // sampled-fit path (the documented wide-d recipe) and how close its
+    // basis lands to the full fit
+    if (dims >= 256) {
+      val (ms, tS) = tsec(
+        Pca.fit(vecs, "embedding", k = 16, sampleFraction = 0.05,
+          idCol = "vec_id"))
+      val cosTop = math.abs(
+        ms.basis.head.zip(model.basis.head).map { case (a, b) => a * b }.sum)
+      println(f"fit(k=16, md5 sample ~5%%): $tS%.2f s, " +
+        f"varianceExplained=${ms.varianceExplained}%.3f, " +
+        f"top-eigvec |cos| vs full fit $cosTop%.4f")
+    }
+
     // projection pass: map-only — the ONLY exchange in scan→project→sum
     // is the 1-row sum merge
     val projDf = vecs
@@ -99,6 +113,10 @@ object PcaProbe {
 
     def evalCorpus(tag: String, corpus: DataFrame): Unit = {
       val e = corpus.persist()
+      // the corpus's own width (the testdata stays 64-d even when the
+      // scale half runs at a wider synthetic dims)
+      val d = e.select(size(col("embedding")).as("d"))
+        .filter(col("d") > 0).head().getInt(0)
       val q = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val exact = topSet(l2TopK(q, e, 10))
@@ -107,15 +125,15 @@ object PcaProbe {
           approx.getOrElse(qid, Set.empty).count(ex).toDouble / ex.size
         }.sum / exact.size
 
-      val full = Pca.fit(e, "embedding", k = dims)
+      val full = Pca.fit(e, "embedding", k = d)
       println(f"[$tag] eigen top=${full.eigenvalues.head}%.4f " +
-        f"median=${full.eigenvalues(dims / 2)}%.4f " +
+        f"median=${full.eigenvalues(d / 2)}%.4f " +
         f"min=${full.eigenvalues.last}%.4f; varExplained k=16 " +
         f"${full.eigenvalues.take(16).sum / full.totalVariance}%.3f, k=32 " +
         f"${full.eigenvalues.take(32).sum / full.totalVariance}%.3f")
 
       // raw PQ vs rotated PQ, same knobs (m=8, ksub=16)
-      val rawIx = Pq.build(e, "vec_id", "embedding", dims, m = 8, ksub = 16)
+      val rawIx = Pq.build(e, "vec_id", "embedding", d, m = 8, ksub = 16)
       val rRaw = recall(topSet(
         Pq.search(rawIx.copy(encoded = rawIx.encoded.localCheckpoint(true)),
           q, 10).select("q_id", "vec_id")))
@@ -126,7 +144,7 @@ object PcaProbe {
           .cast("array<float>"))
       val eRot = rotate(e, "embedding")
       val qRot = rotate(q, "q_vec")
-      val rotIx = Pq.build(eRot, "vec_id", "embedding", dims, m = 8, ksub = 16)
+      val rotIx = Pq.build(eRot, "vec_id", "embedding", d, m = 8, ksub = 16)
       val rRot = recall(topSet(
         Pq.search(rotIx.copy(encoded = rotIx.encoded.localCheckpoint(true)),
           qRot, 10).select("q_id", "vec_id")))
@@ -142,11 +160,11 @@ object PcaProbe {
         val r = recall(topSet(l2TopK(reduce(q, "q_vec"),
           reduce(e, "embedding"), 10)))
         println(f"[$tag] PCA truncate k=$kk brute-force recall@10: $r%.3f " +
-          f"(${kk * 100 / dims}%% of dims)")
+          f"(${kk * 100 / d}%% of dims)")
       }
-      val jl = Pca.md5SignMatrix(32, dims)
+      val jl = Pca.md5SignMatrix(32, d)
       def jlReduce(df: DataFrame, vc: String): DataFrame =
-        df.withColumn(vc, Pca.matVec(col(vc), jl, new Array[Double](dims))
+        df.withColumn(vc, Pca.matVec(col(vc), jl, new Array[Double](d))
           .cast("array<float>"))
       val rJl = recall(topSet(l2TopK(jlReduce(q, "q_vec"),
         jlReduce(e, "embedding"), 10)))

@@ -198,4 +198,21 @@ class PcaSpec extends SparkSpec {
     assert(wf(1).toSeq == m.basis(1).toSeq)
     assert(wf(2).toSeq == m.basis(2).toSeq)
   }
+
+  test("sampleFraction: deterministic md5-coin fit recovers the planted basis") {
+    val s1 = Pca.fit(vecs, "embedding", k = 2, sampleFraction = 0.5,
+      idCol = "vec_id")
+    val s2 = Pca.fit(vecs, "embedding", k = 2, sampleFraction = 0.5,
+      idCol = "vec_id")
+    // same coin, same rows, same basis — bit for bit
+    assert(s1.n == s2.n && s1.n < 400L && s1.n > 100L)
+    assert(s1.basis.map(_.toSeq).toSeq == s2.basis.map(_.toSeq).toSeq)
+    assert(s1.eigenvalues.toSeq == s2.eigenvalues.toSeq)
+    // half the corpus still nails the planted directions
+    assert(math.abs(dot(s1.basis(0), u1)) > 0.999)
+    assert(math.abs(dot(s1.basis(1), u2)) > 0.99)
+    intercept[IllegalArgumentException] {
+      Pca.fit(vecs, "embedding", k = 2, sampleFraction = 0.5) // no idCol
+    }
+  }
 }
