@@ -281,6 +281,157 @@ object Pca {
     (vals, rows)
   }
 
+  /** Deterministic subspace iteration + Rayleigh–Ritz for the TOP-k
+    * eigenpairs of a symmetric PSD matrix — the k ≪ d fast path
+    * (O(d²·k) per sweep vs full Jacobi's O(d³) per sweep; at d=768,
+    * k=16 that is milliseconds vs ~30–50 s). Init is a fixed
+    * md5-derived matrix (no RNG — two runs, two hosts, same basis),
+    * orthonormalized by modified Gram–Schmidt; each sweep multiplies
+    * by A and re-orthonormalizes; the Ritz step diagonalizes the k×k
+    * projection with the same Jacobi and rotates the basis into
+    * eigenvector estimates. Returns None if the residuals haven't
+    * converged within maxIter (caller falls back to full Jacobi —
+    * correctness never depends on the fast path). */
+  private[similarity] def topKEigenSubspace(sym: Array[Array[Double]], k: Int,
+      maxIter: Int = 600, tol: Double = 1e-7)
+      : Option[(Array[Double], Array[Array[Double]])] = {
+    val d = sym.length
+    require(k >= 1 && k <= d)
+    val normA = math.sqrt(sym.map(_.map(x => x * x).sum).sum)
+      .max(Double.MinPositiveValue)
+    // Q: d×k, columns orthonormal; md5-hash init, never all-zero
+    var q = Array.tabulate(d, k) { (i, j) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pca_init_${i}_$j".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8 | (h(1) & 0xff)).toDouble / 65535.0) - 0.5
+    }
+    def mgs(m: Array[Array[Double]]): Array[Array[Double]] = {
+      // modified Gram–Schmidt over COLUMNS of a d×k matrix, in place
+      var j = 0
+      while (j < k) {
+        var jj = 0
+        while (jj < j) {
+          var dp = 0.0
+          var i = 0
+          while (i < d) { dp += m(i)(j) * m(i)(jj); i += 1 }
+          i = 0
+          while (i < d) { m(i)(j) -= dp * m(i)(jj); i += 1 }
+          jj += 1
+        }
+        var nrm = 0.0
+        var i = 0
+        while (i < d) { nrm += m(i)(j) * m(i)(j); i += 1 }
+        nrm = math.sqrt(nrm)
+        if (nrm < 1e-300) return null // degenerate column — bail out
+        i = 0
+        while (i < d) { m(i)(j) /= nrm; i += 1 }
+        j += 1
+      }
+      m
+    }
+    def mulA(m: Array[Array[Double]]): Array[Array[Double]] = {
+      val out = Array.ofDim[Double](d, k)
+      var i = 0
+      while (i < d) {
+        val row = sym(i)
+        var j = 0
+        while (j < k) {
+          var acc = 0.0
+          var c = 0
+          while (c < d) { acc += row(c) * m(c)(j); c += 1 }
+          out(i)(j) = acc
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    if (mgs(q) == null) return None
+    var it = 0
+    var converged = false
+    var ritzVals: Array[Double] = null
+    var ritzVecs: Array[Array[Double]] = null // k rows of length d
+    // projected-cost guard: power-method convergence is geometric in
+    // the eigengap ratio λ_{k+1}/λ_k — on a near-FLAT spectrum
+    // (ratio→1) the iteration crawls and would waste more than the
+    // Jacobi it replaces (measured: +135 s at d=768 on an isotropic
+    // synthetic before this guard). From the per-block residual decay
+    // ratio, project the sweeps still needed; if they exceed the
+    // remaining budget, bail to Jacobi NOW. The worst-case waste is
+    // maxIter cheap O(d²k) sweeps (~2 s at d=768 vs Jacobi's ~50–80 s).
+    var lastRes = Double.PositiveInfinity
+    while (it < maxIter && !converged) {
+      q = mulA(q)
+      if (mgs(q) == null) return None
+      // Rayleigh–Ritz every sweep is overkill; every 5 sweeps + final
+      if (it % 5 == 4 || it == maxIter - 1) {
+        val aq = mulA(q)
+        val b = Array.tabulate(k, k) { (r, c) =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) { acc += q(i)(r) * aq(i)(c); i += 1 }
+          acc
+        }
+        // symmetrize rounding noise before the k×k Jacobi
+        for (r <- 0 until k; c <- r + 1 until k) {
+          val m = (b(r)(c) + b(c)(r)) / 2.0; b(r)(c) = m; b(c)(r) = m
+        }
+        val (vals, yRows) = jacobiEigen(b)
+        val xs = yRows.map { y =>
+          Array.tabulate(d) { i =>
+            var acc = 0.0
+            var j = 0
+            while (j < k) { acc += q(i)(j) * y(j); j += 1 }
+            acc
+          }
+        }
+        // residual ‖A·x − θ·x‖ per Ritz pair, relative to ‖A‖_F
+        val maxRes = vals.zip(xs).map { case (th, x) =>
+          var res = 0.0
+          var i = 0
+          while (i < d) {
+            var ax = 0.0
+            var c = 0
+            while (c < d) { ax += sym(i)(c) * x(c); c += 1 }
+            val r = ax - th * x(i)
+            res += r * r
+            i += 1
+          }
+          math.sqrt(res)
+        }.max
+        if (maxRes <= tol * normA) {
+          converged = true
+          ritzVals = vals
+          ritzVecs = xs
+        } else {
+          val rho = maxRes / lastRes // per-5-sweep-block decay
+          if (lastRes.isFinite) {
+            if (rho >= 0.999) return None // flat spectrum — Jacobi wins
+            val blocksNeeded =
+              math.log(tol * normA / maxRes) / math.log(rho)
+            if (blocksNeeded * 5 > (maxIter - it)) return None
+          }
+          lastRes = maxRes
+        }
+      }
+      it += 1
+    }
+    if (!converged) return None
+    // canonical sign, same rule as jacobiEigen
+    val rows = ritzVecs.map { r0 =>
+      val r = r0.clone()
+      var best = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(r(i)) > math.abs(r(best))) best = i
+        i += 1
+      }
+      if (r(best) < 0.0) { i = 0; while (i < d) { r(i) = -r(i); i += 1 } }
+      r
+    }
+    Some((ritzVals, rows))
+  }
+
   /** Train: one distributed moment pass + driver Jacobi. `k` is the
     * output dimensionality (k = dim for a pure rotation, e.g. the
     * PQ-balancing use below).
@@ -310,8 +461,21 @@ object Pca {
     val d = b.sum.length
     require(k >= 1 && k <= d, s"k=$k out of range for dim=$d")
     val mean = Array.tabulate(d)(i => b.sum(i) / b.n)
-    val (vals, rows) = jacobiEigen(covFromMoments(b))
-    PcaModel(mean, rows.take(k), vals.take(k), b.n, vals.sum)
+    val cov = covFromMoments(b)
+    // total variance = trace — no eigensolve needed for the denominator
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    // k ≪ d: subspace iteration is O(d²k) per sweep vs Jacobi's O(d³);
+    // at d=768/k=16 that is milliseconds vs ~30–50 s. Jacobi remains
+    // the full-rank path and the fallback if iteration doesn't converge
+    // (tiny top-gap spectra) — the fast path never costs correctness.
+    val (vals, rows) =
+      (if (k <= d / 2) topKEigenSubspace(cov, k) else None) match {
+        case Some((v, r)) => (v, r)
+        case None =>
+          val (v, r) = jacobiEigen(cov)
+          (v.take(k), r.take(k))
+      }
+    PcaModel(mean, rows, vals, b.n, trace)
   }
 
   /** Map-only projection through the fused kernel: (v − mean)·Bᵀ as

@@ -215,4 +215,32 @@ class PcaSpec extends SparkSpec {
       Pca.fit(vecs, "embedding", k = 2, sampleFraction = 0.5) // no idCol
     }
   }
+
+  test("subspace-iteration fast path matches full Jacobi on the top-k pairs") {
+    val (_, cov, _) = naiveCov()
+    val (jv, jr) = Pca.jacobiEigen(cov)
+    Pca.topKEigenSubspace(cov, 4) match {
+      case Some((sv, sr)) =>
+        for (i <- 0 until 4) {
+          assert(math.abs(sv(i) - jv(i)) <= 1e-8 * math.max(1.0, jv(i)),
+            s"eigval $i: ${sv(i)} vs ${jv(i)}")
+          val cos = math.abs(sr(i).zip(jr(i)).map { case (a, b) => a * b }.sum)
+          assert(cos > 1.0 - 1e-8, s"eigvec $i |cos|=$cos")
+        }
+      case None => fail("subspace iteration did not converge on a benign spectrum")
+    }
+    // the fit() fast path (k <= d/2) and the Jacobi path agree through
+    // the public API too: same planted directions, same eigenvalues
+    val fast = Pca.fit(vecs, "embedding", k = 2) // 2 <= 12/2 -> subspace
+    val full = Pca.fit(vecs, "embedding", k = dim) // Jacobi
+    for (i <- 0 until 2) {
+      assert(math.abs(fast.eigenvalues(i) - full.eigenvalues(i)) <=
+        1e-7 * full.eigenvalues(i))
+      val cos = math.abs(dot(fast.basis(i), full.basis(i)))
+      assert(cos > 1.0 - 1e-7, s"component $i |cos|=$cos")
+    }
+    // varianceExplained denominators agree (trace == eigenvalue sum)
+    assert(math.abs(fast.totalVariance - full.totalVariance) <=
+      1e-9 * full.totalVariance)
+  }
 }
