@@ -106,6 +106,7 @@ object QueriesExt15 {
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
         |         CAST(UNNEST(embedding) AS DOUBLE) AS e
         |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
         |)
         |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
         |  (SUM(a.e * b.e) - SUM(a.e) * SUM(b.e) / COUNT(*)) / (COUNT(*) - 1) AS cov
@@ -117,6 +118,7 @@ object QueriesExt15 {
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
         |         CAST(UNNEST(embedding) AS DOUBLE) AS e
         |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
         |), rr AS (SELECT UNNEST(range(8)) AS r)
         |SELECT u.vec_id, CAST(rr.r AS INT) AS r,
         |  SUM(CASE WHEN ascii(substr(md5(CAST(rr.r AS VARCHAR) || '_' ||
@@ -126,7 +128,9 @@ object QueriesExt15 {
         |GROUP BY u.vec_id, rr.r
         |ORDER BY u.vec_id, r""".stripMargin,
     "q_kcenter" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         |c0 AS MATERIALIZED (SELECT vec_id, v FROM e
         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
         |s1 AS MATERIALIZED (SELECT e.vec_id, e.v,

@@ -1303,6 +1303,18 @@ object Cli {
     }
     a.flags.get("out_model").foreach(
       graft.similarity.Pca.writeModel(model, _))
+    if (a.flags.contains("out")) {
+      // a dim mismatch would null EVERY projected row and still exit 0
+      // — fail fast instead (matters most for --model_file reuse)
+      val dataDim = vecs.select(size(col(vecCol)).as("d"))
+        .filter(col("d") > 0).head().getInt(0)
+      if (dataDim != model.dim) {
+        System.err.println(
+          s"pca: model dim ${model.dim} does not match the data's " +
+            s"vector length $dataDim")
+        return 2
+      }
+    }
     a.flags.get("out").foreach { out =>
       val proj = rotateM match {
         case Some(m) => graft.similarity.Pca.matVec(col(vecCol),

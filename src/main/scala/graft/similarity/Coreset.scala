@@ -52,14 +52,16 @@ object Coreset {
     GraftExtensions.dot(col("__v"), lit(c)) - lit(half)
   }
 
-  /** Greedy farthest-point selection of k rows. Null vectors are
-    * excluded; ids must be distinct (ties on distance break by id). */
+  /** Greedy farthest-point selection of k rows. Null vectors and
+    * vectors with null ELEMENTS are excluded (a partial vector has no
+    * well-defined distance — the MatVecProject stance, and the oracle
+    * side's filter); ids must be distinct (ties break by id). */
   def select(vecs: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[Pick] = {
     require(k >= 1, s"k must be >= 1, got $k")
     val base = vecs
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
     def vecOf(r: Row): Array[Double] = r.getSeq[Double](1).toArray
 
     val seed = base
@@ -76,6 +78,12 @@ object Coreset {
       // the head() above materialized `state` — the frame it was
       // derived from can drop out of the cache now
       prev.foreach(_.unpersist())
+      // a re-picked id means every remaining row sits at distance 0
+      // from the chosen set (k exceeds the corpus's distinct-vector
+      // diversity) — fail loudly instead of returning duplicate picks
+      require(!picks.exists(_.id == far.get(0)),
+        s"k=$k exceeds the corpus's distinct-vector diversity: pick $t " +
+          s"re-selected id ${far.get(0)} (all remaining min-dists are 0)")
       picks ::= Pick(t, far.get(0), far.getDouble(3), vecOf(far))
       if (t < k - 1) {
         prev = Some(state)
@@ -97,7 +105,7 @@ object Coreset {
     val ms = picks.map(p => scoreTo(p.vec)).reduce(greatest(_, _))
     vecs.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
       .select(max(GraftExtensions.dot(col("__v"), col("__v")) - lit(2.0) * ms))
       .head().getDouble(0)
   }

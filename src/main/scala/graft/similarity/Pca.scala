@@ -122,15 +122,23 @@ object Pca {
   val covStats: org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(CovStats)
 
-  /** The one corpus pass, collected: raw moments on the driver. */
-  private[similarity] def collectMoments(vecs: DataFrame, vecCol: String): CovBuf = {
-    val row = vecs
-      .select(col(vecCol).cast("array<float>").as("__v"))
-      .filter(col("__v").isNotNull)
+  /** The ONE moment-pass frame — shared by `collectMoments` (what
+    * `fit` consumes) and `covarianceDf` (what `q_pca_cov` gates), so
+    * the two can never drift. Rows with a null vector OR any null
+    * ELEMENT are excluded: a partially-null vector is not a usable
+    * observation of the joint second moment (same whole-row-null
+    * stance as MatVecProject), and without the filter the Seq[Float]
+    * deserializer would NPE on the first null element. */
+  private def momentsFrame(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
       .agg(covStats(col("__v")).as("st"))
       .select(col("st.sum").as("sum"), col("st.prods").as("prods"),
         col("st.n").as("n"))
-      .head()
+
+  /** The one corpus pass, collected: raw moments on the driver. */
+  private[similarity] def collectMoments(vecs: DataFrame, vecCol: String): CovBuf = {
+    val row = momentsFrame(vecs, vecCol).head()
     CovBuf(row.getSeq[Double](0).toArray, row.getSeq[Double](1).toArray,
       row.getLong(2))
   }
@@ -164,11 +172,7 @@ object Pca {
   def covarianceDf(vecs: DataFrame, vecCol: String, maxDim: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    vecs.select(col(vecCol).cast("array<float>").as("__v"))
-      .filter(col("__v").isNotNull)
-      .agg(covStats(col("__v")).as("st"))
-      .select(col("st.sum").as("sum"), col("st.prods").as("prods"),
-        col("st.n").as("n"))
+    momentsFrame(vecs, vecCol)
       .as[CovBuf]
       .flatMap { b =>
         val d = b.sum.length
@@ -454,8 +458,14 @@ object Pca {
       if (sampleFraction >= 1.0) vecs
       else {
         require(idCol.nonEmpty, "sampling needs idCol for the md5 coin")
-        vecs.filter(
-          graft.ops.Mixture.bucket(idCol) < (sampleFraction * 256).toInt)
+        // round, don't floor (the Cli.scala:841 convention) — flooring
+        // biases every fraction down and maps anything below 1/256 to
+        // an EMPTY sample that dies later with a misleading dim error
+        val nBuckets = math.round(sampleFraction * 256).toInt
+        require(nBuckets >= 1,
+          s"sampleFraction=$sampleFraction is below the md5-coin " +
+            s"resolution (1/256 ≈ ${1.0 / 256})")
+        vecs.filter(graft.ops.Mixture.bucket(idCol) < nBuckets)
       }
     val b = collectMoments(src, vecCol)
     val d = b.sum.length
@@ -558,7 +568,16 @@ object Pca {
     val logSum = new Array[Double](m)
     // eigenvalues arrive descending from jacobiEigen; guard anyway
     val order = eigenvalues.indices.sortBy(i => (-eigenvalues(i), i))
-    for (idx <- order) {
+    // scale-INVARIANT greedy: accumulate log(λ/geomMean), not log λ.
+    // Raw logs compare an empty bucket's 0 against sums whose SIGN
+    // depends on the eigenvalue scale — with every λ < 1 (always true
+    // for unit-normalized embeddings, trace ≤ 1) bucket 0's negative
+    // sum stays "smallest" and the greedy degenerates to the
+    // contiguous split this function exists to prevent. Shifting by
+    // the mean log makes the comparison invariant to scaling all λ.
+    val logs = order.map(i => math.log(math.max(eigenvalues(i), 1e-300)))
+    val meanLog = logs.sum / d
+    for ((idx, li) <- order.zipWithIndex) {
       var best = -1
       var bestLog = Double.PositiveInfinity
       var s = 0
@@ -569,7 +588,7 @@ object Pca {
         s += 1
       }
       buckets(best) ::= idx
-      logSum(best) += math.log(math.max(eigenvalues(idx), 1e-300))
+      logSum(best) += logs(li) - meanLog
     }
     buckets.flatMap(_.reverse)
   }

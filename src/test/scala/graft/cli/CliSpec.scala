@@ -572,5 +572,12 @@ class CliSpec extends SparkSpec {
       "--rotate_pq", "4", "--out", tmp() + "/y")) == 2)
     assert(Cli.run(spark, Seq("pca", "--in", in,
       "--rotate_pq", "3", "--out", tmp() + "/z")) == 2)
+    // model/data dim mismatch: fail fast, not a file of nulls
+    val in16 = tmp() + "/vecs16"
+    (0 until 50).map(i => (i.toLong,
+      Array.tabulate(16)(j => (i + j).toFloat)))
+      .toDF("vec_id", "embedding").write.parquet(in16)
+    assert(Cli.run(spark, Seq("pca", "--in", in16,
+      "--model_file", modelF, "--out", tmp() + "/w")) == 2)
   }
 }

@@ -86,4 +86,25 @@ class CoresetSpec extends SparkSpec {
     assert(one.length == 1 && one.head.rank == 0 && one.head.minDistSq == 0.0)
     assert(one.head.id != 999L)
   }
+
+  test("k beyond distinct-vector diversity fails loudly; null elements excluded") {
+    import spark.implicits._
+    // 3 distinct vectors, 5 rows (duplicates), k=5 would re-pick an id
+    val dup = (0L until 5L).map(i =>
+      (i, Array.tabulate(4)(j => ((i % 3) * 10 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    val ok = Coreset.select(dup, "vec_id", "embedding", k = 3)
+    assert(ok.map(_.id).distinct.size == 3)
+    val ex = intercept[IllegalArgumentException] {
+      Coreset.select(dup, "vec_id", "embedding", k = 5)
+    }
+    assert(ex.getMessage.contains("diversity"))
+    // a null ELEMENT row neither crashes nor gets picked
+    val dirty = vecs.unionByName(
+      Seq((9999L, Array[java.lang.Float](null) ++
+        Array.fill(dim - 1)(java.lang.Float.valueOf(99f))))
+        .toDF("vec_id", "embedding"))
+    val picks = Coreset.select(dirty, "vec_id", "embedding", k = 4)
+    assert(!picks.exists(_.id == 9999L))
+  }
 }

@@ -243,4 +243,28 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(fast.totalVariance - full.totalVariance) <=
       1e-9 * full.totalVariance)
   }
+
+  test("review fixes: sub-1 eigenvalues, coin resolution, null elements") {
+    // balancedOrder must be SCALE-invariant: for unit-normalized
+    // embeddings every eigenvalue is < 1 and the raw-log greedy
+    // degenerated to the contiguous split (r13e review finding)
+    val small = Array(0.4, 0.3, 0.2, 0.1)
+    assert(Pca.balancedOrder(small, 2).toSeq == Seq(0, 3, 1, 2))
+    assert(Pca.balancedOrder(small.map(_ * 1000.0), 2).toSeq ==
+      Pca.balancedOrder(small, 2).toSeq)
+    // the md5 coin rounds (not floors) and rejects sub-resolution asks
+    intercept[IllegalArgumentException] {
+      Pca.fit(vecs, "embedding", k = 2, sampleFraction = 0.001,
+        idCol = "vec_id")
+    }
+    // a vector with a null ELEMENT is excluded, not an executor NPE
+    import spark.implicits._
+    val dirty = vecs.unionByName(
+      Seq((9999L, Array[java.lang.Float](java.lang.Float.valueOf(1f), null,
+        java.lang.Float.valueOf(2f)) ++
+        Array.fill(dim - 3)(java.lang.Float.valueOf(0f))))
+        .toDF("vec_id", "embedding"))
+    val b = Pca.collectMoments(dirty, "embedding")
+    assert(b.n == 400L) // the dirty row contributed nothing
+  }
 }
