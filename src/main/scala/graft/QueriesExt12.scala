@@ -63,6 +63,32 @@ object QueriesExt12 {
         count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
       .orderBy("source")
 
+  /** Temperature / α-smoothed mixture (XLM-R, Conneau et al. 2020
+    * §3.1; T5 §3.4.3), over the corpus's natural skew axis: LANGUAGE
+    * shares (en dominates the synthetic corpus ~2.7× over de) — the
+    * original use case of exponential smoothing. α=0.5 square-roots
+    * the shares: en downsamples hardest, the rarest language is kept
+    * whole. Weights are DERIVED from counts as
+    * w_l = max(1, round(1024·√n_l/√n_max)) — sqrt is IEEE-correctly-
+    * rounded and ·1024 is exact, so Spark and DuckDB compute the SAME
+    * integer weight, and the keep rule is resample's pure-BIGINT
+    * arithmetic: the gate hash-matches whole kept-doc sets. Kernel is
+    * `ops/Mixture.temperature`, the path `graft mixture
+    * --temperature` runs.
+    *
+    * Shape at 100 TB: identical to q_mixture_sample — a ~|langs|-row
+    * broadcast table carries counts+weights+limiting row; the keep
+    * filter is map-side; the only corpus-scale exchange is this
+    * gate's per-lang summary. */
+  private def qMixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Mixture.temperature(t(s, dir, "documents"), "lang", "doc_id",
+        alpha = 0.5, keepDiagnostics = true)
+      .groupBy("lang")
+      .agg(max(col("weight")).as("weight"),
+        max(col("n_total")).as("n_total"),
+        count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+      .orderBy("lang")
+
   /** Fractional-epoch upsampling (The Pile's epochs-per-subset): source
     * s trains for e_s epochs, e_s carried in 1/256ths (256..640 ⇒
     * 1.0–2.5 epochs off the source suffix). Every doc repeats
@@ -335,6 +361,7 @@ object QueriesExt12 {
     "q_embed_drift" -> (qEmbedDrift(_, _)),
     "q_split_leakfree" -> (qSplitLeakfree(_, _)),
     "q_mixture_sample" -> (qMixtureSample(_, _)),
+    "q_mixture_temperature" -> (qMixtureTemperature(_, _)),
     "q_mixture_epochs" -> (qMixtureEpochs(_, _)),
     "q_interleave" -> (qInterleave(_, _)),
     "q_token_budget" -> (qTokenBudget(_, _)),
@@ -443,6 +470,20 @@ object QueriesExt12 {
         |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN lim
         |WHERE ($duckBucket) * lim.w_m * c.n_total < 256 * c.w * lim.n_m
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q_mixture_temperature" ->
+      s"""WITH counts AS (
+        |  SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_total,
+        |    GREATEST(1, CAST(round(1024 * sqrt(n_total) /
+        |      (SELECT sqrt(max(n_total)) FROM counts)) AS BIGINT)) AS w
+        |  FROM counts),
+        |lim AS (SELECT n_total AS n_m, w AS w_m FROM w
+        |        ORDER BY CAST(n_total AS DOUBLE) / w, lang LIMIT 1)
+        |SELECT d.lang, max(w.w) AS weight, max(w.n_total) AS n_total,
+        |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN lim
+        |WHERE ($duckBucket) * lim.w_m * w.n_total < 256 * w.w * lim.n_m
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_mixture_epochs" ->
       s"""WITH b AS (
         |  SELECT source, doc_id, n_chars,

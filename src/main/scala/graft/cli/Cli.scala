@@ -218,7 +218,8 @@ object Cli {
         |  --vector_column C    vector column (default: embedding)""".stripMargin
     case "mixture" =>
       """usage: graft mixture --in PARQUET_DIR --out PARQUET_DIR
-        |                     [--weights SRC=W,...] [--default_weight 1]
+        |                     [--weights SRC=W,... | --temperature ALPHA]
+        |                     [--default_weight 1]
         |                     [--epochs SRC=E,...] [--budget N] [--shuffle S]
         |                     [--source_column source] [--id_column doc_id]
         |                     [--text_column text]
@@ -226,7 +227,11 @@ object Cli {
         |Resample a document corpus to a target data mixture. Applied in
         |order: (1) --weights downsamples each source to the target
         |mixture (integer weights 1..10; the limiting source is kept
-        |whole; unlisted sources get --default_weight, 0 drops them);
+        |whole; unlisted sources get --default_weight, 0 drops them) OR
+        |--temperature derives the weights from the corpus itself so
+        |source shares follow n^ALPHA (XLM-R exponential smoothing —
+        |ALPHA<1 lifts low-resource sources; 0.5 is the exact-gated
+        |point);
         |(2) --budget caps every source at N whitespace tokens (greedy
         |md5-priority prefix); (3) --epochs upsamples by fractional
         |epochs (e.g. 2.5 - repeats become real rows with a `rep`
@@ -236,6 +241,9 @@ object Cli {
         |  --in PARQUET_DIR     input document table
         |  --out PARQUET_DIR    resampled output (fresh directory)
         |  --weights SRC=W,...  integer mixture weights per source (1..10)
+        |  --temperature ALPHA  derive weights from counts: shares follow
+        |                       n^ALPHA, ALPHA in (0, 1]; mutually
+        |                       exclusive with --weights
         |  --default_weight W   weight for unlisted sources (default: 1)
         |  --epochs SRC=E,...   fractional epochs per source, in [1/256, 16]
         |                       (default 1.0; carried in 1/256ths)
@@ -393,7 +401,7 @@ object Cli {
         |              [--k 3] [--sig 32] [--bands 8] [--threshold 0.25] [--gram 8]
         |  search      --in PARQUET_DIR (--query_id N | --vector F,F,...)
         |              [--k 10] [--index brute|ivf] [--nlist 8] [--nprobe 2] [--filter EXPR]
-        |  mixture     --in PARQUET_DIR --out PARQUET_DIR [--weights SRC=W,...]
+        |  mixture     --in PARQUET_DIR --out PARQUET_DIR [--weights SRC=W,... | --temperature A]
         |              [--epochs SRC=E,...] [--budget N] [--shuffle S] [--default_weight 1]
         |  curate      --in PARQUET_DIR --out PARQUET_DIR [--min_tokens 20] [--max_tokens 80]
         |              [--max_stopword_ratio 0.2] [--split train] [--budget N] [--pack N]
@@ -843,8 +851,26 @@ object Cli {
         "mixture: epochs must be in [1/256, 16] (carried in 1/256ths)")
       return 2
     }
+    val temperature = a.flags.get("temperature") match {
+      case None => None
+      case Some(s) => s.toDoubleOption.filter(v => v > 0 && v <= 1) match {
+        case None =>
+          System.err.println("mixture: --temperature must be in (0, 1]")
+          return 2
+        case some => some
+      }
+    }
+    if (temperature.isDefined && (weights.nonEmpty || defW != "1")) {
+      System.err.println("mixture: --temperature derives weights from " +
+        "corpus counts; it cannot be combined with --weights/--default_weight")
+      return 2
+    }
     var df = spark.read.parquet(a.flags("in"))
     var stages = List.empty[String]
+    temperature.foreach { alpha =>
+      df = graft.ops.Mixture.temperature(df, srcCol, idCol, alpha)
+      stages ::= s"temperature($alpha)"
+    }
     if (weights.nonEmpty || defW != "1") {
       val wCol = weights.foldLeft(lit(defW.toInt)) { case (acc, (src, w)) =>
         when(col(srcCol) === src, lit(w.toInt)).otherwise(acc)

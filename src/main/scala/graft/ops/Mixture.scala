@@ -96,6 +96,77 @@ object Mixture {
     kept.select(outCols: _*)
   }
 
+  /** Temperature / α-smoothed mixture sampling (XLM-R, Conneau et al.
+    * 2020 §3.1 exponential smoothing; T5's temperature-scaled mixing,
+    * Raffel et al. 2020 §3.4.3): resample so source shares follow
+    * pₛ ∝ nₛ^α instead of the raw nₛ — α<1 flattens the mixture
+    * toward uniform, lifting low-resource sources; α=1 is the
+    * identity mixture. Unlike [[resample]] the weights are DERIVED
+    * from the corpus counts, not configured.
+    *
+    * Determinism across engines is the design constraint: the derived
+    * weight is quantized to `wₛ = max(1, round(R·nₛ^α / n_max^α))`
+    * with R a power of two, and the keep decision reuses [[resample]]'s
+    * pure-BIGINT rule `bucket·w_m·nₛ < 256·wₛ·n_m` (limiting source
+    * argmin nₛ/wₛ kept whole). For α = 0.5 — the common smoothing
+    * point — nₛ^α is computed with `sqrt`, which IEEE 754 requires to
+    * be correctly rounded, ·R is exact (power of two), and the one
+    * division is correctly rounded; every engine computing the same
+    * steps lands on the same wₛ bit-for-bit, which is what lets the
+    * q_mixture_temperature DuckDB gate hash-match whole doc sets.
+    * Other α go through `pow`, which libms round differently in the
+    * last ulp — the quantization makes a weight flip vanishingly rare
+    * (the ratio must land within ~1 ulp of a half-integer) but not
+    * impossible, so only α = 0.5 carries the exact-gate claim.
+    *
+    * BIGINT bounds: the keep rule's largest product is
+    * 256·R·nₛ < 2⁶³, so the default R=1024 is safe to ~3.5×10¹³ rows
+    * per source — two decades past a 100 TB corpus.
+    *
+    * Shape at 100 TB: identical to [[resample]] — per-source counts
+    * are one map-side-partial aggregate into a ~|sources|-row table,
+    * weights and the limiting row fold inside it, and the keep filter
+    * is map-side under a broadcast join; no corpus-scale exchange. */
+  def temperature(docs: DataFrame, sourceCol: String, idCol: String,
+      alpha: Double, resolution: Int = 1024,
+      keepDiagnostics: Boolean = false): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(resolution >= 2 && resolution <= (1 << 20)
+      && Integer.bitCount(resolution) == 1,
+      s"resolution must be a power of two in [2, 2^20] (power-of-two " +
+        s"scaling is exact in IEEE doubles), got $resolution")
+    val inCols = docs.columns.toSeq
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // sqrt is IEEE-correctly-rounded (the α=0.5 exact path); pow is not
+    def smooth(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // weight, limiting source, and the broadcast table all fold into
+    // the one ~|sources|-row aggregate, exactly as resample's counts
+    val cts = counts.withColumnRenamed(sourceCol, "__src")
+      .withColumn("__wS", greatest(lit(1L),
+        round(lit(resolution) * smooth(col("__n"))
+          / smooth(max(col("__n")).over(wAll))).cast("long")))
+      .withColumn("__m",
+        min(struct((col("__n").cast("double") / col("__wS")).as("key"),
+          col("__src"), col("__n").as("n_m"), col("__wS").as("w_m"))).over(wAll))
+      .select(col("__src"), col("__n"), col("__wS"),
+        col("__m.n_m").as("__n_m"), col("__m.w_m").as("__w_m"))
+    // null-safe join: a null source resamples like any other group
+    val kept = docs.join(broadcast(cts), col(sourceCol) <=> col("__src"))
+      .drop("__src")
+      .filter(bucket(idCol) * col("__w_m") * col("__n") <
+        lit(256) * col("__wS") * col("__n_m"))
+    val outCols =
+      if (keepDiagnostics)
+        inCols.map(col) :+ col("__wS").as("weight") :+ col("__n").as("n_total")
+      else inCols.map(col)
+    kept.select(outCols: _*)
+  }
+
   /** Fractional-epoch upsampling: every row repeats ⌊e⌋ times plus an
     * md5-coin extra when `bucket < e mod 256`, with e carried in
     * 1/256ths (`e256Col`). Returns the input schema plus a `rep`

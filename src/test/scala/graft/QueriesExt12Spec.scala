@@ -41,6 +41,40 @@ class QueriesExt12Spec extends SparkSpec {
     }
   }
 
+  test("mixture_temperature: weights monotone in counts, rarest lang whole, dominant lang flattened") {
+    val rows = q("q_mixture_temperature").collect()
+    assert(rows.length >= 3, "needs the corpus's language skew")
+    val byLang = rows.map { r =>
+      (r.getString(r.fieldIndex("lang")),
+        (r.getLong(r.fieldIndex("weight")),
+          r.getLong(r.fieldIndex("n_total")),
+          r.getLong(r.fieldIndex("n_kept"))))
+    }.toMap
+    // derived weight is monotone nondecreasing in corpus count, and the
+    // largest lang carries exactly the resolution weight (w = R·√(n/n)=R)
+    val sorted = byLang.values.toSeq.sortBy(_._2)
+    sorted.sliding(2).foreach { case Seq((w1, n1, _), (w2, n2, _)) =>
+      if (n1 <= n2) assert(w1 <= w2, s"weight not monotone: ($n1,$w1) ($n2,$w2)")
+    }
+    assert(sorted.last._1 == 1024L)
+    // the limiting lang (min n/w) is kept whole — T's definition
+    val (_, (wm, nm, keptM)) = byLang.minBy { case (l, (w, n, _)) =>
+      (n.toDouble / w, l)
+    }
+    assert(keptM == nm, s"limiting lang not whole: $keptM of $nm (w=$wm)")
+    // every kept count stays within 4σ of the α=0.5 target rate — the
+    // smoothing actually flattens: en's rate < 1, and below the
+    // rarest lang's implied rate
+    byLang.foreach { case (l, (w, n, kept)) =>
+      val target = math.min(1.0, w.toDouble * nm / (wm.toDouble * n))
+      val sigma = math.sqrt(n * target * (1 - target))
+      assert(math.abs(kept - n * target) <= 4 * sigma + 1,
+        s"$l: kept=$kept target=${n * target} sigma=$sigma")
+    }
+    val en = byLang("en")
+    assert(en._3 < en._2, "the dominant language must downsample")
+  }
+
   test("mixture_epochs: emitted rows bounded by floor/ceil epochs; 1.0-epoch sources emit exactly n") {
     q("q_mixture_epochs").collect().foreach { r =>
       val e256 = r.getInt(r.fieldIndex("e256"))

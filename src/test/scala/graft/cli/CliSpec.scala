@@ -429,6 +429,39 @@ class CliSpec extends SparkSpec {
       "--epochs", "src0=0.0039063")) == 0)
   }
 
+  test("mixture --temperature: library-equal count-derived resample; guards") {
+    import spark.implicits._
+    val in = tmp() + "/tdocs"
+    // skewed sources so the derived weights actually downsample
+    (0L until 300L).map { i =>
+      val src = if (i < 200) "big" else if (i < 280) "mid" else "rare"
+      (i, src, s"text $i")
+    }.toDF("doc_id", "source", "text").write.parquet(in)
+    val docs = spark.read.parquet(in)
+    val out = tmp() + "/t"
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", out,
+      "--temperature", "0.5")) == 0)
+    val want = graft.ops.Mixture.temperature(docs, "source", "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+    // rarest source kept whole; dominant source downsampled
+    val bySrc = spark.read.parquet(out).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("rare") == 20L)
+    assert(bySrc("big") < 200L)
+    // guards: out-of-range alpha; --weights/--default_weight conflict
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/t1",
+      "--temperature", "0")) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/t2",
+      "--temperature", "1.5")) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/t3",
+      "--temperature", "0.5", "--weights", "big=1")) == 2)
+    assert(Cli.run(spark, Seq("mixture", "--in", in, "--out", tmp() + "/t4",
+      "--temperature", "0.5", "--default_weight", "2")) == 2)
+  }
+
   test("curate --bpe_merges: every stage re-denominated in learned-BPE units") {
     import spark.implicits._
     val in = tmp() + "/docs"

@@ -92,6 +92,75 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("temperature law: kept set is exactly the sqrt-derived integer rule; rarest source kept whole") {
+    import spark.implicits._
+    // skewed corpus incl. a null-source group; sizes chosen so the
+    // n/w ratios are pairwise distinct (no struct tie-break in play)
+    val sizes: Map[String, Int] =
+      Map("big" -> 400, "mid" -> 150, "small" -> 60, "tiny" -> 25)
+    val rows = sizes.toSeq.sortBy(_._1).flatMap { case (s, n) =>
+      (0 until n).map(i => (s"$s-$i", s))
+    } ++ (0 until 40).map(i => (s"orphan-$i", null: String))
+    val df = rows.toDF("doc_id", "source")
+    val out = Mixture.temperature(df, "source", "doc_id", alpha = 0.5,
+      keepDiagnostics = true)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "source", "weight", "n_total"))
+    val kept = out.select("doc_id").collect().map(_.getString(0)).toSet
+    // in-memory oracle: the documented arithmetic, step for step
+    val counts: Map[Option[String], Long] =
+      sizes.map { case (k, v) => Option(k) -> v.toLong } +
+        (Option.empty[String] -> 40L)
+    val nMax = counts.values.max.toDouble
+    def w(s: Option[String]): Long = math.max(1L,
+      math.round(1024.0 * math.sqrt(counts(s).toDouble) / math.sqrt(nMax)))
+    val limiting = counts.keys.minBy(s => counts(s).toDouble / w(s))
+    val (nM, wM) = (counts(limiting), w(limiting))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: String): Long = {
+      md.reset(); (md.digest(id.getBytes("UTF-8"))(15) & 0xff).toLong
+    }
+    val expect = rows.filter { case (id, src) =>
+      val s = Option(src)
+      bucket(id) * wM * counts(s) < 256L * w(s) * nM
+    }.map(_._1).toSet
+    assert(kept == expect,
+      s"kept minus expect = ${(kept -- expect).take(5)}, " +
+        s"expect minus kept = ${(expect -- kept).take(5)}")
+    // the limiting (rarest) source survives whole — that's T's definition
+    assert(limiting == Option("tiny"))
+    assert(kept.count(_.startsWith("tiny-")) == 25)
+    // and the dominant source downsamples toward its sqrt share
+    // (target rate here is exactly 0.25: T·w_big/n_big = (25/256)·1024/400)
+    val bigKept = kept.count(_.startsWith("big-"))
+    assert(bigKept > 0 && bigKept < 200, s"big kept $bigKept of 400")
+    // null-source rows resample like any other group, not vanish
+    assert(kept.exists(_.startsWith("orphan-")))
+  }
+
+  test("temperature alpha=1 with proportional counts is the identity mixture; bad args rejected") {
+    import spark.implicits._
+    // counts 100/200/400 make every weight exactly proportional
+    // (w = 256/512/1024), so all n/w ratios coincide and the keep rule
+    // degenerates to bucket < 256 — everything kept, whichever source
+    // the tie-break picks as limiting
+    val d = (Seq.fill(100)("a") ++ Seq.fill(200)("b") ++ Seq.fill(400)("c"))
+      .zipWithIndex.map { case (s, i) => (s"$s-$i", s) }
+      .toDF("doc_id", "source")
+    assert(Mixture.temperature(d, "source", "doc_id", alpha = 1.0)
+      .count() == 700L)
+    intercept[IllegalArgumentException] {
+      Mixture.temperature(d, "source", "doc_id", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.temperature(d, "source", "doc_id", alpha = 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.temperature(d, "source", "doc_id", alpha = 0.5,
+        resolution = 1000) // not a power of two
+    }
+  }
+
   test("epochs appends a 1-based rep column and keeps every doc at least once") {
     val e = Mixture.epochs(docs, "doc_id",
       when(col("source") === "src0", 512L).otherwise(256L))
