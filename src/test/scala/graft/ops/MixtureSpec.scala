@@ -138,6 +138,25 @@ class MixtureSpec extends SparkSpec {
     assert(kept.exists(_.startsWith("orphan-")))
   }
 
+  test("temperature plan: keep filter is map-side under a broadcast join — the corpus is never exchanged") {
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (s"d$i", s"s${i % 3}", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val plan = Mixture.temperature(d, "source", "doc_id", alpha = 0.5)
+      .queryExecution.executedPlan.toString
+    // the corpus side attaches via BroadcastHashJoin (the ~|sources|-row
+    // counts/weights table is the build side) ...
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // ... and every Exchange in the plan belongs to the tiny counts
+    // aggregate (partial-agg shuffle + the all-rows window's single
+    // partition) — 2 exchanges total, neither carrying corpus rows,
+    // which is the documented scan -> filter -> write shape at 100 TB
+    val exchanges = "Exchange".r.findAllIn(
+      plan.replace("BroadcastExchange", "BX")).length
+    assert(exchanges <= 2, s"corpus-scale exchange leaked into the plan:\n$plan")
+  }
+
   test("temperature alpha=1 with proportional counts is the identity mixture; bad args rejected") {
     import spark.implicits._
     // counts 100/200/400 make every weight exactly proportional
