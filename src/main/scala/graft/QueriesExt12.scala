@@ -464,7 +464,7 @@ object QueriesExt12 {
         |    CAST(substr(source, 4) AS INT) % 4 + 1 AS w
         |  FROM documents GROUP BY source),
         |lim AS (SELECT n_total AS n_m, w AS w_m FROM counts
-        |        ORDER BY n_total * (12 // w), source LIMIT 1)
+        |        ORDER BY n_total * (12 // w), source NULLS FIRST LIMIT 1)
         |SELECT d.source, max(c.w) AS weight, max(c.n_total) AS n_total,
         |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
         |FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN lim
@@ -478,7 +478,7 @@ object QueriesExt12 {
         |      (SELECT sqrt(max(n_total)) FROM counts)) AS BIGINT)) AS w
         |  FROM counts),
         |lim AS (SELECT n_total AS n_m, w AS w_m FROM w
-        |        ORDER BY CAST(n_total AS DOUBLE) / w, lang LIMIT 1)
+        |        ORDER BY CAST(n_total AS DOUBLE) / w, lang NULLS FIRST LIMIT 1)
         |SELECT d.lang, max(w.w) AS weight, max(w.n_total) AS n_total,
         |  count(*) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
         |FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN lim

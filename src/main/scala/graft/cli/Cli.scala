@@ -243,7 +243,12 @@ object Cli {
         |  --weights SRC=W,...  integer mixture weights per source (1..10)
         |  --temperature ALPHA  derive weights from counts: shares follow
         |                       n^ALPHA, ALPHA in (0, 1]; mutually
-        |                       exclusive with --weights
+        |                       exclusive with --weights. ALPHA=0.5 uses
+        |                       IEEE-exact sqrt (bit-identical across
+        |                       engines/hosts); other ALPHA route through
+        |                       pow, whose last-ulp rounding is libm-
+        |                       dependent — deterministic per host, but
+        |                       not guaranteed bit-exact across engines
         |  --default_weight W   weight for unlisted sources (default: 1)
         |  --epochs SRC=E,...   fractional epochs per source, in [1/256, 16]
         |                       (default 1.0; carried in 1/256ths)
@@ -1026,11 +1031,14 @@ object Cli {
         else renamed.withColumn("__ts", current_timestamp())
       // a PERSISTED merge table re-denominates the stream (map-only
       // column swap, stream shape unchanged); the batch finishers
-      // over the accumulated output must use the same --bpe_file
+      // over the accumulated output must use the same --bpe_file.
+      // The fast kernel column (exact vs the replace-tower form,
+      // BpeSpec-pinned) keeps a production-sized table map-only AND
+      // codegen'd — 32k nested replaces would fall out of codegen
       val followTok = bpeFile.map(f => readMergesTsv(f) match {
         case Left(err) => System.err.println(s"curate: $err"); return 2
         case Right(ms) =>
-          graft.functions.Bpe.docTokenCountCol(col("text"), ms)
+          graft.functions.Bpe.docTokenCountFastCol(col("text"), ms)
       })
       val curated = followTok match {
         case Some(c) => graft.pipeline.Curation.streamingPrefix(withTs,
@@ -1151,7 +1159,7 @@ object Cli {
     df = observed("quality_filter", bpeMerges match {
       case Some(m) => Curation.qualityFilter(df, minTok.get, maxTok.get,
         maxStop.get,
-        nTokCol = graft.functions.Bpe.docTokenCountCol(col("text"), m))
+        nTokCol = graft.functions.Bpe.docTokenCountFastCol(col("text"), m))
       case None =>
         Curation.qualityFilter(df, minTok.get, maxTok.get, maxStop.get)
     })

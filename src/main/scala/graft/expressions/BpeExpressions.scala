@@ -1,0 +1,45 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.BpeMergeTable
+
+/** `bigint` learned-BPE token count of a text column — the
+  * production-table form of [[graft.functions.Bpe.docTokenCountCol]]
+  * (exactness spec-pinned in BpeSpec): one codegen'd byte-scan +
+  * merge-loop kernel call per row instead of a numMerges-deep
+  * interpreted replace/aggregate tower. The merge table rides the plan
+  * as a reference object (`ctx.addReferenceObj` — Spark's own pattern
+  * for non-literal expression state, e.g. compiled regex patterns), so
+  * the generated Java calls straight into [[BpeMergeTable]]'s kernel;
+  * its word→count cache warms per executor and amortizes vocabulary
+  * probes across every partition the executor runs. Constant sizing:
+  * a 50k-merge table is ~2 MB of task binary — see the BpeMergeTable
+  * scaladoc for the bound and the broadcast escape hatch. */
+case class BpeDocTokenCount(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression with Serializable {
+  override def prettyName: String = "graft_bpe_doc_token_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    table.docTokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTable", table,
+      classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.docTokenCount($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDocTokenCount =
+    copy(child = newChild)
+}

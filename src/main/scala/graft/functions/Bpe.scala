@@ -17,19 +17,33 @@ import org.apache.spark.sql.functions._
   *      single exchange keyed by word). Everything after runs on the
   *      vocab-scale table — for a 100 TB corpus the distinct-word table
   *      is ~10⁷ rows, i.e. 10⁵× smaller.
-  *   2. merge loop, on the word table only: per merge, one small
-  *      pair-count aggregation + a 1-row driver collect (the argmax
-  *      pair) + one codegen'd string `replace`. Below `collectCap`
-  *      distinct words the loop runs on the driver over the collected
-  *      table instead — the same adaptive-finisher pattern as
-  *      `DupClusters`' union-find (identical semantics, spec-pinned) —
-  *      because numMerges scheduler rounds dwarf the arithmetic at
-  *      test scale.
-  *   3. encode: tokenize the VOCAB once (numMerges nested codegen'd
-  *      replaces over the word table), then corpus token counts are a
-  *      broadcast join — zero corpus-side shuffle. (`tokenCountCol` is
-  *      the join-free per-row alternative; right when numMerges is
-  *      small, wrong at vocab-sized merge tables.)
+  *   2. merge loop, on the word table only. At or below `collectCap`
+  *      distinct words (default 20M — a 10⁷-word vocab at ~10 symbols
+  *      per word is comfortably driver-RAM-sized) the vocab STREAMS to
+  *      the driver (`toLocalIterator`, partition at a time) and the
+  *      loop runs in [[learnIncremental]]: pair counts maintained
+  *      INCREMENTALLY under a lazy-invalidation max-heap, so each merge
+  *      costs O(occurrences of the merged pair), not O(vocab) — the
+  *      standard fast-BPE-trainer shape (the optimization subword-nmt
+  *      and HuggingFace tokenizers both apply), which is what makes
+  *      production merge counts (32–50k) minutes instead of hours.
+  *      Above the cap, [[learnDistributed]] is the fallback: per merge
+  *      one pair-count aggregation + a 1-row collect — correct at any
+  *      vocab size but serial-round-bound in numMerges, so it is the
+  *      escape hatch for vocabularies that genuinely exceed driver RAM,
+  *      not the production path.
+  *   3. encode: tokenize the VOCAB once with the in-memory merge-loop
+  *      kernel ([[BpeMergeTable]], executor-side, exact), then corpus
+  *      token counts are a broadcast join — zero corpus-side shuffle.
+  *      The nested-`replace` COLUMN forms ([[applyMergesCol]] etc.)
+  *      remain for what they are good at: small merge tables and the
+  *      DuckDB oracle gates (every SQL engine has `replace`, which is
+  *      what makes the whole learn loop oracle-checkable). At 32k
+  *      merges a numMerges-deep replace tower is the wrong shape
+  *      twice over — the expression tree falls out of codegen (the
+  *      engine's own NearestList lesson) and costs O(numMerges) per
+  *      word regardless of how many merges can fire; the kernel costs
+  *      O(len·maxTokenLen) candidate probes + O(candidates) per word.
   *
   * Merge application is EXACTLY canonical BPE (leftmost-first,
   * non-overlapping, one pass per merge rank) via a string encoding
@@ -87,7 +101,10 @@ object Bpe {
     split(sw.substr(lit(2), length(sw) - 2), Sep2)
 
   /** Apply a learned merge table to a word: numMerges nested codegen'd
-    * replaces, in rank order — pure map-side compute. */
+    * replaces, in rank order — pure map-side compute. Right for SMALL
+    * merge tables and for the oracle gates; production encode at
+    * vocab-sized tables goes through [[tokenizeVocab]]/[[BpeMergeTable]]
+    * (see the object doc, point 3). */
   def applyMergesCol(w: Column, merges: Seq[Merge]): Column =
     merges.sortBy(_.rank).foldLeft(wrapCol(w)) { (c, m) =>
       org.apache.spark.sql.functions.replace(c,
@@ -95,24 +112,25 @@ object Bpe {
         lit(Sep + m.left + m.right + Sep))
     }
 
-  /** BPE tokens of a word under a merge table. */
+  /** BPE tokens of a word under a merge table (column form). */
   def tokensCol(w: Column, merges: Seq[Merge]): Column =
     symbolsCol(applyMergesCol(w, merges))
 
-  /** BPE token count of a word under a merge table (join-free form;
-    * see `tokenizeVocab` for the broadcast-join form that tokenizes
-    * each distinct word once). */
+  /** BPE token count of a word under a merge table (join-free column
+    * form; see `tokenizeVocab` for the broadcast-join form that
+    * tokenizes each distinct word once). */
   def tokenCountCol(w: Column, merges: Seq[Merge]): Column =
     size(tokensCol(w, merges))
 
   /** Whole-document BPE token count as ONE pure column — no explode,
     * no join: the sum over the doc's words of each word's token count
     * (same empty/SEP word filters as `wordFreq`). Higher-order
-    * functions evaluate interpreted, so this is the right form when
-    * the merge table is small or a join is unwelcome (a streaming
-    * micro-batch, a quality filter that must stay map-only);
-    * `docTokenCounts`' broadcast-vocab join is the right form at
-    * vocab-sized merge tables. */
+    * functions evaluate interpreted, so this is the right form ONLY
+    * when the merge table is small (an oracle gate, a handful of
+    * merges); [[docTokenCountFastCol]] is the same contract as one
+    * codegen'd kernel expression for production-sized tables, and
+    * `docTokenCounts`' broadcast-vocab join is the shuffle-free batch
+    * shape. */
   def docTokenCountCol(text: Column, merges: Seq[Merge]): Column = {
     val words = org.apache.spark.sql.functions.filter(
       split(trim(text), "\\s+"),
@@ -120,12 +138,42 @@ object Bpe {
     aggregate(words, lit(0L), (acc, w) => acc + tokenCountCol(w, merges))
   }
 
+  /** [[docTokenCountCol]]'s contract as ONE codegen'd kernel
+    * expression ([[graft.expressions.BpeDocTokenCount]]): a byte-scan
+    * word split + per-word merge-loop tokenize with a per-table
+    * word→count cache, exact vs the column form (BpeSpec pins them
+    * equal), O(word) instead of O(numMerges·word) — the form the CLI
+    * uses so `curate --bpe_file` with a 32k-merge production table
+    * stays map-only AND inside whole-stage codegen. */
+  def docTokenCountFastCol(text: Column, merges: Seq[Merge]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.BpeDocTokenCount(
+      Bridge.expression(text), new BpeMergeTable(merges.toArray)))
+  }
+
   /** (word, n_tok): the vocab tokenized ONCE under the merge table —
     * broadcast this against exploded corpus words so the corpus pays a
-    * hash probe per word instead of numMerges replaces per occurrence. */
-  def tokenizeVocab(words: DataFrame, merges: Seq[Merge]): DataFrame =
-    words.select(col("word"),
-      tokenCountCol(col("word"), merges).cast("long").as("n_tok"))
+    * hash probe per word instead of a tokenize per occurrence. The
+    * tokenize itself runs the in-memory merge-loop kernel
+    * ([[BpeMergeTable]], shipped as a broadcast variable) over the
+    * vocab partitions: interpreted per-WORD Scala is the designed
+    * kernel here exactly like the driver trainer — the vocab table is
+    * 10⁵× smaller than the corpus, and the alternative (a
+    * numMerges-deep replace tower) is O(numMerges) per word and falls
+    * out of codegen at production table sizes. Exactness vs the column
+    * form is spec-pinned AND oracle-gated (q_bpe_vocab's DuckDB chain
+    * is the replace tower; this kernel must hash-match it). */
+  def tokenizeVocab(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new BpeMergeTable(merges.toArray))
+    words.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val t = bc.value
+        it.map(w => (w, t.tokenCount(w).toLong))
+      }
+      .toDF("word", "n_tok")
+  }
 
   /** Per-document BPE token counts: explode words (map-side), probe the
     * broadcast tokenized vocab, re-aggregate by document — the corpus
@@ -141,31 +189,42 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
   }
 
-  /** Learn `numMerges` merges from a (word, freq) table. Adaptive like
-    * `DupClusters.connectedComponents`' driver finisher: at or below
-    * `collectCap` distinct words the loop runs in memory on the driver
-    * (1 collect job total — numMerges×2 scheduler rounds matter more
-    * than the arithmetic at that size); above it, distributed (per
-    * merge: one pair-count aggregation + 1-row collect + one lazy
-    * `replace`, with a `localCheckpoint` every `checkpointEvery` merges
-    * to stop lineage/recompute growing quadratically in numMerges).
-    * Both paths implement the identical canonical-BPE semantics and
-    * tie-breaks; BpeSpec pins them equal on the same input. */
+  /** Learn `numMerges` merges from a (word, freq) table. At or below
+    * `collectCap` distinct words the vocab STREAMS to the driver
+    * (`toLocalIterator` — one partition in flight, never one giant
+    * collect) and the loop runs in the incremental trainer; above it,
+    * distributed (per merge: one pair-count aggregation + 1-row
+    * collect + one lazy `replace`, with a `localCheckpoint` every
+    * `checkpointEvery` merges to stop lineage/recompute growing
+    * quadratically in numMerges). Both paths implement the identical
+    * canonical-BPE semantics and tie-breaks; BpeSpec pins them equal
+    * on the same input. */
   def learn(words: DataFrame, numMerges: Int,
-      collectCap: Long = 2000000L, checkpointEvery: Int = 16): Seq[Merge] = {
+      collectCap: Long = 20000000L, checkpointEvery: Int = 16): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     if (numMerges == 0) return Seq.empty
     val n = words.count()
     if (n <= collectCap) {
-      learnInMemory(words.select(col("word"), col("freq").cast("long"))
-        .collect().map(r => (r.getString(0), r.getLong(1))), numMerges)
+      import scala.jdk.CollectionConverters._
+      val it = words.select(col("word"), col("freq").cast("long"))
+        .toLocalIterator().asScala
+        .map(r => (r.getString(0), r.getLong(1)))
+      learnIncremental(it, numMerges)
     } else learnDistributed(words, numMerges, checkpointEvery)
   }
 
-  /** The driver loop — reference-shaped BPE over symbol arrays
-    * (leftmost-first non-overlapping application, the same semantics
-    * the wrapped-string `replace` encodes). */
+  /** Driver loop over an already-collected vocab (kept as the
+    * array-input entry point; routes to the incremental trainer). */
   private[functions] def learnInMemory(wf: Array[(String, Long)],
+      numMerges: Int): Seq[Merge] = learnIncremental(wf.iterator, numMerges)
+
+  /** The NAIVE driver loop — reference-shaped BPE over symbol arrays
+    * (full pair recount every merge, O(vocab·symbols) per merge).
+    * Kept as the executable spec: BpeSpec pins [[learnIncremental]]
+    * merge-for-merge equal to this on engineered and random corpora.
+    * Never the production path — at a 10⁷-word vocab a full recount
+    * per merge is hours for 32k merges. */
+  private[functions] def learnRecount(wf: Array[(String, Long)],
       numMerges: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
       wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
@@ -188,16 +247,7 @@ object Bpe {
         merges += Merge(rank, l, r, cnt)
         words = words.map { case (syms, f) =>
           if (syms.length < 2) (syms, f)
-          else {
-            val out = Array.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += l + r; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), f)
-          }
+          else (BpeMergeTable.applyMergeOnce(syms, l, r, l + r), f)
         }
         rank += 1
       }
@@ -205,8 +255,167 @@ object Bpe {
     merges.result()
   }
 
-  /** The distributed loop — identical semantics on the wrapped-string
-    * form. State is only ever the (sw, freq) word table. */
+  /** The FAST driver trainer: incremental pair-count maintenance.
+    *
+    * Invariants:
+    *   - `counts(p)` is always the exact frequency-weighted count of
+    *     adjacent pair p across the current symbol arrays (maintained
+    *     by full-word deltas: a word touched by a merge subtracts all
+    *     its old pairs and adds all its new ones — exact by
+    *     construction, and O(word length) per touched word);
+    *   - the heap holds (count, l, r) snapshots, max by count with
+    *     (l, r) ASC tie-break; every count UPDATE pushes a fresh
+    *     snapshot, so the current value of every live pair is always
+    *     present — stale snapshots are discarded on pop by comparing
+    *     against `counts` (lazy invalidation, the classic
+    *     heap-with-stale-entries trainer);
+    *   - `where(p)` over-approximates the set of word indices
+    *     containing p (entries go stale when a later merge removes the
+    *     pair from a word; verified at use by re-scanning the word).
+    *
+    * Total work across ALL merges is O(Σ touched-word lengths) ≈
+    * O(initial corpus symbols): each merged occurrence shrinks its
+    * word by one symbol, so the probe artifact's 32k merges over a
+    * 10⁷-word vocab is minutes, not the hours of the recount loop
+    * (0.35 s/merge measured at 262k words in r13 ⇒ ~3 h at 32k).
+    * Token strings are interned so the 10⁸ symbol references share
+    * one object per distinct token. */
+  private[functions] def learnIncremental(wf: Iterator[(String, Long)],
+      numMerges: Int): Seq[Merge] = {
+    if (numMerges <= 0) return Seq.empty
+    type Pair = (String, String)
+    val intern = new java.util.HashMap[String, String]()
+    def in(s: String): String = {
+      val e = intern.get(s); if (e != null) e else { intern.put(s, s); s }
+    }
+    val wordsB = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    val freqsB = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val counts = new scala.collection.mutable.HashMap[Pair, Long]
+    val where = new scala.collection.mutable.HashMap[Pair, IntVec]
+    // load + initial counts/index (one pass; where deduped per word)
+    val seenInWord = new scala.collection.mutable.HashSet[Pair]
+    wf.foreach { case (w, f) =>
+      val syms = w.split("").filter(_.nonEmpty)
+      var i = 0
+      while (i < syms.length) { syms(i) = in(syms(i)); i += 1 }
+      val idx = wordsB.length
+      wordsB += syms; freqsB += f
+      if (syms.length > 1) {
+        seenInWord.clear()
+        i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          if (seenInWord.add(p)) where.getOrElseUpdate(p, new IntVec).add(idx)
+          i += 1
+        }
+      }
+    }
+    val words = wordsB.toArray
+    val freqs = freqsB.toArray
+    // max-heap by (count ASC→max, l DESC→min, r DESC→min): dequeue
+    // yields highest count, smallest (l, r) — the exact minBy((-c,a,b))
+    // tie-break of the recount loop
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    counts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
+    val merges = Seq.newBuilder[Merge]
+    val delta = new scala.collection.mutable.HashMap[Pair, Long]
+    val processed = new scala.collection.mutable.HashSet[Int]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // pop to the first non-stale snapshot
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val t = heap.dequeue()
+        if (counts.get((t._2, t._3)).contains(t._1)) top = t
+      }
+      if (top == null) done = true
+      else {
+        val (cnt, l, r) = top
+        merges += Merge(rank, l, r, cnt)
+        val lr = in(l + r)
+        val occ = where.remove((l, r)).getOrElse(new IntVec)
+        processed.clear()
+        var oi = 0
+        while (oi < occ.size) {
+          val widx = occ(oi)
+          if (processed.add(widx)) {
+            val syms = words(widx)
+            if (BpeMergeTable.containsPair(syms, l, r)) {
+              val f = freqs(widx)
+              delta.clear()
+              addPairDeltas(delta, syms, -f)
+              val ns = BpeMergeTable.applyMergeOnce(syms, l, r, lr)
+              addPairDeltas(delta, ns, f)
+              words(widx) = ns
+              delta.foreach { case (p, d) =>
+                if (d != 0L) {
+                  val nc = counts.getOrElse(p, 0L) + d
+                  if (nc <= 0L) counts.remove(p)
+                  else {
+                    counts.update(p, nc)
+                    heap.enqueue((nc, p._1, p._2))
+                  }
+                  if (d > 0L) where.getOrElseUpdate(p, new IntVec).add(widx)
+                }
+              }
+            }
+          }
+          oi += 1
+        }
+        // the merged pair's count self-zeroes through the deltas; the
+        // remove is defensive against a (impossible) residue keeping a
+        // stale heap snapshot alive
+        counts.remove((l, r))
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def addPairDeltas(
+      delta: scala.collection.mutable.HashMap[(String, String), Long],
+      syms: Array[String], d: Long): Unit = {
+    var i = 0
+    while (i < syms.length - 1) {
+      val p = (syms(i), syms(i + 1))
+      delta.update(p, delta.getOrElse(p, 0L) + d)
+      i += 1
+    }
+  }
+
+  /** Growable primitive int buffer (the occurrence index holds ~10⁸
+    * word indices at a 10⁷-word vocab — boxing them would triple the
+    * trainer's footprint). */
+  private[functions] final class IntVec {
+    private var a = new Array[Int](8)
+    private var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def apply(i: Int): Int = a(i)
+    def size: Int = n
+  }
+
+  /** The distributed fallback loop — identical semantics on the
+    * wrapped-string form, for vocabularies past `collectCap` (i.e.
+    * genuinely beyond driver RAM). State is only ever the (sw, freq)
+    * word table; cost is one small aggregation + 1-row collect PER
+    * MERGE, which is serial-round-bound at production merge counts —
+    * the streamed driver trainer is the production path. */
   private[functions] def learnDistributed(words: DataFrame, numMerges: Int,
       checkpointEvery: Int): Seq[Merge] = {
     var cur = words.select(wrapCol(col("word")).as("sw"),

@@ -73,6 +73,13 @@ object Mixture {
     // ~|sources| rows — one broadcast build instead of two (the r6
     // form ran a second aggregate job over a recomputed counts subtree
     // and crossJoined its 1-row result)
+    //
+    // null-source groups and the tie-break: Spark's min(struct(...))
+    // compares struct fields ASC NULLS FIRST, i.e. a null __src sorts
+    // before every string on an exact double-key tie; the oracle SQL
+    // says `ORDER BY key, source NULLS FIRST` so both engines agree
+    // BY CONSTRUCTION, not by the corpus happening to have no nulls
+    // (r13 ADVICE; same contract in `temperature`)
     val wAll = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
@@ -146,6 +153,7 @@ object Mixture {
     val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
     // weight, limiting source, and the broadcast table all fold into
     // the one ~|sources|-row aggregate, exactly as resample's counts
+    // (incl. the NULLS FIRST tie-break contract documented there)
     val cts = counts.withColumnRenamed(sourceCol, "__src")
       .withColumn("__wS", greatest(lit(1L),
         round(lit(resolution) * smooth(col("__n"))

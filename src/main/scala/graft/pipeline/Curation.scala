@@ -58,9 +58,11 @@ object Curation {
     * `nTokCol` swaps the token COUNTER — and with it the denomination
     * of every downstream stage (quality bounds, budget, packing bins),
     * since all of them consume the carried n_tok. The default is the
-    * whitespace count the oracle queries pin; the CLI's --bpe_merges
-    * passes a learned-BPE count (`Bpe.docTokenCountCol`), which stays
-    * map-only so the stage's no-exchange shape is unchanged. */
+    * whitespace count the oracle queries pin; the CLI's --bpe_merges/
+    * --bpe_file passes a learned-BPE count (`Bpe.docTokenCountFastCol`
+    * — one codegen'd kernel expression, exact vs the oracle-expressible
+    * replace tower), which stays map-only so the stage's no-exchange
+    * shape is unchanged. */
   def qualityFilter(docs: DataFrame, minTok: Int = 20, maxTok: Int = 80,
       maxStopRatio: Double = 0.2, carry: Seq[String] = Nil,
       nTokCol: Column = nTok): DataFrame = {

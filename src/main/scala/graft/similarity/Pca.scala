@@ -47,8 +47,34 @@ import graft.expressions.MatVecProject
 object Pca {
 
   /** Raw-moment buffer: per-dim sums, packed upper-triangle Σ vᵢvⱼ
-    * (index `i*d − i(i−1)/2 + (j−i)` for i ≤ j), row count. */
+    * (index `i*d − i(i−1)/2 + (j−i)` for i ≤ j), row count.
+    *
+    * SIZING (the explicit bound the one-pass design trades on): the
+    * buffer is d(d+3)/2 doubles per concurrent task —
+    * ~17 KB at d=64, 2.4 MB at d=768, 9.5 MB at d=1536, 67 MB at
+    * d=4096, 1.1 GB at d=16384 — plus one serialized copy per map
+    * partition crossing the single narrow exchange. At 32 concurrent
+    * tasks that is ~0.3 GB of executor heap at d=1536 and ~2.1 GB at
+    * d=4096: real but workable on production executors, and probed at
+    * 1M rows for both dims (pca_wide_probe_r14.txt). Past
+    * [[MaxMomentDim]] the packed-triangle design is the wrong tool
+    * (the buffer itself outgrows a task's working set long before the
+    * Int index space runs out at d≈65k) and `fit` fails fast with the
+    * remediation: JL-project down first through the SAME fused kernel
+    * (`matVec` with [[md5SignMatrix]] — distance-preserving at these
+    * dims by Johnson–Lindenstrauss, and the composition
+    * PCA(JL(x)) is the standard two-stage reduction), then fit in the
+    * reduced space. Compute per row is O(d²/2) multiplies — the reason
+    * `fit(sampleFraction)` exists (the covariance is an average; a
+    * 1–10% md5-coin sample estimates a d² matrix far beyond
+    * quantizer-training accuracy). */
   final case class CovBuf(sum: Array[Double], prods: Array[Double], n: Long)
+
+  /** Hard ceiling on the moment-pass dimensionality: at d=16384 the
+    * buffer is ~1.1 GB per task — the practical edge of the one-pass
+    * design; see [[CovBuf]] for the sizing table and the JL-first
+    * remediation the error message points at. */
+  final val MaxMomentDim = 16384
 
   /** Packed upper-triangle index for i ≤ j in dimension d. */
   @inline private[similarity] def triIdx(i: Int, j: Int, d: Int): Int =
@@ -63,6 +89,12 @@ object Pca {
 
     private def init(v: Seq[Float]): CovBuf = {
       val d = v.length
+      require(d <= MaxMomentDim,
+        s"moment pass supports dim <= $MaxMomentDim (got $d): the packed " +
+          s"second-moment buffer is d(d+3)/2 doubles = " +
+          f"${d.toLong * (d + 3) / 2 * 8 / 1e9}%.1f GB per task at this dim. " +
+          "JL-project to a lower dim first (Pca.matVec with " +
+          "Pca.md5SignMatrix), then fit in the reduced space.")
       val b = CovBuf(new Array[Double](d), new Array[Double](d * (d + 1) / 2), 0L)
       accumulate(b, v)
     }

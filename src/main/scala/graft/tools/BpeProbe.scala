@@ -5,48 +5,63 @@ import org.apache.spark.sql.functions._
 
 /** At-scale probe for BPE tokenizer induction (`functions/Bpe`): a
   * synthesized corpus with a COMPOSITIONAL vocabulary (syllable
-  * triples — ~260k distinct words sharing heavy subword structure, the
-  * regime BPE exists for; the driver test tables replicate ~31 words
-  * and would make the merge loop degenerate). Measures the three scale
-  * claims separately:
+  * k-tuples — up to 64^k distinct words sharing heavy subword
+  * structure, the regime BPE exists for; the driver test tables
+  * replicate ~31 words and would make the merge loop degenerate).
+  * Measures the scale claims separately:
   *
   *   1. wordFreq: the ONE corpus-scale pass (nDocs × wordsPerDoc word
   *      instances → vocab-sized table, one exchange);
-  *   2. the merge loop on the vocab-scale table only — forced
-  *      DISTRIBUTED (collectCap=0, per-merge pair-agg + 1-row collect
-  *      + lazy replace) vs the adaptive DRIVER path, merge sequences
-  *      asserted EQUAL;
-  *   3. encode: vocab tokenized once (numMerges nested replaces),
-  *      corpus re-pass as a broadcast join — no corpus-side shuffle.
+  *   2. the merge loop on the vocab-scale table only — the STREAMED
+  *      incremental driver trainer (`learnIncremental`: heap +
+  *      occurrence index, O(occurrences) per merge) at production
+  *      merge counts, with the DISTRIBUTED fallback run for a prefix
+  *      of the merges and asserted EQUAL to the driver sequence's
+  *      prefix (full-length distributed is serial-round-bound by
+  *      design — that being the reason the driver trainer exists);
+  *   3. encode, both production forms: (a) vocab tokenized ONCE with
+  *      the fast kernel + corpus broadcast join (`docTokenCounts` —
+  *      no corpus-side shuffle), and (b) the map-only codegen'd
+  *      kernel column (`docTokenCountFastCol` — the CLI/streaming
+  *      form, no join at all), asserted to agree on total tokens.
   *
   * Usage: tools/run_main.sh graft.tools.BpeProbe
-  *        [nDocs] [wordsPerDoc] [merges] (defaults 2,000,000 × 40, 48).
+  *        [nDocs] [wordsPerDoc] [merges] [sylPerWord] [distPrefix]
+  *        (defaults 2,000,000 × 40, 48 merges, 3 syllables, prefix 48;
+  *        the r14 production point: 2000000 40 32768 4 48 — a 16.7M-slot
+  *        vocabulary, ≥10⁷ distinct observed, 32k merges).
   */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
     val nDocs = args.headOption.map(_.toLong).getOrElse(2000000L)
     val wpd = args.lift(1).map(_.toInt).getOrElse(40)
     val merges = args.lift(2).map(_.toInt).getOrElse(48)
+    val sylPerWord = args.lift(3).map(_.toInt).getOrElse(3)
+    val distPrefix = args.lift(4).map(_.toInt).getOrElse(48)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.functions.Bpe
 
-    // 64 two-letter syllables; word(w) = syl[w%64]+syl[w/64%64]+syl[w/4096%64]
+    // 64 two-letter syllables; word(w) = k base-64 digits of w, each a
+    // syllable — 64^k word slots with maximal shared subword structure
     val syls = for (a <- "ktmnsrlp"; b <- "aeiouywz") yield s"$a$b"
     val sylArr = syls.map(s => s"'$s'").mkString("array(", ",", ")")
+    val slots = math.pow(64, sylPerWord).toLong
     def wordSql(idx: String): String =
-      s"element_at($sylArr, cast(pmod($idx, 64) AS int) + 1) || " +
-        s"element_at($sylArr, cast(pmod($idx div 64, 64) AS int) + 1) || " +
-        s"element_at($sylArr, cast(pmod($idx div 4096, 64) AS int) + 1)"
-    // Zipf-ish skew: word index = a multiplicative hash squared down
+      (0 until sylPerWord).map { k =>
+        val shifted = if (k == 0) idx else s"($idx) div ${1L << (6 * k)}"
+        s"element_at($sylArr, cast(pmod($shifted, 64) AS int) + 1)"
+      }.mkString(" || ")
+    // Zipf-ish skew: word index = a multiplicative hash squashed down
     val docs = spark.range(nDocs)
       .select(col("id").as("doc_id"),
         expr(s"""array_join(transform(sequence(1, $wpd), j ->
-            ${wordSql(s"pmod(id * j * 2654435761, 262144)")}), ' ')""")
+            ${wordSql(s"pmod(id * j * 2654435761, $slots)")}), ' ')""")
           .as("text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs.count() // materialize: time BPE, not the generator
@@ -58,26 +73,46 @@ object BpeProbe {
     val words = Bpe.wordFreq(docs, "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (v, tWf) = tsec(words.count())
-    println(f"wordFreq: $tWf%.2f s ($nDocs docs x $wpd words -> $v distinct)")
-
-    val (distMerges, tDist) = tsec(
-      Bpe.learn(words, merges, collectCap = 0L))
-    println(f"learn distributed: $tDist%.2f s for $merges merges " +
-      f"(${tDist / merges}%.3f s/merge, on the $v-word table only)")
+    println(f"wordFreq: $tWf%.2f s ($nDocs docs x $wpd words -> " +
+      s"$v distinct of $slots slots)")
 
     val (drvMerges, tDrv) = tsec(Bpe.learn(words, merges))
-    println(f"learn driver (adaptive): $tDrv%.2f s")
-    require(distMerges == drvMerges,
-      s"paths disagree:\n$distMerges\nvs\n$drvMerges")
-    println(s"paths agree on all ${distMerges.size} merges; " +
-      s"top: ${distMerges.take(5).map(m => m.left + "+" + m.right).mkString(", ")}")
+    println(f"learn driver (streamed incremental): $tDrv%.2f s for " +
+      f"$merges merges (${tDrv / merges * 1000}%.2f ms/merge over the " +
+      s"$v-word table)")
+
+    if (distPrefix > 0) {
+      val (distMerges, tDist) = tsec(
+        Bpe.learn(words, math.min(distPrefix, merges), collectCap = 0L))
+      println(f"learn distributed fallback: $tDist%.2f s for " +
+        f"${distMerges.size} merges (${tDist / distMerges.size}%.3f s/merge " +
+        "— the serial-round shape the driver trainer replaces)")
+      require(drvMerges.take(distMerges.size) == distMerges,
+        s"paths disagree on the shared prefix:\n${distMerges.take(8)}\nvs\n" +
+          s"${drvMerges.take(8)}")
+      println(s"paths agree on the shared ${distMerges.size}-merge prefix; " +
+        s"top: ${drvMerges.take(5).map(m => m.left + "+" + m.right).mkString(", ")}")
+    }
+    println(s"deepest merge: len ${drvMerges.map(m => (m.left + m.right).length).max}, " +
+      s"last: ${drvMerges.takeRight(3).map(m => m.left + "+" + m.right).mkString(", ")}")
 
     val (tok, tEnc) = tsec(
-      Bpe.docTokenCounts(docs, "text", Seq("doc_id"), distMerges, words)
+      Bpe.docTokenCounts(docs, "text", Seq("doc_id"), drvMerges, words)
         .agg(sum("n_tokens"), sum("n_words")).collect().head)
-    println(f"encode (vocab-join): $tEnc%.2f s -> " +
-      s"${tok.getLong(0)} tokens / ${tok.getLong(1)} words " +
-      f"(${tok.getLong(0).toDouble / tok.getLong(1)}%.2f tok/word)")
+    val totTok = tok.getLong(0)
+    println(f"encode (fast-kernel vocab + broadcast join): $tEnc%.2f s -> " +
+      s"$totTok tokens / ${tok.getLong(1)} words " +
+      f"(${totTok.toDouble / tok.getLong(1)}%.2f tok/word, " +
+      f"${totTok / tEnc / 1e6}%.1f M tok/s)")
+
+    val (tok2, tEnc2) = tsec(
+      docs.select(Bpe.docTokenCountFastCol(col("text"), drvMerges).as("n"))
+        .agg(sum("n")).collect().head.getLong(0))
+    println(f"encode (map-only codegen kernel column): $tEnc2%.2f s -> " +
+      f"$tok2 tokens (${tok2 / tEnc2 / 1e6}%.1f M tok/s)")
+    require(tok2 == totTok,
+      s"kernel column total $tok2 != vocab-join total $totTok")
+    println("encode forms agree on total tokens")
     spark.stop()
   }
 }

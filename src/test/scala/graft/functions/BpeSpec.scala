@@ -104,6 +104,81 @@ class BpeSpec extends SparkSpec {
     refWords.foreach { case (w, syms) => assert(vocab(w) == syms.size) }
   }
 
+  test("learnIncremental equals the recount loop (engineered corpus)") {
+    // the heap + occurrence-index trainer vs the naive full-recount
+    // reference, merge-for-merge — including freq ties resolved by
+    // (left, right) binary order
+    val a = Bpe.learnIncremental(corpusWf.iterator, 12)
+    val b = Bpe.learnRecount(corpusWf.toArray, 12)
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("learnIncremental equals the recount loop (randomized corpora)") {
+    // seeded random corpora over small alphabets maximize pair-count
+    // collisions and merge-chain depth — the regimes where a stale
+    // heap snapshot or a missed index update would diverge
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 25).foreach { trial =>
+      val alphabet = "abcd".take(2 + rnd.nextInt(3))
+      val nWords = 1 + rnd.nextInt(40)
+      val wf = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        w -> (1L + rnd.nextInt(5))
+      }.groupBy(_._1).map { case (w, fs) => w -> fs.map(_._2).sum }
+      val n = 1 + rnd.nextInt(30)
+      val inc = Bpe.learnIncremental(wf.iterator, n)
+      val ref = Bpe.learnRecount(wf.toArray, n)
+      assert(inc == ref, s"trial $trial diverged on $wf with $n merges")
+    }
+  }
+
+  test("fast tokenizer kernel equals the column form (learned merges)") {
+    // BpeMergeTable.tokenize (candidate-prefilter merge loop) vs the
+    // nested-replace column tower, token-for-token on the full vocab
+    val merges = Bpe.learn(wordsDf, 6)
+    val table = new BpeMergeTable(merges.toArray)
+    val viaCol = wordsDf.select(col("word"),
+        Bpe.tokensCol(col("word"), merges).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    corpusWf.keys.foreach { w =>
+      assert(table.tokenize(w).toList == viaCol(w), s"word $w")
+      assert(table.tokenCount(w) == viaCol(w).size)
+    }
+    // shared-concatenation candidates: (a,bc) and (ab,c) both key "abc"
+    val amb = new BpeMergeTable(Array(
+      Bpe.Merge(1, "b", "c", 9L), Bpe.Merge(2, "a", "bc", 8L),
+      Bpe.Merge(3, "a", "b", 7L)))
+    assert(amb.tokenize("abc").toList == List("abc"))
+    assert(amb.tokenize("ab").toList == List("ab")) // rank-3 (a,b) fires
+    assert(amb.tokenize("cab").toList == List("c", "ab"))
+    // single char / untouched words pass through
+    assert(amb.tokenize("z").toList == List("z"))
+  }
+
+  test("docTokenCountFastCol equals docTokenCountCol (kernel ≡ oracle form)") {
+    import spark.implicits._
+    val merges = Bpe.learn(wordsDf, 6)
+    // adversarial whitespace (tabs, CR/LF, runs, leading/trailing),
+    // SEP-containing words (skipped on both sides), multi-byte UTF-8,
+    // empty and null docs
+    val docs = Seq(
+      (1L, "abab abc\taaa"), (2L, " \t xa bx\r\nxabx  "), (3L, "b"),
+      (4L, "he" + Bpe.Sep + "x abc"), (5L, ""), (6L, "héllo wörld"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.docTokenCountFastCol(col("text"), merges).as("fast"),
+        Bpe.docTokenCountCol(col("text"), merges).as("slow"))
+      .collect()
+    got.foreach { r =>
+      if (r.isNullAt(1) || r.isNullAt(2))
+        assert(r.isNullAt(1) == r.isNullAt(2), s"null mismatch: $r")
+      else assert(r.getLong(1) == r.getLong(2), s"count mismatch: $r")
+    }
+  }
+
   test("wordFreq filters empties and separator-containing words") {
     import spark.implicits._
     val docs = Seq("  the the  cat ", "", "the dog", null)

@@ -267,4 +267,22 @@ class PcaSpec extends SparkSpec {
     val b = Pca.collectMoments(dirty, "embedding")
     assert(b.n == 400L) // the dirty row contributed nothing
   }
+
+  test("moment pass fails fast past MaxMomentDim with the JL-first remediation") {
+    // the r13 watch item: the d(d+3)/2 buffer has an explicit ceiling;
+    // the guard must fire BEFORE allocating the oversized buffer and
+    // name the escape hatch (JL-project first). Two thin rows suffice —
+    // the require trips on the first vector's length.
+    import spark.implicits._
+    val wide = Seq(1L, 2L).map(i =>
+      (i, Array.fill(Pca.MaxMomentDim + 1)(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.fit(wide, "embedding", k = 2)
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    val msg = causes(e).map(_.getMessage).mkString(" | ")
+    assert(msg.contains(s"dim <= ${Pca.MaxMomentDim}"), msg)
+    assert(msg.contains("md5SignMatrix"), msg)
+  }
 }
