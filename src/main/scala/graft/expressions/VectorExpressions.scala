@@ -17,6 +17,36 @@ import org.apache.spark.sql.types._
   * double over the element type, in array order, so results are
   * bit-identical to the HOF formulation and the DuckDB oracle.
   */
+/** Sizing contract for the matrix-carrying kernels (NearestList /
+  * PqEncode / MatVecProject): the centroid/codebook/basis matrix rides
+  * the serialized plan as a REFERENCE OBJECT, one copy per task binary
+  * — driver-sized by design, exactly like the driver-side quantizer
+  * training that produces it (`Ivf.build` / `Pq.build` / `Pca.fit`).
+  * That is the right trade up to a few tens of MB: the matrix is
+  * CPU-cache-resident during the row loop and there is no broadcast
+  * fetch on the task critical path. [[KernelConstants.MaxLiteralElems]]
+  * (16.7M elements ≈ 67 MB of floats) is the explicit ceiling — a
+  * FAISS-scale nlist=64k × d=768 coarse quantizer (49M elements,
+  * ~200 MB) fails fast with the remediation rather than silently
+  * shipping a 200 MB plan: hold the matrix in a
+  * `sparkContext.broadcast` and reference `bc.value` from a kernel
+  * variant (one executor-wide copy, torrent-fetched), or shard the
+  * assignment IVF-style (coarse-assign against a small top level,
+  * refine per list). No probed workload is within 50× of the ceiling
+  * (largest committed: nlist=256 × d=768 = 197k elements). */
+object KernelConstants {
+  final val MaxLiteralElems: Long = 1L << 24
+
+  private[expressions] def checkMatrixSize(
+      what: String, elems: Long): Unit =
+    require(elems <= MaxLiteralElems,
+      f"$what has $elems%d elements (~${elems * 4 / 1e6}%.0f MB as " +
+        f"float) — past the $MaxLiteralElems%d-element plan-literal " +
+        "ceiling. Ship it as a sparkContext.broadcast (one executor-wide " +
+        "copy) or shard the assignment IVF-style instead of embedding " +
+        "it in every task binary.")
+}
+
 abstract class VectorFoldExpression extends BinaryExpression
     with Serializable {
   override def dataType: DataType = DoubleType
@@ -154,6 +184,9 @@ case class NearestList(child: Expression, cents: Array[Array[Float]])
     with Serializable {
   require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
     "centroid matrix must be non-empty and rectangular")
+  // plan-literal sizing contract — see KernelConstants
+  KernelConstants.checkMatrixSize("NearestList centroid matrix",
+    cents.length.toLong * cents.head.length)
 
   override def prettyName: String = "graft_nearest_list"
   override def dataType: DataType = IntegerType
@@ -286,6 +319,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     "all codewords must share the sub-dimension")
   require(codebooks.forall(_.length == codebooks.head.length),
     "all subspaces must share ksub")
+  // plan-literal sizing contract — see KernelConstants
+  KernelConstants.checkMatrixSize("PqEncode codebooks",
+    codebooks.length.toLong * codebooks.head.length *
+      codebooks.head.head.length)
 
   override def prettyName: String = "graft_pq_encode"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
@@ -438,6 +475,11 @@ case class MatVecProject(child: Expression, mat: Array[Array[Double]],
     with Serializable {
   require(mat.nonEmpty && mat.forall(_.length == mean.length),
     "matrix must be non-empty with rows matching the mean length")
+  // plan-literal sizing contract — see KernelConstants (doubles, so
+  // the MB estimate in the message understates by 2× — still the
+  // right order for the remediation decision)
+  KernelConstants.checkMatrixSize("MatVecProject matrix",
+    mat.length.toLong * mean.length)
 
   override def prettyName: String = "graft_matvec_project"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)

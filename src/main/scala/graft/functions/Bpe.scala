@@ -259,27 +259,41 @@ object Bpe {
     *
     * Invariants:
     *   - `counts(p)` is always the exact frequency-weighted count of
-    *     adjacent pair p across the current symbol arrays (maintained
-    *     by full-word deltas: a word touched by a merge subtracts all
-    *     its old pairs and adds all its new ones — exact by
-    *     construction, and O(word length) per touched word);
+    *     adjacent pair p across the current symbol arrays, maintained
+    *     by WINDOWED deltas: a word touched by a merge subtracts its
+    *     old pairs and adds its new pairs only inside the window
+    *     [firstSite−1, lastSite+2] around the merge sites — pairs
+    *     outside it are token-identical before and after (merging
+    *     never deletes a token, it concatenates two adjacent ones, so
+    *     two non-merged tokens adjacent after were adjacent before);
+    *   - per MERGE, all word deltas accumulate into ONE shared map and
+    *     the counts/heap are updated once per distinct pair — the heap
+    *     sees O(distinct touched pairs) pushes per merge, not O(touched
+    *     words × word length) (the naive form measured ~2×10⁹ boxed
+    *     pushes at a 15.65M-word vocab — GC-bound for tens of minutes);
     *   - the heap holds (count, l, r) snapshots, max by count with
-    *     (l, r) ASC tie-break; every count UPDATE pushes a fresh
-    *     snapshot, so the current value of every live pair is always
-    *     present — stale snapshots are discarded on pop by comparing
-    *     against `counts` (lazy invalidation, the classic
+    *     (l, r) ASC tie-break; every batched count UPDATE pushes a
+    *     fresh snapshot, so the current value of every live pair is
+    *     always present — stale snapshots are discarded on pop by
+    *     comparing against `counts` (lazy invalidation, the classic
     *     heap-with-stale-entries trainer);
     *   - `where(p)` over-approximates the set of word indices
     *     containing p (entries go stale when a later merge removes the
     *     pair from a word; verified at use by re-scanning the word).
+    *     A pair becomes NEWLY present in a word only through that
+    *     round's merged token (any new adjacency involves `lr`), so
+    *     the index append triggers exactly on window pairs touching
+    *     `lr` — reference-equality on the interned token.
     *
-    * Total work across ALL merges is O(Σ touched-word lengths) ≈
+    * Total work across ALL merges is O(Σ merge-site windows) ≈
     * O(initial corpus symbols): each merged occurrence shrinks its
     * word by one symbol, so the probe artifact's 32k merges over a
     * 10⁷-word vocab is minutes, not the hours of the recount loop
     * (0.35 s/merge measured at 262k words in r13 ⇒ ~3 h at 32k).
     * Token strings are interned so the 10⁸ symbol references share
-    * one object per distinct token. */
+    * one object per distinct token. Exactness vs the recount loop is
+    * pinned by BpeSpec on engineered AND randomized corpora (small
+    * alphabets force consecutive-site and tie-break cases). */
   private[functions] def learnIncremental(wf: Iterator[(String, Long)],
       numMerges: Int): Seq[Merge] = {
     if (numMerges <= 0) return Seq.empty
@@ -330,8 +344,11 @@ object Bpe {
     counts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
 
     val merges = Seq.newBuilder[Merge]
-    val delta = new scala.collection.mutable.HashMap[Pair, Long]
-    val processed = new scala.collection.mutable.HashSet[Int]
+    val mergeDelta = new scala.collection.mutable.HashMap[Pair, Long]
+    // per-merge touched-word marker (reusable int array — a HashSet of
+    // millions of boxed Ints per merge would dominate the loop)
+    val mark = new Array[Int](words.length)
+    val sites = new Array[Int](2) // reusable (firstSite, lastSite) out-param
     var rank = 1
     var done = false
     while (rank <= numMerges && !done) {
@@ -347,53 +364,60 @@ object Bpe {
         merges += Merge(rank, l, r, cnt)
         val lr = in(l + r)
         val occ = where.remove((l, r)).getOrElse(new IntVec)
-        processed.clear()
+        mergeDelta.clear()
         var oi = 0
         while (oi < occ.size) {
           val widx = occ(oi)
-          if (processed.add(widx)) {
+          if (mark(widx) != rank) {
+            mark(widx) = rank
             val syms = words(widx)
             if (BpeMergeTable.containsPair(syms, l, r)) {
               val f = freqs(widx)
-              delta.clear()
-              addPairDeltas(delta, syms, -f)
-              val ns = BpeMergeTable.applyMergeOnce(syms, l, r, lr)
-              addPairDeltas(delta, ns, f)
-              words(widx) = ns
-              delta.foreach { case (p, d) =>
-                if (d != 0L) {
-                  val nc = counts.getOrElse(p, 0L) + d
-                  if (nc <= 0L) counts.remove(p)
-                  else {
-                    counts.update(p, nc)
-                    heap.enqueue((nc, p._1, p._2))
-                  }
-                  if (d > 0L) where.getOrElseUpdate(p, new IntVec).add(widx)
-                }
+              val ns = BpeMergeTable.applyMergeSites(syms, l, r, lr, sites)
+              val firstSite = sites(0)
+              val lastSite = sites(1)
+              val lo = math.max(0, firstSite - 1)
+              val hiOld = math.min(syms.length - 1, lastSite + 2)
+              val hiNew = hiOld - (syms.length - ns.length)
+              var i = lo
+              while (i < hiOld) {
+                val p = (syms(i), syms(i + 1))
+                mergeDelta.update(p, mergeDelta.getOrElse(p, 0L) - f)
+                i += 1
               }
+              i = lo
+              while (i < hiNew) {
+                val p = (ns(i), ns(i + 1))
+                mergeDelta.update(p, mergeDelta.getOrElse(p, 0L) + f)
+                // only adjacencies THROUGH the new token can be new
+                if ((ns(i) eq lr) || (ns(i + 1) eq lr))
+                  where.getOrElseUpdate(p, new IntVec).add(widx)
+                i += 1
+              }
+              words(widx) = ns
             }
           }
           oi += 1
         }
+        // batched counts/heap update: once per distinct touched pair
+        mergeDelta.foreach { case (p, d) =>
+          if (d != 0L) {
+            val nc = counts.getOrElse(p, 0L) + d
+            if (nc <= 0L) counts.remove(p)
+            else {
+              counts.update(p, nc)
+              heap.enqueue((nc, p._1, p._2))
+            }
+          }
+        }
         // the merged pair's count self-zeroes through the deltas; the
-        // remove is defensive against a (impossible) residue keeping a
-        // stale heap snapshot alive
+        // remove is defensive against a residue keeping a stale heap
+        // snapshot alive
         counts.remove((l, r))
         rank += 1
       }
     }
     merges.result()
-  }
-
-  private def addPairDeltas(
-      delta: scala.collection.mutable.HashMap[(String, String), Long],
-      syms: Array[String], d: Long): Unit = {
-    var i = 0
-    while (i < syms.length - 1) {
-      val p = (syms(i), syms(i + 1))
-      delta.update(p, delta.getOrElse(p, 0L) + d)
-      i += 1
-    }
   }
 
   /** Growable primitive int buffer (the occurrence index holds ~10⁸

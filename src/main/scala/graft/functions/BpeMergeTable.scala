@@ -169,4 +169,26 @@ object BpeMergeTable {
     }
     if (oi == syms.length) out else java.util.Arrays.copyOf(out, oi)
   }
+
+  /** [[applyMergeOnce]] that also reports the OLD-array indices of the
+    * first and last merge site through `sites` (a reusable 2-slot
+    * out-param — the trainer calls this per touched word and a tuple
+    * per call would be allocation noise). sites(0) = sites(1) = −1
+    * when nothing fired (callers guard with containsPair). */
+  private[functions] def applyMergeSites(
+      syms: Array[String], l: String, r: String, lr: String,
+      sites: Array[Int]): Array[String] = {
+    sites(0) = -1; sites(1) = -1
+    val out = new Array[String](syms.length)
+    var oi = 0
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        if (sites(0) < 0) sites(0) = i
+        sites(1) = i
+        out(oi) = lr; oi += 1; i += 2
+      } else { out(oi) = syms(i); oi += 1; i += 1 }
+    }
+    if (oi == syms.length) out else java.util.Arrays.copyOf(out, oi)
+  }
 }

@@ -247,4 +247,30 @@ class VectorExpressionsSpec extends SparkSpec {
       .select(fused.as("f")).collect().head.getSeq[Double](0).toArray
     assert(evd.toSeq == viaDf.toSeq)
   }
+
+  test("matrix kernels enforce the plan-literal sizing ceiling with the broadcast remediation") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // a FAISS-scale coarse quantizer (64k x 768 = 49M elements) must
+    // fail fast at construction, not ship a ~200 MB task binary; the
+    // message names the escape hatch (KernelConstants scaladoc)
+    val tooWide = 1 << 16 // rows
+    val dim = 768
+    // rectangular without allocating 49M floats: share one row object
+    val row = new Array[Float](dim)
+    val cents = Array.fill(tooWide)(row)
+    val e = intercept[IllegalArgumentException] {
+      NearestList(Bridge.expression(
+        org.apache.spark.sql.functions.col("v")), cents)
+    }
+    assert(e.getMessage.contains("broadcast"), e.getMessage)
+    val mrow = new Array[Double](dim)
+    val e2 = intercept[IllegalArgumentException] {
+      MatVecProject(Bridge.expression(
+        org.apache.spark.sql.functions.col("v")),
+        Array.fill(tooWide)(mrow), mrow)
+    }
+    assert(e2.getMessage.contains("broadcast"), e2.getMessage)
+    // the largest committed regime is far inside the ceiling
+    assert(256L * 768 < KernelConstants.MaxLiteralElems / 50)
+  }
 }
