@@ -26,6 +26,14 @@ case class BpeDocTokenCount(child: Expression, table: BpeMergeTable)
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
 
+  // shape-only rendering — the default would print the table object's
+  // identity hashcode, churning plan dumps nondeterministically (the
+  // NearestList/CovStats lesson)
+  override def toString: String =
+    s"$prettyName($child, merges=${table.merges.length})"
+  override def sql: String =
+    s"$prettyName(${child.sql}, merges=${table.merges.length})"
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -118,13 +118,16 @@ object CurationStreamProbe {
         f"stateRows=$st%9d admitted=${rows - prevRows}%8d totalOut=$rows%9d")
       prevRows = rows
     }
-    // flat-state assert: after the horizon fills (~3 increments), the
-    // store must plateau — final state within 1.5x of the first
-    // post-horizon reading, NOT growing with docsSeen
-    require(states(run1Inc - 1) <= (states(3) * 3) / 2,
-      s"state grew past the horizon plateau: ${states.mkString(", ")}")
-    println(s"state plateau holds: ${states(3)} -> ${states(run1Inc - 1)} " +
-      s"over ${(run1Inc - 3) * perInc} further docs")
+    // flat-state assert: once the horizon fills, consecutive drains
+    // must hold the store FLAT (within 2%) while docsSeen keeps
+    // growing — the difference between "runs forever" and "OOMs on
+    // day two" (watermark expiry lags one batch, so the plateau level
+    // itself is ~2 horizons of live fps; what matters is the slope)
+    require(states(run1Inc - 1) <= (states(run1Inc - 3) * 51) / 50,
+      s"state still growing at the tail: ${states.mkString(", ")}")
+    println(s"state plateau holds: ${states(run1Inc - 3)} -> " +
+      s"${states(run1Inc - 1)} over ${2 * perInc} further docs " +
+      s"(full series: ${states.mkString(", ")})")
 
     println(s"# run 2: fresh dir + checkpoint, --fp_index <run1 output>; " +
       "increments duplicate run-1 texts 1-in-3")

@@ -50,9 +50,12 @@ object PcaWideProbe {
       // convergence for k=16), flat small tail — deterministic hash noise
       val vecs = spark.range(n)
         .select(col("id").as("vec_id"),
+          // xxhash64 noise: a linear id*j*C product overflows BIGINT
+          // under ANSI mode at d=4096 (10^6 × 4096 × 2.65e9 > 2^63)
           expr(s"""transform(sequence(1, $d), j -> cast(
-              pow(0.5, least(j, 24)) *
-              (pmod(id * j * 2654435761, 10007) / 10007.0 - 0.5) AS float))""")
+              (CASE WHEN j > 24 THEN 5.9604644775390625e-8
+                    ELSE pow(0.5, j) END) *
+              (pmod(xxhash64(id, j), 10007) / 10007.0 - 0.5) AS float))""")
             .as("embedding"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val (_, tGen) = tsec(vecs.count())
