@@ -144,13 +144,46 @@ object QueriesExt14 {
       .orderBy(desc("sym_freq"), asc("symbol"))
   }
 
+  /** Per-document token-ID sequences (r14): the actual trainer input —
+    * every token of every word of a deterministic 1-in-199 document
+    * subset, in document order, with its engine-neutral vocabulary id
+    * (`Bpe.vocabIds`: base alphabet in binary order, then one id per
+    * merge rank). Long format (doc_id, word_pos, tok_pos, token_id) so
+    * the oracle compares exact sequences, not a hash of arrays. */
+  private def qBpeTokenIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learn(words, numMerges = 8)
+    Bpe.docTokenIdsLong(docs.filter(col("doc_id") % 199 === 7),
+        "text", Seq("doc_id"), merges, words)
+      .orderBy("doc_id", "word_pos", "tok_pos")
+  }
+
+  /** The FULL-corpus id-emission gate (r14): q_bpe_token_ids proves
+    * exact sequences on a subset; this proves the whole corpus went
+    * through the same id pipeline — per source, token count, Σ id and
+    * the order-sensitive Σ id·(word_pos+1). */
+  private def qBpeIdsChecksum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learn(words, numMerges = 8)
+    Bpe.docTokenIdsLong(docs, "text", Seq("doc_id", "source"), merges, words)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("token_id")).as("id_sum"),
+        sum(col("token_id") * (col("word_pos") + 1)).as("pos_sum"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_kmeans_iter_oracle" -> (qKmeansIterOracle(_, _)),
     "q_cluster_sample" -> (qClusterSample(_, _)),
     "q_bpe_pairs" -> (qBpePairs(_, _)),
     "q_bpe_learn_oracle" -> (qBpeLearnOracle(_, _)),
     "q_bpe_vocab" -> (qBpeVocab(_, _)),
-    "q_bpe_encode" -> (qBpeEncode(_, _)))
+    "q_bpe_encode" -> (qBpeEncode(_, _)),
+    "q_bpe_token_ids" -> (qBpeTokenIds(_, _)),
+    "q_bpe_ids_checksum" -> (qBpeIdsChecksum(_, _)))
 
   // ------------------------------------------------------- oracle SQL
 
@@ -184,7 +217,48 @@ object QueriesExt14 {
     }.mkString
   }
 
+  /** The id-pipeline CTE tail shared by the two r14 token-id oracles:
+    * w8's tokenized vocab, the engine-neutral id table (base alphabet
+    * by binary order via ROW_NUMBER, merge k → nBase+k−1, min-id on
+    * string collisions — `Bpe.vocabIds` verbatim), the positioned
+    * word explode (generate_subscripts is 1-based; the Spark side's
+    * posexplode is 0-based, hence the −1s at projection), and the
+    * per-word token explode. `docFilter` scopes the corpus side
+    * (the subset gate filters; the checksum gate runs the corpus). */
+  private def bpeIdsCtes(docFilter: String): String =
+    bpeProlog(carryWord = true) + bpeMergeSteps(8, carryWord = true) +
+      s""",
+         |tokv AS MATERIALIZED (SELECT word, string_split(sw[2:length(sw)-1], chr(1)||chr(1)) AS toks FROM w8),
+         |base AS MATERIALIZED (SELECT DISTINCT word[i] AS token FROM
+         |  (SELECT unnest(range(1, length(word)+1)) AS i, word FROM wf)),
+         |vocab AS MATERIALIZED (SELECT token, CAST(min(token_id) AS BIGINT) AS token_id FROM (
+         |    SELECT token, ROW_NUMBER() OVER (ORDER BY token) - 1 AS token_id FROM base
+         |    UNION ALL
+         |    SELECT l || r AS token, (SELECT count(*) FROM base) + rank - 1 AS token_id
+         |    FROM (${(1 to 8).map(i => s"SELECT $i AS rank, l, r FROM m$i").mkString(" UNION ALL ")})
+         |  ) GROUP BY token),
+         |dw2 AS (SELECT doc_id, source, wp1, w FROM
+         |  (SELECT doc_id, source, generate_subscripts(ws, 1) AS wp1, unnest(ws) AS w FROM
+         |    (SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents$docFilter))
+         |  WHERE w <> '' AND position(chr(1) IN w) = 0),
+         |tkn AS (SELECT doc_id, source, wp1, generate_subscripts(toks, 1) AS tp1, unnest(toks) AS token FROM
+         |  (SELECT dw2.doc_id, dw2.source, dw2.wp1, tokv.toks FROM dw2 JOIN tokv ON dw2.w = tokv.word))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_token_ids" ->
+      (bpeIdsCtes(" WHERE doc_id % 199 = 7") +
+        """
+          |SELECT t.doc_id, t.wp1 - 1 AS word_pos, t.tp1 - 1 AS tok_pos, v.token_id
+          |FROM tkn t JOIN vocab v ON t.token = v.token
+          |ORDER BY doc_id, word_pos, tok_pos""".stripMargin),
+    "q_bpe_ids_checksum" ->
+      (bpeIdsCtes("") +
+        """
+          |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+          |  CAST(sum(v.token_id) AS BIGINT) AS id_sum,
+          |  CAST(sum(v.token_id * t.wp1) AS BIGINT) AS pos_sum
+          |FROM tkn t JOIN vocab v ON t.token = v.token
+          |GROUP BY source ORDER BY source""".stripMargin),
     "q_kmeans_iter_oracle" ->
       // Mirrors Kmeans.md5Seeds + Kmeans.updateStats: the md5-rank seed
       // pick and dot−‖c‖²/2 argmax assignment are q_ann_ivf_oracle's

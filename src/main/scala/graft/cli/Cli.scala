@@ -327,8 +327,9 @@ object Cli {
         |                         command fails loud on a mismatched pair)""".stripMargin
     case "tokenize" =>
       """usage: graft tokenize --in PARQUET_DIR (--merges N | --merges_file FILE)
-        |                      [--out_merges FILE] [--out PARQUET_DIR] [--stats]
-        |                      [--id_column doc_id] [--text_column text]
+        |                      [--out_merges FILE] [--out PARQUET_DIR]
+        |                      [--out_ids PARQUET_DIR] [--out_vocab FILE]
+        |                      [--stats] [--id_column doc_id] [--text_column text]
         |
         |Learn a BPE merge table from the corpus's own word statistics
         |(Sennrich-style byte-pair encoding: one corpus-scale
@@ -346,6 +347,13 @@ object Cli {
         |  --out_merges FILE   write the merge table as TSV
         |  --out PARQUET_DIR   write per-doc token counts
         |                      (id, n_words, n_tokens; fresh directory)
+        |  --out_ids PARQUET_DIR
+        |                      write per-doc token-ID sequences — the
+        |                      trainer input (id, n_tokens,
+        |                      token_ids array<bigint>, document order)
+        |  --out_vocab FILE    write the id vocabulary as TSV
+        |                      (token_id<TAB>token: base alphabet in
+        |                      binary order, then one id per merge rank)
         |  --stats             also count the distinct-word vocabulary
         |                      for the summary line (an extra job)
         |  --id_column C       id column (default: doc_id)
@@ -1233,8 +1241,11 @@ object Cli {
           "[--out_merges FILE] [--out PARQUET_DIR])")
       return 2
     }
-    if (a.flags.contains("out")) {
-      inOutGuard(a, "tokenize") match {
+    // each parquet sink gets the full in/out path guard (out_ids is
+    // guarded by substituting it into the "out" slot)
+    for (o <- Seq("out", "out_ids") if a.flags.contains(o)) {
+      inOutGuard(a.copy(flags = a.flags + ("out" -> a.flags(o))),
+          "tokenize") match {
         case Some(code) => return code
         case None =>
       }
@@ -1263,13 +1274,27 @@ object Cli {
         .docTokenCounts(docs, textCol, Seq(idCol), merges, words)
         .write.mode("overwrite").parquet(out)
     }
+    a.flags.get("out_ids").foreach { out =>
+      graft.functions.Bpe
+        .docTokenIds(docs, textCol, Seq(idCol), merges, words)
+        .write.mode("overwrite").parquet(out)
+    }
+    a.flags.get("out_vocab").foreach { f =>
+      val rows = graft.functions.Bpe.vocabIds(words, merges)
+        .orderBy("token_id").collect() // vocab-sized: alphabet + merges
+        .map(r => s"${r.getLong(1)}\t${r.getString(0)}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        rows.mkString("", "\n", "\n"))
+    }
     val stats =
       if (a.flags.contains("stats"))
         s" over ${words.count()} distinct words" else ""
     val action = if (haveLearn) "learned" else "loaded"
     val sinks = Seq(
       a.flags.get("out_merges").map(f => s"merges -> $f"),
-      a.flags.get("out").map(o => s"token counts -> $o")).flatten
+      a.flags.get("out").map(o => s"token counts -> $o"),
+      a.flags.get("out_ids").map(o => s"token ids -> $o"),
+      a.flags.get("out_vocab").map(f => s"vocab -> $f")).flatten
     println(s"tokenize: $action ${merges.size} merges$stats" +
       (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))
     0

@@ -175,6 +175,94 @@ object Bpe {
       .toDF("word", "n_tok")
   }
 
+  /** (word, toks array<string>): the vocab's full token SEQUENCES
+    * under the merge table (the id-emitting sibling of
+    * [[tokenizeVocab]] — same kernel, same broadcast-join usage). */
+  def tokenizeVocabTokens(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(new BpeMergeTable(merges.toArray))
+    words.select(col("word")).as[String]
+      .mapPartitions { it =>
+        val t = bc.value
+        it.map(w => (w, t.tokenize(w).toSeq))
+      }
+      .toDF("word", "toks")
+  }
+
+  /** The learned vocabulary WITH token ids — the shippable artifact a
+    * trainer's tokenizer config needs (the SentencePiece/HF convention:
+    * base alphabet first, then one token per merge in rank order).
+    *
+    * Id assignment is ENGINE-NEUTRAL by construction so the table is
+    * DuckDB-derivable (q_bpe_token_ids / q_bpe_ids_checksum):
+    *   - base symbols = the distinct characters of the vocab words,
+    *     ids 0..nBase−1 in BINARY string order (Spark's UTF8String
+    *     comparison ≡ DuckDB's default collation ≡ UTF-8 byte order —
+    *     the ordering is computed IN the engine, never on the driver,
+    *     exactly to keep that equivalence);
+    *   - merge k's token (left+right) gets id nBase+k−1; when two
+    *     merges produce the SAME string ((a,bc) then (ab,c)), the
+    *     token keeps its FIRST id (min), matching the dedup a real
+    *     vocab file performs.
+    *
+    * Shapes: the base derivation is a vocab-scale distinct collapsing
+    * to alphabet size; the ROW_NUMBER window runs on the alphabet-sized
+    * result (single tiny partition by construction). */
+  def vocabIds(words: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val base = words
+      .select(explode(split(col("word"), "")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val nBase = base.count()
+    val baseIds = base.withColumn("token_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("token"))).cast("long") - 1L)
+    val mergeIds = merges.sortBy(_.rank)
+      .map(m => (m.left + m.right, nBase + m.rank - 1L))
+      .toDF("token", "token_id")
+    baseIds.unionByName(mergeIds)
+      .groupBy("token").agg(min(col("token_id")).as("token_id"))
+  }
+
+  /** Per-document BPE token-ID sequences in document order — what a
+    * training run actually consumes (the counting forms above feed
+    * budgets; this feeds the model). One corpus scan: words explode
+    * map-side with their position, probe the broadcast tokenized vocab
+    * and the broadcast id table, and the ONE exchange is the re-group
+    * by document key (positions carried so the sort inside the
+    * aggregation is per-doc list reassembly, not a global sort).
+    * Output: keyCols…, n_tokens, token_ids array<bigint>. */
+  def docTokenIds(docs: DataFrame, textCol: String, keyCols: Seq[String],
+      merges: Seq[Merge], words: DataFrame): DataFrame = {
+    val toks = docTokenIdsLong(docs, textCol, keyCols, merges, words)
+    toks
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("transform(array_sort(" +
+          "collect_list(struct(word_pos, tok_pos, token_id))), " +
+          "s -> s.token_id)").as("token_ids"))
+  }
+
+  /** The long form behind [[docTokenIds]] (and the q_bpe_token_ids
+    * oracle): one row per (doc, word_pos, tok_pos) with its token_id. */
+  def docTokenIdsLong(docs: DataFrame, textCol: String, keyCols: Seq[String],
+      merges: Seq[Merge], words: DataFrame): DataFrame = {
+    val vocab = tokenizeVocabTokens(words, merges)
+    val ids = vocabIds(words, merges)
+    val dw = docs.select(keyCols.map(col) :+
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("word_pos", "word")): _*)
+      .filter(col("word") =!= "" && !col("word").contains(Sep))
+    dw.join(broadcast(vocab), Seq("word"))
+      .select(keyCols.map(col) :+ col("word_pos") :+
+        posexplode(col("toks")).as(Seq("tok_pos", "token")): _*)
+      .join(broadcast(ids), Seq("token"))
+      .select(keyCols.map(col) ++ Seq(col("word_pos"), col("tok_pos"),
+        col("token_id")): _*)
+  }
+
   /** Per-document BPE token counts: explode words (map-side), probe the
     * broadcast tokenized vocab, re-aggregate by document — the corpus
     * is scanned once and shuffled only as (doc key, partial count). */

@@ -554,6 +554,33 @@ class CliSpec extends SparkSpec {
         (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"))).toMap
     assert(got2 == got)
 
+    // --out_ids: per-doc token-ID sequences equal the library path;
+    // --out_vocab: the id table TSV in id order
+    val idsOut = tmp() + "/ids"
+    val vocabF = tmp() + "/vocab.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", mergesFile, "--out_ids", idsOut,
+      "--out_vocab", vocabF)) == 0)
+    val gotIds = spark.read.parquet(idsOut)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[Long]]("token_ids").toList).toMap
+    val refIds = graft.functions.Bpe
+      .docTokenIds(docs, "text", Seq("doc_id"), want, words)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    assert(gotIds == refIds && gotIds.keySet == Set(1L, 2L, 3L))
+    val vocabLines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(vocabF)).trim.split("\n").toSeq
+    val refVocab = graft.functions.Bpe.vocabIds(words, want)
+      .orderBy("token_id").collect()
+      .map(r => s"${r.getLong(1)}\t${r.getString(0)}").toSeq
+    assert(vocabLines == refVocab)
+    // ids are consecutive from 0 and the file is in id order
+    assert(vocabLines.zipWithIndex.forall { case (l, i) =>
+      l.startsWith(s"$i\t") })
+    // out_ids gets the same path guard as out
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out_ids", in)) == 2)
+
     // guards: both/neither merge sources, bad count, malformed TSV,
     // overlapping --out
     assert(Cli.run(spark, Seq("tokenize", "--in", in)) == 2)

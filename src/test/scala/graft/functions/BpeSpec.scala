@@ -179,6 +179,37 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocabIds: base alphabet in binary order, merge ids by rank, min-id on collisions") {
+    import spark.implicits._
+    val words = Seq(("abc", 5L), ("bca", 3L)).toDF("word", "freq")
+    // merges engineered so ranks 1 and 3 both produce the string "abc"
+    val merges = Seq(Bpe.Merge(1, "ab", "c", 9L), Bpe.Merge(2, "a", "b", 8L),
+      Bpe.Merge(3, "a", "bc", 7L))
+    val ids = Bpe.vocabIds(words, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base: a < b < c -> 0, 1, 2; merges: abc=3 (rank1, min over rank3's 5), ab=4
+    assert(ids == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "abc" -> 3L, "ab" -> 4L))
+  }
+
+  test("docTokenIds: sequences in document order, ids from the shared vocab") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc"), (2L, " b  cab ")).toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learn(words, 2)
+    val (_, refWords) = refBpe(
+      Map("abab" -> 1L, "abc" -> 1L, "b" -> 1L, "cab" -> 1L), 2)
+    val ids = Bpe.vocabIds(words, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Bpe.docTokenIds(docs, "text", Seq("doc_id"), merges, words)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    val exp = Map(
+      1L -> (refWords("abab") ++ refWords("abc")),
+      2L -> (refWords("b") ++ refWords("cab"))).map { case (k, toks) =>
+      k -> ((toks.size.toLong, toks.map(ids).toList))
+    }
+    assert(got == exp)
+  }
+
   test("wordFreq filters empties and separator-containing words") {
     import spark.implicits._
     val docs = Seq("  the the  cat ", "", "the dog", null)
