@@ -94,10 +94,21 @@ object QueriesExt15 {
       .orderBy("rank")
   }
 
+  /** The Gram-free sweep kernel (r14): S = Σᵥ v·(vᵀqⱼ) under the
+    * md5 ±1 probe, leading 16 dims × k=4 probes, long format — the
+    * one-corpus-pass building block `Pca.fitGramFree` iterates for
+    * dimensions past the moment-buffer ceiling, gated exactly as
+    * q_pca_cov gates the moment pass (the probe is q_jl_project's
+    * sign matrix, so the oracle reuses both proven CTE idioms). */
+  private def qPcaPowerstep(s: SparkSession, dir: String): DataFrame =
+    Pca.powerStepDf(t(s, dir, "embeddings"), "embedding", k = 4, maxDim = 16)
+      .orderBy("i", "j")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pca_cov" -> (qPcaCov(_, _)),
     "q_jl_project" -> (qJlProject(_, _)),
     "q_pca_project" -> (qPcaProject(_, _)),
+    "q_pca_powerstep" -> (qPcaPowerstep(_, _)),
     "q_kcenter" -> (qKcenter(_, _)))
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +138,27 @@ object QueriesExt15 {
         |FROM u CROSS JOIN rr
         |GROUP BY u.vec_id, rr.r
         |ORDER BY u.vec_id, r""".stripMargin,
+    "q_pca_powerstep" ->
+      // u = the q_pca_cov unnest; t = q_jl_project's md5-sign dot
+      // products vᵀqⱼ; then one weighted re-join: S(i,j) = Σ vᵢ·t(v,j).
+      // Raw doubles — check.py's 1e-9 rel tol absorbs summation-order
+      // ulps exactly as q_pca_cov's cov column does.
+      """WITH u AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        |), rr AS (SELECT UNNEST(range(4)) AS r),
+        |t AS (SELECT u.vec_id, rr.r,
+        |    SUM(CASE WHEN ascii(substr(md5(CAST(rr.r AS VARCHAR) || '_' ||
+        |                                 CAST(u.i AS VARCHAR)), 1, 1)) % 2 = 0
+        |             THEN u.e ELSE -u.e END) AS tv
+        |  FROM u CROSS JOIN rr GROUP BY u.vec_id, rr.r)
+        |SELECT CAST(a.i AS INT) AS i, CAST(t.r AS INT) AS j,
+        |  SUM(a.e * t.tv) AS s
+        |FROM u a JOIN t ON a.vec_id = t.vec_id
+        |WHERE a.i < 16
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_kcenter" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |  WHERE embedding IS NOT NULL

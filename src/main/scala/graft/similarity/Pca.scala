@@ -217,6 +217,280 @@ object Pca {
       .toDF("i", "j", "cov")
   }
 
+  /** Mean-pass buffer: per-dim sums, Σ‖v‖², row count — the O(d)
+    * sibling of [[CovBuf]] for the Gram-free path (μ and trace(A)
+    * without the d² buffer). */
+  final case class MeanBuf(sum: Array[Double], ssq: Double, n: Long)
+
+  /** Elementwise sum + squared-norm accumulation (same null/ragged
+    * contract as [[CovStats]]). */
+  object MeanStats extends Aggregator[Seq[Float], MeanBuf, MeanBuf] {
+    override def zero: MeanBuf = MeanBuf(Array.empty, 0.0, 0L)
+    override def reduce(b: MeanBuf, v: Seq[Float]): MeanBuf =
+      if (v == null || v.isEmpty) b
+      else {
+        val b2 = if (b.n == 0L) MeanBuf(new Array[Double](v.length), 0.0, 0L)
+          else b
+        require(v.length == b2.sum.length,
+          s"ragged vectors: ${v.length} vs ${b2.sum.length}")
+        var ss = 0.0
+        var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble
+          b2.sum(i) += x
+          ss += x * x
+          i += 1
+        }
+        MeanBuf(b2.sum, b2.ssq + ss, b2.n + 1L)
+      }
+    override def merge(a: MeanBuf, b: MeanBuf): MeanBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        require(a.sum.length == b.sum.length,
+          s"ragged buffers: ${a.sum.length} vs ${b.sum.length}")
+        var i = 0
+        while (i < a.sum.length) { a.sum(i) += b.sum(i); i += 1 }
+        MeanBuf(a.sum, a.ssq + b.ssq, a.n + b.n)
+      }
+    override def finish(b: MeanBuf): MeanBuf = b
+    override def bufferEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
+    override def outputEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
+    override def toString: String = "graft.Pca.MeanStats"
+  }
+
+  /** Gram-free sweep buffer: S = Σ v·(vᵀQ) flattened row-major (d×k
+    * doubles — 0.5 MB at d=4096/k=16, 8 MB even at d=65536: the whole
+    * point of the path) plus row count. */
+  final case class GramBuf(s: Array[Double], n: Long)
+
+  /** One corpus pass of the Gram-free subspace iteration: accumulate
+    * S = Σᵥ v (vᵀQ) for a fixed d×k probe Q — the covariance action
+    * A·Q follows driver-side from S, μ and n WITHOUT ever forming the
+    * d² matrix ([[fitGramFree]]). Per row cost O(d·k); per task state
+    * O(d·k). `q` is passed as k COLUMNS of length d. */
+  final class GramStats(q: Array[Array[Double]])
+      extends Aggregator[Seq[Float], GramBuf, GramBuf] with Serializable {
+    private val k = q.length
+    private val d = q.head.length
+    override def zero: GramBuf = GramBuf(Array.empty, 0L)
+    override def reduce(b: GramBuf, v: Seq[Float]): GramBuf =
+      if (v == null || v.isEmpty) b
+      else {
+        require(v.length == d, s"ragged vectors: ${v.length} vs $d")
+        val b2 = if (b.n == 0L) GramBuf(new Array[Double](d * k), 0L) else b
+        val x = new Array[Double](d)
+        var i = 0
+        while (i < d) { x(i) = v(i).toDouble; i += 1 }
+        val t = new Array[Double](k)
+        var j = 0
+        while (j < k) {
+          val col = q(j)
+          var acc = 0.0
+          i = 0
+          while (i < d) { acc += x(i) * col(i); i += 1 }
+          t(j) = acc
+          j += 1
+        }
+        i = 0
+        while (i < d) {
+          val xi = x(i)
+          val base = i * k
+          j = 0
+          while (j < k) { b2.s(base + j) += xi * t(j); j += 1 }
+          i += 1
+        }
+        GramBuf(b2.s, b2.n + 1L)
+      }
+    override def merge(a: GramBuf, b: GramBuf): GramBuf =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        var i = 0
+        while (i < a.s.length) { a.s(i) += b.s(i); i += 1 }
+        GramBuf(a.s, a.n + b.n)
+      }
+    override def finish(b: GramBuf): GramBuf = b
+    override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    override def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    override def toString: String = s"graft.Pca.GramStats(k=$k, d=$d)"
+  }
+
+  private def gramPass(vecs: DataFrame, vecCol: String,
+      qCols: Array[Array[Double]]): GramBuf = {
+    val fn = udaf(new GramStats(qCols))
+    val row = vecs.select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
+      .agg(fn(col("__v")).as("st"))
+      .select(col("st.s").as("s"), col("st.n").as("n"))
+      .head()
+    GramBuf(row.getSeq[Double](0).toArray, row.getLong(1))
+  }
+
+  private[similarity] def collectMean(vecs: DataFrame, vecCol: String): MeanBuf = {
+    val fn = udaf(MeanStats)
+    val row = vecs.select(col(vecCol).cast("array<float>").as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), _.isNull))
+      .agg(fn(col("__v")).as("st"))
+      .select(col("st.sum").as("sum"), col("st.ssq").as("ssq"),
+        col("st.n").as("n"))
+      .head()
+    MeanBuf(row.getSeq[Double](0).toArray, row.getDouble(1), row.getLong(2))
+  }
+
+  /** The Gram-free power step as an UNCOLLECTED long frame (i, j, s)
+    * with s = Σᵥ vᵢ·(vᵀqⱼ) for the engine-neutral md5 ±1 probe — the
+    * literal sweep kernel `fitGramFree` runs, formatted for the
+    * DuckDB gate exactly as `covarianceDf` gates the moment pass
+    * (q_pca_powerstep). `maxDim` caps the ORACLE's output rows, not
+    * the Spark buffer. */
+  def powerStepDf(vecs: DataFrame, vecCol: String, k: Int, maxDim: Int)
+      : DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val d = vecs.select(size(col(vecCol)).as("d"))
+      .filter(col("d") > 0).head().getInt(0)
+    val qCols = md5SignMatrix(rows = k, dim = d)
+    val b = gramPass(vecs, vecCol, qCols)
+    (for {
+      i <- 0 until math.min(d, maxDim)
+      j <- 0 until k
+    } yield (i, j, b.s(i * k + j))).toDF("i", "j", "s")
+  }
+
+  /** Gram-FREE PCA for dimensions past [[MaxMomentDim]] (or wherever
+    * the d²/2 moment buffer is unwelcome): distributed subspace
+    * iteration on the covariance ACTION. Per sweep, ONE corpus pass
+    * accumulates S = Σ v(vᵀQ) (O(d·k) per task — 8 MB even at d=65536,
+    * vs the moment buffer's 34 GB), and the driver forms
+    * A·Q = (S − μ·(n·μᵀQ))/(n−1) without materializing A, then
+    * re-orthonormalizes; Rayleigh–Ritz every `ritzEvery` sweeps checks
+    * the subspace residual ‖AQ − Q(QᵀAQ)‖_F ≤ tol·‖AQ‖_F. The honest
+    * trade vs `fit`: sweeps × corpus passes instead of ONE pass + a
+    * d³ driver solve — right when d is huge and the top-k spectrum
+    * decays (embedding corpora; a flat spectrum converges slowly
+    * there as everywhere). Init is the same md5-derived matrix as
+    * `topKEigenSubspace` — no RNG, identical basis on every run/host.
+    * Exactness seams: the sweep kernel is DuckDB-gated
+    * (q_pca_powerstep); the end-to-end fit is spec-pinned against the
+    * Jacobi `fit` on a planted spectrum (PcaSpec). */
+  def fitGramFree(vecs: DataFrame, vecCol: String, k: Int,
+      maxSweeps: Int = 100, tol: Double = 1e-6, ritzEvery: Int = 5)
+      : PcaModel = {
+    val mb = collectMean(vecs, vecCol)
+    require(mb.n >= 2, s"need at least 2 vectors, got ${mb.n}")
+    val d = mb.sum.length
+    require(k >= 1 && k <= d, s"k=$k out of range for dim=$d")
+    val mean = Array.tabulate(d)(i => mb.sum(i) / mb.n)
+    val meanSq = mean.map(x => x * x).sum
+    val trace = (mb.ssq - mb.n * meanSq) / (mb.n - 1)
+    // columns of Q; md5 init, orthonormalized
+    var q = Array.tabulate(k, d) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pca_init_${i}_$j".getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8 | (h(1) & 0xff)).toDouble / 65535.0) - 0.5
+    }
+    require(mgsRows(q), "degenerate md5 init (impossible for d >= k)")
+    var sweep = 0
+    var done = false
+    var vals: Array[Double] = null
+    var rows: Array[Array[Double]] = null
+    while (sweep < maxSweeps && !done) {
+      val g = gramPass(vecs, vecCol, q)
+      // AQ columns: aq(j)(i) = (S(i,j) − n·μᵢ·(μᵀqⱼ)) / (n−1)
+      val mq = q.map(colj => {
+        var acc = 0.0
+        var i = 0
+        while (i < d) { acc += mean(i) * colj(i); i += 1 }
+        acc
+      })
+      val aq = Array.tabulate(k, d)((j, i) =>
+        (g.s(i * k + j) - mb.n * mean(i) * mq(j)) / (mb.n - 1))
+      if (sweep % ritzEvery == ritzEvery - 1 || sweep == maxSweeps - 1) {
+        // B = QᵀAQ (k×k), symmetrized; residual R = AQ − Q·B
+        val b = Array.tabulate(k, k) { (r, c) =>
+          var acc = 0.0
+          var i = 0
+          while (i < d) { acc += q(r)(i) * aq(c)(i); i += 1 }
+          acc
+        }
+        for (r <- 0 until k; c <- r + 1 until k) {
+          val m = (b(r)(c) + b(c)(r)) / 2.0; b(r)(c) = m; b(c)(r) = m
+        }
+        var res = 0.0
+        var nrm = 0.0
+        for (c <- 0 until k; i <- 0 until d) {
+          var qb = 0.0
+          var r = 0
+          while (r < k) { qb += q(r)(i) * b(r)(c); r += 1 }
+          val rr = aq(c)(i) - qb
+          res += rr * rr
+          nrm += aq(c)(i) * aq(c)(i)
+        }
+        if (res <= tol * tol * math.max(nrm, Double.MinPositiveValue)) {
+          val (ev, y) = jacobiEigen(b)
+          vals = ev
+          rows = y.map { yr =>
+            val x = Array.tabulate(d) { i =>
+              var acc = 0.0
+              var r = 0
+              while (r < k) { acc += q(r)(i) * yr(r); r += 1 }
+              acc
+            }
+            var best = 0
+            var i = 1
+            while (i < d) {
+              if (math.abs(x(i)) > math.abs(x(best))) best = i
+              i += 1
+            }
+            if (x(best) < 0.0) { i = 0; while (i < d) { x(i) = -x(i); i += 1 } }
+            x
+          }
+          done = true
+        }
+      }
+      if (!done) {
+        q = aq
+        require(mgsRows(q),
+          "subspace collapsed during iteration (rank-deficient covariance " +
+            "with k above its rank?) — fall back to fit() at a lower k")
+      }
+      sweep += 1
+    }
+    require(done,
+      s"fitGramFree did not converge in $maxSweeps sweeps (tol=$tol) — " +
+        "a near-flat top-k spectrum; raise maxSweeps/tol or use fit()")
+    PcaModel(mean, rows, vals, mb.n, trace)
+  }
+
+  /** Modified Gram–Schmidt over the ROWS of a k×d matrix, in place;
+    * false when a row collapses to ~zero. */
+  private def mgsRows(m: Array[Array[Double]]): Boolean = {
+    val k = m.length
+    val d = m.head.length
+    var j = 0
+    while (j < k) {
+      var jj = 0
+      while (jj < j) {
+        var dp = 0.0
+        var i = 0
+        while (i < d) { dp += m(j)(i) * m(jj)(i); i += 1 }
+        i = 0
+        while (i < d) { m(j)(i) -= dp * m(jj)(i); i += 1 }
+        jj += 1
+      }
+      var nrm = 0.0
+      var i = 0
+      while (i < d) { nrm += m(j)(i) * m(j)(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      if (nrm < 1e-300) return false
+      i = 0
+      while (i < d) { m(j)(i) /= nrm; i += 1 }
+      j += 1
+    }
+    true
+  }
+
   /** Trained model: mean, top-k basis ROWS (orthonormal, eigenvalue
     * descending, sign-canonicalized), their eigenvalues, corpus size. */
   final case class PcaModel(mean: Array[Double], basis: Array[Array[Double]],

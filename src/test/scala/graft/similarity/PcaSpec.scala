@@ -268,6 +268,37 @@ class PcaSpec extends SparkSpec {
     assert(b.n == 400L) // the dirty row contributed nothing
   }
 
+  test("fitGramFree matches the Jacobi fit on a planted spectrum (top-k pairs)") {
+    import spark.implicits._
+    // anisotropic by construction: per-dim geometric decay so the
+    // top-4 eigengaps are real and the subspace iteration converges
+    val dim = 24
+    val vecs = (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(dim) { j =>
+        (math.pow(0.7, j) *
+          (((i * (j + 1) * 2654435761L) % 10007) / 10007.0 - 0.5)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val jac = Pca.fit(vecs, "embedding", k = 4)
+    val gf = Pca.fitGramFree(vecs, "embedding", k = 4, tol = 1e-9)
+    assert(gf.n == jac.n)
+    assert(math.abs(gf.totalVariance - jac.totalVariance)
+      <= 1e-9 * jac.totalVariance)
+    gf.eigenvalues.zip(jac.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 1e-6 * math.max(b, 1e-12), s"$a vs $b")
+    }
+    // same 1-D eigenspaces: |cos| of each basis-row pair ≈ 1, and the
+    // shared sign canonicalization makes them EQUAL up to tolerance
+    gf.basis.zip(jac.basis).foreach { case (a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) > 1.0 - 1e-6, s"basis misaligned: |cos|=$dot")
+      assert(dot > 0, "sign canonicalization diverged between solvers")
+    }
+    // the probe-step frame is finite and shaped (i < maxDim) x k
+    val ps = Pca.powerStepDf(vecs, "embedding", k = 3, maxDim = 5).collect()
+    assert(ps.length == 15 && ps.forall(r => !r.getDouble(2).isNaN))
+  }
+
   test("moment pass fails fast past MaxMomentDim with the JL-first remediation") {
     // the r13 watch item: the d(d+3)/2 buffer has an explicit ceiling;
     // the guard must fire BEFORE allocating the oversized buffer and
