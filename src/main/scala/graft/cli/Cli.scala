@@ -329,7 +329,8 @@ object Cli {
       """usage: graft tokenize --in PARQUET_DIR (--merges N | --merges_file FILE)
         |                      [--out_merges FILE] [--out PARQUET_DIR]
         |                      [--out_ids PARQUET_DIR] [--out_vocab FILE]
-        |                      [--stats] [--id_column doc_id] [--text_column text]
+        |                      [--vocab_file FILE] [--stats]
+        |                      [--id_column doc_id] [--text_column text]
         |
         |Learn a BPE merge table from the corpus's own word statistics
         |(Sennrich-style byte-pair encoding: one corpus-scale
@@ -354,6 +355,14 @@ object Cli {
         |  --out_vocab FILE    write the id vocabulary as TSV
         |                      (token_id<TAB>token: base alphabet in
         |                      binary order, then one id per merge rank)
+        |  --vocab_file FILE   PIN the id vocabulary for --out_ids from a
+        |                      previously written --out_vocab TSV — ids
+        |                      derived without it depend on THIS corpus's
+        |                      alphabet, so encoding a new corpus for a
+        |                      model trained on another one must pin the
+        |                      training vocab (ship it with the merges
+        |                      file). Tokens outside the pinned vocab
+        |                      emit id -1 (UNK), never silently drop
         |  --stats             also count the distinct-word vocabulary
         |                      for the summary line (an extra job)
         |  --id_column C       id column (default: doc_id)
@@ -1224,6 +1233,33 @@ object Cli {
     }
   }
 
+  /** The TSV vocab format `tokenize --out_vocab` writes and
+    * `--vocab_file` pins: one token_id<TAB>token line per entry (ids
+    * need not be dense — a hand-curated vocab with holes is valid). */
+  private def readVocabTsv(path: String)
+      : Either[String, Seq[(String, Long)]] = {
+    val src = scala.io.Source.fromFile(path, "UTF-8")
+    val lines = try src.getLines().filter(_.nonEmpty).toList
+      finally src.close()
+    val parsed = lines.map { line =>
+      scala.util.Try(line.split("\t", -1) match {
+        case Array(id, token) if token.nonEmpty => (token, id.toLong)
+      }).toOption
+    }
+    parsed.zip(lines).find(_._1.isEmpty) match {
+      case Some((_, bad)) => Left(s"malformed vocab line: $bad")
+      case None =>
+        val rows = parsed.flatten
+        val dup = rows.groupBy(_._1).collectFirst {
+          case (t, vs) if vs.size > 1 => t
+        }
+        dup match {
+          case Some(t) => Left(s"duplicate token in vocab: $t")
+          case None => Right(rows)
+        }
+    }
+  }
+
   /** BPE tokenizer induction/application (`functions/Bpe`, SURVEY
     * §7.5's training-data layer): learn a merge table from the
     * corpus's own word statistics — one corpus-scale word-frequency
@@ -1257,7 +1293,11 @@ object Cli {
     val idCol = a.flags.getOrElse("id_column", "doc_id")
     val textCol = a.flags.getOrElse("text_column", "text")
     val docs = spark.read.parquet(a.flags("in"))
+    // every sink below re-reads the word table (learn, both vocab
+    // tokenizations, the id table, --stats) — persist the ONE
+    // corpus-scale pass instead of paying it per sink
     val words = graft.functions.Bpe.wordFreq(docs, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges: Seq[graft.functions.Bpe.Merge] =
       if (haveLearn) graft.functions.Bpe.learn(words, a.flags("merges").toInt)
       else readMergesTsv(a.flags("merges_file")) match {
@@ -1274,13 +1314,30 @@ object Cli {
         .docTokenCounts(docs, textCol, Seq(idCol), merges, words)
         .write.mode("overwrite").parquet(out)
     }
+    // a pinned --vocab_file makes emitted ids portable across corpora
+    // (ship it with the merges file; unknown tokens emit -1 = UNK);
+    // without it ids derive from THIS corpus's alphabet
+    val pinned: Option[org.apache.spark.sql.DataFrame] =
+      a.flags.get("vocab_file").map { f =>
+        readVocabTsv(f) match {
+          case Left(err) => System.err.println(s"tokenize: $err"); return 2
+          case Right(rows) =>
+            import spark.implicits._
+            rows.toDF("token", "token_id")
+        }
+      }
+    // derived id table computed ONCE, shared by --out_ids and --out_vocab
+    lazy val derivedIds = graft.functions.Bpe.vocabIds(words, merges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     a.flags.get("out_ids").foreach { out =>
+      val ids = pinned.getOrElse(derivedIds)
       graft.functions.Bpe
-        .docTokenIds(docs, textCol, Seq(idCol), merges, words)
+        .docTokenIds(docs, textCol, Seq(idCol), merges, words,
+          pinnedIds = Some(ids))
         .write.mode("overwrite").parquet(out)
     }
     a.flags.get("out_vocab").foreach { f =>
-      val rows = graft.functions.Bpe.vocabIds(words, merges)
+      val rows = derivedIds
         .orderBy("token_id").collect() // vocab-sized: alphabet + merges
         .map(r => s"${r.getLong(1)}\t${r.getString(0)}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
@@ -1289,11 +1346,13 @@ object Cli {
     val stats =
       if (a.flags.contains("stats"))
         s" over ${words.count()} distinct words" else ""
+    words.unpersist(false)
     val action = if (haveLearn) "learned" else "loaded"
     val sinks = Seq(
       a.flags.get("out_merges").map(f => s"merges -> $f"),
       a.flags.get("out").map(o => s"token counts -> $o"),
-      a.flags.get("out_ids").map(o => s"token ids -> $o"),
+      a.flags.get("out_ids").map(o =>
+        s"token ids${if (pinned.isDefined) " (pinned vocab)" else ""} -> $o"),
       a.flags.get("out_vocab").map(f => s"vocab -> $f")).flatten
     println(s"tokenize: $action ${merges.size} merges$stats" +
       (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))

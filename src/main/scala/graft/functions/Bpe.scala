@@ -234,10 +234,19 @@ object Bpe {
     * and the broadcast id table, and the ONE exchange is the re-group
     * by document key (positions carried so the sort inside the
     * aggregation is per-doc list reassembly, not a global sort).
-    * Output: keyCols…, n_tokens, token_ids array<bigint>. */
+    * Output: keyCols…, n_tokens, token_ids array<bigint>.
+    *
+    * `pinnedIds` supplies a PERSISTED (token, token_id) vocabulary —
+    * the portability contract: ids derived by [[vocabIds]] depend on
+    * the current corpus's alphabet, so encoding corpus B for a model
+    * trained on corpus A's ids MUST pin A's vocab file (CLI
+    * `--vocab_file`). Tokens outside a pinned vocab (an alphabet
+    * character A never saw) emit id −1 — the explicit UNK sentinel a
+    * trainer can filter or remap, never a silently dropped token. */
   def docTokenIds(docs: DataFrame, textCol: String, keyCols: Seq[String],
-      merges: Seq[Merge], words: DataFrame): DataFrame = {
-    val toks = docTokenIdsLong(docs, textCol, keyCols, merges, words)
+      merges: Seq[Merge], words: DataFrame,
+      pinnedIds: Option[DataFrame] = None): DataFrame = {
+    val toks = docTokenIdsLong(docs, textCol, keyCols, merges, words, pinnedIds)
     toks
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
@@ -247,20 +256,30 @@ object Bpe {
   }
 
   /** The long form behind [[docTokenIds]] (and the q_bpe_token_ids
-    * oracle): one row per (doc, word_pos, tok_pos) with its token_id. */
+    * oracle): one row per (doc, word_pos, tok_pos) with its token_id.
+    * With `pinnedIds` the join goes LEFT and unknown tokens coalesce
+    * to −1 (see [[docTokenIds]]); the derived-vocab path keeps the
+    * inner join — every token is in its own vocab by construction. */
   def docTokenIdsLong(docs: DataFrame, textCol: String, keyCols: Seq[String],
-      merges: Seq[Merge], words: DataFrame): DataFrame = {
+      merges: Seq[Merge], words: DataFrame,
+      pinnedIds: Option[DataFrame] = None): DataFrame = {
     val vocab = tokenizeVocabTokens(words, merges)
-    val ids = vocabIds(words, merges)
     val dw = docs.select(keyCols.map(col) :+
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("word_pos", "word")): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
-    dw.join(broadcast(vocab), Seq("word"))
+    val toks = dw.join(broadcast(vocab), Seq("word"))
       .select(keyCols.map(col) :+ col("word_pos") :+
         posexplode(col("toks")).as(Seq("tok_pos", "token")): _*)
-      .join(broadcast(ids), Seq("token"))
-      .select(keyCols.map(col) ++ Seq(col("word_pos"), col("tok_pos"),
-        col("token_id")): _*)
+    val joined = pinnedIds match {
+      case Some(p) => toks
+        .join(broadcast(p.select(col("token"),
+          col("token_id").cast("long").as("token_id"))), Seq("token"), "left")
+        .withColumn("token_id", coalesce(col("token_id"), lit(-1L)))
+      case None =>
+        toks.join(broadcast(vocabIds(words, merges)), Seq("token"))
+    }
+    joined.select(keyCols.map(col) ++ Seq(col("word_pos"), col("tok_pos"),
+      col("token_id")): _*)
   }
 
   /** Per-document BPE token counts: explode words (map-side), probe the
@@ -292,13 +311,30 @@ object Bpe {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     if (numMerges == 0) return Seq.empty
     val n = words.count()
-    if (n <= collectCap) {
+    // heap-headroom guard: the driver trainer's working set is a few
+    // hundred bytes per distinct word (interned symbol arrays, pair
+    // counts, the occurrence index, transient heap snapshots — the
+    // 15.65M-word probe ran comfortably in a 48 GiB heap); a 20M-word
+    // vocab under the default 8 GiB driver must fall back to the
+    // distributed loop instead of OOMing mid-train. The route choice
+    // never changes RESULTS (both paths are spec-pinned merge-for-merge
+    // equal) — only where the loop runs.
+    val needBytes = n * 300L
+    val headroom = Runtime.getRuntime.maxMemory / 2
+    if (n <= collectCap && needBytes <= headroom) {
       import scala.jdk.CollectionConverters._
       val it = words.select(col("word"), col("freq").cast("long"))
         .toLocalIterator().asScala
         .map(r => (r.getString(0), r.getLong(1)))
       learnIncremental(it, numMerges)
-    } else learnDistributed(words, numMerges, checkpointEvery)
+    } else {
+      if (n <= collectCap)
+        System.err.println(f"[bpe] $n distinct words need ~${needBytes / 1e9}%.1f GB " +
+          f"of driver heap (max ${Runtime.getRuntime.maxMemory / 1e9}%.1f GB) — " +
+          "routing to the distributed merge loop; raise driver memory for " +
+          "the fast incremental trainer")
+      learnDistributed(words, numMerges, checkpointEvery)
+    }
   }
 
   /** Driver loop over an already-collected vocab (kept as the

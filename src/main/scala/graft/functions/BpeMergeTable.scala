@@ -32,13 +32,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * table travels to executors as a broadcast variable or plan
   * reference of ~(total merge string bytes) — a 50k-merge production
   * table is ~2 MB, driver- and task-sized by design. The word→count
-  * cache is per-deserialized-instance, bounded by [[CacheCap]]
-  * entries, and thread-safe (tasks on one executor share it — that
-  * sharing is the point: a vocab probe amortizes across every
-  * partition the executor runs).
+  * cache is PROCESS-WIDE, keyed by the table's CONTENT fingerprint
+  * (deserialization makes a fresh instance per task on the
+  * plan-reference path — an instance-owned cache would restart cold
+  * every task and never amortize), bounded by [[CacheCap]] entries per
+  * table and [[MaxSharedTables]] live tables, and thread-safe.
+  *
+  * Equality/hashCode are VALUE-based (the merge array), so two
+  * expressions built from the same merge table compare equal —
+  * subexpression elimination and canonicalized-plan hashing behave,
+  * and plan hashes are run-deterministic.
   */
 final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
   import BpeMergeTable._
+
+  override def equals(other: Any): Boolean = other match {
+    case t: BpeMergeTable =>
+      (t eq this) || java.util.Arrays.equals(
+        merges.asInstanceOf[Array[AnyRef]], t.merges.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode: Int =
+    java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])
+  override def toString: String = s"BpeMergeTable(${merges.length} merges)"
 
   /** concat(left+right) → merges with that concatenation, rank ASC.
     * Multiple merges can share one concatenation ((a,bc) vs (ab,c)). */
@@ -57,8 +73,7 @@ final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
     if (merges.isEmpty) 2
     else math.max(2, merges.map(m => m.left.length + m.right.length).max)
 
-  @transient private lazy val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @transient private lazy val cache = sharedCache(this)
 
   /** BPE tokens of `word` — exact sequential semantics (see class doc). */
   def tokenize(word: String): Array[String] = {
@@ -140,6 +155,30 @@ object BpeMergeTable {
   /** Word→count cache bound: 4M entries ≈ a full production vocab;
     * past it the kernel degrades to compute-per-word, never OOM. */
   final val CacheCap = 1 << 22
+
+  /** Live shared-cache bound: distinct merge TABLES in flight in one
+    * executor process — more than a handful means a misuse (a table
+    * per micro-batch, say); evict everything and start over rather
+    * than leak. */
+  final val MaxSharedTables = 8
+
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[BpeMergeTable,
+      java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+
+  /** The process-wide word→count cache for a table, keyed by the
+    * table's VALUE (BpeMergeTable equality compares the merge arrays,
+    * so a hash collision between two different tables still resolves
+    * to two distinct caches — never shared counts). */
+  private def sharedCache(t: BpeMergeTable)
+      : java.util.concurrent.ConcurrentHashMap[String, Integer] = {
+    val hit = shared.get(t)
+    if (hit != null) return hit
+    if (shared.size() >= MaxSharedTables) shared.clear()
+    val fresh = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val prev = shared.putIfAbsent(t, fresh)
+    if (prev != null) prev else fresh
+  }
 
   /** Java-regex `\s` bytes (see TokenHashUtil). */
   private def isSep(b: Byte): Boolean =

@@ -377,6 +377,9 @@ object Pca {
   def fitGramFree(vecs: DataFrame, vecCol: String, k: Int,
       maxSweeps: Int = 100, tol: Double = 1e-6, ritzEvery: Int = 5)
       : PcaModel = {
+    require(maxSweeps >= 1, s"maxSweeps must be >= 1, got $maxSweeps")
+    require(ritzEvery >= 1 && ritzEvery <= maxSweeps,
+      s"ritzEvery must be in [1, maxSweeps], got $ritzEvery")
     val mb = collectMean(vecs, vecCol)
     require(mb.n >= 2, s"need at least 2 vectors, got ${mb.n}")
     val d = mb.sum.length

@@ -581,6 +581,43 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
       "--out_ids", in)) == 2)
 
+    // --vocab_file pins ids across corpora (the portability contract):
+    // corpus B contains a char corpus A never saw ('z') — without the
+    // pin B's alphabet would shift every id; with it, known tokens
+    // keep A's ids and unknown tokens emit -1 (UNK)
+    val inB = tmp() + "/docsB"
+    Seq((9L, "s0", "abz")).toDF("doc_id", "source", "text")
+      .write.parquet(inB)
+    val idsB = tmp() + "/idsB"
+    assert(Cli.run(spark, Seq("tokenize", "--in", inB,
+      "--merges_file", mergesFile, "--vocab_file", vocabF,
+      "--out_ids", idsB)) == 0)
+    val vocabIdsA = vocabLines.map { l =>
+      val Array(id, tok) = l.split("\t"); tok -> id.toLong }.toMap
+    val seqB = spark.read.parquet(idsB)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[Long]]("token_ids").toList).toMap
+    // tokenize "abz" under A's merges, map through A's vocab, z -> -1
+    val docsB = spark.read.parquet(inB)
+    val wordsB = graft.functions.Bpe.wordFreq(docsB, "text")
+    val toksB = graft.functions.Bpe.tokenizeVocabTokens(wordsB, want)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val expB = toksB("abz").map(t => vocabIdsA.getOrElse(t, -1L)).toList
+    assert(seqB == Map(9L -> expB), s"got $seqB want $expB")
+    assert(expB.contains(-1L), "fixture must exercise the UNK path")
+    // malformed / duplicate vocab files fail loudly
+    val badV = tmp() + "/badv.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(badV), "junk\n")
+    assert(Cli.run(spark, Seq("tokenize", "--in", inB,
+      "--merges_file", mergesFile, "--vocab_file", badV,
+      "--out_ids", tmp() + "/xx")) == 2)
+    val dupV = tmp() + "/dupv.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dupV),
+      "0\ta\n1\ta\n")
+    assert(Cli.run(spark, Seq("tokenize", "--in", inB,
+      "--merges_file", mergesFile, "--vocab_file", dupV,
+      "--out_ids", tmp() + "/yy")) == 2)
+
     // guards: both/neither merge sources, bad count, malformed TSV,
     // overlapping --out
     assert(Cli.run(spark, Seq("tokenize", "--in", in)) == 2)
