@@ -327,7 +327,8 @@ object Cli {
         |                         command fails loud on a mismatched pair)""".stripMargin
     case "tokenize" =>
       """usage: graft tokenize --in PARQUET_DIR (--merges N | --merges_file FILE)
-        |                      [--out_merges FILE] [--out PARQUET_DIR]
+        |                      [--min_freq N] [--out_merges FILE]
+        |                      [--out PARQUET_DIR]
         |                      [--out_ids PARQUET_DIR] [--out_vocab FILE]
         |                      [--vocab_file FILE] [--stats]
         |                      [--id_column doc_id] [--text_column text]
@@ -344,6 +345,14 @@ object Cli {
         |
         |  --in PARQUET_DIR    input document table
         |  --merges N          learn N merges from --in
+        |  --min_freq N        drop words seen fewer than N times BEFORE
+        |                      learning (SentencePiece/HF min_frequency:
+        |                      by definition the merges are those of the
+        |                      pruned table — the standard recipe for
+        |                      noisy web-scale vocabularies, and what
+        |                      pulls a 10^8-distinct-word tail under the
+        |                      driver trainer's cap). Learning only;
+        |                      token counts/ids still cover every word
         |  --merges_file FILE  load a learned merge table instead
         |  --out_merges FILE   write the merge table as TSV
         |  --out PARQUET_DIR   write per-doc token counts
@@ -354,7 +363,10 @@ object Cli {
         |                      token_ids array<bigint>, document order)
         |  --out_vocab FILE    write the id vocabulary as TSV
         |                      (token_id<TAB>token: base alphabet in
-        |                      binary order, then one id per merge rank)
+        |                      binary order, then one id per merge rank;
+        |                      with --vocab_file set this re-emits the
+        |                      PINNED table — the ids --out_ids actually
+        |                      used — never a divergent derived one)
         |  --vocab_file FILE   PIN the id vocabulary for --out_ids from a
         |                      previously written --out_vocab TSV — ids
         |                      derived without it depend on THIS corpus's
@@ -1229,7 +1241,23 @@ object Cli {
     }
     parsed.zip(lines).find(_._1.isEmpty) match {
       case Some((_, bad)) => Left(s"malformed merges line: $bad")
-      case None => Right(parsed.flatten.sortBy(_.rank))
+      case None =>
+        val rows = parsed.flatten
+        // ranks must be positive and UNIQUE: the fast kernel dedupes
+        // candidates by rank (a TreeMap keyed on it), so two merges at
+        // one rank would silently drop one there while the replace
+        // tower applied both — reject the file instead of diverging
+        rows.find(_.rank < 1) match {
+          case Some(m) => Left(s"non-positive merge rank: ${m.rank}")
+          case None =>
+            val dup = rows.groupBy(_.rank).collectFirst {
+              case (rk, ms) if ms.size > 1 => rk
+            }
+            dup match {
+              case Some(rk) => Left(s"duplicate merge rank: $rk")
+              case None => Right(rows.sortBy(_.rank))
+            }
+        }
     }
   }
 
@@ -1255,7 +1283,15 @@ object Cli {
         }
         dup match {
           case Some(t) => Left(s"duplicate token in vocab: $t")
-          case None => Right(rows)
+          case None =>
+            // ids must be non-negative: −1 is the reserved UNK
+            // sentinel in --out_ids output, so a pinned vocab carrying
+            // it (or any negative id) would be indistinguishable from
+            // unknown tokens downstream
+            rows.find(_._2 < 0L) match {
+              case Some((t, id)) => Left(s"negative token_id $id for token: $t")
+              case None => Right(rows)
+            }
         }
     }
   }
@@ -1290,6 +1326,21 @@ object Cli {
       System.err.println("tokenize: --merges must be a non-negative integer")
       return 2
     }
+    // --min_freq prunes the word table before LEARNING only (the
+    // SentencePiece/HF min_frequency recipe — see Bpe.learn); a loaded
+    // table was learned elsewhere, so combining them is a usage error
+    val minFreq: Long = a.flags.get("min_freq") match {
+      case None => 1L
+      case Some(v) =>
+        val p = v.toLongOption
+        if (p.forall(_ < 1) || haveLoad) {
+          System.err.println(if (haveLoad)
+            "tokenize: --min_freq applies to learning (--merges N), not --merges_file"
+          else "tokenize: --min_freq must be a positive integer")
+          return 2
+        }
+        p.get
+    }
     val idCol = a.flags.getOrElse("id_column", "doc_id")
     val textCol = a.flags.getOrElse("text_column", "text")
     val docs = spark.read.parquet(a.flags("in"))
@@ -1299,7 +1350,9 @@ object Cli {
     val words = graft.functions.Bpe.wordFreq(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges: Seq[graft.functions.Bpe.Merge] =
-      if (haveLearn) graft.functions.Bpe.learn(words, a.flags("merges").toInt)
+      if (haveLearn)
+        graft.functions.Bpe.learn(words, a.flags("merges").toInt,
+          minFreq = minFreq)
       else readMergesTsv(a.flags("merges_file")) match {
         case Left(err) => System.err.println(s"tokenize: $err"); return 2
         case Right(m) => m
@@ -1317,15 +1370,17 @@ object Cli {
     // a pinned --vocab_file makes emitted ids portable across corpora
     // (ship it with the merges file; unknown tokens emit -1 = UNK);
     // without it ids derive from THIS corpus's alphabet
-    val pinned: Option[org.apache.spark.sql.DataFrame] =
+    val pinnedRows: Option[Seq[(String, Long)]] =
       a.flags.get("vocab_file").map { f =>
         readVocabTsv(f) match {
           case Left(err) => System.err.println(s"tokenize: $err"); return 2
-          case Right(rows) =>
-            import spark.implicits._
-            rows.toDF("token", "token_id")
+          case Right(rows) => rows
         }
       }
+    val pinned: Option[org.apache.spark.sql.DataFrame] = pinnedRows.map { rows =>
+      import spark.implicits._
+      rows.toDF("token", "token_id")
+    }
     // derived id table computed ONCE, shared by --out_ids and --out_vocab
     lazy val derivedIds = graft.functions.Bpe.vocabIds(words, merges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1337,9 +1392,16 @@ object Cli {
         .write.mode("overwrite").parquet(out)
     }
     a.flags.get("out_vocab").foreach { f =>
-      val rows = derivedIds
-        .orderBy("token_id").collect() // vocab-sized: alphabet + merges
-        .map(r => s"${r.getLong(1)}\t${r.getString(0)}")
+      // with a pinned --vocab_file the PINNED table is what --out_ids
+      // encoded against, so that is what ships — writing the
+      // corpus-derived table here would pair two artifacts with
+      // inconsistent id spaces
+      val rows = pinnedRows match {
+        case Some(p) => p.sortBy(_._2).map { case (t, id) => s"$id\t$t" }
+        case None => derivedIds
+          .orderBy("token_id").collect() // vocab-sized: alphabet + merges
+          .map(r => s"${r.getLong(1)}\t${r.getString(0)}").toSeq
+      }
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
         rows.mkString("", "\n", "\n"))
     }

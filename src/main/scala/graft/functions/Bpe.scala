@@ -81,6 +81,51 @@ object Bpe {
     * symbols joined, and the pair's weighted frequency at learn time. */
   final case class Merge(rank: Int, left: String, right: String, freq: Long)
 
+  /** Code-point (≡ UTF-8 byte) string comparison — the ONE tie-break
+    * collation of the whole trainer. UTF-8 byte-wise lexicographic
+    * order preserves code-point order by construction, and Spark's
+    * UTF8String / DuckDB's default collation both compare raw UTF-8
+    * bytes, so the driver loops MUST compare code points, not UTF-16
+    * units: Java `String.compareTo` inverts U+E000–U+FFFF against
+    * supplementary characters (their UTF-16 form leads with a 0xD800
+    * surrogate), which would let the adaptive route choice (driver
+    * heap size) change learned merges on exact count ties. */
+  private[functions] def utf8Compare(a: String, b: String): Int = {
+    val la = a.length
+    val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(la, lb)
+  }
+
+  /** Split a word into single-CODE-POINT symbol strings. The driver
+    * trainers must NOT use `String.split("")` here: Java's regex split
+    * cuts BETWEEN UTF-16 units, splitting a supplementary character
+    * into two lone surrogates, while Spark's in-engine `split(w, '')`
+    * (and the wrapped-string encoding the distributed loop and every
+    * oracle run on) yields whole code points — the two would learn
+    * different symbol ALPHABETS from the same corpus. (Verified
+    * in-engine: split('𐀀x', '') = ['𐀀', 'x'], 2 parts; Java 17
+    * "𐀀x".split("") = 3.) */
+  private[functions] def splitChars(w: String): Array[String] = {
+    val n = w.length
+    val out = new Array[String](w.codePointCount(0, n))
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val c = Character.charCount(w.codePointAt(i))
+      out(k) = w.substring(i, i + c)
+      k += 1
+      i += c
+    }
+    out
+  }
+
   /** Corpus → (word, freq): THE corpus-scale pass (one exchange, with
     * map-side partial counts). Whitespace pre-tokenization; empty and
     * SEP-containing words are dropped on both the Spark and oracle
@@ -305,25 +350,48 @@ object Bpe {
     * `checkpointEvery` merges to stop lineage/recompute growing
     * quadratically in numMerges). Both paths implement the identical
     * canonical-BPE semantics and tie-breaks; BpeSpec pins them equal
-    * on the same input. */
+    * on the same input.
+    *
+    * `minFreq` > 1 prunes words rarer than the threshold BEFORE the
+    * loop — the standard SentencePiece/HuggingFace `min_frequency`
+    * recipe for 100 TB-class corpora, whose noisy 10⁸⁺-distinct-word
+    * tails (typos, hashes, URLs) would otherwise exceed any driver
+    * cap while contributing nothing a merge would ever win on. By
+    * definition it learns the merges OF THE PRUNED TABLE (identical
+    * to calling learn on a pre-filtered table — spec-pinned), not an
+    * approximation of the unpruned train; encode paths should still
+    * tokenize the FULL vocabulary with the learned merges. */
   def learn(words: DataFrame, numMerges: Int,
-      collectCap: Long = 20000000L, checkpointEvery: Int = 16): Seq[Merge] = {
+      collectCap: Long = 20000000L, checkpointEvery: Int = 16,
+      minFreq: Long = 1L): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     if (numMerges == 0) return Seq.empty
-    val n = words.count()
-    // heap-headroom guard: the driver trainer's working set is a few
-    // hundred bytes per distinct word (interned symbol arrays, pair
-    // counts, the occurrence index, transient heap snapshots — the
-    // 15.65M-word probe ran comfortably in a 48 GiB heap); a 20M-word
-    // vocab under the default 8 GiB driver must fall back to the
-    // distributed loop instead of OOMing mid-train. The route choice
-    // never changes RESULTS (both paths are spec-pinned merge-for-merge
-    // equal) — only where the loop runs.
-    val needBytes = n * 300L
+    val pruned =
+      if (minFreq > 1L) words.filter(col("freq") >= minFreq) else words
+    // heap-headroom guard, LENGTH-AWARE: the driver trainer's working
+    // set scales with symbols, not just words — per word ~24 bytes per
+    // symbol (array slot + occurrence-index int + pair-count/heap share)
+    // plus ~120 bytes fixed (headers, freq, map entries). A flat
+    // per-word estimate under-counts corpora with long words
+    // (unsegmented CJK, URLs-as-words) by an order of magnitude; one
+    // cheap (count, avg length) aggregation prices them honestly. At
+    // the calibration point (15.65M words, ~7-char averages ≈ 290
+    // B/word) this reproduces the r14 probe's measured footprint in a
+    // 48 GiB heap. A vocab past the budget under the default 8 GiB
+    // driver falls back to the distributed loop instead of OOMing
+    // mid-train. The route choice never changes RESULTS (both paths
+    // are spec-pinned merge-for-merge equal) — only where the loop runs.
+    val statsRow = pruned
+      .agg(count(lit(1)), avg(length(col("word")))).head()
+    val n = statsRow.getLong(0)
+    if (n == 0L) return Seq.empty
+    val avgLen = statsRow.getDouble(1)
+    val needBytes = (n * (120.0 + 24.0 * avgLen)).toLong
     val headroom = Runtime.getRuntime.maxMemory / 2
     if (n <= collectCap && needBytes <= headroom) {
       import scala.jdk.CollectionConverters._
-      val it = words.select(col("word"), col("freq").cast("long"))
+      val it = pruned.select(col("word"), col("freq").cast("long"))
         .toLocalIterator().asScala
         .map(r => (r.getString(0), r.getLong(1)))
       learnIncremental(it, numMerges)
@@ -332,8 +400,8 @@ object Bpe {
         System.err.println(f"[bpe] $n distinct words need ~${needBytes / 1e9}%.1f GB " +
           f"of driver heap (max ${Runtime.getRuntime.maxMemory / 1e9}%.1f GB) — " +
           "routing to the distributed merge loop; raise driver memory for " +
-          "the fast incremental trainer")
-      learnDistributed(words, numMerges, checkpointEvery)
+          "the fast incremental trainer (or prune the tail with minFreq)")
+      learnDistributed(pruned, numMerges, checkpointEvery)
     }
   }
 
@@ -351,7 +419,7 @@ object Bpe {
   private[functions] def learnRecount(wf: Array[(String, Long)],
       numMerges: Int): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
-      wf.map { case (w, f) => (w.split("").filter(_.nonEmpty), f) }
+      wf.map { case (w, f) => (splitChars(w), f) }
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -367,7 +435,19 @@ object Bpe {
       }
       if (pc.isEmpty) done = true
       else {
-        val ((l, r), cnt) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+        // argmax with (count DESC, left, right ASC by CODE POINT) —
+        // utf8Compare, not tuple/String order (see its scaladoc)
+        var bl: String = null
+        var br: String = null
+        var bc = 0L
+        pc.foreach { case ((l, r), c) =>
+          val better = bl == null || c > bc || (c == bc && {
+            val x = utf8Compare(l, bl)
+            x < 0 || (x == 0 && utf8Compare(r, br) < 0)
+          })
+          if (better) { bl = l; br = r; bc = c }
+        }
+        val (l, r, cnt) = (bl, br, bc)
         merges += Merge(rank, l, r, cnt)
         words = words.map { case (syms, f) =>
           if (syms.length < 2) (syms, f)
@@ -433,7 +513,7 @@ object Bpe {
     // load + initial counts/index (one pass; where deduped per word)
     val seenInWord = new scala.collection.mutable.HashSet[Pair]
     wf.foreach { case (w, f) =>
-      val syms = w.split("").filter(_.nonEmpty)
+      val syms = splitChars(w)
       var i = 0
       while (i < syms.length) { syms(i) = in(syms(i)); i += 1 }
       val idx = wordsB.length
@@ -452,15 +532,17 @@ object Bpe {
     val words = wordsB.toArray
     val freqs = freqsB.toArray
     // max-heap by (count ASC→max, l DESC→min, r DESC→min): dequeue
-    // yields highest count, smallest (l, r) — the exact minBy((-c,a,b))
-    // tie-break of the recount loop
+    // yields highest count, smallest (l, r) — the recount loop's exact
+    // argmax, with (l, r) compared by CODE POINT (utf8Compare) so the
+    // driver trainers tie-break identically to the in-engine
+    // UTF8String binary order of learnDistributed
     val ord = new Ordering[(Long, String, String)] {
       def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
         val c = java.lang.Long.compare(a._1, b._1)
         if (c != 0) c
         else {
-          val l = b._2.compareTo(a._2)
-          if (l != 0) l else b._3.compareTo(a._3)
+          val l = utf8Compare(b._2, a._2)
+          if (l != 0) l else utf8Compare(b._3, a._3)
         }
       }
     }

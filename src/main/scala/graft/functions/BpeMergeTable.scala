@@ -96,7 +96,7 @@ final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
       }
       i += 1
     }
-    var syms = word.split("").filter(_.nonEmpty)
+    var syms = Bpe.splitChars(word)
     if (cands != null) {
       val it = cands.values().iterator()
       while (it.hasNext && syms.length > 1) {

@@ -632,6 +632,71 @@ class CliSpec extends SparkSpec {
       "--out", in)) == 2)
   }
 
+  test("tokenize: rank validation, pinned out_vocab, min_freq (r14 advice)") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    Seq((1L, "s0", "abab abc aaa"), (2L, "s0", "abab b cab"),
+      (3L, "s1", "xa bx xabx abab"))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+
+    // duplicate merge RANKS fail loudly: the fast kernel dedupes
+    // candidates by rank, so accepting the file would silently drop a
+    // merge there while the replace tower applied both
+    val dupRank = tmp() + "/dup_rank.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dupRank),
+      "1\ta\tb\t9\n1\tb\tc\t8\n")
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", dupRank, "--out", tmp() + "/d1")) == 2)
+    val zeroRank = tmp() + "/zero_rank.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(zeroRank),
+      "0\ta\tb\t9\n")
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", zeroRank, "--out", tmp() + "/d2")) == 2)
+
+    // a pinned vocab with a NEGATIVE id is rejected (-1 is the UNK
+    // sentinel in --out_ids output — a pinned -1 would be ambiguous)
+    val mergesFile = tmp() + "/m.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out_merges", mergesFile)) == 0)
+    val negV = tmp() + "/negv.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(negV),
+      "-1\ta\n0\tb\n")
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", mergesFile, "--vocab_file", negV,
+      "--out_ids", tmp() + "/n1")) == 2)
+
+    // --out_vocab alongside --vocab_file re-emits the PINNED table (the
+    // id space --out_ids actually used), not the corpus-derived one
+    val pinV = tmp() + "/pin.tsv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(pinV),
+      "7\ta\n9\tb\n12\tab\n")
+    val outV = tmp() + "/outv.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", mergesFile, "--vocab_file", pinV,
+      "--out_ids", tmp() + "/ids_pin", "--out_vocab", outV)) == 0)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(outV))
+      == "7\ta\n9\tb\n12\tab\n")
+
+    // --min_freq: learned merges equal the library's pruned learn;
+    // misuse (with --merges_file, or non-positive) exits 2
+    val mfFile = tmp() + "/mf.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "3",
+      "--min_freq", "2", "--out_merges", mfFile)) == 0)
+    val docs = spark.read.parquet(in)
+    val words = graft.functions.Bpe.wordFreq(docs, "text")
+    val want = graft.functions.Bpe.learn(words, 3, minFreq = 2L)
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(mfFile)).trim.split("\n").toSeq
+    assert(lines == want.map(m => s"${m.rank}\t${m.left}\t${m.right}\t${m.freq}"))
+    assert(Cli.run(spark, Seq("tokenize", "--in", in,
+      "--merges_file", mergesFile, "--min_freq", "2",
+      "--out", tmp() + "/mf2")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "3",
+      "--min_freq", "0")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "3",
+      "--min_freq", "nope")) == 2)
+  }
+
   test("pca: fit/project, model-file round trip, rotate_pq, usage errors") {
     import spark.implicits._
     val in = tmp() + "/vecs"

@@ -134,6 +134,43 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tie-breaks compare code points, not UTF-16 units (all three loops)") {
+    // U+E000 (private use, one UTF-16 unit 0xE000) vs U+10000 (two
+    // units, leading 0xD800): Java String.compareTo orders the
+    // supplementary char FIRST (0xD800 < 0xE000), UTF-8 byte / code
+    // point order the other way (E000 < 10000) — engineer an exact
+    // count tie between (U+10000, x) and (U+E000, x) and require every
+    // path to pick U+E000, the engine/DuckDB collation. This also
+    // covers the symbol-split contract: Bpe.splitChars must keep the
+    // supplementary char WHOLE (Java split("") would cut it into two
+    // lone surrogates and learn a different alphabet than the engine)
+    val hi = new String(Character.toChars(0x10000))
+    val lo = ""
+    assert(lo.compareTo(hi) > 0) // UTF-16 order would pick hi first
+    assert(Bpe.utf8Compare(lo, hi) < 0) // code-point order picks lo
+    val wf = Map(s"${hi}x" -> 5L, s"${lo}x" -> 5L)
+    val inc = Bpe.learnIncremental(wf.iterator, 1)
+    val rec = Bpe.learnRecount(wf.toArray, 1)
+    assert(inc == rec)
+    assert(inc.head.left == lo, s"expected U+E000 first, got ${inc.head}")
+    import spark.implicits._
+    val dist = Bpe.learn(wf.toSeq.toDF("word", "freq"), 1, collectCap = 0L)
+    assert(dist == inc, "driver and distributed tie-breaks diverged")
+  }
+
+  test("learn minFreq: identical to learning on a pre-pruned table") {
+    // the SentencePiece/HF min_frequency contract — pruning is part of
+    // the INPUT definition, not an approximation knob
+    val pruned = Bpe.learn(wordsDf, 6, minFreq = 30L)
+    val manual = Bpe.learn(wordsDf.filter(col("freq") >= 30), 6)
+    assert(pruned == manual)
+    assert(pruned != Bpe.learn(wordsDf, 6),
+      "the engineered corpus must actually change under the prune")
+    // threshold 1 is the identity; the distributed route prunes too
+    assert(Bpe.learn(wordsDf, 6, minFreq = 1L) == Bpe.learn(wordsDf, 6))
+    assert(Bpe.learn(wordsDf, 6, collectCap = 0L, minFreq = 30L) == pruned)
+  }
+
   test("fast tokenizer kernel equals the column form (learned merges)") {
     // BpeMergeTable.tokenize (candidate-prefilter merge loop) vs the
     // nested-replace column tower, token-for-token on the full vocab
