@@ -360,7 +360,10 @@ object Cli {
         |  --out_ids PARQUET_DIR
         |                      write per-doc token-ID sequences — the
         |                      trainer input (id, n_tokens,
-        |                      token_ids array<bigint>, document order)
+        |                      token_ids array<bigint>, document order;
+        |                      map-only kernel, no vocab join — every
+        |                      input doc gets a row, token-less ones an
+        |                      empty sequence)
         |  --out_vocab FILE    write the id vocabulary as TSV
         |                      (token_id<TAB>token: base alphabet in
         |                      binary order, then one id per merge rank;
@@ -1377,18 +1380,19 @@ object Cli {
           case Right(rows) => rows
         }
       }
-    val pinned: Option[org.apache.spark.sql.DataFrame] = pinnedRows.map { rows =>
-      import spark.implicits._
-      rows.toDF("token", "token_id")
-    }
     // derived id table computed ONCE, shared by --out_ids and --out_vocab
     lazy val derivedIds = graft.functions.Bpe.vocabIds(words, merges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     a.flags.get("out_ids").foreach { out =>
-      val ids = pinned.getOrElse(derivedIds)
+      // the MAP-ONLY kernel route (BpeDocTokenIds): no corpus join, no
+      // vocab broadcast — the ids ride the plan as the constant-sized
+      // (alphabet + merges) table; a pinned vocab is already in hand,
+      // a derived one collects its alphabet+merges rows (driver-sized
+      // by construction, never corpus-vocabulary-sized)
+      val idRows: Seq[(String, Long)] = pinnedRows.getOrElse(
+        derivedIds.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
       graft.functions.Bpe
-        .docTokenIds(docs, textCol, Seq(idCol), merges, words,
-          pinnedIds = Some(ids))
+        .docTokenIdsFast(docs, textCol, Seq(idCol), merges, idRows)
         .write.mode("overwrite").parquet(out)
     }
     a.flags.get("out_vocab").foreach { f =>
@@ -1414,7 +1418,7 @@ object Cli {
       a.flags.get("out_merges").map(f => s"merges -> $f"),
       a.flags.get("out").map(o => s"token counts -> $o"),
       a.flags.get("out_ids").map(o =>
-        s"token ids${if (pinned.isDefined) " (pinned vocab)" else ""} -> $o"),
+        s"token ids${if (pinnedRows.isDefined) " (pinned vocab)" else ""} -> $o"),
       a.flags.get("out_vocab").map(f => s"vocab -> $f")).flatten
     println(s"tokenize: $action ${merges.size} merges$stats" +
       (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))

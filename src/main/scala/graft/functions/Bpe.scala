@@ -300,19 +300,40 @@ object Bpe {
           "s -> s.token_id)").as("token_ids"))
   }
 
+  /** Distinct-word count above which the tokenized vocab must NOT be
+    * hint-forced as a broadcast in the join forms: 1M words at ~100
+    * bytes of (word, toks) row is ~100 MB materialized per executor —
+    * the edge of sane; the r14-probed production vocab (15.65M words)
+    * would be multi-GB. Above the cap the join runs as a plain
+    * shuffle join (the honest distributed shape for a genuinely big
+    * build side) — and the RIGHT production route is the join-free
+    * kernel ([[docTokenIdsFast]]), which this cap exists to make the
+    * obvious choice. */
+  final val VocabBroadcastCap = 1L << 20
+
+  /** True when the word table is small enough to force-broadcast —
+    * ONE cheap limit-probe job (the scan stops at cap+1 rows), never
+    * a full count of a 10⁸-row vocabulary. */
+  private def vocabFits(words: DataFrame): Boolean =
+    words.limit((VocabBroadcastCap + 1).toInt).count() <= VocabBroadcastCap
+
   /** The long form behind [[docTokenIds]] (and the q_bpe_token_ids
     * oracle): one row per (doc, word_pos, tok_pos) with its token_id.
     * With `pinnedIds` the join goes LEFT and unknown tokens coalesce
     * to −1 (see [[docTokenIds]]); the derived-vocab path keeps the
-    * inner join — every token is in its own vocab by construction. */
+    * inner join — every token is in its own vocab by construction.
+    * The corpus⋈vocab join is broadcast only below
+    * [[VocabBroadcastCap]] (size-routed — see its doc); the id table
+    * is alphabet+merges-sized and always broadcasts. */
   def docTokenIdsLong(docs: DataFrame, textCol: String, keyCols: Seq[String],
       merges: Seq[Merge], words: DataFrame,
       pinnedIds: Option[DataFrame] = None): DataFrame = {
-    val vocab = tokenizeVocabTokens(words, merges)
+    val vocab0 = tokenizeVocabTokens(words, merges)
+    val vocab = if (vocabFits(words)) broadcast(vocab0) else vocab0
     val dw = docs.select(keyCols.map(col) :+
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("word_pos", "word")): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
-    val toks = dw.join(broadcast(vocab), Seq("word"))
+    val toks = dw.join(vocab, Seq("word"))
       .select(keyCols.map(col) :+ col("word_pos") :+
         posexplode(col("toks")).as(Seq("tok_pos", "token")): _*)
     val joined = pinnedIds match {
@@ -327,16 +348,52 @@ object Bpe {
       col("token_id")): _*)
   }
 
+  /** [[docTokenIds]]'s contract as ONE codegen'd kernel column — the
+    * PRODUCTION id-emission path: zero joins, zero corpus exchange
+    * beyond the caller's own, and the only ride-along state is the
+    * constant-sized merge table + id vocabulary
+    * ([[graft.expressions.BpeDocTokenIds]] — see its scaladoc for why
+    * this beats the join form at production vocabularies). `ids` is
+    * the (token → id) vocabulary: a pinned `--vocab_file` table, or
+    * [[vocabIds]] collected (alphabet + merges rows — driver-sized by
+    * construction, NOT corpus-vocabulary-sized). Null text yields an
+    * empty sequence (the join form simply has no rows to group). */
+  def docTokenIdsCol(text: Column, merges: Seq[Merge],
+      ids: Seq[(String, Long)]): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.expressions.BpeDocTokenIds(
+      Bridge.expression(coalesce(text, lit(""))),
+      new BpeIdTable(new BpeMergeTable(merges.toArray), ids.toArray)))
+  }
+
+  /** Map-only per-document token-ID emission (keyCols…, n_tokens,
+    * token_ids) via [[docTokenIdsCol]] — same output contract as
+    * [[docTokenIds]] for every document with ≥1 token (spec-pinned);
+    * additionally EMITS empty-sequence rows for token-less documents,
+    * which the join form drops (a trainer artifact should account for
+    * every input row). */
+  def docTokenIdsFast(docs: DataFrame, textCol: String, keyCols: Seq[String],
+      merges: Seq[Merge], ids: Seq[(String, Long)]): DataFrame =
+    docs.select(keyCols.map(col) :+
+        docTokenIdsCol(col(textCol), merges, ids).as("token_ids"): _*)
+      .select(keyCols.map(col) ++ Seq(
+        size(col("token_ids")).cast("long").as("n_tokens"),
+        col("token_ids")): _*)
+
   /** Per-document BPE token counts: explode words (map-side), probe the
     * broadcast tokenized vocab, re-aggregate by document — the corpus
-    * is scanned once and shuffled only as (doc key, partial count). */
+    * is scanned once and shuffled only as (doc key, partial count).
+    * Size-routed like [[docTokenIdsLong]]: vocabularies past
+    * [[VocabBroadcastCap]] join plain (or better, the caller uses the
+    * join-free [[docTokenCountFastCol]]). */
   def docTokenCounts(docs: DataFrame, textCol: String, keyCols: Seq[String],
       merges: Seq[Merge], words: DataFrame): DataFrame = {
-    val vocab = tokenizeVocab(words, merges)
+    val vocab0 = tokenizeVocab(words, merges)
+    val vocab = if (vocabFits(words)) broadcast(vocab0) else vocab0
     val dw = docs.select(keyCols.map(col) :+
         explode(split(trim(col(textCol)), "\\s+")).as("word"): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
-    dw.join(broadcast(vocab), Seq("word"))
+    dw.join(vocab, Seq("word"))
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
   }

@@ -28,15 +28,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * q_bpe_vocab's DuckDB replace-tower oracle re-proves it end-to-end
   * on every Verify run.
   *
+  * The candidate probe itself never allocates until it has a REAL
+  * candidate: a rolling `h·31 + c` hash (String.hashCode's recurrence,
+  * extended one char at a time per start position) is checked against
+  * an open-addressed int set of the merge concatenations' hashCodes
+  * first, so the common case — a window that is no merge — costs two
+  * array reads, and `substring` + map lookup run only on hash hits
+  * (false positives possible, false negatives not: every real key's
+  * hash is in the set, so exactness is untouched). This is what keeps
+  * the per-word cost flat when the word CACHE misses — at a
+  * production vocab (15.65M distinct words vs a heap-bounded cache)
+  * most words compute, not probe, and the r14 measurement showed the
+  * allocation-heavy probe collapsing the column form to 2 M tok/s.
+  *
   * Constant sizing (the NearestList/MatVecProject discipline): the
   * table travels to executors as a broadcast variable or plan
   * reference of ~(total merge string bytes) — a 50k-merge production
-  * table is ~2 MB, driver- and task-sized by design. The word→count
+  * table is ~2 MB, driver- and task-sized by design. The word→result
   * cache is PROCESS-WIDE, keyed by the table's CONTENT fingerprint
   * (deserialization makes a fresh instance per task on the
   * plan-reference path — an instance-owned cache would restart cold
-  * every task and never amortize), bounded by [[CacheCap]] entries per
-  * table and [[MaxSharedTables]] live tables, and thread-safe.
+  * every task and never amortize), BYTE-bounded against the process
+  * heap ([[CacheBudgetBytes]] across all live tables — a fixed entry
+  * cap priced multi-GB of boxed entries before it bound anything),
+  * capped at [[MaxSharedTables]] live tables with FIFO whole-table
+  * eviction (never a clear-all that cold-starts every hot cache in
+  * the process), and thread-safe.
   *
   * Equality/hashCode are VALUE-based (the merge array), so two
   * expressions built from the same merge table compare equal —
@@ -73,6 +90,15 @@ final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
     if (merges.isEmpty) 2
     else math.max(2, merges.map(m => m.left.length + m.right.length).max)
 
+  /** Open-addressed set of the concatenation keys' String.hashCodes —
+    * the allocation-free prefilter in front of [[byConcat]]. */
+  @transient private lazy val candHashes: IntHashSet = {
+    val s = new IntHashSet(byConcat.size())
+    val it = byConcat.keySet().iterator()
+    while (it.hasNext) s.add(it.next().hashCode)
+    s
+  }
+
   @transient private lazy val cache = sharedCache(this)
 
   /** BPE tokens of `word` — exact sequential semantics (see class doc). */
@@ -80,18 +106,25 @@ final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
     if (word.length <= 1) return Array(word)
     // candidate merges: rank → merge, deduped, rank-ascending
     var cands: java.util.TreeMap[Integer, Bpe.Merge] = null
+    val hs = candHashes
     val n = word.length
     var i = 0
     while (i < n - 1) {
       val maxJ = math.min(n, i + maxTokenLen)
+      // rolling String.hashCode of word.substring(i, j): extend by one
+      // char per step — substring/map work only on a set hit
+      var h = word.charAt(i) * 31 + word.charAt(i + 1)
       var j = i + 2
       while (j <= maxJ) {
-        val ms = byConcat.get(word.substring(i, j))
-        if (ms != null) {
-          if (cands == null) cands = new java.util.TreeMap[Integer, Bpe.Merge]()
-          var k = 0
-          while (k < ms.length) { cands.put(ms(k).rank, ms(k)); k += 1 }
+        if (hs.contains(h)) {
+          val ms = byConcat.get(word.substring(i, j))
+          if (ms != null) {
+            if (cands == null) cands = new java.util.TreeMap[Integer, Bpe.Merge]()
+            var k = 0
+            while (k < ms.length) { cands.put(ms(k).rank, ms(k)); k += 1 }
+          }
         }
+        if (j < n) h = h * 31 + word.charAt(j)
         j += 1
       }
       i += 1
@@ -108,12 +141,12 @@ final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
     syms
   }
 
-  /** Token count of one word, memoized per table instance. */
+  /** Token count of one word, memoized per table (byte-bounded). */
   def tokenCount(word: String): Int = {
-    val hit = cache.get(word)
-    if (hit != null) return hit.intValue()
+    val hit = cache.map.get(word)
+    if (hit != null) return hit.asInstanceOf[Integer].intValue()
     val c = tokenize(word).length
-    if (cache.size() < CacheCap) cache.put(word, Integer.valueOf(c))
+    cache.maybePut(word, Integer.valueOf(c), word.length * 2L + 80L)
     c
   }
 
@@ -152,37 +185,105 @@ final class BpeMergeTable(val merges: Array[Bpe.Merge]) extends Serializable {
 }
 
 object BpeMergeTable {
-  /** Word→count cache bound: 4M entries ≈ a full production vocab;
-    * past it the kernel degrades to compute-per-word, never OOM. */
-  final val CacheCap = 1 << 22
+  /** Process-wide byte budget across ALL word-result caches, sized to
+    * the heap: an eighth of max memory, floored at 256 MB so small
+    * test JVMs still amortize, capped at 16 GB so a huge executor
+    * doesn't dedicate half its heap to memo entries. Entry costs are
+    * ESTIMATES (chars + headers + map-node overhead) — the bound is a
+    * pressure valve, not an accountant; past it the kernel degrades
+    * to compute-per-word (cheap post-prefilter), never OOM. */
+  final val CacheBudgetBytes: Long = math.min(16L << 30,
+    math.max(256L << 20, Runtime.getRuntime.maxMemory / 8))
 
   /** Live shared-cache bound: distinct merge TABLES in flight in one
     * executor process — more than a handful means a misuse (a table
-    * per micro-batch, say); evict everything and start over rather
-    * than leak. */
+    * per micro-batch, say). Past it the OLDEST-registered table's
+    * cache is evicted (FIFO), never the whole map: a clear-all would
+    * cold-start every hot cache in the process on the 9th table. */
   final val MaxSharedTables = 8
 
-  private val shared =
-    new java.util.concurrent.ConcurrentHashMap[BpeMergeTable,
-      java.util.concurrent.ConcurrentHashMap[String, Integer]]()
+  /** One table's memo: word → result (Integer counts for
+    * [[BpeMergeTable]], long[] id rows for [[BpeIdTable]]), with its
+    * share of the process byte budget tracked approximately. The
+    * admission check races benignly: a handful of concurrent inserts
+    * can overshoot by one entry per thread, nothing cumulative. */
+  private[functions] final class TableCache {
+    val map = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    def maybePut(word: String, value: AnyRef, cost: Long): Unit =
+      if (totalBytes.get() + cost <= CacheBudgetBytes &&
+          map.putIfAbsent(word, value) == null) {
+        bytes.addAndGet(cost)
+        totalBytes.addAndGet(cost)
+      }
+  }
 
-  /** The process-wide word→count cache for a table, keyed by the
-    * table's VALUE (BpeMergeTable equality compares the merge arrays,
-    * so a hash collision between two different tables still resolves
-    * to two distinct caches — never shared counts). */
-  private def sharedCache(t: BpeMergeTable)
-      : java.util.concurrent.ConcurrentHashMap[String, Integer] = {
+  private val shared =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, TableCache]()
+  private val fifo = new java.util.concurrent.ConcurrentLinkedQueue[AnyRef]()
+  private val totalBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The process-wide word→result cache for a table, keyed by the
+    * table's VALUE (BpeMergeTable/BpeIdTable equality compares
+    * contents, so a hash collision between two different tables still
+    * resolves to two distinct caches — never shared results). */
+  private[functions] def sharedCache(t: AnyRef): TableCache = {
     val hit = shared.get(t)
     if (hit != null) return hit
-    if (shared.size() >= MaxSharedTables) shared.clear()
-    val fresh = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    var guard = 0
+    while (shared.size() >= MaxSharedTables && guard < MaxSharedTables * 2) {
+      val oldest = fifo.poll()
+      if (oldest != null) {
+        val evicted = shared.remove(oldest)
+        if (evicted != null) totalBytes.addAndGet(-evicted.bytes.get())
+      }
+      guard += 1
+    }
+    val fresh = new TableCache
     val prev = shared.putIfAbsent(t, fresh)
-    if (prev != null) prev else fresh
+    if (prev != null) prev
+    else {
+      fifo.add(t)
+      fresh
+    }
   }
 
   /** Java-regex `\s` bytes (see TokenHashUtil). */
-  private def isSep(b: Byte): Boolean =
+  private[functions] def isSep(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** Minimal open-addressed int set (linear probe, power-of-2 capacity
+    * ≥ 2× elements, Fibonacci smear — short-string hashCodes cluster
+    * in the low bits). No boxing on the tokenize hot path; membership
+    * is two array reads in the common miss case. */
+  private[functions] final class IntHashSet(nKeys: Int) {
+    private val cap = {
+      var c = 16
+      while (c < nKeys * 2 + 2 && c > 0) c <<= 1
+      c
+    }
+    private val mask = cap - 1
+    private val slots = new Array[Int](cap)
+    private val used = new Array[Boolean](cap)
+    private def smear(v: Int): Int = {
+      val h = v * 0x9E3779B9
+      h ^ (h >>> 16)
+    }
+    def add(v: Int): Unit = {
+      var i = smear(v) & mask
+      while (used(i) && slots(i) != v) i = (i + 1) & mask
+      slots(i) = v
+      used(i) = true
+    }
+    def contains(v: Int): Boolean = {
+      var i = smear(v) & mask
+      while (used(i)) {
+        if (slots(i) == v) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
 
   private[functions] def containsPair(
       syms: Array[String], l: String, r: String): Boolean = {

@@ -247,6 +247,78 @@ class BpeSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("docTokenIdsFast (map-only kernel) equals the join form, derived and pinned") {
+    import spark.implicits._
+    // adversarial whitespace, SEP word (skipped), multi-byte UTF-8,
+    // empty and null docs (kernel emits empty sequences; join form has
+    // no rows to group)
+    val docs = Seq(
+      (1L, "abab abc\taaa"), (2L, " \t xa bx\r\nxabx  "), (3L, "b cab"),
+      (4L, "he" + Bpe.Sep + "x abc"), (5L, ""), (6L, "héllo wörld"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.learn(words, 6)
+    val idRows = Bpe.vocabIds(words, merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fast = Bpe.docTokenIdsFast(docs, "text", Seq("doc_id"), merges, idRows)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    val join = Bpe.docTokenIds(docs, "text", Seq("doc_id"), merges, words)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2).toList))).toMap
+    join.foreach { case (id, v) => assert(fast(id) == v, s"doc $id") }
+    // every input doc present in the kernel output; token-less → empty
+    assert(fast.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(fast(5L) == ((0L, Nil)) && fast(7L) == ((0L, Nil)))
+
+    // pinned vocabulary MISSING some tokens: kernel and join form both
+    // emit -1 (UNK) at those positions, ids agree everywhere else
+    val pinnedRows = idRows.filter { case (t, _) => t != "a" && t != "ab" }
+    val pinnedDf = pinnedRows.toDF("token", "token_id")
+    val fastP = Bpe.docTokenIdsFast(docs, "text", Seq("doc_id"), merges, pinnedRows)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    val joinP = Bpe.docTokenIds(docs, "text", Seq("doc_id"), merges, words,
+        pinnedIds = Some(pinnedDf))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    joinP.foreach { case (id, v) => assert(fastP(id) == v, s"pinned doc $id") }
+    assert(fastP.values.exists(_.contains(-1L)),
+      "fixture must exercise the UNK path")
+  }
+
+  test("shared cache: byte budget admits, FIFO evicts tables (never clear-all)") {
+    // distinct single-merge tables; value-keyed caches
+    def mk(i: Int) = new BpeMergeTable(Array(Bpe.Merge(1, s"t$i", "q", 1L)))
+    val tables = (0 until BpeMergeTable.MaxSharedTables + 1).map(mk)
+    val first = BpeMergeTable.sharedCache(tables.head)
+    first.maybePut("w", Integer.valueOf(1), 10L)
+    assert(first.map.get("w") != null)
+    val second = BpeMergeTable.sharedCache(tables(1))
+    second.maybePut("w2", Integer.valueOf(2), 10L)
+    tables.drop(2).foreach(BpeMergeTable.sharedCache(_))
+    // registering table MaxSharedTables+1 evicted the OLDEST (first);
+    // the second table's cache survived with its entry — not clear-all
+    assert(BpeMergeTable.sharedCache(tables(1)) eq second)
+    assert(second.map.get("w2") != null)
+    val firstAgain = BpeMergeTable.sharedCache(tables.head)
+    assert(!(firstAgain eq first) && firstAgain.map.get("w") == null,
+      "oldest table should have been evicted")
+  }
+
+  test("IntHashSet: membership incl. zero/negative, no false negatives") {
+    val rnd = new scala.util.Random(42)
+    val keys = (Seq(0, -1, Int.MinValue, Int.MaxValue) ++
+      Seq.fill(500)(rnd.nextInt())).distinct
+    val s = new BpeMergeTable.IntHashSet(keys.size)
+    keys.foreach(s.add)
+    // the prefilter contract is NO FALSE NEGATIVES (false positives
+    // just cost a map lookup) — every inserted key must be found
+    keys.foreach(k => assert(s.contains(k), s"missing $k"))
+    // and absent keys are genuinely rejected (not a degenerate
+    // always-true set): none of these were inserted
+    val present = keys.toSet
+    val misses = (1 to 2000).map(_ => rnd.nextInt()).filterNot(present)
+    assert(misses.count(!s.contains(_)) == misses.size)
+  }
+
   test("wordFreq filters empties and separator-containing words") {
     import spark.implicits._
     val docs = Seq("  the the  cat ", "", "the dog", null)
