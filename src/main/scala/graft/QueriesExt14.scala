@@ -225,7 +225,7 @@ object QueriesExt14 {
     * posexplode is 0-based, hence the −1s at projection), and the
     * per-word token explode. `docFilter` scopes the corpus side
     * (the subset gate filters; the checksum gate runs the corpus). */
-  private def bpeIdsCtes(docFilter: String): String =
+  private[graft] def bpeIdsCtes(docFilter: String): String =
     bpeProlog(carryWord = true) + bpeMergeSteps(8, carryWord = true) +
       s""",
          |tokv AS MATERIALIZED (SELECT word, string_split(sw[2:length(sw)-1], chr(1)||chr(1)) AS toks FROM w8),

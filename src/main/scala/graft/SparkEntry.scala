@@ -328,7 +328,7 @@ object SparkEntry {
   // ------------------------------------------------------------- registry
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ QueriesExt.queries ++ QueriesExt2.queries ++ QueriesExt3.queries ++ QueriesExt4.queries ++ QueriesExt5.queries ++ QueriesExt6.queries ++ QueriesExt7.queries ++ QueriesExt8.queries ++ QueriesExt9.queries ++ QueriesExt10.queries ++ QueriesExt11.queries ++ QueriesExt12.queries ++ QueriesExt13.queries ++ QueriesExt14.queries ++ QueriesExt15.queries
+    baseQueries ++ QueriesExt.queries ++ QueriesExt2.queries ++ QueriesExt3.queries ++ QueriesExt4.queries ++ QueriesExt5.queries ++ QueriesExt6.queries ++ QueriesExt7.queries ++ QueriesExt8.queries ++ QueriesExt9.queries ++ QueriesExt10.queries ++ QueriesExt11.queries ++ QueriesExt12.queries ++ QueriesExt13.queries ++ QueriesExt14.queries ++ QueriesExt15.queries ++ QueriesExt16.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
@@ -346,7 +346,7 @@ object SparkEntry {
     "q_union_schema" -> (qUnionSchema(_, _)))
 
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql ++ QueriesExt3.oracleSql ++ QueriesExt4.oracleSql ++ QueriesExt5.oracleSql ++ QueriesExt6.oracleSql ++ QueriesExt7.oracleSql ++ QueriesExt8.oracleSql ++ QueriesExt9.oracleSql ++ QueriesExt10.oracleSql ++ QueriesExt11.oracleSql ++ QueriesExt12.oracleSql ++ QueriesExt13.oracleSql ++ QueriesExt14.oracleSql ++ QueriesExt15.oracleSql
+    baseOracleSql ++ QueriesExt.oracleSql ++ QueriesExt2.oracleSql ++ QueriesExt3.oracleSql ++ QueriesExt4.oracleSql ++ QueriesExt5.oracleSql ++ QueriesExt6.oracleSql ++ QueriesExt7.oracleSql ++ QueriesExt8.oracleSql ++ QueriesExt9.oracleSql ++ QueriesExt10.oracleSql ++ QueriesExt11.oracleSql ++ QueriesExt12.oracleSql ++ QueriesExt13.oracleSql ++ QueriesExt14.oracleSql ++ QueriesExt15.oracleSql ++ QueriesExt16.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -330,8 +330,11 @@ object Cli {
         |                      [--min_freq N] [--out_merges FILE]
         |                      [--out PARQUET_DIR]
         |                      [--out_ids PARQUET_DIR] [--out_vocab FILE]
-        |                      [--vocab_file FILE] [--stats]
+        |                      [--vocab_file FILE]
+        |                      [--out_packed PARQUET_DIR] [--seq_len N]
+        |                      [--eos_id K] [--stats]
         |                      [--id_column doc_id] [--text_column text]
+        |                      [--source_column source]
         |
         |Learn a BPE merge table from the corpus's own word statistics
         |(Sennrich-style byte-pair encoding: one corpus-scale
@@ -378,10 +381,25 @@ object Cli {
         |                      training vocab (ship it with the merges
         |                      file). Tokens outside the pinned vocab
         |                      emit id -1 (UNK), never silently drop
+        |  --out_packed PARQUET_DIR
+        |                      write PACKED training shards: per source,
+        |                      docs in id order are EOS-terminated,
+        |                      concatenated, and cut into --seq_len-id
+        |                      shards (source, shard, n_ids,
+        |                      ids array<bigint>) — docs cross shard
+        |                      boundaries, EOS markers carry them; the
+        |                      final shard of a source may be short
+        |  --seq_len N         shard length for --out_packed
+        |                      (default: 2048)
+        |  --eos_id K          doc-boundary id for --out_packed
+        |                      (default: max vocab id + 1; must not be
+        |                      -1 or collide with a vocab id)
         |  --stats             also count the distinct-word vocabulary
         |                      for the summary line (an extra job)
         |  --id_column C       id column (default: doc_id)
-        |  --text_column C     text column (default: text)""".stripMargin
+        |  --text_column C     text column (default: text)
+        |  --source_column C   source column for --out_packed's
+        |                      per-source packing (default: source)""".stripMargin
     case "pca" =>
       """usage: graft pca --in PARQUET_DIR [--k K | --rotate_pq M | --model_file FILE]
         |                 [--out PARQUET_DIR] [--out_model FILE]
@@ -1318,7 +1336,7 @@ object Cli {
     }
     // each parquet sink gets the full in/out path guard (out_ids is
     // guarded by substituting it into the "out" slot)
-    for (o <- Seq("out", "out_ids") if a.flags.contains(o)) {
+    for (o <- Seq("out", "out_ids", "out_packed") if a.flags.contains(o)) {
       inOutGuard(a.copy(flags = a.flags + ("out" -> a.flags(o))),
           "tokenize") match {
         case Some(code) => return code
@@ -1344,8 +1362,34 @@ object Cli {
         }
         p.get
     }
+    // --out_packed knobs, validated before any work: shard length and
+    // the EOS doc-boundary id (-1 is reserved for UNK; collisions with
+    // vocab ids are checked against the table actually in use below)
+    val seqLen: Int = a.flags.getOrElse("seq_len", "2048").toIntOption match {
+      case Some(v) if v >= 1 => v
+      case _ =>
+        System.err.println("tokenize: --seq_len must be a positive integer")
+        return 2
+    }
+    val eosIdOpt: Option[Long] = a.flags.get("eos_id") match {
+      case None => None
+      case Some(v) => v.toLongOption match {
+        case Some(e) if e != -1L => Some(e)
+        case _ =>
+          System.err.println(
+            "tokenize: --eos_id must be an integer other than -1 (the UNK sentinel)")
+          return 2
+      }
+    }
+    if ((a.flags.contains("seq_len") || a.flags.contains("eos_id")) &&
+        !a.flags.contains("out_packed")) {
+      System.err.println(
+        "tokenize: --seq_len/--eos_id only apply with --out_packed")
+      return 2
+    }
     val idCol = a.flags.getOrElse("id_column", "doc_id")
     val textCol = a.flags.getOrElse("text_column", "text")
+    val srcCol = a.flags.getOrElse("source_column", "source")
     val docs = spark.read.parquet(a.flags("in"))
     // every sink below re-reads the word table (learn, both vocab
     // tokenizations, the id table, --stats) — persist the ONE
@@ -1380,19 +1424,40 @@ object Cli {
           case Right(rows) => rows
         }
       }
-    // derived id table computed ONCE, shared by --out_ids and --out_vocab
+    // derived id table computed ONCE, shared by --out_ids/--out_packed
+    // and --out_vocab
     lazy val derivedIds = graft.functions.Bpe.vocabIds(words, merges)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the id rows the MAP-ONLY kernel route (BpeDocTokenIds) rides: no
+    // corpus join, no vocab broadcast — a pinned vocab is already in
+    // hand, a derived one collects its alphabet+merges rows
+    // (driver-sized by construction, never corpus-vocabulary-sized)
+    lazy val idRows: Seq[(String, Long)] = pinnedRows.getOrElse(
+      derivedIds.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     a.flags.get("out_ids").foreach { out =>
-      // the MAP-ONLY kernel route (BpeDocTokenIds): no corpus join, no
-      // vocab broadcast — the ids ride the plan as the constant-sized
-      // (alphabet + merges) table; a pinned vocab is already in hand,
-      // a derived one collects its alphabet+merges rows (driver-sized
-      // by construction, never corpus-vocabulary-sized)
-      val idRows: Seq[(String, Long)] = pinnedRows.getOrElse(
-        derivedIds.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
       graft.functions.Bpe
         .docTokenIdsFast(docs, textCol, Seq(idCol), merges, idRows)
+        .write.mode("overwrite").parquet(out)
+    }
+    a.flags.get("out_packed").foreach { out =>
+      // packed training shards: EOS defaults to (max vocab id + 1) —
+      // the next free id — and an explicit --eos_id must not collide
+      // with a real token's id or boundaries would be unrecoverable
+      val eos = eosIdOpt.getOrElse(idRows.map(_._2).max + 1L)
+      if (eosIdOpt.isDefined && idRows.exists(_._2 == eos)) {
+        System.err.println(
+          s"tokenize: --eos_id $eos collides with a vocabulary token id")
+        return 2
+      }
+      if (!docs.columns.contains(srcCol)) {
+        System.err.println(s"tokenize: --out_packed needs source column " +
+          s"'$srcCol' (set --source_column)")
+        return 2
+      }
+      val perDoc = graft.functions.Bpe
+        .docTokenIdsFast(docs, textCol, Seq(srcCol, idCol), merges, idRows)
+      graft.functions.Bpe
+        .packTokenIds(perDoc, srcCol, idCol, seqLen, eos)
         .write.mode("overwrite").parquet(out)
     }
     a.flags.get("out_vocab").foreach { f =>
@@ -1419,6 +1484,7 @@ object Cli {
       a.flags.get("out").map(o => s"token counts -> $o"),
       a.flags.get("out_ids").map(o =>
         s"token ids${if (pinnedRows.isDefined) " (pinned vocab)" else ""} -> $o"),
+      a.flags.get("out_packed").map(o => s"packed shards (seq_len=$seqLen) -> $o"),
       a.flags.get("out_vocab").map(f => s"vocab -> $f")).flatten
     println(s"tokenize: $action ${merges.size} merges$stats" +
       (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))

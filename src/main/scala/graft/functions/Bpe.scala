@@ -380,6 +380,46 @@ object Bpe {
         size(col("token_ids")).cast("long").as("n_tokens"),
         col("token_ids")): _*)
 
+  /** PACKED training shards in token IDS — the artifact a training
+    * loop memory-maps: per `srcCol` group, documents in `docCol`
+    * order have their id sequences terminated by one `eosId` marker
+    * each and concatenated into a single stream, which is cut into
+    * consecutive `seqLen`-id shards (documents CROSS shard boundaries
+    * — standard sequence packing; the EOS markers carry the doc
+    * boundaries, so a trainer can mask attention across them; the
+    * final shard of a group may be short — padding policy is the
+    * trainer's, not the data layout's).
+    *
+    * Input: the [[docTokenIdsFast]]/[[docTokenIds]] output shape
+    * (srcCol, docCol, token_ids). Output: (srcCol, shard, n_ids, ids).
+    *
+    * Shapes at scale (the q_pack precedent): ONE per-source window
+    * cumsum assigns every document its global offset — per-key
+    * windows scale independently; a single global pack order would
+    * serialize, don't — then one exchange groups ids into shards
+    * (each id shuffles once, keyed (source, shard), and the per-shard
+    * sort is seqLen-bounded list reassembly, not a global sort). */
+  def packTokenIds(perDoc: DataFrame, srcCol: String, docCol: String,
+      seqLen: Int, eosId: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(srcCol).orderBy(docCol)
+    perDoc
+      .select(col(srcCol), col(docCol),
+        concat(col("token_ids"), array(lit(eosId))).as("ids2"))
+      .withColumn("len", size(col("ids2")).cast("long"))
+      .withColumn("cum_start", sum(col("len")).over(w) - col("len"))
+      .select(col(srcCol), col("cum_start"),
+        posexplode(col("ids2")).as(Seq("p", "id")))
+      .withColumn("gpos", col("cum_start") + col("p"))
+      .withColumn("shard", expr(s"gpos div $seqLen"))
+      .withColumn("pos_in_shard", (col("gpos") % seqLen).cast("int"))
+      .groupBy(col(srcCol), col("shard"))
+      .agg(count(lit(1)).as("n_ids"),
+        expr("transform(array_sort(collect_list(struct(pos_in_shard, id))), " +
+          "s -> s.id)").as("ids"))
+  }
+
   /** Per-document BPE token counts: explode words (map-side), probe the
     * broadcast tokenized vocab, re-aggregate by document — the corpus
     * is scanned once and shuffled only as (doc key, partial count).

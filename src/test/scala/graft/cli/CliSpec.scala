@@ -697,6 +697,48 @@ class CliSpec extends SparkSpec {
       "--min_freq", "nope")) == 2)
   }
 
+  test("tokenize --out_packed: shards equal the library composition; guards") {
+    import spark.implicits._
+    val in = tmp() + "/docs"
+    Seq((1L, "s0", "abab abc aaa"), (2L, "s0", "abab b cab"),
+      (3L, "s1", "xa bx xabx abab"))
+      .toDF("doc_id", "source", "text").write.parquet(in)
+    val docs = spark.read.parquet(in)
+    val out = tmp() + "/packed"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "4",
+      "--out_packed", out, "--seq_len", "4")) == 0)
+    val words = graft.functions.Bpe.wordFreq(docs, "text")
+    val merges = graft.functions.Bpe.learn(words, 4)
+    val idRows = graft.functions.Bpe.vocabIds(words, merges)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val eos = idRows.map(_._2).max + 1L // the CLI default
+    val want = graft.functions.Bpe.packTokenIds(
+        graft.functions.Bpe.docTokenIdsFast(
+          docs, "text", Seq("source", "doc_id"), merges, idRows),
+        "source", "doc_id", 4, eos)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getSeq[Long](3).toList).toMap
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getSeq[Long](3).toList).toMap
+    assert(got == want && got.nonEmpty)
+    // every id stream ends in EOS per source; shard lengths == 4 except tails
+    assert(got.values.forall(_.size <= 4))
+    assert(got.values.flatten.toSet.contains(eos))
+    // guards: seq_len/eos_id without out_packed; eos_id = -1; collision;
+    // missing source column
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--seq_len", "8")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out_packed", tmp() + "/p1", "--eos_id", "-1")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out_packed", tmp() + "/p2", "--eos_id", "0")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out_packed", tmp() + "/p3", "--seq_len", "0")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--out_packed", tmp() + "/p4", "--source_column", "nope")) == 2)
+  }
+
   test("pca: fit/project, model-file round trip, rotate_pq, usage errors") {
     import spark.implicits._
     val in = tmp() + "/vecs"

@@ -284,6 +284,31 @@ class BpeSpec extends SparkSpec {
       "fixture must exercise the UNK path")
   }
 
+  test("packTokenIds: EOS-terminated concatenation cut into fixed shards per source") {
+    import spark.implicits._
+    val perDoc = Seq(
+      ("s0", 1L, Seq(10L, 11L, 12L)), ("s0", 2L, Seq(13L)),
+      ("s1", 3L, Seq(20L, 21L)))
+      .toDF("source", "doc_id", "token_ids")
+    val got = Bpe.packTokenIds(perDoc, "source", "doc_id",
+        seqLen = 3, eosId = -2L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getSeq[Long](3).toList))).toMap
+    // s0 stream: 10,11,12,EOS,13,EOS → [10,11,12] + [-2,13,-2]
+    // s1 stream: 20,21,EOS → one short final shard
+    assert(got == Map(
+      ("s0", 0L) -> ((3L, List(10L, 11L, 12L))),
+      ("s0", 1L) -> ((3L, List(-2L, 13L, -2L))),
+      ("s1", 0L) -> ((3L, List(20L, 21L, -2L)))))
+    // seqLen 1000: everything of a source lands in shard 0, in order
+    val one = Bpe.packTokenIds(perDoc, "source", "doc_id", 1000, -2L)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](3).toList).toMap
+    assert(one == Map(
+      "s0" -> List(10L, 11L, 12L, -2L, 13L, -2L),
+      "s1" -> List(20L, 21L, -2L)))
+  }
+
   test("shared cache: byte budget admits, FIFO evicts tables (never clear-all)") {
     // distinct single-merge tables; value-keyed caches
     def mk(i: Int) = new BpeMergeTable(Array(Bpe.Merge(1, s"t$i", "q", 1L)))
