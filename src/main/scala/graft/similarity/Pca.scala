@@ -223,10 +223,14 @@ object Pca {
   final case class MeanBuf(sum: Array[Double], ssq: Double, n: Long)
 
   /** Elementwise sum + squared-norm accumulation (same null/ragged
-    * contract as [[CovStats]]). */
-  object MeanStats extends Aggregator[Seq[Float], MeanBuf, MeanBuf] {
+    * contract as [[CovStats]]). Input is `Array[Float]`, NOT
+    * `Seq[Float]`: the primitive-array encoder deserializes with one
+    * bulk `toFloatArray` copy, where the Seq encoder boxes every
+    * element — at 3×10⁹ elements per gram-free sweep the boxing, not
+    * the arithmetic, was the measured cost. */
+  object MeanStats extends Aggregator[Array[Float], MeanBuf, MeanBuf] {
     override def zero: MeanBuf = MeanBuf(Array.empty, 0.0, 0L)
-    override def reduce(b: MeanBuf, v: Seq[Float]): MeanBuf =
+    override def reduce(b: MeanBuf, v: Array[Float]): MeanBuf =
       if (v == null || v.isEmpty) b
       else {
         val b2 = if (b.n == 0L) MeanBuf(new Array[Double](v.length), 0.0, 0L)
@@ -270,37 +274,38 @@ object Pca {
     * d² matrix ([[fitGramFree]]). Per row cost O(d·k); per task state
     * O(d·k). `q` is passed as k COLUMNS of length d. */
   final class GramStats(q: Array[Array[Double]])
-      extends Aggregator[Seq[Float], GramBuf, GramBuf] with Serializable {
+      extends Aggregator[Array[Float], GramBuf, GramBuf] with Serializable {
     private val k = q.length
     private val d = q.head.length
     override def zero: GramBuf = GramBuf(Array.empty, 0L)
-    override def reduce(b: GramBuf, v: Seq[Float]): GramBuf =
+    override def reduce(b: GramBuf, v: Array[Float]): GramBuf =
       if (v == null || v.isEmpty) b
       else {
         require(v.length == d, s"ragged vectors: ${v.length} vs $d")
         val b2 = if (b.n == 0L) GramBuf(new Array[Double](d * k), 0L) else b
-        val x = new Array[Double](d)
-        var i = 0
-        while (i < d) { x(i) = v(i).toDouble; i += 1 }
+        // primitive float reads, promoted per use — no per-row double
+        // copy (26 GB/sweep of allocation churn at n=100k, d=32768)
         val t = new Array[Double](k)
         var j = 0
+        var i = 0
         while (j < k) {
           val col = q(j)
           var acc = 0.0
           i = 0
-          while (i < d) { acc += x(i) * col(i); i += 1 }
+          while (i < d) { acc += v(i) * col(i); i += 1 }
           t(j) = acc
           j += 1
         }
+        val s = b2.s
         i = 0
         while (i < d) {
-          val xi = x(i)
+          val xi = v(i).toDouble
           val base = i * k
           j = 0
-          while (j < k) { b2.s(base + j) += xi * t(j); j += 1 }
+          while (j < k) { s(base + j) += xi * t(j); j += 1 }
           i += 1
         }
-        GramBuf(b2.s, b2.n + 1L)
+        GramBuf(s, b2.n + 1L)
       }
     override def merge(a: GramBuf, b: GramBuf): GramBuf =
       if (a.n == 0L) b
@@ -373,10 +378,25 @@ object Pca {
     * `topKEigenSubspace` — no RNG, identical basis on every run/host.
     * Exactness seams: the sweep kernel is DuckDB-gated
     * (q_pca_powerstep); the end-to-end fit is spec-pinned against the
-    * Jacobi `fit` on a planted spectrum (PcaSpec). */
+    * Jacobi `fit` on a planted spectrum (PcaSpec).
+    *
+    * Sweep-count guidance (measured, `gramfree_probe_r15.txt`): on a
+    * geometric 0.75-decay spectrum at n=100k × d=32768 the residual
+    * falls ~1.5 decades per 5 sweeps — 15 sweeps to tol=1e-5, with
+    * every recovered eigenvalue already within 1e-5 relative of the
+    * exact planted reference; wall is sweeps × one-corpus-pass
+    * (159 s/pass there on local[32]) plus a negligible O(d·k²) driver
+    * step. Convergence is gap-driven (λ_k/λ_{k+1}); budget
+    * maxSweeps ≈ 15–30 for decaying embedding spectra and use
+    * `ritzEvery=5` so the stop check itself stays off the hot path.
+    * Ops note for the wide-d scan feeding this: Spark's DEFAULT
+    * vectorized parquet batch (4096 rows) holds 4096·d·4 B of column
+    * vector PER TASK — 0.5 GB at d=32768, an OOM across 32 local
+    * threads — set `spark.sql.parquet.columnarReaderBatchSize` so
+    * batch·d·4B fits the executor (256 rows at d=32768). */
   def fitGramFree(vecs: DataFrame, vecCol: String, k: Int,
-      maxSweeps: Int = 100, tol: Double = 1e-6, ritzEvery: Int = 5)
-      : PcaModel = {
+      maxSweeps: Int = 100, tol: Double = 1e-6, ritzEvery: Int = 5,
+      verbose: Boolean = false): PcaModel = {
     require(maxSweeps >= 1, s"maxSweeps must be >= 1, got $maxSweeps")
     require(ritzEvery >= 1 && ritzEvery <= maxSweeps,
       s"ritzEvery must be in [1, maxSweeps], got $ritzEvery")
@@ -430,6 +450,10 @@ object Pca {
           res += rr * rr
           nrm += aq(c)(i) * aq(c)(i)
         }
+        if (verbose)
+          println(f"[fitGramFree] sweep ${sweep + 1}: rel subspace residual " +
+            f"${math.sqrt(res / math.max(nrm, Double.MinPositiveValue))}%.3e " +
+            f"(tol $tol%.1e)")
         if (res <= tol * tol * math.max(nrm, Double.MinPositiveValue)) {
           val (ev, y) = jacobiEigen(b)
           vals = ev
