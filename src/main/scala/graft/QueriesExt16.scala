@@ -24,6 +24,10 @@ import graft.functions.Bpe
   *    order-sensitive fingerprint: md5 of the comma-joined id string,
   *    so shard boundaries, intra-shard order, and every id must all
   *    match the oracle's window-arithmetic reconstruction.
+  *  - q_pack_shuffle: the same shards under the EPOCH-SHUFFLED
+  *    document order (`packTokenIds(shuffleSeed)`) — per-source
+  *    md5(seed:doc_id) permutation, fingerprinted shard-for-shard
+  *    against the oracle reconstructing the identical permutation.
   *
   * Both oracles extend QueriesExt14's bpeIdsCtes chain (the learned
   * 8-merge tokenizer + engine-neutral id table), adding only the flat
@@ -79,9 +83,29 @@ object QueriesExt16 {
       .orderBy("source", "shard")
   }
 
+  /** Epoch-shuffled packing (`shuffleSeed`): the same shards as
+    * q_pack_ids but with the per-source document order permuted by
+    * md5("ep1:" + doc_id) — the deterministic, engine-neutral epoch
+    * permutation a training loop re-derives per epoch. Gated with the
+    * same shard-exact fingerprints: boundaries, order, and ids under
+    * the PERMUTED layout must all match the oracle's reconstruction
+    * of the identical permutation. */
+  private def qPackShuffle(s: SparkSession, dir: String): DataFrame = {
+    val (docs, merges, idRows) = learnedIds(s, dir)
+    val perDoc = Bpe
+      .docTokenIdsFast(docs, "text", Seq("source", "doc_id"), merges, idRows)
+      .filter(col("n_tokens") > 0)
+    Bpe.packTokenIds(perDoc, "source", "doc_id", seqLen = 512, eosId = -2L,
+        shuffleSeed = Some("ep1"))
+      .select(col("source"), col("shard"), col("n_ids"),
+        md5(array_join(col("ids"), ",")).as("fp"))
+      .orderBy("source", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_ids_kernel" -> (qBpeIdsKernel(_, _)),
-    "q_pack_ids" -> (qPackIds(_, _)))
+    "q_pack_ids" -> (qPackIds(_, _)),
+    "q_pack_shuffle" -> (qPackShuffle(_, _)))
 
   /** QueriesExt14.bpeIdsCtes + the (doc, flat position, id) stream —
     * the shared tail of both oracles. */
@@ -104,6 +128,23 @@ object QueriesExt16 {
         """,
           |doff AS MATERIALIZED (SELECT doc_id, source, n,
           |    sum(n + 1) OVER (PARTITION BY source ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (n + 1) AS off
+          |  FROM (SELECT doc_id, source, count(*) AS n FROM tid GROUP BY doc_id, source)),
+          |stream AS (
+          |  SELECT t.source, d.off + t.fp1 - 1 AS gpos, t.token_id AS id
+          |  FROM tid t JOIN doff d ON t.doc_id = d.doc_id
+          |  UNION ALL
+          |  SELECT source, off + n AS gpos, -2 AS id FROM doff)
+          |SELECT source, CAST(gpos // 512 AS BIGINT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_ids,
+          |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos)) AS fp
+          |FROM stream GROUP BY source, shard ORDER BY source, shard""".stripMargin),
+    "q_pack_shuffle" ->
+      (tidCte +
+        """,
+          |doff AS MATERIALIZED (SELECT doc_id, source, n,
+          |    sum(n + 1) OVER (PARTITION BY source
+          |      ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (n + 1) AS off
           |  FROM (SELECT doc_id, source, count(*) AS n FROM tid GROUP BY doc_id, source)),
           |stream AS (

@@ -332,7 +332,7 @@ object Cli {
         |                      [--out_ids PARQUET_DIR] [--out_vocab FILE]
         |                      [--vocab_file FILE]
         |                      [--out_packed PARQUET_DIR] [--seq_len N]
-        |                      [--eos_id K] [--stats]
+        |                      [--eos_id K] [--shuffle_seed S] [--stats]
         |                      [--id_column doc_id] [--text_column text]
         |                      [--source_column source]
         |
@@ -394,6 +394,13 @@ object Cli {
         |  --eos_id K          doc-boundary id for --out_packed
         |                      (default: max vocab id + 1; must not be
         |                      -1 or collide with a vocab id)
+        |  --shuffle_seed S    epoch-shuffle --out_packed: pack each
+        |                      source's docs in md5(S:doc_id) order
+        |                      instead of id order — a deterministic
+        |                      per-epoch document permutation decided
+        |                      by the data layout (run once per epoch
+        |                      with S = "ep1", "ep2", ...; same ids,
+        |                      different shard composition)
         |  --stats             also count the distinct-word vocabulary
         |                      for the summary line (an extra job)
         |  --id_column C       id column (default: doc_id)
@@ -1381,10 +1388,10 @@ object Cli {
           return 2
       }
     }
-    if ((a.flags.contains("seq_len") || a.flags.contains("eos_id")) &&
-        !a.flags.contains("out_packed")) {
+    if ((a.flags.contains("seq_len") || a.flags.contains("eos_id") ||
+        a.flags.contains("shuffle_seed")) && !a.flags.contains("out_packed")) {
       System.err.println(
-        "tokenize: --seq_len/--eos_id only apply with --out_packed")
+        "tokenize: --seq_len/--eos_id/--shuffle_seed only apply with --out_packed")
       return 2
     }
     val idCol = a.flags.getOrElse("id_column", "doc_id")
@@ -1457,7 +1464,8 @@ object Cli {
       val perDoc = graft.functions.Bpe
         .docTokenIdsFast(docs, textCol, Seq(srcCol, idCol), merges, idRows)
       graft.functions.Bpe
-        .packTokenIds(perDoc, srcCol, idCol, seqLen, eos)
+        .packTokenIds(perDoc, srcCol, idCol, seqLen, eos,
+          shuffleSeed = a.flags.get("shuffle_seed"))
         .write.mode("overwrite").parquet(out)
     }
     a.flags.get("out_vocab").foreach { f =>
@@ -1484,7 +1492,9 @@ object Cli {
       a.flags.get("out").map(o => s"token counts -> $o"),
       a.flags.get("out_ids").map(o =>
         s"token ids${if (pinnedRows.isDefined) " (pinned vocab)" else ""} -> $o"),
-      a.flags.get("out_packed").map(o => s"packed shards (seq_len=$seqLen) -> $o"),
+      a.flags.get("out_packed").map(o => s"packed shards (seq_len=$seqLen" +
+        a.flags.get("shuffle_seed").map(s => s", shuffled '$s'").getOrElse("") +
+        s") -> $o"),
       a.flags.get("out_vocab").map(f => s"vocab -> $f")).flatten
     println(s"tokenize: $action ${merges.size} merges$stats" +
       (if (sinks.isEmpty) "" else sinks.mkString(" (", "; ", ")")))

@@ -398,12 +398,32 @@ object Bpe {
     * windows scale independently; a single global pack order would
     * serialize, don't — then one exchange groups ids into shards
     * (each id shuffles once, keyed (source, shard), and the per-shard
-    * sort is seqLen-bounded list reassembly, not a global sort). */
+    * sort is seqLen-bounded list reassembly, not a global sort).
+    *
+    * `shuffleSeed`: EPOCH SHUFFLING. A training loop wants a
+    * different document permutation each epoch, decided by the data
+    * layout (so every reader of the shard set sees the same epoch),
+    * not by a stateful loader. With a seed the per-source pack order
+    * becomes `md5(seed:docKey)` (docCol tie-break) — a deterministic,
+    * ENGINE-NEUTRAL permutation (md5 of the same UTF-8 string is the
+    * same hex in Spark and the DuckDB oracle, so the shuffled layout
+    * is gated end-to-end, q_pack_shuffle): seed "ep1"/"ep2"/… yield
+    * epoch-wise independent orders, the id multiset per source is
+    * conserved by construction, and intra-document token order is
+    * never touched (the permutation is OF documents). Same shapes at
+    * scale — only the window's sort key changes. */
   def packTokenIds(perDoc: DataFrame, srcCol: String, docCol: String,
-      seqLen: Int, eosId: Long): DataFrame = {
+      seqLen: Int, eosId: Long, shuffleSeed: Option[String] = None)
+      : DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val ord: Seq[Column] = shuffleSeed match {
+      case Some(seed) => Seq(
+        md5(concat_ws(":", lit(seed), col(docCol).cast("string"))),
+        col(docCol))
+      case None => Seq(col(docCol))
+    }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(srcCol).orderBy(docCol)
+      .partitionBy(srcCol).orderBy(ord: _*)
     perDoc
       .select(col(srcCol), col(docCol),
         concat(col("token_ids"), array(lit(eosId))).as("ids2"))

@@ -737,6 +737,25 @@ class CliSpec extends SparkSpec {
       "--out_packed", tmp() + "/p3", "--seq_len", "0")) == 2)
     assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
       "--out_packed", tmp() + "/p4", "--source_column", "nope")) == 2)
+    // --shuffle_seed: plumbs the epoch permutation to the library;
+    // guard without --out_packed
+    // seed "ep3" verifiably INVERTS s0's two-doc order
+    // (md5("ep3:2") < md5("ep3:1")), so the shuffled layout must differ
+    val outS = tmp() + "/packedS"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "4",
+      "--out_packed", outS, "--seq_len", "4", "--shuffle_seed", "ep3")) == 0)
+    val wantS = graft.functions.Bpe.packTokenIds(
+        graft.functions.Bpe.docTokenIdsFast(
+          docs, "text", Seq("source", "doc_id"), merges, idRows),
+        "source", "doc_id", 4, eos, shuffleSeed = Some("ep3"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getSeq[Long](3).toList).toMap
+    val gotS = spark.read.parquet(outS)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getSeq[Long](3).toList).toMap
+    assert(gotS == wantS && gotS != got)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "2",
+      "--shuffle_seed", "ep1")) == 2)
   }
 
   test("pca: fit/project, model-file round trip, rotate_pq, usage errors") {

@@ -309,6 +309,35 @@ class BpeSpec extends SparkSpec {
       "s1" -> List(20L, 21L, -2L)))
   }
 
+  test("packTokenIds shuffleSeed: the exact md5 epoch permutation, ids conserved") {
+    import spark.implicits._
+    // one source, enough docs that a permutation is overwhelmingly
+    // not the identity; each doc's ids encode its doc_id so the
+    // packed stream reveals the order
+    val perDoc = (1L to 8L).map(i => ("s0", i, Seq(i * 10, i * 10 + 1)))
+      .toDF("source", "doc_id", "token_ids")
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def packed(seed: String): List[Long] =
+      Bpe.packTokenIds(perDoc, "source", "doc_id", 1000, -2L,
+          shuffleSeed = Some(seed))
+        .collect().map(r => r.getSeq[Long](3).toList).head
+    def expected(seed: String): List[Long] =
+      (1L to 8L).sortBy(i => (hex(s"$seed:$i"), i))
+        .flatMap(i => List(i * 10, i * 10 + 1, -2L)).toList
+    // the permutation is EXACTLY md5(seed:doc_id) order — the same
+    // arithmetic the q_pack_shuffle oracle runs in DuckDB
+    assert(packed("ep1") == expected("ep1"))
+    assert(packed("ep2") == expected("ep2"))
+    // different epochs, different layout; id multiset conserved
+    assert(packed("ep1") != packed("ep2"))
+    assert(packed("ep1").sorted == packed("ep2").sorted)
+    assert(packed("ep1").sorted ==
+      Bpe.packTokenIds(perDoc, "source", "doc_id", 1000, -2L)
+        .collect().map(r => r.getSeq[Long](3).toList).head.sorted)
+  }
+
   test("shared cache: byte budget admits, FIFO evicts tables (never clear-all)") {
     // distinct single-merge tables; value-keyed caches
     def mk(i: Int) = new BpeMergeTable(Array(Bpe.Merge(1, s"t$i", "q", 1L)))
