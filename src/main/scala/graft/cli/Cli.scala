@@ -335,6 +335,7 @@ object Cli {
         |                      [--eos_id K] [--shuffle_seed S] [--stats]
         |                      [--id_column doc_id] [--text_column text]
         |                      [--source_column source]
+        |                      [--follow [--checkpoint DIR]]
         |
         |Learn a BPE merge table from the corpus's own word statistics
         |(Sennrich-style byte-pair encoding: one corpus-scale
@@ -406,7 +407,23 @@ object Cli {
         |  --id_column C       id column (default: doc_id)
         |  --text_column C     text column (default: text)
         |  --source_column C   source column for --out_packed's
-        |                      per-source packing (default: source)""".stripMargin
+        |                      per-source packing (default: source)
+        |  --follow            STREAMING tokenize: emit id sequences for
+        |                      whatever NEW files landed under --in since
+        |                      the last run with the same checkpoint,
+        |                      appended to --out_ids (drain-and-stop per
+        |                      invocation). Requires the PINNED tokenizer
+        |                      (--merges_file AND --vocab_file) — the
+        |                      map-only id kernel is stateless, so a
+        |                      drain costs exactly the new files' scan:
+        |                      no vocab join, no watermark, no state.
+        |                      Batch sinks (--out/--out_packed/
+        |                      --out_merges/--out_vocab/--stats) are
+        |                      finishers over the accumulated corpus and
+        |                      are rejected here
+        |  --checkpoint DIR    --follow progress (default:
+        |                      <out_ids>_checkpoint; coupled to the sink
+        |                      — keep or recreate them together)""".stripMargin
     case "pca" =>
       """usage: graft pca --in PARQUET_DIR [--k K | --rotate_pq M | --model_file FILE]
         |                 [--out PARQUET_DIR] [--out_model FILE]
@@ -1397,6 +1414,111 @@ object Cli {
     val idCol = a.flags.getOrElse("id_column", "doc_id")
     val textCol = a.flags.getOrElse("text_column", "text")
     val srcCol = a.flags.getOrElse("source_column", "source")
+    if (a.flags.contains("follow")) {
+      // STREAMING tokenize: emit id sequences for whatever NEW files
+      // landed under --in since the last run with the same checkpoint,
+      // APPENDED to --out_ids. The map-only id kernel is what makes
+      // this a stream at all: no vocab join, no aggregation, no
+      // watermark, no state store — one codegen'd column over the
+      // micro-batch, so each drain costs exactly the new files' scan.
+      // The tokenizer must be PINNED (--merges_file + --vocab_file):
+      // ids derived from "the corpus" are undefined when the corpus is
+      // still arriving, and a training pipeline tails these shards
+      // against one fixed vocabulary anyway.
+      if (a.flags("follow") != "true") {
+        // parseArgs binds `--follow X` as follow=X; silently falling
+        // back to BATCH mode on a stray token would mode("overwrite")
+        // the id shards accumulated by prior --follow runs
+        System.err.println("tokenize: --follow takes no value " +
+          s"(got '${a.flags("follow")}' — a misplaced argument?)")
+        return 2
+      }
+      if (haveLearn || !a.flags.contains("vocab_file")) {
+        System.err.println("tokenize: --follow needs a PINNED tokenizer " +
+          "(--merges_file AND --vocab_file; learning with --merges is a " +
+          "batch pass over a corpus the stream has not finished seeing)")
+        return 2
+      }
+      if (!a.flags.contains("out_ids")) {
+        System.err.println("tokenize: --follow emits id sequences; set --out_ids")
+        return 2
+      }
+      for (o <- Seq("out", "out_packed", "out_merges", "out_vocab", "stats")
+          if a.flags.contains(o)) {
+        System.err.println(s"tokenize: --$o is a batch sink/artifact " +
+          "(run it over the accumulated corpus); not valid with --follow")
+        return 2
+      }
+      val merges = readMergesTsv(a.flags("merges_file")) match {
+        case Left(err) => System.err.println(s"tokenize: $err"); return 2
+        case Right(m) => m
+      }
+      val idRows = readVocabTsv(a.flags("vocab_file")) match {
+        case Left(err) => System.err.println(s"tokenize: $err"); return 2
+        case Right(rows) => rows
+      }
+      val out = a.flags("out_ids")
+      val ckpt = a.flags.getOrElse("checkpoint", out + "_checkpoint")
+      // same sink/checkpoint coupling guards as curate --follow: the
+      // parquet sink's _spark_metadata log and the checkpoint's source
+      // offsets are a pair — every mismatched combination silently
+      // drops writes, hides rows, or omits files
+      if (ckpt.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) {
+        System.err.println(
+          "tokenize: --checkpoint must be a plain local path (no URI scheme)")
+        return 2
+      }
+      val outDir = new java.io.File(out)
+      val sinkLog = new java.io.File(outDir, "_spark_metadata")
+      if (sinkLog.exists && !new java.io.File(ckpt).exists) {
+        System.err.println("tokenize: --out_ids carries a streaming sink " +
+          "log but the checkpoint is fresh — the sink would silently " +
+          "skip already-committed batch ids. Pass the checkpoint that " +
+          "wrote it (or a fresh --out_ids).")
+        return 2
+      }
+      if (!sinkLog.exists && outDir.isDirectory
+          && outDir.listFiles != null && outDir.listFiles.nonEmpty) {
+        System.err.println("tokenize: --out_ids exists but was not " +
+          "written by --follow (no _spark_metadata) — appending a " +
+          "streaming sink into it would hide the existing rows on " +
+          "read. Use a fresh --out_ids.")
+        return 2
+      }
+      if (!sinkLog.exists && new java.io.File(ckpt, "offsets").exists) {
+        System.err.println("tokenize: --checkpoint already carries " +
+          "source offsets but --out_ids has no sink log — the processed " +
+          "files would be silently omitted from the fresh output. " +
+          "Keep the sink and checkpoint together (or start both fresh).")
+        return 2
+      }
+      val schema = spark.read.parquet(a.flags("in")).schema
+      if (sinkLog.exists) {
+        val have = spark.read.parquet(out).columns.toSet
+        if (have != Set(idCol, "n_tokens", "token_ids")) {
+          System.err.println("tokenize: --out_ids was written with a " +
+            s"different schema (${have.mkString(",")}) — start a fresh " +
+            "--out_ids.")
+          return 2
+        }
+      }
+      def sinkRows(): Long =
+        if (!sinkLog.exists) 0L else spark.read.parquet(out).count()
+      val before = sinkRows()
+      val q = graft.functions.Bpe.docTokenIdsFast(
+          spark.readStream.schema(schema).parquet(a.flags("in")),
+          textCol, Seq(idCol), merges, idRows)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      println(s"tokenize --follow: emitted ${sinkRows() - before} new id " +
+        s"rows (pinned vocab, ${merges.size} merges) -> $out (checkpoint $ckpt)")
+      return 0
+    }
     val docs = spark.read.parquet(a.flags("in"))
     // every sink below re-reads the word table (learn, both vocab
     // tokenizations, the id table, --stats) — persist the ONE

@@ -758,6 +758,51 @@ class CliSpec extends SparkSpec {
       "--shuffle_seed", "ep1")) == 2)
   }
 
+  test("tokenize --follow: per-drain id emission equals the batch kernel") {
+    import spark.implicits._
+    val in = tmp() + "/sdocs"
+    Seq((1L, "abab abc"), (2L, "b aaa"))
+      .toDF("doc_id", "text").write.mode("append").parquet(in)
+    // pin the tokenizer from wave 1 (the artifacts a --follow consumer ships)
+    val mergesF = tmp() + "/m.tsv"
+    val vocabF = tmp() + "/v.tsv"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "4",
+      "--out_merges", mergesF, "--out_vocab", vocabF)) == 0)
+    val out = tmp() + "/ids_stream"
+    val follow = Seq("tokenize", "--in", in, "--merges_file", mergesF,
+      "--vocab_file", vocabF, "--out_ids", out, "--follow")
+    assert(Cli.run(spark, follow) == 0)
+    assert(spark.read.parquet(out).count() == 2)
+    // wave 2 lands (with an out-of-vocab word -> UNK); drain again
+    Seq((3L, "zz abab")).toDF("doc_id", "text").write.mode("append").parquet(in)
+    assert(Cli.run(spark, follow) == 0)
+    // a drain with nothing new emits nothing
+    assert(Cli.run(spark, follow) == 0)
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    // accumulated stream == one batch pass over the whole corpus with
+    // the same pinned vocab
+    val outB = tmp() + "/ids_batch"
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges_file", mergesF,
+      "--vocab_file", vocabF, "--out_ids", outB)) == 0)
+    val want = spark.read.parquet(outB).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](2).toList).toMap
+    assert(got == want && got.size == 3)
+    assert(got(3L).contains(-1L), "wave-2 OOV word must emit UNK")
+    // guards: learning / missing vocab / missing out_ids / batch sink /
+    // stray --follow value / appending into a non-stream dir
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges", "4",
+      "--vocab_file", vocabF, "--out_ids", tmp() + "/x1", "--follow")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges_file", mergesF,
+      "--out_ids", tmp() + "/x2", "--follow")) == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges_file", mergesF,
+      "--vocab_file", vocabF, "--follow")) == 2)
+    assert(Cli.run(spark, follow ++ Seq("--out_packed", tmp() + "/x3")) == 2)
+    assert(Cli.run(spark, follow :+ "oops") == 2)
+    assert(Cli.run(spark, Seq("tokenize", "--in", in, "--merges_file", mergesF,
+      "--vocab_file", vocabF, "--out_ids", outB, "--follow")) == 2)
+  }
+
   test("pca: fit/project, model-file round trip, rotate_pq, usage errors") {
     import spark.implicits._
     val in = tmp() + "/vecs"
