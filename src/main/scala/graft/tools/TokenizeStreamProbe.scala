@@ -61,8 +61,9 @@ object TokenizeStreamProbe {
             e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
       })
 
-    // 31-70 syllable words/doc, xxhash64-mixed per (id, j) so the
-    // corpus stays diverse (a linear mod-64 hash collapses it)
+    // 31-70 words/doc, each word THREE xxhash64-mixed syllables (up to
+    // 64^3 distinct words — single-syllable words would cap the
+    // learnable merge table at 64: every word is one char pair)
     val syls = (for (a <- "ktmnsrlp"; b <- "aeiouywz") yield s"$a$b")
       .map(s => s"'$s'").mkString("array(", ",", ")")
     def writeInc(inc: Int): Unit =
@@ -70,8 +71,13 @@ object TokenizeStreamProbe {
         .select(col("id").as("doc_id"),
           expr(s"""array_join(transform(
               sequence(1, 31 + cast(pmod(id, 40) AS int)),
-              j -> element_at($syls,
-                     cast(pmod(xxhash64(id, j), 64) AS int) + 1)),
+              j -> concat(
+                element_at($syls,
+                  cast(pmod(xxhash64(id, j), 64) AS int) + 1),
+                element_at($syls,
+                  cast(pmod(xxhash64(id, j) div 64, 64) AS int) + 1),
+                element_at($syls,
+                  cast(pmod(xxhash64(id, j) div 4096, 64) AS int) + 1))),
             ' ')""").as("text"))
         .coalesce(4)
         .write.mode("append").parquet(in)
@@ -86,7 +92,11 @@ object TokenizeStreamProbe {
     require(graft.cli.Cli.run(spark, Seq("tokenize", "--in", in,
       "--merges", nMerges.toString, "--out_merges", mergesF,
       "--out_vocab", vocabF)) == 0)
-    println(f"pin: learned $nMerges merges from increment 0 in " +
+    val learned = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(mergesF)).size
+    require(learned == nMerges,
+      s"fixture too poor to learn $nMerges merges (got $learned)")
+    println(f"pin: learned $learned merges from increment 0 in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s -> $mergesF, $vocabF")
 
     val follow = Seq("tokenize", "--follow", "--in", in,
