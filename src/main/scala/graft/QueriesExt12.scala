@@ -368,7 +368,7 @@ object QueriesExt12 {
     "q_token_budget_salted" -> (qTokenBudgetSalted(_, _)),
     "q_dedup_incremental" -> (qDedupIncremental(_, _)))
 
-  private val duckBucket =
+  private[graft] val duckBucket =
     "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 31, 1)) - 1) * 16" +
       " + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 32, 1)) - 1"
 

@@ -28,6 +28,9 @@ import graft.functions.Bpe
   *    document order (`packTokenIds(shuffleSeed)`) — per-source
   *    md5(seed:doc_id) permutation, fingerprinted shard-for-shard
   *    against the oracle reconstructing the identical permutation.
+  *  - q_pack_recipe: the three composed — temperature-smoothed
+  *    mixture → id emission → epoch-shuffled packing, the full
+  *    pretraining-data recipe under one shard-exact gate.
   *
   * Both oracles extend QueriesExt14's bpeIdsCtes chain (the learned
   * 8-merge tokenizer + engine-neutral id table), adding only the flat
@@ -102,10 +105,38 @@ object QueriesExt16 {
       .orderBy("source", "shard")
   }
 
+  /** The FULL pretraining-data recipe as ONE oracle-gated pipeline:
+    * temperature-smoothed mixture over the language axis (α = 0.5 —
+    * the XLM-R smoothing, exact across engines by the q_mixture_
+    * temperature construction) → map-only token-ID emission with the
+    * corpus-learned tokenizer (trained PRE-filter, the Curation
+    * convention) → epoch-shuffled packing into fixed shards. Three
+    * independently-gated operators composed end to end and gated
+    * AGAIN shard-for-shard — mixture keep set, id sequences, epoch
+    * permutation, shard boundaries and every id must all line up with
+    * DuckDB's reconstruction. Shape at 100 TB: the mixture keep is
+    * map-side under a ~|langs|-row broadcast, id emission is map-only,
+    * packing is the per-source window cumsum + one (source, shard)
+    * exchange — ONE corpus-scale exchange in the whole recipe. */
+  private def qPackRecipe(s: SparkSession, dir: String): DataFrame = {
+    val (docs, merges, idRows) = learnedIds(s, dir)
+    val kept = graft.ops.Mixture.temperature(docs, "lang", "doc_id",
+      alpha = 0.5)
+    val perDoc = Bpe
+      .docTokenIdsFast(kept, "text", Seq("source", "doc_id"), merges, idRows)
+      .filter(col("n_tokens") > 0)
+    Bpe.packTokenIds(perDoc, "source", "doc_id", seqLen = 512, eosId = -2L,
+        shuffleSeed = Some("ep1"))
+      .select(col("source"), col("shard"), col("n_ids"),
+        md5(array_join(col("ids"), ",")).as("fp"))
+      .orderBy("source", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_ids_kernel" -> (qBpeIdsKernel(_, _)),
     "q_pack_ids" -> (qPackIds(_, _)),
-    "q_pack_shuffle" -> (qPackShuffle(_, _)))
+    "q_pack_shuffle" -> (qPackShuffle(_, _)),
+    "q_pack_recipe" -> (qPackRecipe(_, _)))
 
   /** QueriesExt14.bpeIdsCtes + the (doc, flat position, id) stream —
     * the shared tail of both oracles. */
@@ -147,6 +178,35 @@ object QueriesExt16 {
           |      ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (n + 1) AS off
           |  FROM (SELECT doc_id, source, count(*) AS n FROM tid GROUP BY doc_id, source)),
+          |stream AS (
+          |  SELECT t.source, d.off + t.fp1 - 1 AS gpos, t.token_id AS id
+          |  FROM tid t JOIN doff d ON t.doc_id = d.doc_id
+          |  UNION ALL
+          |  SELECT source, off + n AS gpos, -2 AS id FROM doff)
+          |SELECT source, CAST(gpos // 512 AS BIGINT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_ids,
+          |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos)) AS fp
+          |FROM stream GROUP BY source, shard ORDER BY source, shard""".stripMargin),
+    "q_pack_recipe" ->
+      (tidCte +
+        s""",
+          |counts AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+          |wt AS (SELECT lang, n_total,
+          |    GREATEST(1, CAST(round(1024 * sqrt(n_total) /
+          |      (SELECT sqrt(max(n_total)) FROM counts)) AS BIGINT)) AS w
+          |  FROM counts),
+          |lim AS (SELECT n_total AS n_m, w AS w_m FROM wt
+          |        ORDER BY CAST(n_total AS DOUBLE) / w, lang NULLS FIRST LIMIT 1),
+          |kept AS MATERIALIZED (SELECT d.doc_id FROM documents d
+          |  JOIN wt ON d.lang = wt.lang CROSS JOIN lim
+          |  WHERE (${QueriesExt12.duckBucket}) * lim.w_m * wt.n_total
+          |        < 256 * wt.w * lim.n_m),
+          |doff AS MATERIALIZED (SELECT doc_id, source, n,
+          |    sum(n + 1) OVER (PARTITION BY source
+          |      ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (n + 1) AS off
+          |  FROM (SELECT t.doc_id, t.source, count(*) AS n FROM tid t
+          |        JOIN kept k ON t.doc_id = k.doc_id GROUP BY t.doc_id, t.source)),
           |stream AS (
           |  SELECT t.source, d.off + t.fp1 - 1 AS gpos, t.token_id AS id
           |  FROM tid t JOIN doff d ON t.doc_id = d.doc_id
