@@ -396,9 +396,17 @@ object Bpe {
     * Shapes at scale (the q_pack precedent): ONE per-source window
     * cumsum assigns every document its global offset — per-key
     * windows scale independently; a single global pack order would
-    * serialize, don't — then one exchange groups ids into shards
-    * (each id shuffles once, keyed (source, shard), and the per-shard
-    * sort is seqLen-bounded list reassembly, not a global sort).
+    * serialize, don't — then one exchange groups SLICES into shards:
+    * each document's EOS-terminated stream segment is cut map-side
+    * into at most ⌈len/seqLen⌉+1 per-shard array slices, so the
+    * exchange carries doc-shard INCIDENCES (≈ nDocs + nShards rows of
+    * array payload), not one row per token id — at ~100 tokens/doc
+    * that is two orders of magnitude fewer shuffle rows for the same
+    * bytes, and the per-shard reassembly sorts segments (≤ seqLen of
+    * them), never individual ids. (The r15-original form exploded
+    * every id into its own shuffle row; at trillion-token corpora the
+    * per-row overhead of that exchange dominated — the slice form is
+    * output-identical, pinned by the same shard-exact oracle gates.)
     *
     * `shuffleSeed`: EPOCH SHUFFLING. A training loop wants a
     * different document permutation each epoch, decided by the data
@@ -429,15 +437,22 @@ object Bpe {
         concat(col("token_ids"), array(lit(eosId))).as("ids2"))
       .withColumn("len", size(col("ids2")).cast("long"))
       .withColumn("cum_start", sum(col("len")).over(w) - col("len"))
-      .select(col(srcCol), col("cum_start"),
-        posexplode(col("ids2")).as(Seq("p", "id")))
-      .withColumn("gpos", col("cum_start") + col("p"))
-      .withColumn("shard", expr(s"gpos div $seqLen"))
-      .withColumn("pos_in_shard", (col("gpos") % seqLen).cast("int"))
+      // map-side slicing: one row per (doc, covered shard), payload =
+      // the doc's id segment falling in that shard (slice is 1-based)
+      .select(col(srcCol), col("cum_start"), col("ids2"), col("len"),
+        explode(expr(
+          s"sequence(cum_start div $seqLen, (cum_start + len - 1) div $seqLen)"))
+          .as("shard"))
+      .withColumn("seg_start", greatest(col("shard") * seqLen, col("cum_start")))
+      .withColumn("seg_end",
+        least((col("shard") + 1) * seqLen, col("cum_start") + col("len")))
+      .withColumn("seg", expr(
+        "slice(ids2, cast(seg_start - cum_start + 1 AS int), " +
+          "cast(seg_end - seg_start AS int))"))
       .groupBy(col(srcCol), col("shard"))
-      .agg(count(lit(1)).as("n_ids"),
-        expr("transform(array_sort(collect_list(struct(pos_in_shard, id))), " +
-          "s -> s.id)").as("ids"))
+      .agg(sum(col("seg_end") - col("seg_start")).as("n_ids"),
+        expr("flatten(transform(array_sort(collect_list(struct(seg_start, seg))), " +
+          "s -> s.seg))").as("ids"))
   }
 
   /** Per-document BPE token counts: explode words (map-side), probe the
