@@ -45,6 +45,22 @@ object QueriesExt14 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
 
+  /** The vocab-scale word table, MATERIALIZED once per query
+    * invocation (`persist`) — the Spark twin of the oracle chains'
+    * `wf AS MATERIALIZED`. Every BPE gate consults this table from
+    * several driver actions (the learn loop's route stats + vocab
+    * fetch) and plan subtrees (tokenized-vocab and id-table broadcast
+    * builds), each of which would otherwise re-run the corpus-scale
+    * explode+aggregate from parquet — measured 4-5 recomputes per
+    * query at r15 (the DuckDB twin pays the pass ONCE by contract).
+    * Scale story: this is the vocab-scale table (10⁵× smaller than
+    * the corpus), exactly what a production trainer pins in memory.
+    * The bench's per-pass `clearCache()` drops it between timed runs,
+    * so every invocation still re-pays the corpus pass. */
+  private[graft] def materializedWords(docs: DataFrame,
+      textCol: String = "text"): DataFrame =
+    Bpe.wordFreq(docs, textCol).persist()
+
   /** One full Lloyd iteration at k=4 from md5 seeds: per-cluster sizes
     * and mean vectors in long format (list_id, pos, n, centroid). */
   private def qKmeansIterOracle(s: SparkSession, dir: String): DataFrame = {
@@ -78,7 +94,7 @@ object QueriesExt14 {
     * learn time) — the complete argmax/apply loop under the gate. */
   private def qBpeLearnOracle(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val words = Bpe.wordFreq(t(s, dir, "documents"), "text")
+    val words = materializedWords(t(s, dir, "documents"))
     Bpe.learn(words, numMerges = 4)
       .toDF("rank", "left_sym", "right_sym", "pair_freq")
       .orderBy("rank")
@@ -90,7 +106,7 @@ object QueriesExt14 {
     * source: documents, whitespace words, BPE tokens. */
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val words = Bpe.wordFreq(docs, "text")
+    val words = materializedWords(docs)
     val merges = Bpe.learn(words, numMerges = 8)
     val vocab = Bpe.tokenizeVocab(words, merges)
     docs.select(col("doc_id"), col("source"),
@@ -135,7 +151,7 @@ object QueriesExt14 {
     * table once, explode its symbols weighted by word frequency, one
     * small aggregation. Deterministic (count DESC, symbol ASC). */
   private def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
-    val words = Bpe.wordFreq(t(s, dir, "documents"), "text")
+    val words = materializedWords(t(s, dir, "documents"))
     val merges = Bpe.learn(words, numMerges = 6)
     words
       .select(explode(Bpe.tokensCol(col("word"), merges)).as("symbol"),
@@ -152,10 +168,11 @@ object QueriesExt14 {
     * the oracle compares exact sequences, not a hash of arrays. */
   private def qBpeTokenIds(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val words = Bpe.wordFreq(docs, "text")
-    val merges = Bpe.learn(words, numMerges = 8)
+    val words = materializedWords(docs)
+    val learned = Bpe.learnWithStats(words, numMerges = 8)
     Bpe.docTokenIdsLong(docs.filter(col("doc_id") % 199 === 7),
-        "text", Seq("doc_id"), merges, words)
+        "text", Seq("doc_id"), learned.merges, words,
+        vocabRows = Some(learned.nWords))
       .orderBy("doc_id", "word_pos", "tok_pos")
   }
 
@@ -165,9 +182,10 @@ object QueriesExt14 {
     * the order-sensitive Σ id·(word_pos+1). */
   private def qBpeIdsChecksum(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val words = Bpe.wordFreq(docs, "text")
-    val merges = Bpe.learn(words, numMerges = 8)
-    Bpe.docTokenIdsLong(docs, "text", Seq("doc_id", "source"), merges, words)
+    val words = materializedWords(docs)
+    val learned = Bpe.learnWithStats(words, numMerges = 8)
+    Bpe.docTokenIdsLong(docs, "text", Seq("doc_id", "source"),
+        learned.merges, words, vocabRows = Some(learned.nWords))
       .groupBy("source")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("token_id")).as("id_sum"),

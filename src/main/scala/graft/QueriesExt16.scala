@@ -49,7 +49,11 @@ object QueriesExt16 {
   private def learnedIds(s: SparkSession, dir: String)
       : (DataFrame, Seq[Bpe.Merge], Seq[(String, Long)]) = {
     val docs = t(s, dir, "documents")
-    val words = Bpe.wordFreq(docs, "text")
+    // word table materialized once per invocation (the oracle's
+    // `wf AS MATERIALIZED` twin — see QueriesExt14.materializedWords):
+    // the learn loop's two driver actions and the id-table collect all
+    // consult it, and would otherwise re-run the corpus pass each
+    val words = QueriesExt14.materializedWords(docs)
     val merges = Bpe.learn(words, numMerges = 8)
     val idRows = Bpe.vocabIds(words, merges)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -261,13 +261,23 @@ object Bpe {
       .select(explode(split(col("word"), "")).as("token"))
       .filter(col("token") =!= "")
       .distinct()
-    val nBase = base.count()
     val baseIds = base.withColumn("token_id",
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("token"))).cast("long") - 1L)
+    // nBase rides the PLAN as a 1-row aggregate cross-joined under the
+    // merge rows (the oracle's `(SELECT count(*) FROM base)` scalar
+    // subquery, verbatim) instead of a separate `base.count()` driver
+    // action: the id table is always built alongside other work on the
+    // same word table, and at interactive scale each extra action costs
+    // a full job round-trip (r15 measure-first finding — the BPE gates
+    // spent more wall in driver job floors than in compute). The
+    // alphabet-sized aggregate adds one cheap subtree, not an exchange.
+    val nBaseDf = base.agg(count(lit(1)).as("__n_base"))
     val mergeIds = merges.sortBy(_.rank)
-      .map(m => (m.left + m.right, nBase + m.rank - 1L))
-      .toDF("token", "token_id")
+      .map(m => (m.left + m.right, m.rank.toLong))
+      .toDF("token", "rank")
+      .crossJoin(nBaseDf)
+      .select(col("token"), (col("__n_base") + col("rank") - 1L).as("token_id"))
     baseIds.unionByName(mergeIds)
       .groupBy("token").agg(min(col("token_id")).as("token_id"))
   }
@@ -290,8 +300,10 @@ object Bpe {
     * trainer can filter or remap, never a silently dropped token. */
   def docTokenIds(docs: DataFrame, textCol: String, keyCols: Seq[String],
       merges: Seq[Merge], words: DataFrame,
-      pinnedIds: Option[DataFrame] = None): DataFrame = {
-    val toks = docTokenIdsLong(docs, textCol, keyCols, merges, words, pinnedIds)
+      pinnedIds: Option[DataFrame] = None,
+      vocabRows: Option[Long] = None): DataFrame = {
+    val toks = docTokenIdsLong(docs, textCol, keyCols, merges, words,
+      pinnedIds, vocabRows)
     toks
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_tokens"),
@@ -327,9 +339,14 @@ object Bpe {
     * is alphabet+merges-sized and always broadcasts. */
   def docTokenIdsLong(docs: DataFrame, textCol: String, keyCols: Seq[String],
       merges: Seq[Merge], words: DataFrame,
-      pinnedIds: Option[DataFrame] = None): DataFrame = {
+      pinnedIds: Option[DataFrame] = None,
+      vocabRows: Option[Long] = None): DataFrame = {
     val vocab0 = tokenizeVocabTokens(words, merges)
-    val vocab = if (vocabFits(words)) broadcast(vocab0) else vocab0
+    // size routing: a caller that just learned on the same table knows
+    // its row count (`learnWithStats`) — reuse it instead of paying the
+    // limit-probe job a second time over the same vocabulary
+    val fits = vocabRows.map(_ <= VocabBroadcastCap).getOrElse(vocabFits(words))
+    val vocab = if (fits) broadcast(vocab0) else vocab0
     val dw = docs.select(keyCols.map(col) :+
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("word_pos", "word")): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
@@ -462,9 +479,11 @@ object Bpe {
     * [[VocabBroadcastCap]] join plain (or better, the caller uses the
     * join-free [[docTokenCountFastCol]]). */
   def docTokenCounts(docs: DataFrame, textCol: String, keyCols: Seq[String],
-      merges: Seq[Merge], words: DataFrame): DataFrame = {
+      merges: Seq[Merge], words: DataFrame,
+      vocabRows: Option[Long] = None): DataFrame = {
     val vocab0 = tokenizeVocab(words, merges)
-    val vocab = if (vocabFits(words)) broadcast(vocab0) else vocab0
+    val fits = vocabRows.map(_ <= VocabBroadcastCap).getOrElse(vocabFits(words))
+    val vocab = if (fits) broadcast(vocab0) else vocab0
     val dw = docs.select(keyCols.map(col) :+
         explode(split(trim(col(textCol)), "\\s+")).as("word"): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
@@ -495,10 +514,24 @@ object Bpe {
     * tokenize the FULL vocabulary with the learned merges. */
   def learn(words: DataFrame, numMerges: Int,
       collectCap: Long = 20000000L, checkpointEvery: Int = 16,
-      minFreq: Long = 1L): Seq[Merge] = {
+      minFreq: Long = 1L): Seq[Merge] =
+    learnWithStats(words, numMerges, collectCap, checkpointEvery,
+      minFreq).merges
+
+  /** [[learn]]'s result plus the pruned-table row count its route
+    * guard already computed — callers that go on to size-route a
+    * vocab join ([[docTokenIdsLong]]/[[docTokenCounts]] `vocabRows`)
+    * reuse the count instead of paying a second probe job over the
+    * same table. `nWords` is −1 when the loop never ran (numMerges
+    * == 0). */
+  final case class Learned(merges: Seq[Merge], nWords: Long)
+
+  def learnWithStats(words: DataFrame, numMerges: Int,
+      collectCap: Long = 20000000L, checkpointEvery: Int = 16,
+      minFreq: Long = 1L): Learned = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
-    if (numMerges == 0) return Seq.empty
+    if (numMerges == 0) return Learned(Seq.empty, -1L)
     val pruned =
       if (minFreq > 1L) words.filter(col("freq") >= minFreq) else words
     // heap-headroom guard, LENGTH-AWARE: the driver trainer's working
@@ -517,23 +550,42 @@ object Bpe {
     val statsRow = pruned
       .agg(count(lit(1)), avg(length(col("word")))).head()
     val n = statsRow.getLong(0)
-    if (n == 0L) return Seq.empty
+    if (n == 0L) return Learned(Seq.empty, 0L)
     val avgLen = statsRow.getDouble(1)
     val needBytes = (n * (120.0 + 24.0 * avgLen)).toLong
     val headroom = Runtime.getRuntime.maxMemory / 2
     if (n <= collectCap && needBytes <= headroom) {
-      import scala.jdk.CollectionConverters._
-      val it = pruned.select(col("word"), col("freq").cast("long"))
-        .toLocalIterator().asScala
-        .map(r => (r.getString(0), r.getLong(1)))
-      learnIncremental(it, numMerges)
+      // Small vocabularies collect in ONE job: `toLocalIterator` runs
+      // one Spark job PER PARTITION (its memory contract — only one
+      // partition of Rows held at a time), which is exactly right for
+      // the multi-GB production point but pays P job round-trips at
+      // interactive scale, where the whole table is kilobytes (r15
+      // measure-first finding: the 8-merge gates' learn wall was
+      // dominated by these fetch jobs, not by merging). The cutoff
+      // keeps the collect's transient Row array well under the same
+      // heap budget the route guard already prices (collect ≈ 3× the
+      // trainer's steady-state bytes while both are alive).
+      val smallCollectBytes =
+        java.lang.Long.getLong("graft.bpe.smallCollectBytes", 256L << 20)
+      val it =
+        if (needBytes * 3 <= headroom && needBytes <= smallCollectBytes)
+          pruned.select(col("word"), col("freq").cast("long"))
+            .collect().iterator
+            .map(r => (r.getString(0), r.getLong(1)))
+        else {
+          import scala.jdk.CollectionConverters._
+          pruned.select(col("word"), col("freq").cast("long"))
+            .toLocalIterator().asScala
+            .map(r => (r.getString(0), r.getLong(1)))
+        }
+      Learned(learnIncremental(it, numMerges), n)
     } else {
       if (n <= collectCap)
         System.err.println(f"[bpe] $n distinct words need ~${needBytes / 1e9}%.1f GB " +
           f"of driver heap (max ${Runtime.getRuntime.maxMemory / 1e9}%.1f GB) — " +
           "routing to the distributed merge loop; raise driver memory for " +
           "the fast incremental trainer (or prune the tail with minFreq)")
-      learnDistributed(pruned, numMerges, checkpointEvery)
+      Learned(learnDistributed(pruned, numMerges, checkpointEvery), n)
     }
   }
 

@@ -69,6 +69,46 @@ class BpeSpec extends SparkSpec {
     assert(viaDriver.size == 6)
   }
 
+  test("learn routes: one-job collect equals toLocalIterator streaming") {
+    // r15: vocabularies under graft.bpe.smallCollectBytes fetch in ONE
+    // collect job; past it the per-partition toLocalIterator stream
+    // takes over (bounded driver memory). Force the streaming route on
+    // the same corpus and pin the learned merges equal — the fetch
+    // route must never change results.
+    val viaCollect = Bpe.learn(wordsDf, 6)
+    val prev = System.getProperty("graft.bpe.smallCollectBytes")
+    System.setProperty("graft.bpe.smallCollectBytes", "0")
+    try {
+      val viaStream = Bpe.learn(wordsDf, 6)
+      assert(viaCollect == viaStream)
+      assert(viaCollect.size == 6)
+    } finally {
+      if (prev == null) System.clearProperty("graft.bpe.smallCollectBytes")
+      else System.setProperty("graft.bpe.smallCollectBytes", prev)
+    }
+  }
+
+  test("learnWithStats count and docTokenIdsLong vocabRows routing") {
+    import spark.implicits._
+    val docs = Seq((1L, "abab abc b"), (2L, "xabx aaa b"))
+      .toDF("doc_id", "text")
+    val words = Bpe.wordFreq(docs, "text")
+    val learned = Bpe.learnWithStats(words, 4)
+    assert(learned.merges == Bpe.learn(words, 4))
+    assert(learned.nWords == words.count())
+    def rows(vr: Option[Long]) =
+      Bpe.docTokenIdsLong(docs, "text", Seq("doc_id"), learned.merges,
+          words, vocabRows = vr)
+        .orderBy("doc_id", "word_pos", "tok_pos")
+        .collect().map(_.toSeq).toSeq
+    val default = rows(None)
+    // the hint (broadcast route) and an over-cap count (plain-join
+    // route) must both be value-identical to the probe-job default
+    assert(rows(Some(learned.nWords)) == default)
+    assert(rows(Some(Bpe.VocabBroadcastCap + 1)) == default)
+    assert(default.nonEmpty)
+  }
+
   test("boundary safety: a merge never fires across symbol boundaries") {
     // force-learn (x,a) and (b,x) first, then apply (a,b): in "xabx"
     // the symbols are [xa, bx] — no (a,b) adjacency exists, though the
