@@ -107,12 +107,21 @@ object QueriesExt14 {
   private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val words = materializedWords(docs)
-    val merges = Bpe.learn(words, numMerges = 8)
-    val vocab = Bpe.tokenizeVocab(words, merges)
+    val learned = Bpe.learnWithStats(words, numMerges = 8)
+    val merges = learned.merges
+    val vocab0 = Bpe.tokenizeVocab(words, merges)
+    // size-routed like docTokenIdsLong (r15): the broadcast hint is
+    // only forced while the vocab is provably broadcast-sized — the
+    // row count the learn loop already computed — so a production
+    // corpus's multi-GB word table degrades to a plain shuffle join
+    // instead of a forced multi-GB broadcast
+    val vocab =
+      if (learned.nWords <= Bpe.VocabBroadcastCap) broadcast(vocab0)
+      else vocab0
     docs.select(col("doc_id"), col("source"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains(Bpe.Sep))
-      .join(broadcast(vocab), Seq("word"))
+      .join(vocab, Seq("word"))
       .groupBy("source")
       .agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_words"),
