@@ -48,7 +48,7 @@ object QueriesExt10 {
     val e = t(s, dir, "embeddings")
     val index = Pq.buildMd5Seeded(e, "vec_id", "embedding",
       dim = 64, m = 8, ksub = 16)
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Pq.search(mat, q, k = 5)

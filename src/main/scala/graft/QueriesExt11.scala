@@ -130,7 +130,7 @@ object QueriesExt11 {
       dim = 64, m = 8, ksub = 16)
     val index = IvfPq.IvfPqIndex(ivf.centroids, pq.codebooks, pq.dsub,
       pq.encoded, "vec_id", "embedding")
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     IvfPq.search(mat, q, k = 5, nprobe = 2)
@@ -152,7 +152,7 @@ object QueriesExt11 {
     val e = t(s, dir, "embeddings")
     val index = IvfPq.buildResidualMd5Seeded(e, "vec_id", "embedding",
       dim = 64, nlist = 8, m = 8, ksub = 16)
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     IvfPq.search(mat, q, k = 5, nprobe = 2)
@@ -172,7 +172,7 @@ object QueriesExt11 {
     val e = t(s, dir, "embeddings")
     val index = IvfPq.buildResidualMd5Seeded(e, "vec_id", "embedding",
       dim = 64, nlist = 8, m = 8, ksub = 16)
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     // default rerank = the scale-aware pool (R = max(4k, ceil(n·nprobe

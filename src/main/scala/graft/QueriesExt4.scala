@@ -19,6 +19,27 @@ object QueriesExt4 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     QueriesCommon.table(s, dir, name)
 
+  /** Build-once-search-many materialization of an ANN index's encoded
+    * table. LAZY persist, not the r13 eager `localCheckpoint(true)`:
+    * the checkpoint ran the encode as its own up-front job and
+    * serialized every partition before the search could start, where
+    * the persist fills inside the first consuming pass — same barrier
+    * semantics (searchRerank's two encoded consumers share one
+    * computation via the BlockManager's per-partition locking), one
+    * fewer serial job. r15 A/B over the 7-query ANN family at sf0.1,
+    * two interleaved windows, min per mode: lc 4.58 s / persist 4.03 s
+    * / no-barrier 4.06 s — and no-barrier both re-encodes per consumer
+    * (wrong at scale for the rerank route) and drops the
+    * index-at-rest modeling, so persist wins on both counts.
+    * (A/B toggle retained: -Dgraft.ann.matEncoded=lc|persist|none.) */
+  private[graft] def matEncoded(df: DataFrame): DataFrame =
+    System.getProperty("graft.ann.matEncoded", "persist") match {
+      case "persist" => df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none" => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Interval join (SURVEY §7.5 extension): events land in the ±3-day
     * windows around the 20 peak-traffic days (busiest by event count).
     * A bare inequality join would plan as BroadcastNestedLoop (O(n·m)
@@ -204,7 +225,7 @@ object QueriesExt4 {
     // search-many is the operator's real usage (at rest this is the
     // partitionBy(list_id) parquet write); without it the search scan
     // re-encodes the corpus
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Pq.search(mat, q, k = 5)
@@ -222,7 +243,7 @@ object QueriesExt4 {
       dim = 64, nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
       sampleFraction = 0.5, trainCap = 4096)
     // build-once, search-many (see qAnnPq)
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     graft.similarity.IvfPq.search(mat, q, k = 5, nprobe = 2)
@@ -241,7 +262,7 @@ object QueriesExt4 {
     val index = graft.similarity.IvfPq.build(e, "vec_id", "embedding",
       dim = 64, nlist = 8, m = 8, ksub = 16, seed = 42L, maxIter = 5,
       sampleFraction = 0.5, trainCap = 4096)
-    val mat = index.copy(encoded = index.encoded.localCheckpoint(true))
+    val mat = index.copy(encoded = QueriesExt4.matEncoded(index.encoded))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     graft.similarity.IvfPq.searchRerank(mat, q, k = 5, nprobe = 2)

@@ -239,6 +239,12 @@ object Curation {
       nTokCol: Column = nTok): DataFrame =
     exactDedup(qualityFilter(docs, nTokCol = nTokCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r15 A/B note: an eager localCheckpoint barrier (plan-truncating,
+      // guide §3.3) was measured AGAINST this persist at sf0.1 and lost
+      // 1.2 → 1.9 s per curation query (the eager checkpoint pays a
+      // full extra materialization job + RDD serialization up front,
+      // where persist fills lazily inside the one pass that already
+      // runs) — the persist barrier stands.
 
   /** The full composed pipeline: documents in, packed-bin occupancy
     * out, one dataflow (with the one deliberate materialization

@@ -33,6 +33,19 @@ object PerfScratch {
       case "asofnative" => asofNative(spark, dir)
       case "ivf" => ivf(spark, dir)
       case "joinagg" => joinAgg(spark, dir)
+      case "plansplit" =>
+        // split one query's wall into construct (driver actions inside
+        // the builder) / plan (analysis+optimization+physical) / exec —
+        // so "driver floor" claims point at the measured component
+        val name = args(2)
+        val fn = graft.SparkEntry.queries(name)
+        fn(spark, dir).count() // warm
+        (1 to 3).foreach { i =>
+          spark.catalog.clearCache()
+          val df = time(s"$name construct$i") { fn(spark, dir) }
+          time(s"$name plan$i") { df.queryExecution.executedPlan }
+          time(s"$name exec$i") { df.count() }
+        }
       case other =>
         graft.SparkEntry.queries.get(other).foreach { fn =>
           (1 to 3).foreach { i => time(s"$other run$i") { fn(spark, dir).count() } }
