@@ -104,8 +104,21 @@ object DupClusters {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
         if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        // reliable checkpoint stays EAGER: a lazy df.checkpoint writes
+        // the files by RE-RUNNING the lineage after the first consuming
+        // job — the round chain would pay every round twice
         df.checkpoint(true)
-      case None => df.localCheckpoint(true)
+      case None =>
+        // LAZY local checkpoint (r15): the lineage cut is identical,
+        // but the blocks are stored as a side effect of the FIRST
+        // consuming job (the convergence checksum that immediately
+        // follows every call) instead of a separate serialize-only
+        // materialization job per round — measured on the CC bench
+        // queries as one fewer job per round with unchanged results
+        // (fault behavior is the same either way: lost blocks kill the
+        // chain, CheckpointFaultProbe; the reliable arm above is the
+        // cluster answer)
+        df.localCheckpoint(false)
     }
 
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
