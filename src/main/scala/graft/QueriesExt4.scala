@@ -62,6 +62,11 @@ object QueriesExt4 {
     val raw = t(s, dir, "events")
     val ev = raw.select(QueriesCommon.eventDay(raw).as("day"))
     val daily = ev.groupBy("day").agg(count(lit(1)).as("n"))
+      // EAGER on purpose (r15 A/B): unlike the CC rounds — where a
+      // checksum job immediately follows and absorbs a lazy store —
+      // daily's two consumers live in ONE final job, and the lazy form
+      // measured ~0.7 → ~1.0 s (each consumer re-derives the agg before
+      // the deferred store lands); the eager pass IS the sharing here
       .localCheckpoint(true)
     // busy is ≤20 rows by construction, but an explicit broadcast hint
     // was MEASURED SLOWER here below the size gate: the broadcast build
