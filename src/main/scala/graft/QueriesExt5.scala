@@ -48,7 +48,11 @@ object QueriesExt5 {
     * quadratic term stays bounded, exactly like the paper's k. */
   private def qSemDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = ft(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    semDedupSurvivors(emb, semDedupPlanes(emb.count()))
+    // plane-count scalar from the PLAIN table: counting the fanned
+    // frame forced its round-robin exchange just to learn a row count
+    // the parquet footers already hold (r15 — the q_bm25 nDocs idiom);
+    // identical value, metadata-only job
+    semDedupSurvivors(emb, semDedupPlanes(t(s, dir, "embeddings").count()))
   }
 
   /** AUTO-SCALED plane count (round 8): planes grows with log₂ of the
