@@ -109,15 +109,14 @@ object QueriesExt14 {
     val words = materializedWords(docs)
     val learned = Bpe.learnWithStats(words, numMerges = 8)
     val merges = learned.merges
-    val vocab0 = Bpe.tokenizeVocab(words, merges)
     // size-routed like docTokenIdsLong (r15): the broadcast hint is
     // only forced while the vocab is provably broadcast-sized — the
     // row count the learn loop already computed — so a production
     // corpus's multi-GB word table degrades to a plain shuffle join
-    // instead of a forced multi-GB broadcast
-    val vocab =
-      if (learned.nWords <= Bpe.VocabBroadcastCap) broadcast(vocab0)
-      else vocab0
+    // instead of a forced multi-GB broadcast (routing single-sourced
+    // in Bpe.routeVocab, which also guards the -1 sentinel)
+    val vocab = graft.functions.Bpe.routeVocab(
+      Bpe.tokenizeVocab(words, merges), Some(learned.nWords), words)
     docs.select(col("doc_id"), col("source"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains(Bpe.Sep))

@@ -31,7 +31,15 @@ object QueriesExt4 {
     * / no-barrier 4.06 s — and no-barrier both re-encodes per consumer
     * (wrong at scale for the rerank route) and drops the
     * index-at-rest modeling, so persist wins on both counts.
-    * (A/B toggle retained: -Dgraft.ann.matEncoded=lc|persist|none.) */
+    * (A/B toggle retained: -Dgraft.ann.matEncoded=lc|persist|none.)
+    *
+    * Lifecycle (same contract as Curation.dedupBarrier): the persisted
+    * relation stays registered in the session's CacheManager for the
+    * frame's lifetime — a query builder cannot know when its caller's
+    * action is done. Drivers that run many queries on one session
+    * (`graft.Bench`, QueryOnce) `clearCache()` between timed runs,
+    * both for hygiene and so the next logically-equal plan re-pays the
+    * build its DuckDB twin re-pays. */
   private[graft] def matEncoded(df: DataFrame): DataFrame =
     System.getProperty("graft.ann.matEncoded", "persist") match {
       case "persist" => df.persist(

@@ -329,6 +329,22 @@ object Bpe {
   private def vocabFits(words: DataFrame): Boolean =
     words.limit((VocabBroadcastCap + 1).toInt).count() <= VocabBroadcastCap
 
+  /** THE vocab-join size routing, single-sourced (r15 review): force
+    * the broadcast hint only while the vocabulary is provably under
+    * [[VocabBroadcastCap]]. `vocabRows` must be the row count of THIS
+    * `words` table (the [[learnWithStats]] count qualifies only when
+    * the learn ran with minFreq = 1 — a pruned count under-states the
+    * full vocabulary); negative values (the numMerges == 0 sentinel)
+    * are treated as unknown and fall back to the limit-probe, never
+    * to a forced broadcast. */
+  private[graft] def routeVocab(vocab0: DataFrame,
+      vocabRows: Option[Long], words: DataFrame): DataFrame = {
+    val fits = vocabRows.filter(_ >= 0L)
+      .map(_ <= VocabBroadcastCap)
+      .getOrElse(vocabFits(words))
+    if (fits) broadcast(vocab0) else vocab0
+  }
+
   /** The long form behind [[docTokenIds]] (and the q_bpe_token_ids
     * oracle): one row per (doc, word_pos, tok_pos) with its token_id.
     * With `pinnedIds` the join goes LEFT and unknown tokens coalesce
@@ -345,8 +361,7 @@ object Bpe {
     // size routing: a caller that just learned on the same table knows
     // its row count (`learnWithStats`) — reuse it instead of paying the
     // limit-probe job a second time over the same vocabulary
-    val fits = vocabRows.map(_ <= VocabBroadcastCap).getOrElse(vocabFits(words))
-    val vocab = if (fits) broadcast(vocab0) else vocab0
+    val vocab = routeVocab(vocab0, vocabRows, words)
     val dw = docs.select(keyCols.map(col) :+
         posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("word_pos", "word")): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
@@ -482,8 +497,7 @@ object Bpe {
       merges: Seq[Merge], words: DataFrame,
       vocabRows: Option[Long] = None): DataFrame = {
     val vocab0 = tokenizeVocab(words, merges)
-    val fits = vocabRows.map(_ <= VocabBroadcastCap).getOrElse(vocabFits(words))
-    val vocab = if (fits) broadcast(vocab0) else vocab0
+    val vocab = routeVocab(vocab0, vocabRows, words)
     val dw = docs.select(keyCols.map(col) :+
         explode(split(trim(col(textCol)), "\\s+")).as("word"): _*)
       .filter(col("word") =!= "" && !col("word").contains(Sep))
@@ -522,8 +536,11 @@ object Bpe {
     * guard already computed — callers that go on to size-route a
     * vocab join ([[docTokenIdsLong]]/[[docTokenCounts]] `vocabRows`)
     * reuse the count instead of paying a second probe job over the
-    * same table. `nWords` is −1 when the loop never ran (numMerges
-    * == 0). */
+    * same table. `nWords` counts the table AFTER the minFreq prune,
+    * so it only qualifies as a `vocabRows` hint when the learn ran
+    * with minFreq = 1 (a pruned count under-states the vocabulary the
+    * join tokenizes); −1 when the loop never ran (numMerges == 0) —
+    * [[routeVocab]] treats negatives as unknown, never as "fits". */
   final case class Learned(merges: Seq[Merge], nWords: Long)
 
   def learnWithStats(words: DataFrame, numMerges: Int,

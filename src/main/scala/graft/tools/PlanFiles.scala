@@ -19,7 +19,10 @@ object PlanFiles {
     val outDir = args(1)
     val suffix = args(2)
     val names = args(3).split(",").map(_.trim).filter(_.nonEmpty)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default mirrors graft.Bench's (the doc claim above is literal:
+    // same master, same fan-out — set SPARK_GRAFT_CPUS=32 to match the
+    // driver's 32-thread bench runs)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -106,6 +106,9 @@ class BpeSpec extends SparkSpec {
     // route) must both be value-identical to the probe-job default
     assert(rows(Some(learned.nWords)) == default)
     assert(rows(Some(Bpe.VocabBroadcastCap + 1)) == default)
+    // the numMerges==0 sentinel (−1) is treated as UNKNOWN, not as
+    // "fits": routeVocab falls back to the probe — results identical
+    assert(rows(Some(-1L)) == default)
     assert(default.nonEmpty)
   }
 
