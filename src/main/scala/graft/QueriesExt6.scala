@@ -306,9 +306,12 @@ object QueriesExt6 {
     val probeVocab = t(s, dir, "documents").filter(col("doc_id") < 5)
       .select(explode(QueriesCommon.tokenHashesCol("text")).as("tok"))
       .distinct()
-    // corpus + doc-count scalars as a 1-row broadcast (single job)
+    // corpus + doc-count scalars as a 1-row broadcast (single job).
+    // Counts-only pass: tokenCountFast (r15) replaces sizing the fused
+    // hash kernel — same integers (see its proof), no per-token
+    // hashing or array allocation in the stats pass.
     val stats = t(s, dir, "documents")
-      .select(size(QueriesCommon.tokenHashesCol("text"))
+      .select(QueriesCommon.tokenCountFast(col("text"))
         .cast("double").as("dl0"))
       .agg(count(lit(1)).cast("double").as("n"), avg("dl0").as("avgdl"))
     // Round 10 (Bm25Probe at 15.7 GiB, stage metrics: 0.5 GB shuffle,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -83,6 +83,29 @@ object TokenHashUtil {
   def tokenHashes(s: UTF8String): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(tokenHashLongs(s))
 
+  /** Token COUNT only: the [[tokenHashLongs]] scan with no lowercase,
+    * no hashing, and no array — counts maximal non-separator byte
+    * runs, allocation-free. Case mapping is count-neutral (no char's
+    * lowercase adds or removes whitespace) so skipping `toLowerCase`
+    * is exact; the byte-level separator argument above covers the
+    * rest. ≡ size(toksExpr) ≡ size(tokenHashes) on every input
+    * (TokenCountFastSpec). */
+  def tokenCount(s: UTF8String): Int = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val n = s.numBytes
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && isSep(Platform.getByte(base, off + i))) i += 1
+      if (i < n) {
+        cnt += 1
+        while (i < n && !isSep(Platform.getByte(base, off + i))) i += 1
+      }
+    }
+    cnt
+  }
+
   /** Adjacent (w1, w2) hash pairs — the tail-zip of [[tokenHashes]];
     * < 2 tokens → empty array, matching
     * `arrays_zip(slice(toks,1,n-1), slice(toks,2,n-1))`. */
@@ -121,6 +144,34 @@ case class TokenXxHashes(child: Expression) extends UnaryExpression
       c => s"graft.expressions.TokenHashUtil.tokenHashes($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenXxHashes =
+    copy(child = newChild)
+}
+
+/** `int` whitespace-token count of a text column — the counts-ONLY
+  * sibling of [[TokenXxHashes]] for passes that never consume token
+  * identities (BM25's avgdl stats, token budgets, packing bins, the
+  * curation n_tok denomination): one allocation-free byte scan, fully
+  * codegen'd. See [[TokenHashUtil.tokenCount]] for the equivalence
+  * argument; TokenCountFastSpec pins it against both array forms. */
+case class TokenCount(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def prettyName: String = "graft_token_count"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashUtil.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TokenHashUtil.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
     copy(child = newChild)
 }
 

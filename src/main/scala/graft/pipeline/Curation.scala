@@ -45,10 +45,11 @@ import graft.functions.{TextFunctions => TF}
   */
 object Curation {
 
-  /** One lowered-token count, shared by the quality bounds, the token
-    * budget, and the packing bins — counts are case-insensitive so this
-    * equals TF.tokenCount; computed once per row and carried. */
-  private def nTok: Column = size(QueriesCommon.toksExpr)
+  /** One token count, shared by the quality bounds, the token budget,
+    * and the packing bins — computed once per row and carried. The
+    * allocation-free count form (r15): provably ≡ size(toksExpr), see
+    * QueriesCommon.tokenCountFast's proof. */
+  private def nTok: Column = QueriesCommon.tokenCountFast(col("text"))
 
   /** Stage 1 — quality filter (q_quality_filter's keep rule): token
     * count in [20, 80] and stopword ratio ≤ 0.2. Map-only: one scan,
