@@ -442,8 +442,10 @@ object QueriesCommon {
     * Equality argument (all inputs, not just the probe corpus): the
     * non-empty elements of `split(s, '\s+')` are exactly the maximal
     * runs of non-whitespace in s (separators are \s+ matches; a
-    * leading separator contributes one "" element, which the filter
-    * drops; trailing empties are dropped by split itself; interior
+    * leading separator contributes one leading "" element and a
+    * trailing separator one trailing "" element — Spark's split uses
+    * limit -1, which KEEPS trailing empties, unlike Java's
+    * String.split — and the x != '' filter drops both; interior
     * empties cannot occur under the + quantifier). `trim` strips only
     * edge spaces — removing no \S run — and no character's lowercase
     * mapping adds or removes whitespace, so `trim`/`lower` drop out of
@@ -452,8 +454,14 @@ object QueriesCommon {
     * non-whitespace-run count for every c (both null on null); the
     * kernel's byte-level separator scan matches Java `\s` exactly
     * (TokenHashUtil's argument). TokenCountFastSpec pins all of it on
-    * the adversarial edge set. Anything consuming token identities
-    * still needs toksExpr / tokenHashesCol. */
+    * the adversarial edge set. Null contract: the kernel returns null
+    * for null text, equal to size(...) under Spark 4's default ANSI
+    * mode; a deployment setting spark.sql.ansi.enabled=false flips the
+    * replaced size(...) forms to legacy sizeOfNull = -1 while the
+    * kernel stays null — the engine ships (and the spec asserts) the
+    * ANSI default, so the equivalence claim is scoped to it. Anything
+    * consuming token identities still needs toksExpr /
+    * tokenHashesCol. */
   def tokenCountFast(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.expressions.TokenCount(Bridge.expression(c)))

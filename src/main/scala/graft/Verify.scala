@@ -30,6 +30,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // Per-query cache hygiene (r15 VERDICT): several operators
+      // persist() within one invocation (the curation barrier, BPE's
+      // word table, the ANN encoded index) and nothing unpersists, so
+      // without this a 143-query run accumulates every persisted
+      // relation in one session — memory pressure at scale, and
+      // CacheManager may serve a later query's logically-equal subtree
+      // from an earlier query's cache instead of fresh compute.
+      // Results are unaffected (same data); Bench has cleared per
+      // timed pass since r13 (Bench.scala) for the same reason.
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -19,8 +19,17 @@ object TextFunctions {
       .otherwise(split(trim(c), "\\s+"))
 
   /** Whitespace token count (a cheap proxy for BPE token counts; the
-    * regex variant below approximates subword splits). */
-  def tokenCount(c: Column): Column = size(tokens(c))
+    * regex variant below approximates subword splits). Since r16 this
+    * rides the allocation-free byte-scan kernel
+    * ([[graft.expressions.TokenCount]]) instead of size([[tokens]]):
+    * provably value-identical for every input INCLUDING null under the
+    * shipped ANSI config (the equivalence proof lives at
+    * QueriesCommon.tokenCountFast; TokenCountFastSpec pins it), fully
+    * codegen'd where the split tower evaluated interpreted. */
+  def tokenCount(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expressions.TokenCount(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
 
   /** BPE-ish token count: words + digits + punctuation runs counted
     * separately, approximating a byte-pair-encoding tokenizer's unit
@@ -38,14 +47,28 @@ object TextFunctions {
   def stopwordsSqlLiteral: String =
     defaultStopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
-  /** Fraction of tokens that are stopwords (quality signal). */
+  /** Fraction of tokens that are stopwords (quality signal).
+    *
+    * Single-evaluation form (r16): the split tower used to appear
+    * THREE times (emptiness test, numerator filter, denominator), and
+    * higher-order functions evaluate interpreted — no codegen, no
+    * common-subexpression elimination — so every consumer paid the
+    * regex split 3× per row. Now [[tokens]] is referenced exactly once
+    * (inside the numerator's filter) and the emptiness test and
+    * denominator ride the codegen'd [[tokenCount]] kernel, which is
+    * ≡ size(tokens(c)) for every input (proof at
+    * QueriesCommon.tokenCountFast). Value-identical case by case:
+    * null text → tokens null → size(filter(null)) null, kernel null →
+    * when(null…) falls to otherwise → null/null = null (as before);
+    * empty/whitespace-only → kernel 0 → 0.0 (as before); else
+    * numerator and denominator are the same ints as the old form,
+    * cast and divided identically. */
   def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
     val stopArr = array(stopwords.map(lit): _*)
-    val toks = tokens(c)
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(
-        size(filter(toks, t => array_contains(stopArr, t))).cast("double") /
-          size(toks).cast("double"))
+    val nStop = size(filter(tokens(c), t => array_contains(stopArr, t)))
+    val nTok = tokenCount(c)
+    when(nTok === 0, lit(0.0))
+      .otherwise(nStop.cast("double") / nTok.cast("double"))
   }
 
   /** Fraction of characters that are punctuation. */

@@ -34,6 +34,11 @@ object JobProbe {
     for (n <- name.split(",").map(_.trim).filter(_.nonEmpty)) {
       val fn = graft.SparkEntry.queries(n)
       fn(spark, dir).count() // warm
+      // match Bench's cold-pass semantics: drop persisted relations so
+      // the timed pass re-pays its materialization fills (r16 — before
+      // this, a query with a persist barrier probed with the fill jobs
+      // already warm, under-counting its bench-visible jobs)
+      spark.catalog.clearCache()
       Thread.sleep(300); lines.clear()
       val t0 = System.nanoTime()
       fn(spark, dir).count()

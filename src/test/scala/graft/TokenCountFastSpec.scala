@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Pins the r15 counts-only optimization: tokenCountFast (one
-  * allocation-free regexp_count scan) must equal BOTH array-sizing
+  * allocation-free byte-scan kernel, [[graft.expressions.TokenCount]];
+  * regexp_count is a separate compared form in tools/TokenCountProbe,
+  * not this) must equal BOTH array-sizing
   * forms it replaced — size(toksExpr) (the interpreted filter/split
   * tower) and size(tokenHashesCol) (the fused codegen kernel) — on the
   * adversarial edge set the proof at its definition walks through:
@@ -36,6 +38,19 @@ class TokenCountFastSpec extends SparkSpec {
     val bad = c.filter(!(col("fast") <=> col("tower")) ||
       !(col("fast") <=> col("kernel"))).collect()
     assert(bad.isEmpty, s"divergent counts: ${bad.mkString("; ")}")
+  }
+
+  test("null text yields null under the shipped ANSI config") {
+    // The replaced size(...) forms return null for null input ONLY
+    // under ANSI mode (legacy sizeOfNull would return -1, where the
+    // kernel stays null) — assert the shipped config is the ANSI
+    // default so the equivalence claim above is anchored, and the
+    // kernel's own null contract explicitly.
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val r = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(QueriesCommon.tokenCountFast(col("text")).as("n"),
+        size(QueriesCommon.toksExpr).as("sz")).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
   test("tokenCountFast matches on the sf0.001 corpus row-for-row") {
