@@ -97,21 +97,44 @@ object TextFunctions {
 
   /** N-gram-heuristic language ID over a small built-in stopword table.
     * Scores each language by distinctive-function-word hits; emits the
-    * argmax or "und" when nothing matches. Pure column expression. */
+    * argmax or "und" when nothing matches. Pure column expression.
+    *
+    * Single-evaluation form (r16): the old shape built one
+    * `size(filter(toks, …))` per language, and since higher-order
+    * functions evaluate interpreted (no CSE), the `tokens(lower(c))`
+    * split tower ran FOUR times per row. All four counters now fold in
+    * ONE `aggregate` pass over one evaluation of the token array, with
+    * the argmax in the aggregate's finish lambda. Value identity:
+    * per-language hit counts are the same ints (filter-then-size vs
+    * fold-and-add over the same elements); the argmax compares the
+    * same (score, lang) structs with the same ordering; null text →
+    * token array null → aggregate null, where the old form's null
+    * scores made `best.score > 0` null and fell through to "und" — the
+    * outer coalesce restores exactly that. LangIdSpec pins new ≡ old
+    * on the edge set (incl. null) and the corpus. */
   def langIdHeuristic(c: Column): Column = {
     val markers: Seq[(String, Seq[String])] = Seq(
       "en" -> Seq("the", "and", "of", "is", "with"),
       "es" -> Seq("el", "la", "los", "que", "con"),
       "de" -> Seq("der", "die", "das", "und", "mit"),
       "fr" -> Seq("le", "les", "des", "est", "avec"))
-    val toks = tokens(lower(c))
-    val scores = markers.map { case (langCode, words) =>
-      val arr = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(arr, t))).as("score"),
-             lit(langCode).as("lang"))
+    val zero = struct(markers.map { case (langCode, _) =>
+      lit(0).as(langCode) }: _*)
+    def merge(acc: Column, t: Column): Column =
+      struct(markers.map { case (langCode, words) =>
+        val arr = array(words.map(lit): _*)
+        (acc.getField(langCode) +
+          when(array_contains(arr, t), lit(1)).otherwise(lit(0)))
+          .as(langCode)
+      }: _*)
+    def finish(acc: Column): Column = {
+      val best = array_max(array(markers.map { case (langCode, _) =>
+        struct(acc.getField(langCode).as("score"), lit(langCode).as("lang"))
+      }: _*))
+      when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(lit("und"))
     }
-    val best = array_max(array(scores: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    coalesce(aggregate(tokens(lower(c)), zero, merge, finish), lit("und"))
   }
 
   /** Canonical document fingerprint: md5 of lowercased,
